@@ -1,0 +1,230 @@
+"""Registry wiring SURVEY.md §2 operators to testdata + DuckDB oracles.
+
+Every entry here is one line of the correctness gate: the Spark callable
+``(spark, sf_dir) -> DataFrame`` and a DuckDB SQL string over the
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings) that must value-hash-match it.
+
+Parity strategy: distances are generated from the same templates on both
+engines (``functions/distance.py``) with identical fold order → bit-equal
+doubles; float group-sums are rounded to 6 dp on both sides; ranks are
+BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators import (
+    eps_degrees,
+    epsilon_neighborhood,
+    kde,
+    knn,
+    knn_merge_parts,
+    pairwise_distance,
+    refine,
+)
+from cuvs_spark.operators.pairwise import _KERNELS
+from cuvs_spark.plans import oracle as O
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name, fn, oracle=None):
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def T(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def emb_dataset(spark, sf_dir):
+    return (T(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+                    "label"))
+
+
+def emb_queries(spark, sf_dir, nq=20):
+    return (T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < nq)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+
+
+# DuckDB subqueries matching emb_dataset / emb_queries
+_D_SQL = "SELECT vec_id AS nid, embedding AS dv FROM embeddings"
+_Q_SQL = "SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {nq}"
+
+# binarized variant (>0 → 1.0) so the set-family metrics are non-degenerate
+_BIN = ("list_transform({col}, v -> CASE WHEN v > 0 THEN CAST(1 AS FLOAT) "
+        "ELSE CAST(0 AS FLOAT) END)")
+_BIN_SPARK = ("transform({col}, v -> CASE WHEN v > 0 THEN CAST(1 AS FLOAT) "
+              "ELSE CAST(0 AS FLOAT) END)")
+# probability-vector variant (abs / sum(abs)) for hellinger/JS/KL
+_PROB_SPARK = (
+    "transform({col}, v -> CAST(CAST(abs(v) AS DOUBLE) / "
+    "aggregate({col}, CAST(0 AS DOUBLE), (acc, u) -> acc + CAST(abs(u) AS DOUBLE)) "
+    "AS FLOAT))")
+_PROB = (
+    "list_transform({col}, v -> CAST(CAST(abs(v) AS DOUBLE) / "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({col}, u -> CAST(abs(u) AS DOUBLE))), (acc, u) -> acc + u) "
+    "AS FLOAT))")
+
+_XFORMS = {"bin": (_BIN_SPARK, _BIN), "prob": (_PROB_SPARK, _PROB)}
+
+
+def _knn_query(metric, nq=20, k=10, method="expr", with_distance=True,
+               xform=None):
+    spark_x, duck_x = _XFORMS.get(xform, (None, None))
+
+    def fn(spark, sf_dir, metric=metric, nq=nq, k=k, method=method,
+           with_distance=with_distance, spark_x=spark_x):
+        d = emb_dataset(spark, sf_dir)
+        q = emb_queries(spark, sf_dir, nq)
+        if spark_x:
+            d = d.withColumn("vec", F.expr(spark_x.format(col="vec")))
+            q = q.withColumn("qv", F.expr(spark_x.format(col="qv")))
+        return knn(d, q, k, metric, qvec_col="qv", method=method,
+                   with_distance=with_distance)
+    if duck_x:
+        d_sql = (f"SELECT vec_id AS nid, {duck_x.format(col='embedding')} AS dv "
+                 f"FROM embeddings")
+        q_sql = (f"SELECT vec_id AS qid, {duck_x.format(col='embedding')} AS qv "
+                 f"FROM embeddings WHERE vec_id < {nq}")
+    else:
+        d_sql, q_sql = _D_SQL, _Q_SQL.format(nq=nq)
+    sql = O.knn_sql(d_sql, q_sql, k, metric, with_distance=with_distance)
+    return fn, sql
+
+
+# --- brute-force kNN across the metric family (SURVEY §2.3, §2.5) ---------
+for _metric in ["sqeuclidean", "euclidean", "cosine", "inner_product",
+                "cityblock", "chebyshev", "canberra", "braycurtis",
+                "hamming", "correlation"]:
+    _fn, _sql = _knn_query(_metric)
+    register(f"knn_bf_{_metric}", _fn, _sql)
+
+for _metric in ["jaccard", "russellrao", "dice"]:
+    _fn, _sql = _knn_query(_metric, xform="bin")
+    register(f"knn_bf_{_metric}", _fn, _sql)
+
+_fn, _sql = _knn_query("hellinger", xform="prob")
+register("knn_bf_hellinger", _fn, _sql)
+
+# BLAS-tiled scale path: same logical result, ids+rank only (float sums
+# via GEMM are not bit-reproducible; ordering is)
+_fn, _sql = _knn_query("euclidean", method="blas", with_distance=False)
+register("knn_bf_euclidean_blas", _fn, _sql)
+_fn, _sql = _knn_query("inner_product", method="blas", with_distance=False)
+register("knn_bf_inner_product_blas", _fn, _sql)
+
+
+# --- filtered search (bitset / bitmap analogs, filters.pyx) ----------------
+def _knn_filtered(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    return knn(d, q, 10, "sqeuclidean", qvec_col="qv",
+               prefilter=F.col("label") != 3)
+
+
+register(
+    "knn_bf_prefilter_bitset", _knn_filtered,
+    O.knn_sql("SELECT vec_id AS nid, embedding AS dv FROM embeddings WHERE label <> 3",
+              _Q_SQL.format(nq=20), 10, "sqeuclidean"))
+
+
+def _knn_bitmap(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    allow = (q.select("qid").crossJoin(d.select("id"))
+             .filter((F.col("qid") + F.col("id")) % 3 != 0))
+    return knn(d, q, 10, "sqeuclidean", qvec_col="qv", allow_pairs=allow)
+
+
+register(
+    "knn_bf_prefilter_bitmap", _knn_bitmap,
+    O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean",
+              pair_where="(q.qid + d.nid) % 3 <> 0"))
+
+
+# --- knn_merge_parts (§2.4): shard the dataset, merge per-part top-k ------
+def _knn_merge(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    parts = [knn(d.filter(F.col("id") % 2 == m), q, 10, "sqeuclidean",
+                 qvec_col="qv") for m in (0, 1)]
+    return knn_merge_parts(parts, 10)
+
+
+register("knn_merge_parts", _knn_merge,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean"))
+
+
+# --- pairwise distance matrices (§2.3) ------------------------------------
+def _pairwise(metric, n=30):
+    def fn(spark, sf_dir, metric=metric, n=n):
+        e = T(spark, sf_dir, "embeddings")
+        X = (e.filter(F.col("vec_id") < n)
+             .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")))
+        return pairwise_distance(X, None, metric)
+    sub = ("SELECT vec_id AS i, embedding AS xa FROM embeddings "
+           f"WHERE vec_id < {n}")
+    sub2 = ("SELECT vec_id AS j, embedding AS xb FROM embeddings "
+            f"WHERE vec_id < {n}")
+    return fn, O.pairwise_sql(sub, sub2, metric)
+
+
+for _metric in ["sqeuclidean", "cosine", "chebyshev", "canberra"]:
+    _fn, _sql = _pairwise(_metric)
+    register(f"pairwise_{_metric}", _fn, _sql)
+
+
+# --- epsilon neighborhood range join (§2.5) -------------------------------
+_EPS = 1.5
+
+
+def _eps(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    X = e.select("id", "vec")
+    return epsilon_neighborhood(X, None, _EPS, "sqeuclidean")
+
+
+def _eps_deg(spark, sf_dir):
+    return eps_degrees(_eps(spark, sf_dir))
+
+
+_EPS_X = "SELECT vec_id AS i, embedding AS xa FROM embeddings"
+_EPS_Y = "SELECT vec_id AS j, embedding AS xb FROM embeddings"
+register("eps_neighborhood", _eps, O.eps_sql(_EPS_X, _EPS_Y, _EPS, "sqeuclidean"))
+register("eps_neighborhood_degrees", _eps_deg,
+         f"SELECT i, CAST(count(*) AS BIGINT) AS degree FROM ("
+         + O.eps_sql(_EPS_X, _EPS_Y, _EPS, "sqeuclidean") + ") GROUP BY i")
+
+
+# --- KDE (§2.3) -----------------------------------------------------------
+def _kde(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 50)
+    return kde(d, q, bandwidth=3.0, kernel="epanechnikov",
+               metric="euclidean", qvec_col="qv")
+
+
+register("kde_epanechnikov", _kde,
+         O.kde_sql(_D_SQL, _Q_SQL.format(nq=50), 3.0,
+                   _KERNELS["epanechnikov"], "euclidean"))
+
+
+# --- refine (§2.4): exact re-rank of candidate sets -----------------------
+def _refine(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    cand = (q.select("qid").crossJoin(d.select("id"))
+            .filter(F.col("id") % 5 == F.col("qid") % 5))
+    return refine(d, q, cand, 10, "sqeuclidean", qvec_col="qv")
+
+
+register("refine_sqeuclidean", _refine,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean",
+                   pair_where="(d.nid % 5) = (q.qid % 5)"))

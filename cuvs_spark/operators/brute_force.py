@@ -1,0 +1,207 @@
+"""Exact brute-force kNN — top-k similarity join (SURVEY.md §2.5).
+
+Reference: ``python/cuvs/cuvs/neighbors/brute_force/brute_force.pyx:60,120``
+(build/search with optional prefilter); physical impl
+``cpp/src/neighbors/detail/knn_brute_force.cuh`` — tiled pairwise GEMM
+(:62), per-tile select_k (:267), cross-tile merge (:309), filtered path
+(:585).
+
+Two physical paths, one logical contract
+``knn(dataset, queries, k, metric, prefilter) -> (qid, nid, distance, rank)``:
+
+* ``method="expr"`` — declarative: broadcast the query side into a
+  nested-loop join, compute the distance as a JVM SQL expression, then
+  two-phase top-k. Catalyst sees the whole plan (filters push below the
+  join, column pruning reaches the scan). Exact-oracle path.
+* ``method="blas"`` — the throughput path and the direct analog of the
+  reference's tiled kernel: the query matrix is broadcast to every
+  executor; each *dataset partition* computes a NumPy/BLAS distance tile
+  and reduces it to its local top-k **before any shuffle** — so the
+  exchange carries only ``n_parts × n_queries × k`` rows instead of
+  ``n_rows × n_queries``. At 100 TB this is the difference between a
+  bounded merge and an impossible shuffle. Mirrors
+  ``tiled_brute_force_knn`` + ``knn_merge_parts``.
+
+Prefilters (reference ``filters.pyx:29,39,89``):
+* ``prefilter`` — arbitrary boolean Column over dataset rows (bitset
+  analog, shared by all queries). Applied *before* distance — Catalyst
+  pushes it into the parquet scan.
+* ``allow_pairs`` — per-(qid, id) allow DataFrame (bitmap analog),
+  applied as a join predicate / semi-join before distance.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
+from cuvs_spark.operators.select_k import knn_merge_parts, select_k
+
+_OUT_SCHEMA = "qid long, nid long, distance double"
+
+
+def knn(dataset: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "sqeuclidean",
+        *,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+        prefilter: Column | None = None,
+        allow_pairs: DataFrame | None = None,
+        method: str = "expr",
+        minkowski_p: float = 2.0,
+        with_distance: bool = True) -> DataFrame:
+    """Exact k nearest neighbors of every query row against the dataset.
+
+    Returns ``(qid, nid, distance, rank)`` sorted best-first per qid,
+    ties broken by nid (matching the tie-tolerant comparison of
+    ``cpp/tests/neighbors/ann_utils.cuh:257``).
+    """
+    if prefilter is not None:
+        dataset = dataset.filter(prefilter)
+    if method == "blas":
+        out = _knn_blas(dataset, queries, k, metric,
+                        id_col=id_col, vec_col=vec_col,
+                        qid_col=qid_col, qvec_col=qvec_col,
+                        allow_pairs=allow_pairs)
+    else:
+        out = _knn_expr(dataset, queries, k, metric,
+                        id_col=id_col, vec_col=vec_col,
+                        qid_col=qid_col, qvec_col=qvec_col,
+                        allow_pairs=allow_pairs, p=minkowski_p)
+    if not with_distance:
+        out = out.drop("distance")
+    return out
+
+
+def _knn_expr(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
+              qvec_col, allow_pairs, p=2.0) -> DataFrame:
+    d = dataset.select(F.col(id_col).cast("long").alias("nid"),
+                       F.col(vec_col).alias("_dv"))
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    # Query side is the small side by contract (n_queries << n_rows):
+    # broadcast it so the dataset scan streams with no shuffle.
+    joined = d.join(F.broadcast(q))
+    if allow_pairs is not None:
+        ap = allow_pairs.select(F.col("qid").cast("long").alias("qid"),
+                                F.col("id").cast("long").alias("nid"))
+        joined = joined.join(ap, ["qid", "nid"], "left_semi")
+    dist = F.expr(distance_sql_spark(metric, "_qv", "_dv", p))
+    pairs = joined.select("qid", "nid", dist.alias("distance"))
+    return select_k(pairs, "qid", "distance", k,
+                    select_min=is_min_close(metric), tie_cols=["nid"])
+
+
+# ---------------------------------------------------------------------------
+# BLAS-tiled path
+# ---------------------------------------------------------------------------
+
+def _pairwise_np(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
+    """Dense (n_queries × n_rows) distance tile in float64 via BLAS."""
+    if metric in ("sqeuclidean", "euclidean", "l2", "l2_expanded",
+                  "l2sqrt_expanded"):
+        qn = (Q * Q).sum(1)[:, None]
+        xn = (X * X).sum(1)[None, :]
+        D = np.maximum(qn + xn - 2.0 * (Q @ X.T), 0.0)
+        if metric in ("euclidean", "l2", "l2sqrt_expanded"):
+            D = np.sqrt(D)
+        return D
+    if metric in ("inner_product", "dot"):
+        return Q @ X.T
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1)[:, None]
+        xn = np.linalg.norm(X, axis=1)[None, :]
+        denom = np.maximum(qn * xn, 1e-300)
+        return 1.0 - (Q @ X.T) / denom
+    if metric in ("cityblock", "l1", "manhattan"):
+        # chunked to bound the (q, x, d) intermediate
+        out = np.empty((Q.shape[0], X.shape[0]))
+        step = max(1, int(2**24 / max(1, Q.shape[0] * Q.shape[1])))
+        for s in range(0, X.shape[0], step):
+            out[:, s:s + step] = np.abs(
+                Q[:, None, :] - X[None, s:s + step, :]).sum(-1)
+        return out
+    if metric in ("chebyshev", "linf"):
+        out = np.empty((Q.shape[0], X.shape[0]))
+        step = max(1, int(2**24 / max(1, Q.shape[0] * Q.shape[1])))
+        for s in range(0, X.shape[0], step):
+            out[:, s:s + step] = np.abs(
+                Q[:, None, :] - X[None, s:s + step, :]).max(-1)
+        return out
+    raise ValueError(f"metric {metric!r} has no BLAS kernel; use method='expr'")
+
+
+def _knn_blas(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
+              qvec_col, allow_pairs) -> DataFrame:
+    if allow_pairs is not None:
+        # bitmap-filtered search stays on the declarative path
+        return _knn_expr(dataset, queries, k, metric, id_col=id_col,
+                         vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+                         allow_pairs=allow_pairs)
+    spark = dataset.sparkSession
+    qp = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                        F.col(qvec_col).alias("v")).toPandas()
+    q_ids = qp["qid"].to_numpy()
+    Q = np.vstack(qp["v"].to_numpy()).astype(np.float64)
+    minimize = is_min_close(metric)
+    bc = spark.sparkContext.broadcast((q_ids, Q, metric, minimize, k))
+
+    def tile_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Q, metric, minimize, k = bc.value
+        nq = Q.shape[0]
+        best_d = np.full((nq, 0), np.nan)
+        best_i = np.full((nq, 0), -1, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            ids = pdf["_id"].to_numpy().astype(np.int64)
+            D = _pairwise_np(Q, X, metric)
+            if not minimize:
+                D = -D
+            cat_d = np.concatenate([best_d, D], axis=1)
+            cat_i = np.concatenate(
+                [best_i, np.broadcast_to(ids, (nq, len(ids)))], axis=1)
+            keep = min(k, cat_d.shape[1])
+            part = np.argpartition(cat_d, keep - 1, axis=1)[:, :keep]
+            best_d = np.take_along_axis(cat_d, part, axis=1)
+            best_i = np.take_along_axis(cat_i, part, axis=1)
+        if best_d.shape[1]:
+            m = best_d.shape[1]
+            yield pd.DataFrame({
+                "qid": np.repeat(q_ids, m),
+                "nid": best_i.ravel(),
+                "distance": (best_d if minimize else -best_d).ravel(),
+            })
+
+    pairs = dataset.select(F.col(id_col).cast("long").alias("_id"),
+                           F.col(vec_col).alias("_v"))
+    local = pairs.mapInPandas(tile_topk, schema=_OUT_SCHEMA)
+    return knn_merge_parts(local, k, select_min=minimize)
+
+
+def knn_self(dataset: DataFrame, k: int, metric: str = "sqeuclidean",
+             *, id_col: str = "id", vec_col: str = "vec",
+             include_self: bool = False, method: str = "expr") -> DataFrame:
+    """All-pairs kNN of a table against itself (kNN-graph building block,
+    reference ``all_neighbors.pyx:198``)."""
+    q = dataset.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    out = knn(dataset, q, k + (0 if include_self else 1), metric,
+              id_col=id_col, vec_col=vec_col, qid_col="qid", qvec_col="qv",
+              method=method)
+    if not include_self:
+        out = (out.filter(F.col("qid") != F.col("nid"))
+               .drop("rank"))
+        out = select_k(out, "qid", "distance", k,
+                       select_min=is_min_close(metric), tie_cols=["nid"])
+    return out

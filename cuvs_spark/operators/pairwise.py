@@ -1,0 +1,120 @@
+"""Pairwise distances, eps-neighborhood range join, KDE, refine.
+
+Reference surfaces:
+* ``distance.pairwise_distance`` — ``python/cuvs/cuvs/distance/distance.pyx:51``,
+  C++ ``distance.hpp:163-461`` (full m×n matrix, 17 named metrics).
+* ``epsilon_neighborhood.compute`` — ``epsilon_neighborhood.hpp:62``
+  (adjacency dist ≤ eps + per-row degree) — a *range join* in Spark.
+* ``distance.kde`` — ``kde.hpp:48`` (sum of kernel(dist/h) per query,
+  kernels at ``distance.hpp:93-100``).
+* ``refine`` — ``refine.pyx:34-50`` / ``cpp/src/neighbors/refine/``
+  (exact re-rank of approximate candidates).
+
+All are declarative DataFrame plans: Catalyst broadcasts the small side,
+pushes predicates below the join, and codegens the scalar math. The m×n
+output of ``pairwise_distance`` is long-form ``(i, j, distance)`` — at
+scale callers should aggregate below it (kde/eps do) rather than
+materialize it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
+from cuvs_spark.operators.select_k import select_k
+
+
+def _sides(X: DataFrame, Y: DataFrame | None, x_id, x_vec, y_id, y_vec):
+    a = X.select(F.col(x_id).cast("long").alias("i"), F.col(x_vec).alias("_xa"))
+    yy = X if Y is None else Y
+    b = yy.select(F.col(y_id).cast("long").alias("j"), F.col(y_vec).alias("_xb"))
+    return a, b
+
+
+def pairwise_distance(X: DataFrame, Y: DataFrame | None = None,
+                      metric: str = "sqeuclidean", *,
+                      x_id: str = "id", x_vec: str = "vec",
+                      y_id: str = "id", y_vec: str = "vec",
+                      minkowski_p: float = 2.0,
+                      broadcast_y: bool = True) -> DataFrame:
+    """Full distance matrix in long form ``(i, j, distance)``."""
+    a, b = _sides(X, Y, x_id, x_vec, y_id, y_vec)
+    b = F.broadcast(b) if broadcast_y else b
+    dist = F.expr(distance_sql_spark(metric, "_xa", "_xb", minkowski_p))
+    return a.join(b).select("i", "j", dist.alias("distance"))
+
+
+def epsilon_neighborhood(X: DataFrame, Y: DataFrame | None = None,
+                         eps: float = 1.0, metric: str = "sqeuclidean", *,
+                         x_id: str = "id", x_vec: str = "vec",
+                         y_id: str = "id", y_vec: str = "vec") -> DataFrame:
+    """Range join: all pairs with distance ≤ eps (``epsilon_neighborhood
+    .hpp:62``). Returns ``(i, j, distance)``; degrees via
+    ``eps_degrees``. The filter sits directly on the join output so no
+    m×n relation is ever shuffled."""
+    pd_ = pairwise_distance(X, Y, metric, x_id=x_id, x_vec=x_vec,
+                            y_id=y_id, y_vec=y_vec)
+    return pd_.filter(F.col("distance") <= eps)
+
+
+def eps_degrees(adj: DataFrame) -> DataFrame:
+    """Per-row neighborhood size (the ``vd`` output of the reference)."""
+    return adj.groupBy("i").agg(F.count("*").alias("degree"))
+
+
+_KERNELS = {
+    # kernel(u) templates over u = dist/h  (distance.hpp:93-100)
+    "gaussian": "exp(CAST(-0.5 AS DOUBLE) * {u} * {u})",
+    "epanechnikov": ("CASE WHEN abs({u}) < CAST(1 AS DOUBLE) THEN "
+                     "CAST(1 AS DOUBLE) - {u} * {u} ELSE CAST(0 AS DOUBLE) END"),
+    "exponential": "exp(-abs({u}))",
+    "tophat": ("CASE WHEN abs({u}) < CAST(1 AS DOUBLE) THEN CAST(1 AS DOUBLE) "
+               "ELSE CAST(0 AS DOUBLE) END"),
+    "linear": ("CASE WHEN abs({u}) < CAST(1 AS DOUBLE) THEN "
+               "CAST(1 AS DOUBLE) - abs({u}) ELSE CAST(0 AS DOUBLE) END"),
+    "cosine_kernel": ("CASE WHEN abs({u}) < CAST(1 AS DOUBLE) THEN "
+                      "cos(CAST(pi() AS DOUBLE) / CAST(2 AS DOUBLE) * {u}) "
+                      "ELSE CAST(0 AS DOUBLE) END"),
+}
+
+
+def kde(dataset: DataFrame, queries: DataFrame, bandwidth: float = 1.0,
+        kernel: str = "gaussian", metric: str = "euclidean", *,
+        id_col: str = "id", vec_col: str = "vec",
+        qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+    """Kernel density estimate per query (``kde.hpp:48``): the m×n join
+    collapses through a partial-aggregated sum — map-side combine keeps
+    the shuffle at one row per (qid, partition)."""
+    a, b = _sides(queries, dataset, qid_col, qvec_col, id_col, vec_col)
+    dist = distance_sql_spark(metric, "_xa", "_xb")
+    u = f"(({dist}) / CAST({bandwidth} AS DOUBLE))"
+    kern = _KERNELS[kernel].format(u=u)
+    # float group-sum order is engine/run-dependent → round to 6 dp so the
+    # DuckDB oracle hash-matches (see plans/oracle.py kde_sql)
+    return (a.join(b)
+            .select(F.col("i").alias("qid"), F.expr(kern).alias("_k"))
+            .groupBy("qid").agg(F.round(F.sum("_k"), 6).alias("density")))
+
+
+def refine(dataset: DataFrame, queries: DataFrame, candidates: DataFrame,
+           k: int = 10, metric: str = "sqeuclidean", *,
+           id_col: str = "id", vec_col: str = "vec",
+           qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+    """Exact re-rank of approximate candidates (``refine.pyx:34-50``):
+    candidates ⋈ dataset on id → exact distance vs the query vector →
+    top-k. Pure DataFrame op; the candidate set is tiny relative to the
+    dataset so the vector fetch is an id-equi-join that AQE turns into a
+    broadcast when it fits."""
+    cand = candidates.select(F.col("qid").cast("long").alias("qid"),
+                             F.col("id").cast("long").alias("nid"))
+    d = dataset.select(F.col(id_col).cast("long").alias("nid"),
+                       F.col(vec_col).alias("_dv"))
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    dist = F.expr(distance_sql_spark(metric, "_qv", "_dv"))
+    pairs = (cand.join(d, "nid").join(F.broadcast(q), "qid")
+             .select("qid", "nid", dist.alias("distance")))
+    return select_k(pairs, "qid", "distance", k,
+                    select_min=is_min_close(metric), tie_cols=["nid"])

@@ -1,0 +1,94 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at the given sf dir and
+compares row-count, schema (sorted column names) and order-insensitive
+values against the DuckDB ``oracle_sql()``. Exits nonzero on mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(np.asarray(v).tolist()))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import __spark_entry__ as E
+    from cuvs_spark import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures, no_oracle = [], []
+    for name, fn in qs.items():
+        if filt and filt not in name:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL  {name}: spark error {ex}")
+            continue
+        if name not in os_:
+            no_oracle.append(name)
+            print(f"skip  {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(os_[name]).df()
+        except Exception as ex:
+            failures.append((name, f"DUCKDB ERROR: {ex}"))
+            print(f"FAIL  {name}: duckdb error {ex}")
+            continue
+        s, d = norm(sdf), norm(ddf)
+        status = []
+        if len(s) != len(d):
+            status.append(f"rowcount {len(s)} vs {len(d)}")
+        if list(s.columns) != list(d.columns):
+            status.append(f"schema {list(s.columns)} vs {list(d.columns)}")
+        if not status:
+            for c in s.columns:
+                sv, dv = s[c].to_numpy(), d[c].to_numpy()
+                if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                    if not np.array_equal(sv.astype(float), dv.astype(float)):
+                        mx = np.nanmax(np.abs(sv.astype(float) - dv.astype(float)))
+                        status.append(f"col {c} float mismatch (max abs diff {mx:.3e})")
+                elif not (sv == dv).all():
+                    status.append(f"col {c} mismatch")
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"FAIL  {name}: {'; '.join(status)}")
+        else:
+            print(f"ok    {name} ({len(s)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures, {len(no_oracle)} rows-only")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
