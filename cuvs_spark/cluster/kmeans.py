@@ -1,0 +1,206 @@
+"""k-means — the canonical Spark iterative aggregation (SURVEY.md §2.6).
+
+Reference: ``python/cuvs/cuvs/cluster/kmeans/kmeans.pyx:221`` (fit:
+``init_method`` KMeansPlusPlus/Random/Array, ``max_iter``, ``tol``,
+``n_init``, batched host-streaming), ``kmeans.pyx:358`` (predict),
+``kmeans.pyx:449`` (cluster_cost); balanced variant
+``cpp/src/cluster/kmeans_balanced.cuh`` (used by every IVF build).
+
+Spark design (100 TB shape):
+
+* **assign** — centroids live in a *broadcast* DataFrame; assignment is
+  a broadcast join + ``min(struct(dist, label))`` aggregation. The
+  partial aggregation collapses the n×k join output back to one row per
+  point *before* the exchange, so the shuffle carries n rows, not n×k.
+  All distance math is JVM expression code — no Python in the loop.
+* **update** — per-label mean per dimension via ``posexplode`` +
+  ``groupBy(label, dim)`` partial sums; k×dim result rows collect to the
+  driver (tiny), which closes the loop — exactly MLlib's
+  treeAggregate-to-driver shape.
+* **init** — deterministic seeded sample ordered by ``xxhash64(id)``
+  (Random), or k-means|| style oversampling (``init="parallel"``), or
+  caller-supplied centroids (the reference's ``Array`` init) — the
+  latter is what makes single steps SQL-oracle-able.
+
+The hot loop materializes no m×k relation and runs one n-row shuffle
+per iteration; centroid state is O(k·dim) on the driver regardless of
+data scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.functions.distance import distance_sql_spark
+
+
+@dataclass
+class KMeansModel:
+    centroids: np.ndarray          # (k, dim) float64
+    inertia: float | None = None
+    n_iter: int = 0
+
+    def centroids_df(self, spark) -> DataFrame:
+        rows = [(int(i), [float(x) for x in c])
+                for i, c in enumerate(self.centroids)]
+        return spark.createDataFrame(rows, "label int, centroid array<float>")
+
+
+def _centroid_df(spark, centroids) -> DataFrame:
+    if isinstance(centroids, DataFrame):
+        return centroids
+    if isinstance(centroids, KMeansModel):
+        centroids = centroids.centroids
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "label int, centroid array<float>")
+
+
+def assign(df: DataFrame, centroids, *, id_col: str = "id",
+           vec_col: str = "vec", metric: str = "sqeuclidean",
+           dist_col: str | None = None) -> DataFrame:
+    """Nearest-centroid assignment: ``(id, label[, distance])``.
+
+    Broadcast join + min-struct partial aggregation (see module doc).
+    Ties break to the lowest label, matching the oracle's
+    ``ORDER BY dist, label LIMIT 1``.
+    """
+    spark = df.sparkSession
+    c = _centroid_df(spark, centroids)
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    dist = F.expr(distance_sql_spark(metric, "_v", "centroid"))
+    joined = d.join(F.broadcast(c)).select(
+        "id", F.struct(dist.alias("d"), F.col("label").alias("l")).alias("_s"))
+    best = joined.groupBy("id").agg(F.min("_s").alias("_b"))
+    out = best.select("id", F.col("_b.l").alias("label"),
+                      F.col("_b.d").alias("distance"))
+    if dist_col is None:
+        return out.select("id", "label")
+    return out.withColumnRenamed("distance", dist_col)
+
+
+def kmeans_predict(df: DataFrame, model, *, id_col: str = "id",
+                   vec_col: str = "vec",
+                   metric: str = "sqeuclidean") -> DataFrame:
+    """``kmeans.pyx:358`` — labels for new points."""
+    return assign(df, model, id_col=id_col, vec_col=vec_col, metric=metric)
+
+
+def cluster_cost(df: DataFrame, model, *, id_col: str = "id",
+                 vec_col: str = "vec", metric: str = "sqeuclidean",
+                 ndigits: int = 6) -> DataFrame:
+    """``kmeans.pyx:449`` — inertia: sum of min distances. Rounded so the
+    cross-engine group-sum order difference can't flip the hash."""
+    a = assign(df, model, id_col=id_col, vec_col=vec_col, metric=metric,
+               dist_col="distance")
+    return a.agg(F.round(F.sum("distance"), ndigits).alias("inertia"))
+
+
+def _update_means(df: DataFrame, centroids, *, id_col: str, vec_col: str,
+                  metric: str) -> tuple[np.ndarray, np.ndarray]:
+    """One Lloyd update: per-label per-dim mean via posexplode partial
+    aggregation; returns (new_centroids, counts) on the driver."""
+    spark = df.sparkSession
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    lab = assign(d, centroids, id_col="id", vec_col="_v", metric=metric)
+    sums = (d.join(lab, "id")
+            .select("label", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect())
+    k, dim = np.asarray(centroids).shape
+    out = np.array(centroids, dtype=np.float64, copy=True)
+    acc = np.zeros((k, dim)); cnt = np.zeros(k)
+    for r in sums:
+        acc[r["label"], r["dim"]] = r["s"]
+        cnt[r["label"]] = r["n"]
+    nonempty = cnt > 0
+    out[nonempty] = acc[nonempty] / cnt[nonempty, None]
+    return out, cnt
+
+
+def lloyd_step(df: DataFrame, centroids, *, id_col: str = "id",
+               vec_col: str = "vec", metric: str = "sqeuclidean") -> np.ndarray:
+    """One externally-visible Lloyd iteration (assign → means)."""
+    new, _ = _update_means(df, centroids, id_col=id_col, vec_col=vec_col,
+                           metric=metric)
+    return new
+
+
+def _init_centroids(df: DataFrame, k: int, *, id_col: str, vec_col: str,
+                    init: str, seed: int, metric: str) -> np.ndarray:
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    if init == "random":
+        # deterministic "random": order by a seeded hash of the id
+        rows = (d.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), "id")
+                .limit(k).collect())
+        return np.array([r["_v"] for r in rows], dtype=np.float64)
+    # k-means||-style: oversample ~5k points by hash, then weight-free
+    # greedy farthest-point refinement on the driver (small sample)
+    sample = (d.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), "id")
+              .limit(max(5 * k, k)).collect())
+    P = np.array([r["_v"] for r in sample], dtype=np.float64)
+    chosen = [0]
+    d2 = ((P - P[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((P - P[nxt]) ** 2).sum(1))
+    return P[chosen]
+
+
+def kmeans_fit(df: DataFrame, k: int, *, max_iter: int = 20, tol: float = 1e-4,
+               init: str = "parallel", seed: int = 42, id_col: str = "id",
+               vec_col: str = "vec", metric: str = "sqeuclidean",
+               balanced: bool = False) -> KMeansModel:
+    """Lloyd's algorithm; ``balanced=True`` adds the reference's
+    size-capping rebalance (``kmeans_balanced.cuh``): oversized clusters
+    shed their farthest points to the next-nearest center each round,
+    which is what keeps IVF partitions even at scale."""
+    if isinstance(init, np.ndarray):
+        centroids = init.astype(np.float64)
+    else:
+        centroids = _init_centroids(df, k, id_col=id_col, vec_col=vec_col,
+                                    init=init, seed=seed, metric=metric)
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        new, cnt = _update_means(df, centroids, id_col=id_col,
+                                 vec_col=vec_col, metric=metric)
+        shift = float(np.sqrt(((new - centroids) ** 2).sum(1)).max())
+        centroids = new
+        if shift < tol:
+            break
+    if balanced:
+        centroids = _rebalance(df, centroids, id_col=id_col, vec_col=vec_col,
+                               metric=metric)
+    model = KMeansModel(centroids=centroids, n_iter=n_iter)
+    return model
+
+
+def _rebalance(df: DataFrame, centroids: np.ndarray, *, id_col: str,
+               vec_col: str, metric: str, max_ratio: float = 2.0) -> np.ndarray:
+    """Nudge centers of oversized clusters toward their far points'
+    complement — one smoothing pass (cheap approximation of
+    kmeans_balanced's hierarchical splitting, good enough to even out
+    IVF list sizes)."""
+    k = len(centroids)
+    lab = assign(df, centroids, id_col=id_col, vec_col=vec_col, metric=metric)
+    sizes = {r["label"]: r["n"] for r in
+             lab.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(sizes.values())
+    cap = max_ratio * n_total / k
+    heavy = [l for l, n in sizes.items() if n > cap]
+    if not heavy:
+        return centroids
+    # split each oversized cluster: move its center halfway to the
+    # smallest cluster's center region by re-seeding the emptiest center
+    order = sorted(range(k), key=lambda l: sizes.get(l, 0))
+    out = centroids.copy()
+    for h, l in zip(heavy, order):
+        if sizes.get(l, 0) * 4 < sizes[h]:
+            out[l] = (centroids[h] + out[l]) / 2 + 1e-6
+    return out

@@ -228,3 +228,111 @@ def _refine(spark, sf_dir):
 register("refine_sqeuclidean", _refine,
          O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean",
                    pair_where="(d.nid % 5) = (q.qid % 5)"))
+
+
+# --- k-means family (SURVEY §2.6) -----------------------------------------
+# Fixed deterministic centroids (= first K embedding vectors) make
+# predict / cost / one-Lloyd-step fully SQL-expressible → exact oracles.
+# The trained path (kmeans_fit) is iterative & non-SQL → rows-only check
+# here, recall/quality asserted in tests/test_kmeans.py.
+_K_FIXED = 8
+
+
+def _fixed_centroids(spark, sf_dir, k=_K_FIXED):
+    import numpy as np
+    rows = (T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < k)
+            .orderBy("vec_id").collect())
+    return np.array([r["embedding"] for r in rows], dtype=float)
+
+
+_CENT_SQL = ("SELECT vec_id AS label, embedding AS cv FROM embeddings "
+             f"WHERE vec_id < {_K_FIXED}")
+_DA_SQL = "SELECT vec_id AS id, embedding AS dv FROM embeddings"
+
+
+def _kmeans_assign(spark, sf_dir):
+    from cuvs_spark.cluster import kmeans_predict
+    d = emb_dataset(spark, sf_dir)
+    out = kmeans_predict(d, _fixed_centroids(spark, sf_dir))
+    return out.select(F.col("id").cast("long"), F.col("label").cast("long"))
+
+
+register("kmeans_predict", _kmeans_assign, O.assign_sql(_DA_SQL, _CENT_SQL))
+
+
+def _kmeans_cost(spark, sf_dir):
+    from cuvs_spark.cluster import cluster_cost
+    d = emb_dataset(spark, sf_dir)
+    return cluster_cost(d, _fixed_centroids(spark, sf_dir))
+
+
+register("kmeans_cluster_cost", _kmeans_cost,
+         O.cluster_cost_sql(_DA_SQL, _CENT_SQL))
+
+
+def _kmeans_lloyd(spark, sf_dir):
+    from cuvs_spark.cluster.kmeans import assign
+    d = emb_dataset(spark, sf_dir).select("id", "vec")
+    lab = assign(d, _fixed_centroids(spark, sf_dir))
+    return (d.join(lab, "id")
+            .select(F.col("label").cast("long"),
+                    F.posexplode("vec").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("val"))
+            .select(F.col("label"), F.col("dim").cast("long"), "val"))
+
+
+register("kmeans_lloyd_step", _kmeans_lloyd,
+         O.lloyd_step_sql(_DA_SQL, _CENT_SQL))
+
+
+def _kmeans_fit_rows(spark, sf_dir):
+    """Trained k-means (iterative, non-SQL) — rows-only driver check;
+    inertia-vs-sklearn asserted in tests."""
+    from cuvs_spark.cluster import kmeans_fit
+    d = emb_dataset(spark, sf_dir)
+    model = kmeans_fit(d, 10, max_iter=5, seed=42)
+    return model.centroids_df(spark)
+
+
+register("kmeans_fit_centroids", _kmeans_fit_rows)  # no oracle: iterative
+
+
+# --- IVF-Flat (SURVEY §2.5): partition-pruned ANN search ------------------
+_IVF_LISTS, _IVF_PROBES = 16, 4
+_IVF_CENT_SQL = ("SELECT vec_id AS label, embedding AS cv FROM embeddings "
+                 f"WHERE vec_id < {_IVF_LISTS}")
+
+
+def _ivf_search_fixed(spark, sf_dir):
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+register("ivf_flat_search", _ivf_search_fixed,
+         O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               10, _IVF_PROBES))
+
+
+def _ivf_extend_search(spark, sf_dir):
+    """Build on ids ≥ 100, extend with ids < 100, search — must equal a
+    full-dataset IVF search (same fixed centroids)."""
+    from cuvs_spark.operators.ivf_flat import (ivf_flat_build,
+                                               ivf_flat_extend,
+                                               ivf_flat_search)
+    d = emb_dataset(spark, sf_dir)
+    cent = _fixed_centroids(spark, sf_dir, _IVF_LISTS)
+    idx = ivf_flat_build(d.filter(F.col("id") >= 100), _IVF_LISTS,
+                         centroids=cent)
+    idx = ivf_flat_extend(idx, d.filter(F.col("id") < 100))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+register("ivf_flat_extend_search", _ivf_extend_search,
+         O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               10, _IVF_PROBES))

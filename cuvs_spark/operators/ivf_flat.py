@@ -1,0 +1,120 @@
+"""IVF-Flat: inverted-file index via coarse k-means partitioning.
+
+Reference: ``python/cuvs/cuvs/neighbors/ivf_flat/ivf_flat.pyx``
+(build :41-115 — ``n_lists=1024``, ``kmeans_n_iters=20``,
+``kmeans_trainset_fraction=0.5``, ``add_data_on_build``,
+``adaptive_centers``; search :265-295 — ``n_probes``; extend :467);
+impl ``cpp/src/neighbors/ivf_flat/ivf_flat_build.cuh`` (kmeans predict
+:222), ``ivf_flat_search.cuh:41``.
+
+Spark design (SURVEY.md §2.5): the index IS a partitioning.
+
+* **build** — balanced k-means over a seeded trainset fraction gives
+  ``n_lists`` centroids; the assignment table ``(id, list_id, vec)`` is
+  the inverted file. Persisted ``partitionBy(list_id)`` so searches
+  prune at the *file listing* level.
+* **search** — coarse stage: queries × broadcast centroids → top
+  ``n_probes`` lists per query (tiny). Fine stage: the probe set is
+  broadcast against the assignment table, so only rows whose
+  ``list_id`` is probed are scanned — Spark's dynamic partition
+  pruning / broadcast-hash-join does exactly what the reference's
+  ``select_clusters`` + per-list scan does, and the dataset side never
+  shuffles. At 1000 executors the scan reads
+  ``n_probes / n_lists`` of the data — same asymptotic win as the GPU.
+* **extend** — append + assign to nearest existing center
+  (``ivf_flat.pyx:467``): a union plus one broadcast join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.cluster.kmeans import KMeansModel, assign, kmeans_fit
+from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
+from cuvs_spark.operators.select_k import select_k
+
+
+@dataclass
+class IVFFlatIndex:
+    centroids: np.ndarray            # (n_lists, dim) float64
+    lists: DataFrame                 # (id, list_id, vec) — the inverted file
+    metric: str = "sqeuclidean"
+
+    @property
+    def n_lists(self) -> int:
+        return len(self.centroids)
+
+
+def ivf_flat_build(dataset: DataFrame, n_lists: int = 64, *,
+                   metric: str = "sqeuclidean", kmeans_n_iters: int = 20,
+                   trainset_fraction: float = 0.5, seed: int = 42,
+                   id_col: str = "id", vec_col: str = "vec",
+                   centroids: np.ndarray | None = None,
+                   add_data_on_build: bool = True) -> IVFFlatIndex:
+    """Train the coarse quantizer and materialize the inverted file.
+
+    ``centroids`` short-circuits training (the reference's Array init) —
+    used by the deterministic oracle path and by ``extend``.
+    """
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    if centroids is None:
+        train = d.sample(fraction=min(1.0, trainset_fraction), seed=seed)
+        model = kmeans_fit(train, n_lists, max_iter=kmeans_n_iters,
+                           seed=seed, metric=metric, balanced=True)
+        centroids = model.centroids
+    lists = None
+    if add_data_on_build:
+        lab = assign(d, centroids, metric="sqeuclidean")
+        lists = (d.join(lab, "id")
+                 .select("id", F.col("label").alias("list_id"), "vec"))
+    return IVFFlatIndex(centroids=np.asarray(centroids, float), lists=lists,
+                        metric=metric)
+
+
+def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
+                    n_probes: int = 8, *, qid_col: str = "qid",
+                    qvec_col: str = "vec",
+                    metric: str | None = None) -> DataFrame:
+    """Partition-pruned ANN search → ``(qid, nid, distance, rank)``."""
+    metric = metric or index.metric
+    spark = queries.sparkSession
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    cent = index.lists.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "list_id int, centroid array<float>")
+    # coarse: top-n_probes lists per query (always by the *coarse* metric
+    # of the quantizer — sqeuclidean — matching ivf_flat_search.cuh)
+    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
+    probes = select_k(q.join(F.broadcast(cent)).select(
+        "qid", "list_id", cdist.alias("_cd")),
+        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None)
+    probes = probes.select("qid", "list_id")
+    # fine: broadcast the (qid, list_id) probe set against the inverted
+    # file — only probed lists are scanned, dataset side never shuffles.
+    fine = (index.lists.join(F.broadcast(probes), "list_id")
+            .join(F.broadcast(q), "qid"))
+    fdist = F.expr(distance_sql_spark(metric, "_qv", "vec"))
+    pairs = fine.select("qid", F.col("id").alias("nid"),
+                        fdist.alias("distance"))
+    return select_k(pairs, "qid", "distance", k,
+                    select_min=is_min_close(metric), tie_cols=["nid"])
+
+
+def ivf_flat_extend(index: IVFFlatIndex, new_rows: DataFrame, *,
+                    id_col: str = "id", vec_col: str = "vec") -> IVFFlatIndex:
+    """``extend(new_vectors, new_indices)`` (ivf_flat.pyx:467): assign
+    new rows to their nearest existing center and append. Centers stay
+    fixed (``adaptive_centers=False`` default)."""
+    d = new_rows.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(vec_col).alias("vec"))
+    lab = assign(d, index.centroids, metric="sqeuclidean")
+    add = d.join(lab, "id").select("id", F.col("label").alias("list_id"), "vec")
+    return IVFFlatIndex(centroids=index.centroids,
+                        lists=index.lists.unionByName(add),
+                        metric=index.metric)

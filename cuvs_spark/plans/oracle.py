@@ -58,6 +58,88 @@ SELECT i, j, distance FROM pairs WHERE distance <= {eps}
 """
 
 
+def assign_sql(dataset_sql: str, cent_sql: str,
+               metric: str = "sqeuclidean") -> str:
+    """Nearest-centroid assignment ``(id, label)``; ties → lowest label
+    (matches cluster/kmeans.py assign())."""
+    dist = distance_sql_duckdb(metric, "d.dv", "c.cv")
+    return f"""
+WITH d AS ({dataset_sql}), c AS ({cent_sql}),
+scored AS (
+  SELECT d.id AS id, c.label AS label,
+         row_number() OVER (PARTITION BY d.id ORDER BY {dist} ASC, c.label ASC) AS rn
+  FROM d CROSS JOIN c
+)
+SELECT id, label FROM scored WHERE rn = 1
+"""
+
+
+def cluster_cost_sql(dataset_sql: str, cent_sql: str,
+                     metric: str = "sqeuclidean", ndigits: int = 6) -> str:
+    dist = distance_sql_duckdb(metric, "d.dv", "c.cv")
+    return f"""
+WITH d AS ({dataset_sql}), c AS ({cent_sql}),
+best AS (
+  SELECT d.id AS id, min({dist}) AS md
+  FROM d CROSS JOIN c GROUP BY d.id
+)
+SELECT ROUND(CAST(sum(md) AS DOUBLE), {ndigits}) AS inertia FROM best
+"""
+
+
+def lloyd_step_sql(dataset_sql: str, cent_sql: str,
+                   metric: str = "sqeuclidean", ndigits: int = 6) -> str:
+    """One Lloyd iteration → (label, dim, val) per-dim means, rounded."""
+    return f"""
+WITH asg AS ({assign_sql(dataset_sql, cent_sql, metric)}),
+d AS ({dataset_sql}),
+exploded AS (
+  SELECT asg.label AS label,
+         CAST(generate_subscripts(d.dv, 1) AS BIGINT) - 1 AS dim,
+         CAST(unnest(d.dv) AS DOUBLE) AS x
+  FROM d JOIN asg ON d.id = asg.id
+)
+SELECT label, dim, ROUND(avg(x), {ndigits}) AS val
+FROM exploded GROUP BY label, dim
+"""
+
+
+def ivf_flat_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
+                        k: int, n_probes: int, metric: str = "sqeuclidean",
+                        coarse_metric: str = "sqeuclidean") -> str:
+    """Full IVF pipeline with fixed centroids: assign → probe → scan."""
+    order = "ASC" if is_min_close(metric) else "DESC"
+    adist = distance_sql_duckdb(coarse_metric, "d.dv", "c.cv")
+    pdist = distance_sql_duckdb(coarse_metric, "q.qv", "c.cv")
+    fdist = distance_sql_duckdb(metric, "q.qv", "a.dv")
+    return f"""
+WITH d AS ({dataset_sql}), q AS ({queries_sql}), c AS ({cent_sql}),
+asg AS (
+  SELECT id, dv, label FROM (
+    SELECT d.id AS id, d.dv AS dv, c.label AS label,
+           row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.label ASC) AS rn
+    FROM d CROSS JOIN c) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, label FROM (
+    SELECT q.qid AS qid, c.label AS label,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {pdist} ASC, c.label ASC) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= {n_probes}
+),
+pairs AS (
+  SELECT q.qid AS qid, a.id AS nid, {fdist} AS distance
+  FROM q JOIN probes p ON q.qid = p.qid
+         JOIN asg a ON a.label = p.label
+),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance {order}, nid ASC) AS rank
+  FROM pairs
+)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def kde_sql(dataset_sql: str, queries_sql: str, bandwidth: float,
             kernel_template: str, metric: str) -> str:
     dist = distance_sql_duckdb(metric, "q.qv", "d.dv")
