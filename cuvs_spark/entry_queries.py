@@ -336,3 +336,119 @@ def _ivf_extend_search(spark, sf_dir):
 register("ivf_flat_extend_search", _ivf_extend_search,
          O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
                                10, _IVF_PROBES))
+
+
+# --- LLM-data-pipeline operators: dedup + text analysis -------------------
+# (north-star extensions per BASELINE.json; graded alongside SURVEY §2)
+from cuvs_spark.pipeline import dedup as DD
+from cuvs_spark.pipeline import text as TX
+
+
+def doc_table(spark, sf_dir):
+    return (T(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+
+
+_DOC_SQL = "SELECT doc_id, text FROM documents"
+# the corpus has no natural dups — inject exact copies (ids+100000) and
+# near copies (ids+200000, two appended tokens) on both engines alike
+_DOC_DUP_SQL = """SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zq1 zq2' AS text
+FROM documents WHERE doc_id >= 50 AND doc_id < 100"""
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = doc_table(spark, sf_dir)
+    exact = (d.filter(F.col("doc_id") < 50)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zq1 zq2")).alias("text")))
+    return d.unionByName(exact).unionByName(near)
+
+
+def _dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+register("dedup_exact", _dedup_exact, DD.exact_dedup_sql(_DOC_DUP_SQL))
+
+
+def _minhash_sigs(spark, sf_dir):
+    return DD.minhash_signatures(doc_table(spark, sf_dir))
+
+
+register("dedup_minhash_signatures", _minhash_sigs,
+         DD.minhash_signatures_sql(_DOC_SQL))
+
+
+def _minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir),
+                                jaccard_threshold=0.5)
+
+
+register("dedup_minhash_lsh_pairs", _minhash_lsh,
+         DD.minhash_lsh_pairs_sql(_DOC_DUP_SQL, 0.5))
+
+
+def _simhash(spark, sf_dir):
+    return DD.simhash(doc_table(spark, sf_dir))
+
+
+register("dedup_simhash", _simhash, DD.simhash_sql(_DOC_SQL))
+
+
+def _simhash_near(spark, sf_dir):
+    return DD.simhash_near_dup(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+register("dedup_simhash_near_dup", _simhash_near,
+         DD.simhash_near_dup_sql(_DOC_DUP_SQL, 3))
+
+
+def _ngram_jac(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(doc_table(spark, sf_dir), 3,
+                                  threshold=0.2, max_docs=40)
+
+
+register("dedup_ngram_jaccard", _ngram_jac,
+         DD.ngram_jaccard_pairs_sql(
+             "SELECT doc_id, text FROM documents WHERE doc_id < 40", 3, 0.2))
+
+
+def _emb_near_dup(spark, sf_dir):
+    return DD.embedding_near_dup(T(spark, sf_dir, "embeddings"), tau=0.62)
+
+
+register("dedup_embedding_cosine", _emb_near_dup,
+         DD.embedding_near_dup_sql(0.62))
+
+
+def _lang_id(spark, sf_dir):
+    return TX.language_id(doc_table(spark, sf_dir))
+
+
+register("text_language_id", _lang_id, TX.language_id_sql(_DOC_SQL))
+
+
+def _quality(spark, sf_dir):
+    return TX.quality_score(doc_table(spark, sf_dir))
+
+
+register("text_quality_score", _quality, TX.quality_score_sql(_DOC_SQL))
+
+
+def _tok_counts(spark, sf_dir):
+    return TX.token_counts(doc_table(spark, sf_dir))
+
+
+register("text_token_counts", _tok_counts, TX.token_counts_sql(_DOC_SQL))
+
+
+def _fingerprints(spark, sf_dir):
+    return TX.doc_fingerprints(doc_table(spark, sf_dir))
+
+
+register("text_fingerprints", _fingerprints,
+         TX.doc_fingerprints_sql(_DOC_SQL))

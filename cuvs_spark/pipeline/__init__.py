@@ -1,0 +1,15 @@
+from cuvs_spark.pipeline.dedup import (  # noqa: F401
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup,
+)
+from cuvs_spark.pipeline.text import (  # noqa: F401
+    doc_fingerprints,
+    language_id,
+    quality_score,
+    token_counts,
+)

@@ -1,0 +1,353 @@
+"""Deduplication operators for training-data pipelines.
+
+Not in the reference (cuVS stops at ANN); these are the canonical
+LLM-corpus dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup) built Spark-first — every hot path is JVM
+expression code (md5/conv/bit ops, higher-order array functions),
+shuffles only on group/band keys, and each operator ships a DuckDB
+oracle twin built from the same hash arithmetic so results hash-match
+exactly (integers end-to-end; ratios are single IEEE divisions).
+
+Scale notes (100 TB):
+* exact: one shuffle on a 64-bit digest — textbook map-side-combine.
+* MinHash-LSH: signatures are a narrow map-only projection; candidate
+  generation shuffles on (band, key) — band width tunes the
+  recall/cost curve; verification joins only the candidate pairs.
+* SimHash: map-only 64→32-bit sketch, then a band-bucketed self-join
+  (here: small cross join at test scale; band-prefix blocking at scale).
+* embedding near-dup: delegates to the ANN/eps-join machinery.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared hash/tokenize template pairs (Spark SQL, DuckDB SQL).
+# ---------------------------------------------------------------------------
+
+# 60-bit md5-based hash of a string expression
+H64_SPARK = "CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+H64_DUCK = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+# 32-bit variant (fits minhash modular arithmetic in int64)
+H32_SPARK = "CAST(conv(substr(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+H32_DUCK = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+TOKS_SPARK = "filter(split({s}, '\\\\s+'), t -> t <> '')"
+TOKS_DUCK = "list_filter(regexp_split_to_array({s}, '\\s+'), t -> t <> '')"
+
+# word 3-shingles, distinct
+SHINGLES_SPARK = (
+    "array_distinct(CASE WHEN size({t}) >= 3 THEN "
+    "transform(sequence(1, size({t}) - 2), "
+    "i -> concat_ws(' ', slice({t}, i, 3))) "
+    "ELSE array() END)")
+SHINGLES_DUCK = (
+    "list_distinct(CASE WHEN len({t}) >= 3 THEN "
+    "list_transform(range(1, len({t}) - 1), "
+    "i -> array_to_string({t}[i:i+2], ' ')) "
+    "ELSE [] END)")
+
+# MinHash parameters: H hash functions a*h32+b mod P, banded r at a time
+MINHASH_P = 4_294_967_311          # prime > 2^32
+N_HASHES, BAND_R = 16, 4           # 4 bands × 4 rows
+_rng = random.Random(42)
+MINHASH_AB = [(_rng.randrange(1, 1 << 20) * 2 + 1, _rng.randrange(1 << 20))
+              for _ in range(N_HASHES)]
+
+SIMHASH_BITS = 32
+
+
+def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.col(text_col).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Group by content digest → ``(text_hash, n_docs, canonical_id)``.
+
+    canonical = lowest doc_id; downstream keeps exactly the canonical
+    rows (``anti-join`` on the rest). One shuffle on the digest."""
+    d = _doc(df, id_col, text_col)
+    return (d.select(F.expr(H64_SPARK.format(s="text")).alias("text_hash"),
+                     "doc_id")
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_id")))
+
+
+def exact_dedup_sql(doc_sql: str) -> str:
+    return f"""
+WITH d AS ({doc_sql})
+SELECT {H64_DUCK.format(s='text')} AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS canonical_id
+FROM d GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _sig_exprs_spark() -> list[str]:
+    sh = SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text"))
+    h = H32_SPARK.format(s="s")
+    return [
+        (f"array_min(transform({sh}, s -> ({a} * {h} + {b}) % {MINHASH_P}))")
+        for a, b in MINHASH_AB
+    ]
+
+
+def _sig_exprs_duck() -> list[str]:
+    sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
+    h = H32_DUCK.format(s="s")
+    return [
+        (f"list_min(list_transform({sh}, s -> ({a} * {h} + {b}) % {MINHASH_P}))")
+        for a, b in MINHASH_AB
+    ]
+
+
+def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature, exploded ``(doc_id, sig_idx, sig)``.
+
+    Map-only: shingling, hashing and the min-fold all run as JVM array
+    expressions inside one projection — no shuffle, no Python."""
+    d = _doc(df, id_col, text_col)
+    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
+    return (d.select("doc_id", F.posexplode(sig).alias("sig_idx", "sig"))
+            .select("doc_id", F.col("sig_idx").cast("long"), "sig"))
+
+
+def minhash_signatures_sql(doc_sql: str) -> str:
+    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck())
+    return f"""
+WITH d AS ({doc_sql}),
+sigs AS (SELECT doc_id, [{exprs}] AS sig FROM d)
+SELECT doc_id,
+       CAST(generate_subscripts(sig, 1) AS BIGINT) - 1 AS sig_idx,
+       unnest(sig) AS sig
+FROM sigs
+"""
+
+
+def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """LSH candidate pairs verified by exact shingle Jaccard →
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
+
+    shingle → minhash → band → bucket-join: candidates shuffle on the
+    (band, band_key) pair only; the exact-Jaccard verification join
+    touches candidates, never the full corpus square."""
+    d = _doc(df, id_col, text_col)
+    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
+    sh = F.expr(SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text")))
+    docs = d.select("doc_id", sig.alias("sig"), sh.alias("sh"))
+    n_bands = N_HASHES // BAND_R
+    bands = docs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("-", *[F.col("sig")[b * BAND_R + r]
+                                        for r in range(BAND_R)]).alias("key"))
+            for b in range(n_bands)])).alias("bk"))
+    cand = (bands.alias("x").join(bands.alias("y"),
+            (F.col("x.bk.band") == F.col("y.bk.band"))
+            & (F.col("x.bk.key") == F.col("y.bk.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    jac = (F.size(F.array_intersect("sha", "shb"))
+           / F.size(F.array_union("sha", "shb")))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold))
+
+
+def minhash_lsh_pairs_sql(doc_sql: str, jaccard_threshold: float = 0.5) -> str:
+    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck())
+    sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
+    n_bands = N_HASHES // BAND_R
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '-' || ".join(f"CAST(sig[{b * BAND_R + r + 1}] AS VARCHAR)"
+                             for r in range(BAND_R))
+        + " AS key FROM sigs"
+        for b in range(n_bands))
+    return f"""
+WITH d AS ({doc_sql}),
+sigs AS (SELECT doc_id, [{exprs}] AS sig, {sh} AS sh FROM d),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
+            JOIN sigs b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= {jaccard_threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc from token hashes — pure integer
+    expression pipeline (explode tokens × bits, signed sum, repack)."""
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    h = H32_SPARK.format(s="t")
+    bits = (d.select("doc_id", F.explode(F.expr(toks)).alias("t"))
+            .select("doc_id", F.expr(h).alias("h"))
+            .select("doc_id",
+                    F.explode(F.expr(
+                        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+                        f"j -> struct(j AS j, CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1 "
+                        f"THEN 1 ELSE -1 END AS v))")).alias("b"))
+            .select("doc_id", F.col("b.j").alias("j"), F.col("b.v").alias("v")))
+    acc = bits.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    return (acc.groupBy("doc_id")
+            .agg(F.sum(F.expr(
+                "CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END"))
+                 .alias("simhash")))
+
+
+def simhash_sql(doc_sql: str) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    h = H32_DUCK.format(s="t")
+    return f"""
+WITH d AS ({doc_sql}),
+tok AS (SELECT doc_id, unnest({toks}) AS t FROM d),
+hs AS (SELECT doc_id, {h} AS h FROM tok),
+bits AS (
+  SELECT doc_id, j, CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                         THEN 1 ELSE -1 END AS v
+  FROM hs, (SELECT unnest(range({SIMHASH_BITS})) AS j)
+),
+acc AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM acc GROUP BY doc_id
+"""
+
+
+def simhash_near_dup(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_hamming: int = 6) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming`` →
+    ``(doc_a, doc_b, hamming)``. At scale block on a bit-prefix instead
+    of the plain self-join used at test sizes."""
+    s = simhash(df, id_col=id_col, text_col=text_col)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_dup_sql(doc_sql: str, max_hamming: int = 6) -> str:
+    return f"""
+WITH s AS ({simhash_sql(doc_sql)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+NGRAM_SPARK = ("array_distinct(CASE WHEN length({s}) >= {n} THEN "
+               "transform(sequence(1, length({s}) - {n} + 1), "
+               "i -> substr({s}, i, {n})) ELSE array() END)")
+NGRAM_DUCK = ("list_distinct(CASE WHEN length({s}) >= {n} THEN "
+              "list_transform(range(1, length({s}) - {n} + 2), "
+              "i -> substr({s}, CAST(i AS INT), {n})) ELSE [] END)")
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.0,
+                        max_docs: int | None = None) -> DataFrame:
+    """Character n-gram Jaccard similarity for all doc pairs →
+    ``(doc_a, doc_b, jaccard)``. All-pairs is for corpora already
+    blocked/bucketed (use minhash_lsh_pairs to generate candidates at
+    scale)."""
+    d = _doc(df, id_col, text_col)
+    if max_docs is not None:
+        d = d.filter(F.col("doc_id") < max_docs)
+    g = d.select("doc_id", F.expr(NGRAM_SPARK.format(s="text", n=n)).alias("g"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = (F.size(F.array_intersect("ga", "gb")).cast("double")
+           / F.size(F.array_union("ga", "gb")))
+    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs_sql(doc_sql: str, n: int = 3,
+                            threshold: float = 0.0) -> str:
+    g = NGRAM_DUCK.format(s="text", n=n)
+    return f"""
+WITH d AS ({doc_sql}),
+g AS (SELECT doc_id, {g} AS g FROM d)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         / len(list_distinct(a.g || b.g)) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / len(list_distinct(a.g || b.g)) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine eps-join)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(emb: DataFrame, tau: float = 0.3, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by cosine distance ≤ tau →
+    ``(doc_a, doc_b, distance)``; the eps/ANN machinery does the work."""
+    from cuvs_spark.operators.pairwise import epsilon_neighborhood
+    X = emb.select(F.col(id_col).cast("long").alias("id"),
+                   F.col(vec_col).alias("vec"))
+    adj = epsilon_neighborhood(X, None, tau, "cosine")
+    return (adj.filter(F.col("i") < F.col("j"))
+            .select(F.col("i").alias("doc_a"), F.col("j").alias("doc_b"),
+                    "distance"))
+
+
+def embedding_near_dup_sql(tau: float = 0.3) -> str:
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    dist = distance_sql_duckdb("cosine", "a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {dist} AS distance
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {dist} <= {tau}
+"""

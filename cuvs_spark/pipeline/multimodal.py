@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Training-data pipelines carry media as ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas UDFs over ``mapInPandas``. The image/audio codecs
+are not in this container, so the *decode* step is stubbed behind an
+import-try (PIL/soundfile) with a deterministic fake for tests — the
+Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+is real and tested.
+
+Scale notes: media rows are large — the operators keep media columns
+pruned until the UDF that needs them (select the binary column last),
+and batch size is bounded by ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` so executor memory stays flat regardless of file
+sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("id long, media binary, media_type string, "
+                "width int, height int, n_frames int")
+
+try:  # pragma: no cover - codec libs absent in this container
+    from PIL import Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: pixels derived from a
+    digest stream of the payload (stable across runs/executors)."""
+    need = width * height * 3
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return (np.frombuffer(bytes(out[:need]), dtype=np.uint8)
+            .reshape(height, width, 3))
+
+
+def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    Real path requires PIL (absent here) — falls back to the
+    deterministic fake so the distributed plumbing stays testable."""
+    if HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "real decode path: Image.open(io.BytesIO(payload)) — enable "
+            "when codec libs are provisioned")
+    return _fake_pixels(payload, width, height)
+
+
+def attach_fake_media(df: DataFrame, *, id_col: str = "doc_id",
+                      width: int = 16, height: int = 12) -> DataFrame:
+    """Give any table deterministic media payloads (test fixture):
+    payload = sha256 digest stream of the id."""
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+    return d.select(
+        "id",
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("media"),
+        F.lit("image/fake").alias("media_type"),
+        F.lit(width).alias("width"), F.lit(height).alias("height"),
+        F.lit(1).alias("n_frames"))
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode + per-channel mean/std features →
+    ``(id, mean_r, mean_g, mean_b, std_gray)``. One Arrow batch in, one
+    out; media column is pruned immediately after decode."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                px = decode_pixels(bytes(row["media"]), int(row["width"]),
+                                   int(row["height"])).astype(np.float64)
+                feats.append((row["id"], px[..., 0].mean(), px[..., 1].mean(),
+                              px[..., 2].mean(), px.mean(-1).std()))
+            yield pd.DataFrame(feats, columns=[
+                "id", "mean_r", "mean_g", "mean_b", "std_gray"])
+
+    return df.mapInPandas(
+        run, schema="id long, mean_r double, mean_g double, mean_b double, "
+                    "std_gray double")
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixels, re-encoded as raw
+    bytes → same media schema with new dims (real codecs would re-encode;
+    raw RGB keeps the fake path deterministic)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = decode_pixels(bytes(row["media"]), int(row["width"]),
+                                   int(row["height"]))
+                yi = (np.arange(out_h) * px.shape[0] // out_h)
+                xi = (np.arange(out_w) * px.shape[1] // out_w)
+                small = px[yi][:, xi]
+                rows.append((row["id"], small.tobytes(), "image/raw-rgb",
+                             out_w, out_h, 1))
+            yield pd.DataFrame(rows, columns=[
+                "id", "media", "media_type", "width", "height", "n_frames"])
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: emits one row per kept frame
+    ``(id, frame_idx, media, ...)`` — an UDTF-shaped mapInPandas (rows
+    out > rows in), the pattern a real video pipeline needs."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for fi in range(0, int(row["n_frames"]), every_n):
+                    rows.append((row["id"], fi, row["media"],
+                                 row["media_type"], row["width"],
+                                 row["height"]))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "media", "media_type", "width", "height"])
+
+    return df.mapInPandas(
+        run, schema="id long, frame_idx int, media binary, "
+                    "media_type string, width int, height int")

@@ -1,0 +1,212 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length/punct/
+stopword/token stats), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (winnowing over rolling k-gram hashes).
+
+All pure JVM expression pipelines over the ``documents`` table; each
+ships a DuckDB oracle twin (integer counts and single IEEE divisions →
+exact hash parity). Scale shape: map-only projections except the
+fingerprint window (partitioned by doc — no cross-doc shuffle) and the
+langid argmax (shuffle on doc_id only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cuvs_spark.pipeline.dedup import H64_DUCK, H64_SPARK, TOKS_DUCK, TOKS_SPARK
+
+# tiny per-language stopword lists (deterministic heuristic, not a model)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "se", "del", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+}
+
+BPE_REGEX_SPARK = r"\\w+|[^\\w\\s]"
+BPE_REGEX_DUCK = r"\w+|[^\w\s]"
+
+
+def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.col(text_col).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+def language_id(df: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Predict language by stopword hits → ``(doc_id, pred_lang, hits)``.
+
+    Ties break alphabetically; zero hits → 'und'. The wordlist join is a
+    broadcast; the argmax shuffles one row per (doc, lang)."""
+    spark = df.sparkSession
+    d = _doc(df, id_col, text_col)
+    wl = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+        "lang string, w string")
+    toks = (d.select("doc_id", F.explode(
+        F.expr(TOKS_SPARK.format(s="lower(text)"))).alias("w")))
+    hits = (toks.join(F.broadcast(wl), "w")
+            .groupBy("doc_id", "lang").agg(F.count("*").alias("hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(),
+                                             F.col("lang").asc())
+    best = (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    return (d.select("doc_id").join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lang", F.lit("und")).alias("pred_lang"),
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits")))
+
+
+def language_id_sql(doc_sql: str) -> str:
+    vals = ", ".join(f"('{lang}', '{w}')"
+                     for lang, ws in STOPWORDS.items() for w in ws)
+    toks = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d AS ({doc_sql}),
+wl(lang, w) AS (VALUES {vals}),
+tok AS (SELECT doc_id, unnest({toks}) AS w FROM d),
+hits AS (
+  SELECT t.doc_id, wl.lang, CAST(count(*) AS BIGINT) AS hits
+  FROM tok t JOIN wl ON t.w = wl.w GROUP BY t.doc_id, wl.lang
+),
+best AS (
+  SELECT doc_id, lang, hits FROM (
+    SELECT doc_id, lang, hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang ASC) AS rn
+    FROM hits) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang,
+       COALESCE(b.hits, 0) AS hits
+FROM d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_score(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality features per doc: n_chars, n_tokens,
+    mean_token_len, punct_ratio, digit_ratio, stopword_ratio — map-only,
+    all integer counts + single divisions (oracle-exact)."""
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    n_tok = f"size({toks})"
+    sum_len = (f"aggregate({toks}, CAST(0 AS BIGINT), "
+               f"(acc, t) -> acc + length(t))")
+    punct = "length(regexp_replace(text, '[^.,!?;:]', ''))"
+    digits = "length(regexp_replace(text, '[^0-9]', ''))"
+    stop_en = "|".join(STOPWORDS["en"])
+    n_stop = (f"size(filter({TOKS_SPARK.format(s='lower(text)')}, "
+              f"t -> t RLIKE '^({stop_en})$'))")
+    return d.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+        F.expr(f"CAST({n_tok} AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST({sum_len} AS DOUBLE) / {n_tok}").alias("mean_token_len"),
+        F.expr(f"CAST({punct} AS DOUBLE) / length(text)").alias("punct_ratio"),
+        F.expr(f"CAST({digits} AS DOUBLE) / length(text)").alias("digit_ratio"),
+        F.expr(f"CAST({n_stop} AS DOUBLE) / {n_tok}").alias("stopword_ratio"),
+    )
+
+
+def quality_score_sql(doc_sql: str) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    n_tok = f"len({toks})"
+    sum_len = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+               f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
+               f"(acc, t) -> acc + t)")
+    punct = "length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
+    digits = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    stop_en = "|".join(STOPWORDS["en"])
+    n_stop = (f"len(list_filter({TOKS_DUCK.format(s='lower(text)')}, "
+              f"t -> regexp_full_match(t, '({stop_en})')))")
+    return f"""
+WITH d AS ({doc_sql})
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST({sum_len} AS DOUBLE) / {n_tok} AS mean_token_len,
+       CAST({punct} AS DOUBLE) / length(text) AS punct_ratio,
+       CAST({digits} AS DOUBLE) / length(text) AS digit_ratio,
+       CAST({n_stop} AS DOUBLE) / {n_tok} AS stopword_ratio
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def token_counts(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex pieces per doc (the two counts
+    every corpus-budget estimate needs)."""
+    d = _doc(df, id_col, text_col)
+    ws = f"size({TOKS_SPARK.format(s='text')})"
+    bpe = f"size(regexp_extract_all(text, '{BPE_REGEX_SPARK}', 0))"
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST({ws} AS BIGINT)").alias("ws_tokens"),
+        F.expr(f"CAST({bpe} AS BIGINT)").alias("bpe_tokens"))
+
+
+def token_counts_sql(doc_sql: str) -> str:
+    ws = f"len({TOKS_DUCK.format(s='text')})"
+    bpe = f"len(regexp_extract_all(text, '{BPE_REGEX_DUCK}'))"
+    return f"""
+WITH d AS ({doc_sql})
+SELECT doc_id, CAST({ws} AS BIGINT) AS ws_tokens,
+       CAST({bpe} AS BIGINT) AS bpe_tokens
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def doc_fingerprints(df: DataFrame, k: int = 8, w: int = 4, *,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Winnowing (Schleimer et al.): k-gram rolling hashes, min per
+    sliding window of w → distinct ``(doc_id, fp)``. Window is
+    partitioned by doc — fingerprinting shuffles nothing across docs."""
+    d = _doc(df, id_col, text_col)
+    pos = (d.filter(F.length("text") >= k)
+           .select("doc_id",
+                   F.explode(F.expr(
+                       f"sequence(1, length(text) - {k} + 1)")).alias("pos"),
+                   "text"))
+    kh = pos.select("doc_id", "pos",
+                    F.expr(H64_SPARK.format(s=f"substr(text, pos, {k})"))
+                    .alias("h"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    fps = kh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    return fps
+
+
+def doc_fingerprints_sql(doc_sql: str, k: int = 8, w: int = 4) -> str:
+    h = H64_DUCK.format(s=f"substr(text, CAST(pos AS INT), {k})")
+    return f"""
+WITH d AS ({doc_sql}),
+pos AS (
+  SELECT doc_id, unnest(range(1, length(text) - {k} + 2)) AS pos, text
+  FROM d WHERE length(text) >= {k}
+),
+kh AS (SELECT doc_id, pos, {h} AS h FROM pos)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+FROM kh
+"""

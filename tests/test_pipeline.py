@@ -1,0 +1,122 @@
+"""Semantic tests for the LLM-data-pipeline operators: injected
+duplicates must actually be found, langid must rank the right list,
+multimodal plumbing must round-trip deterministically."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_spark.pipeline import (
+    doc_fingerprints,
+    exact_dedup,
+    language_id,
+    minhash_lsh_pairs,
+    quality_score,
+    simhash_near_dup,
+    token_counts,
+)
+from cuvs_spark.pipeline.multimodal import (
+    attach_fake_media,
+    image_features,
+    resize_media,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .cache())
+
+
+@pytest.fixture(scope="module")
+def docs_dup(spark, docs):
+    dup = (docs.filter(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    near = (docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+            .select((F.col("doc_id") + 2000).alias("doc_id"),
+                    F.concat("text", F.lit(" tail tokens")).alias("text")))
+    return docs.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup_finds_injected(docs_dup):
+    groups = exact_dedup(docs_dup).filter(F.col("n_docs") > 1).collect()
+    assert len(groups) == 20
+    assert all(g["canonical_id"] < 20 for g in groups)
+
+
+def test_minhash_lsh_finds_exact_and_near(docs_dup):
+    pairs = minhash_lsh_pairs(docs_dup, jaccard_threshold=0.5).collect()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    exact_expected = {(i, i + 1000) for i in range(20)}
+    near_expected = {(i, i + 2000) for i in range(20, 40)}
+    assert exact_expected <= found, "exact dups must all collide"
+    assert len(near_expected & found) >= 18, "near dups should mostly collide"
+    for p in pairs:
+        if (p["doc_a"], p["doc_b"]) in exact_expected:
+            assert p["jaccard"] == 1.0
+
+
+def test_simhash_near_dup_finds_exact(docs_dup):
+    pairs = simhash_near_dup(docs_dup, max_hamming=0).collect()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert {(i, i + 1000) for i in range(20)} <= found
+
+
+def test_language_id_prefers_planted_stopwords(spark):
+    d = spark.createDataFrame(
+        [(1, "el perro de la casa y el gato en que vive"),
+         (2, "the cat of the house and the dog in it is"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(d).collect()}
+    assert got == {1: "es", 2: "en", 3: "und"}
+
+
+def test_quality_and_tokens(spark):
+    d = spark.createDataFrame([(1, "One two, three! 42 ok")],
+                              "doc_id long, text string")
+    q = quality_score(d).head()
+    assert q["n_tokens"] == 5
+    assert q["digit_ratio"] == pytest.approx(2 / 21)
+    assert q["punct_ratio"] == pytest.approx(2 / 21)
+    t = token_counts(d).head()
+    assert t["ws_tokens"] == 5
+    assert t["bpe_tokens"] == 7  # One,two,',',three,'!',42,ok
+
+
+def test_fingerprints_overlap_for_shared_prefix(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [(1, base), (2, base + " with a different suffix appended here"),
+         (3, "completely unrelated content that shares nothing at all ok")],
+        "doc_id long, text string")
+    fps = doc_fingerprints(d).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    sim12 = len(by_doc[1] & by_doc[2]) / len(by_doc[1] | by_doc[2])
+    sim13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3])
+    assert sim12 > 0.3 > sim13
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_media(docs.limit(8))
+    feats = image_features(media).collect()
+    assert len(feats) == 8
+    assert all(0 <= r["mean_r"] <= 255 for r in feats)
+    # determinism: rerun gives identical features
+    again = image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+    small = resize_media(media, 4, 3).collect()
+    assert all(r["width"] == 4 and r["height"] == 3 for r in small)
+    assert all(len(bytes(r["media"])) == 4 * 3 * 3 for r in small)
+    vid = media.withColumn("n_frames", F.lit(6))
+    frames = sample_frames(vid, every_n=2).collect()
+    assert len(frames) == 8 * 3
+    assert {r["frame_idx"] for r in frames} == {0, 2, 4}
