@@ -1,0 +1,91 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs the engine's flagship operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+through the "noop" sink so every column is fully computed (a bare
+count() would let Catalyst prune the math away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from cuvs_spark import get_spark
+    from cuvs_spark.entry_queries import QUERIES, T, emb_dataset
+
+    spark = get_spark("cuvs_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def bench_entry(name):
+        def run():
+            return QUERIES[name](spark, sf_dir)
+        return run
+
+    def bench_knn_blas_wide():
+        # every embedding row queries the full table (self-join shape)
+        from cuvs_spark.operators import knn
+        d = emb_dataset(spark, sf_dir)
+        q = d.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+        return knn(d, q, 10, "euclidean", qvec_col="qv", method="blas")
+
+    def bench_kmeans_fit():
+        from cuvs_spark.cluster import kmeans_fit
+        d = emb_dataset(spark, sf_dir)
+        model = kmeans_fit(d.select("id", "vec"), 16, max_iter=5, seed=11)
+        return model.centroids_df(spark)
+
+    def bench_minhash_full():
+        from cuvs_spark.pipeline.dedup import minhash_lsh_pairs
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+
+    def bench_fingerprints():
+        from cuvs_spark.pipeline.text import doc_fingerprints
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return doc_fingerprints(docs)
+
+    def bench_eps_blas():
+        from cuvs_spark.operators import epsilon_neighborhood_blas
+        d = emb_dataset(spark, sf_dir).select("id", "vec")
+        return epsilon_neighborhood_blas(d, None, 1.5, "sqeuclidean")
+
+    benches = {
+        "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
+        "knn_bf_euclidean_blas_all": bench_knn_blas_wide,
+        "ivf_flat_search": bench_entry("ivf_flat_search"),
+        "kmeans_fit_16x5": bench_kmeans_fit,
+        "dedup_minhash_lsh": bench_minhash_full,
+        "dedup_simhash_near_dup": bench_entry("dedup_simhash_near_dup"),
+        "text_fingerprints": bench_fingerprints,
+        "text_quality_score": bench_entry("text_quality_score"),
+        "eps_neighborhood_blas": bench_eps_blas,
+    }
+
+    timings: dict[str, float] = {}
+    for name, make in benches.items():
+        t0 = time.time()
+        df = make()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "headline_queries_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,48 @@ def epsilon_neighborhood(X: DataFrame, Y: DataFrame | None = None,
     return pd_.filter(F.col("distance") <= eps)
 
 
+def epsilon_neighborhood_blas(X: DataFrame, Y: DataFrame | None = None,
+                              eps: float = 1.0,
+                              metric: str = "sqeuclidean", *,
+                              x_id: str = "id", x_vec: str = "vec",
+                              y_id: str = "id",
+                              y_vec: str = "vec") -> DataFrame:
+    """BLAS-tiled range join — the throughput path for dense vectors.
+
+    Broadcast Y as a matrix; each X partition computes a distance tile
+    with NumPy and emits only pairs ≤ eps: no m×n relation exists
+    outside a partition-local tile, and only matches hit the exchange
+    (mirrors the filtered path of ``knn_brute_force.cuh:585``)."""
+    import numpy as np
+    import pandas as pd
+
+    from cuvs_spark.operators.brute_force import _pairwise_np
+
+    spark = X.sparkSession
+    yy = X if Y is None else Y
+    yp = yy.select(F.col(y_id).cast("long").alias("j"),
+                   F.col(y_vec).alias("v")).toPandas()
+    j_ids = yp["j"].to_numpy()
+    M = np.vstack(yp["v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((j_ids, M, metric, eps))
+
+    def tiles(batches):
+        j_ids, M, metric, eps = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            ids = pdf["_i"].to_numpy().astype(np.int64)
+            D = _pairwise_np(Q, M, metric)
+            ii, jj = np.nonzero(D <= eps)
+            yield pd.DataFrame({"i": ids[ii], "j": j_ids[jj],
+                                "distance": D[ii, jj]})
+
+    xp = X.select(F.col(x_id).cast("long").alias("_i"),
+                  F.col(x_vec).alias("_v"))
+    return xp.mapInPandas(tiles, schema="i long, j long, distance double")
+
+
 def eps_degrees(adj: DataFrame) -> DataFrame:
     """Per-row neighborhood size (the ``vd`` output of the reference)."""
     return adj.groupBy("i").agg(F.count("*").alias("degree"))

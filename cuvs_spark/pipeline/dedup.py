@@ -98,20 +98,24 @@ FROM d GROUP BY 1
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _sig_exprs_spark() -> list[str]:
-    sh = SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text"))
-    h = H32_SPARK.format(s="s")
+# the md5 of each shingle is hashed ONCE into an int array ("hs"); the
+# 16 minhash folds then run over cheap bigint arrays (16× less md5 work)
+HS_SPARK = ("transform(" + SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text"))
+            + ", s -> " + H32_SPARK.format(s="s") + ")")
+HS_DUCK = ("list_transform(" + SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
+           + ", s -> " + H32_DUCK.format(s="s") + ")")
+
+
+def _sig_exprs_spark(hs: str = "hs") -> list[str]:
     return [
-        (f"array_min(transform({sh}, s -> ({a} * {h} + {b}) % {MINHASH_P}))")
+        f"array_min(transform({hs}, h -> ({a} * h + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_AB
     ]
 
 
-def _sig_exprs_duck() -> list[str]:
-    sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
-    h = H32_DUCK.format(s="s")
+def _sig_exprs_duck(hs: str = "hs") -> list[str]:
     return [
-        (f"list_min(list_transform({sh}, s -> ({a} * {h} + {b}) % {MINHASH_P}))")
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_AB
     ]
 
@@ -122,7 +126,7 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
 
     Map-only: shingling, hashing and the min-fold all run as JVM array
     expressions inside one projection — no shuffle, no Python."""
-    d = _doc(df, id_col, text_col)
+    d = _doc(df, id_col, text_col).withColumn("hs", F.expr(HS_SPARK))
     sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
     return (d.select("doc_id", F.posexplode(sig).alias("sig_idx", "sig"))
             .select("doc_id", F.col("sig_idx").cast("long"), "sig"))
@@ -131,7 +135,8 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
 def minhash_signatures_sql(doc_sql: str) -> str:
     exprs = ", ".join(f"({e})" for e in _sig_exprs_duck())
     return f"""
-WITH d AS ({doc_sql}),
+WITH d0 AS ({doc_sql}),
+d AS (SELECT doc_id, {HS_DUCK} AS hs FROM d0),
 sigs AS (SELECT doc_id, [{exprs}] AS sig FROM d)
 SELECT doc_id,
        CAST(generate_subscripts(sig, 1) AS BIGINT) - 1 AS sig_idx,
@@ -150,9 +155,13 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     (band, band_key) pair only; the exact-Jaccard verification join
     touches candidates, never the full corpus square."""
     d = _doc(df, id_col, text_col)
-    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
     sh = F.expr(SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text")))
-    docs = d.select("doc_id", sig.alias("sig"), sh.alias("sh"))
+    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
+    docs = (d.select("doc_id", sh.alias("sh"))
+            .withColumn("hs", F.expr(
+                "transform(sh, s -> " + H32_SPARK.format(s="s") + ")"))
+            .select("doc_id", sig.alias("sig"), "sh")
+            .persist())
     n_bands = N_HASHES // BAND_R
     bands = docs.select(
         "doc_id",
@@ -180,6 +189,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
 def minhash_lsh_pairs_sql(doc_sql: str, jaccard_threshold: float = 0.5) -> str:
     exprs = ", ".join(f"({e})" for e in _sig_exprs_duck())
     sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
+    hs = "list_transform(sh, s -> " + H32_DUCK.format(s="s") + ")"
     n_bands = N_HASHES // BAND_R
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -188,8 +198,10 @@ def minhash_lsh_pairs_sql(doc_sql: str, jaccard_threshold: float = 0.5) -> str:
         + " AS key FROM sigs"
         for b in range(n_bands))
     return f"""
-WITH d AS ({doc_sql}),
-sigs AS (SELECT doc_id, [{exprs}] AS sig, {sh} AS sh FROM d),
+WITH d0 AS ({doc_sql}),
+d1 AS (SELECT doc_id, {sh} AS sh FROM d0),
+d AS (SELECT doc_id, sh, {hs} AS hs FROM d1),
+sigs AS (SELECT doc_id, [{exprs}] AS sig, sh FROM d),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -213,42 +225,42 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 def simhash(df: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc from token hashes — pure integer
-    expression pipeline (explode tokens × bits, signed sum, repack)."""
+    expression pipeline.
+
+    One row per (doc, token) flows into 32 parallel signed-sum
+    aggregates (one per bit) with map-side combine, so the shuffle
+    carries one 32-column row per doc — no bit-explosion relation.
+    """
     d = _doc(df, id_col, text_col)
     toks = TOKS_SPARK.format(s="text")
     h = H32_SPARK.format(s="t")
-    bits = (d.select("doc_id", F.explode(F.expr(toks)).alias("t"))
-            .select("doc_id", F.expr(h).alias("h"))
-            .select("doc_id",
-                    F.explode(F.expr(
-                        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
-                        f"j -> struct(j AS j, CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1 "
-                        f"THEN 1 ELSE -1 END AS v))")).alias("b"))
-            .select("doc_id", F.col("b.j").alias("j"), F.col("b.v").alias("v")))
-    acc = bits.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
-    return (acc.groupBy("doc_id")
-            .agg(F.sum(F.expr(
-                "CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END"))
-                 .alias("simhash")))
+    hs = (d.select("doc_id", F.explode(F.expr(toks)).alias("t"))
+          .select("doc_id", F.expr(h).alias("h")))
+    aggs = [F.sum(F.expr(
+        f"CASE WHEN (h DIV {1 << j}) % 2 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    acc = hs.groupBy("doc_id").agg(*aggs)
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(SIMHASH_BITS))
+    return acc.select("doc_id", F.expr(packed).alias("simhash"))
 
 
 def simhash_sql(doc_sql: str) -> str:
     toks = TOKS_DUCK.format(s="text")
     h = H32_DUCK.format(s="t")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(SIMHASH_BITS))
     return f"""
 WITH d AS ({doc_sql}),
 tok AS (SELECT doc_id, unnest({toks}) AS t FROM d),
 hs AS (SELECT doc_id, {h} AS h FROM tok),
-bits AS (
-  SELECT doc_id, j, CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
-                         THEN 1 ELSE -1 END AS v
-  FROM hs, (SELECT unnest(range({SIMHASH_BITS})) AS j)
-),
-acc AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j)
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM acc GROUP BY doc_id
+acc AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM acc
 """
 
 

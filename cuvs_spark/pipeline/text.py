@@ -105,9 +105,9 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id",
                f"(acc, t) -> acc + length(t))")
     punct = "length(regexp_replace(text, '[^.,!?;:]', ''))"
     digits = "length(regexp_replace(text, '[^0-9]', ''))"
-    stop_en = "|".join(STOPWORDS["en"])
+    stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     n_stop = (f"size(filter({TOKS_SPARK.format(s='lower(text)')}, "
-              f"t -> t RLIKE '^({stop_en})$'))")
+              f"t -> array_contains(array({stop_en}), t)))")
     return d.select(
         "doc_id",
         F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
@@ -127,9 +127,9 @@ def quality_score_sql(doc_sql: str) -> str:
                f"(acc, t) -> acc + t)")
     punct = "length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
     digits = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
-    stop_en = "|".join(STOPWORDS["en"])
+    stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     n_stop = (f"len(list_filter({TOKS_DUCK.format(s='lower(text)')}, "
-              f"t -> regexp_full_match(t, '({stop_en})')))")
+              f"t -> list_contains([{stop_en}], t)))")
     return f"""
 WITH d AS ({doc_sql})
 SELECT doc_id,
