@@ -452,3 +452,214 @@ def _fingerprints(spark, sf_dir):
 
 register("text_fingerprints", _fingerprints,
          TX.doc_fingerprints_sql(_DOC_SQL))
+
+
+# --- preprocessing: quantizers, PQ, PCA (SURVEY §2.2) ----------------------
+from cuvs_spark.preprocessing import quantize as QZ
+from cuvs_spark.preprocessing import pq as PQ
+
+_SQ_LO, _SQ_HI = -0.35, 0.35
+
+
+def _scalar_quantize(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    p = QZ.ScalarQuantizerParams(_SQ_LO, _SQ_HI)
+    out = QZ.scalar_transform(e.select("id", "vec"), p)
+    return out.select("id", F.posexplode("codes").alias("dim", "code")) \
+              .select(F.col("id"), F.col("dim").cast("long"),
+                      F.col("code").cast("long"))
+
+
+register(
+    "preprocess_scalar_quantize", _scalar_quantize,
+    f"""
+WITH d AS (SELECT vec_id AS id,
+  {QZ.scalar_transform_sql('embedding', _SQ_LO, _SQ_HI)} AS codes
+  FROM embeddings)
+SELECT id, CAST(generate_subscripts(codes, 1) AS BIGINT) - 1 AS dim,
+       CAST(unnest(codes) AS BIGINT) AS code
+FROM d
+""")
+
+
+def _scalar_roundtrip(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    p = QZ.ScalarQuantizerParams(_SQ_LO, _SQ_HI)
+    enc = QZ.scalar_transform(e.select("id", "vec"), p)
+    dec = QZ.scalar_inverse_transform(enc, p, out_col="rec")
+    return dec.select("id", F.posexplode("rec").alias("dim", "val")) \
+              .select("id", F.col("dim").cast("long"), "val")
+
+
+register(
+    "preprocess_scalar_roundtrip", _scalar_roundtrip,
+    f"""
+WITH d AS (SELECT vec_id AS id,
+  {QZ.scalar_transform_sql('embedding', _SQ_LO, _SQ_HI)} AS codes
+  FROM embeddings),
+r AS (SELECT id, {QZ.scalar_inverse_transform_sql('codes', _SQ_LO, _SQ_HI)} AS rec
+      FROM d)
+SELECT id, CAST(generate_subscripts(rec, 1) AS BIGINT) - 1 AS dim,
+       unnest(rec) AS val
+FROM r
+""")
+
+
+def _binary_quantize(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    out = QZ.binary_quantize(e.select("id", "vec"))
+    return out.select("id", F.posexplode("bits").alias("byte_idx", "byte")) \
+              .select("id", F.col("byte_idx").cast("long"),
+                      F.col("byte").cast("long"))
+
+
+register(
+    "preprocess_binary_quantize", _binary_quantize,
+    f"""
+WITH d AS (SELECT vec_id AS id, {QZ.binary_quantize_sql('embedding')} AS bits
+           FROM embeddings)
+SELECT id, CAST(generate_subscripts(bits, 1) AS BIGINT) - 1 AS byte_idx,
+       CAST(unnest(bits) AS BIGINT) AS byte
+FROM d
+""")
+
+
+_PQ_DIM, _PQ_CODES = 8, 16
+_PQ_CB_SQL = (
+    f"SELECT s.sub AS sub, e.vec_id AS code, "
+    f"e.embedding[(s.sub * (len(e.embedding) // {_PQ_DIM}) + 1):"
+    f"((s.sub + 1) * (len(e.embedding) // {_PQ_DIM}))] AS centroid "
+    f"FROM embeddings e, (SELECT unnest(range({_PQ_DIM})) AS sub) s "
+    f"WHERE e.vec_id < {_PQ_CODES}")
+
+
+def _pq_fixed_codebook(spark, sf_dir):
+    from cuvs_spark.preprocessing.pq import _subvecs
+    e = emb_dataset(spark, sf_dir)
+    return (_subvecs(e.filter(F.col("id") < _PQ_CODES), _PQ_DIM,
+                     id_col="id", vec_col="vec")
+            .select("sub", F.col("id").cast("int").alias("code"),
+                    F.col("subvec").alias("centroid")))
+
+
+def _pq_transform(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    cb = _pq_fixed_codebook(spark, sf_dir)
+    codes = PQ.pq_transform(e.select("id", "vec"), cb)
+    return codes.select("id", F.posexplode("codes").alias("sub", "code")) \
+                .select("id", F.col("sub").cast("long"),
+                        F.col("code").cast("long"))
+
+
+register(
+    "preprocess_pq_transform", _pq_transform,
+    f"""
+WITH t AS ({PQ.pq_transform_sql(_DA_SQL, _PQ_CB_SQL, _PQ_DIM)})
+SELECT id, CAST(generate_subscripts(codes, 1) AS BIGINT) - 1 AS sub,
+       CAST(unnest(codes) AS BIGINT) AS code
+FROM t
+""")
+
+
+def _pq_roundtrip(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    cb = _pq_fixed_codebook(spark, sf_dir)
+    codes = PQ.pq_transform(e.select("id", "vec"), cb)
+    dec = PQ.pq_inverse_transform(codes, cb)
+    return dec.select("id", F.posexplode("vec").alias("dim", "val")) \
+              .select("id", F.col("dim").cast("long"), "val")
+
+
+register(
+    "preprocess_pq_roundtrip", _pq_roundtrip,
+    f"""
+WITH codes AS ({PQ.pq_transform_sql(_DA_SQL, _PQ_CB_SQL, _PQ_DIM)}),
+dec AS ({PQ.pq_inverse_sql("SELECT id, codes FROM codes", _PQ_CB_SQL)})
+SELECT id, CAST(generate_subscripts(vec, 1) AS BIGINT) - 1 AS dim,
+       unnest(vec) AS val
+FROM dec
+""")
+
+
+def _pca_transform_rows(spark, sf_dir):
+    """PCA fit is an eigensolve (non-SQL) — rows-only check; accuracy
+    vs NumPy asserted in tests/test_preprocessing.py."""
+    from cuvs_spark.preprocessing.pca import pca_fit, pca_transform
+    e = emb_dataset(spark, sf_dir).select("id", "vec")
+    model = pca_fit(e, 8)
+    out = pca_transform(e, model)
+    return out.select("id", F.posexplode("pc").alias("comp", "val"))
+
+
+register("preprocess_pca_transform", _pca_transform_rows)  # rows-only
+
+
+# --- stats: silhouette, trustworthiness, recall (SURVEY §2.6) --------------
+from cuvs_spark.stats import metrics as ST
+
+_EMB_LBL_SQL = "SELECT vec_id AS id, embedding AS dv, label FROM embeddings"
+
+
+def _silhouette_samples(spark, sf_dir):
+    e = (T(spark, sf_dir, "embeddings")
+         .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+                 "label"))
+    return ST.silhouette_samples(e)
+
+
+register("stats_silhouette_samples", _silhouette_samples,
+         ST.silhouette_samples_sql(_EMB_LBL_SQL))
+
+
+def _silhouette_score(spark, sf_dir):
+    e = (T(spark, sf_dir, "embeddings")
+         .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+                 "label"))
+    return ST.silhouette_score(e)
+
+
+register(
+    "stats_silhouette_score", _silhouette_score,
+    f"SELECT ROUND(avg(sil), 6) AS silhouette FROM ("
+    + ST.silhouette_samples_sql(_EMB_LBL_SQL, ndigits=9) + ")")
+
+
+def _trustworthiness(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    orig = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    embed = e.select(F.col("vec_id").alias("id"),
+                     F.expr("slice(embedding, 1, 8)").alias("vec"))
+    return ST.trustworthiness_score(orig, embed, 5)
+
+
+register(
+    "stats_trustworthiness", _trustworthiness,
+    ST.trustworthiness_sql(
+        "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 200",
+        "SELECT vec_id AS id, embedding[1:8] AS v FROM embeddings WHERE vec_id < 200",
+        5))
+
+
+def _eval_recall(spark, sf_dir):
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    idx = ivf_flat_build(d, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    approx = ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+    exact = knn(d, q, 10, "sqeuclidean", qvec_col="qv")
+    return ST.recall_score(approx, exact)
+
+
+register(
+    "stats_recall_ivf_vs_exact", _eval_recall,
+    f"""
+WITH approx AS ({O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES)}),
+exact AS ({O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean")}),
+hits AS (
+  SELECT count(*) AS h FROM approx a
+  WHERE EXISTS (SELECT 1 FROM exact e
+                WHERE e.qid = a.qid AND e.nid = a.nid)
+)
+SELECT CAST(h AS DOUBLE) / (SELECT count(*) FROM exact) AS recall FROM hits
+""")

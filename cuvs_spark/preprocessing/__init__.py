@@ -1,0 +1,12 @@
+from cuvs_spark.preprocessing.quantize import (  # noqa: F401
+    binary_quantize,
+    scalar_inverse_transform,
+    scalar_train,
+    scalar_transform,
+)
+from cuvs_spark.preprocessing.pq import (  # noqa: F401
+    pq_build,
+    pq_inverse_transform,
+    pq_transform,
+)
+from cuvs_spark.preprocessing.pca import pca_fit, pca_transform  # noqa: F401
