@@ -663,3 +663,102 @@ hits AS (
 )
 SELECT CAST(h AS DOUBLE) / (SELECT count(*) FROM exact) AS recall FROM hits
 """)
+
+
+# --- IVF-PQ / IVF-SQ (SURVEY §2.5): quantized inverted files ---------------
+def _ivf_pq_search(spark, sf_dir):
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d, _IVF_LISTS, _PQ_DIM,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_pq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _ivf_sq_search(spark, sf_dir):
+    from cuvs_spark.operators.ivf_pq import ivf_sq_build, ivf_sq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_sq_build(d, _IVF_LISTS,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       lo=-0.5, hi=0.5)
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_sq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _register_ivf_quantized():
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_search_sql,
+                                             ivf_sq_search_sql)
+    register("ivf_pq_search", _ivf_pq_search,
+             ivf_pq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               _PQ_CB_SQL, 10, _IVF_PROBES, _PQ_DIM))
+    register("ivf_sq_search", _ivf_sq_search,
+             ivf_sq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               10, _IVF_PROBES, -0.5, 0.5))
+
+
+_register_ivf_quantized()
+
+
+# --- kNN graphs: all_neighbors, nn_descent, CAGRA (SURVEY §2.5) ------------
+from cuvs_spark.operators import graph as G
+
+_AN_CL, _AN_OV, _AN_K = 8, 2, 8
+_AN_CENT_SQL = ("SELECT vec_id AS label, embedding AS cv FROM embeddings "
+                f"WHERE vec_id < {_AN_CL}")
+
+
+def _all_neighbors(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    return G.all_neighbors_build(
+        d, _AN_K, n_clusters=_AN_CL, overlap_factor=_AN_OV,
+        centroids=_fixed_centroids(spark, sf_dir, _AN_CL))
+
+
+register("all_neighbors_graph", _all_neighbors,
+         G.all_neighbors_sql(_DA_SQL, _AN_CENT_SQL, _AN_K, _AN_OV))
+
+
+def _cagra_optimize(spark, sf_dir):
+    from cuvs_spark.operators import knn_self
+    d = emb_dataset(spark, sf_dir)
+    g = knn_self(d, 12).select(F.col("qid").alias("src"),
+                               F.col("nid").alias("dst"), "distance")
+    return G.cagra_optimize(g, graph_degree=6)
+
+
+_KNN_GRAPH_SQL = f"""
+SELECT src, dst, distance FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {O.distance_sql_duckdb('sqeuclidean', 'a.embedding', 'b.embedding')} AS distance,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {O.distance_sql_duckdb('sqeuclidean', 'a.embedding', 'b.embedding')} ASC,
+                                     b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rn <= 12
+"""
+
+register("cagra_optimize", _cagra_optimize,
+         G.cagra_optimize_sql(_KNN_GRAPH_SQL, 6))
+
+
+def _nn_descent(spark, sf_dir):
+    """Iterative (non-SQL) — rows-only; recall asserted in tests."""
+    d = emb_dataset(spark, sf_dir).limit(300)
+    return G.nn_descent_build(d, _AN_K, max_iterations=4)
+
+
+register("nn_descent_graph", _nn_descent)  # rows-only: iterative
+
+
+def _cagra_search(spark, sf_dir):
+    """Iterative beam search (non-SQL) — rows-only; recall in tests."""
+    d = emb_dataset(spark, sf_dir).limit(300)
+    graph = G.cagra_build(d, graph_degree=8, n_clusters=4,
+                          overlap_factor=2, kmeans_n_iters=4)
+    q = emb_queries(spark, sf_dir, 10)
+    return G.cagra_search(graph, d, q, 5, itopk=24, search_width=6,
+                          max_iterations=5, qvec_col="qv")
+
+
+register("cagra_search", _cagra_search)  # rows-only: iterative

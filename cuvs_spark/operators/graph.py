@@ -1,0 +1,274 @@
+"""kNN-graph builders and graph ANN search (SURVEY.md §2.5, Phase 3).
+
+Reference surfaces:
+* ``all_neighbors.build`` — ``python/cuvs/cuvs/neighbors/all_neighbors/
+  all_neighbors.pyx:66-140,198``: partition into ``n_clusters`` batches
+  with ``overlap_factor``, per-batch local kNN, merge. **This is the
+  reference's own distributed blueprint and maps 1:1 onto Spark**:
+  multi-assignment = top-o centroid join, batches = partitions,
+  merge = union + per-key top-k.
+* ``nn_descent.build`` — ``nn_descent.pyx:39-100,210`` (``graph_degree``,
+  ``max_iterations=20``, ``termination_threshold``): iterate
+  neighbor-of-neighbor candidate joins until convergence.
+* ``cagra.build/optimize/search`` — ``cagra.pyx:241-331,601-689``;
+  C++ ``cagra.hpp:934,3300,1552``; ``detail/cagra/graph_core.cuh``
+  (optimize: degree-bounded pruning + reverse edges). Build here =
+  kNN graph + optimize on the edge table; search = batched beam
+  traversal as an iterative frontier join (batch analytics only — the
+  recommended serving paths are exact/IVF, per BASELINE.json).
+
+Edge tables are ``(src, dst, distance)`` DataFrames — GraphFrames-
+compatible and the natural Spark shape. Iterative loops cut lineage
+with ``localCheckpoint`` each round (SURVEY §7 "what's hard").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.cluster.kmeans import kmeans_fit
+from cuvs_spark.functions.distance import distance_sql_spark
+from cuvs_spark.operators.select_k import select_k
+
+
+def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
+                        n_clusters: int = 8, overlap_factor: int = 2,
+                        metric: str = "sqeuclidean",
+                        id_col: str = "id", vec_col: str = "vec",
+                        centroids: np.ndarray | None = None,
+                        kmeans_n_iters: int = 8,
+                        seed: int = 42) -> DataFrame:
+    """Approximate all-pairs kNN graph → ``(src, dst, distance, rank)``.
+
+    Each point joins its ``overlap_factor`` nearest clusters; candidate
+    pairs exist only *within* a shared cluster, so the join is
+    partition-local after one shuffle on cluster id — the exact shape
+    the reference distributes over GPUs (``all_neighbors.pyx:198``)."""
+    spark = dataset.sparkSession
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    if centroids is None:
+        model = kmeans_fit(d, n_clusters, max_iter=kmeans_n_iters, seed=seed,
+                           balanced=True)
+        centroids = model.centroids
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cl int, centroid array<float>")
+    cdist = F.expr(distance_sql_spark("sqeuclidean", "vec", "centroid"))
+    asg = select_k(d.join(F.broadcast(cent)).select(
+        "id", "cl", cdist.alias("_cd")),
+        "id", "_cd", overlap_factor, tie_cols=["cl"], rank_col=None) \
+        .select("id", "cl")
+    a = asg.join(d, "id").select(F.col("id").alias("src"), "cl",
+                                 F.col("vec").alias("_va"))
+    b = asg.join(d, "id").select(F.col("id").alias("dst"), "cl",
+                                 F.col("vec").alias("_vb"))
+    dist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
+    pairs = (a.join(b, "cl")
+             .filter(F.col("src") != F.col("dst"))
+             .select("src", "dst", dist.alias("distance"))
+             .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
+    return select_k(pairs, "src", "distance", k, tie_cols=["dst"])
+
+
+def all_neighbors_sql(dataset_sql: str, cent_sql: str, k: int,
+                      overlap_factor: int = 2,
+                      metric: str = "sqeuclidean") -> str:
+    """DuckDB oracle for the fixed-centroid all_neighbors pipeline."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
+    pdist = distance_sql_duckdb(metric, "a.dv", "b.dv")
+    return f"""
+WITH d AS ({dataset_sql}), c AS ({cent_sql}),
+asg AS (
+  SELECT id, cl FROM (
+    SELECT d.id AS id, c.label AS cl,
+           row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.label ASC) rn
+    FROM d CROSS JOIN c) WHERE rn <= {overlap_factor}),
+pairs AS (
+  SELECT x.id AS src, y.id AS dst, min({pdist}) AS distance
+  FROM asg x JOIN asg y ON x.cl = y.cl AND x.id <> y.id
+       JOIN d a ON a.id = x.id JOIN d b ON b.id = y.id
+  GROUP BY x.id, y.id),
+ranked AS (
+  SELECT src, dst, distance,
+         row_number() OVER (PARTITION BY src ORDER BY distance ASC, dst ASC) rank
+  FROM pairs)
+SELECT src, dst, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def nn_descent_build(dataset: DataFrame, k: int = 10, *,
+                     max_iterations: int = 6,
+                     termination_threshold: float = 0.001,
+                     metric: str = "sqeuclidean", id_col: str = "id",
+                     vec_col: str = "vec") -> DataFrame:
+    """NN-Descent (``nn_descent.pyx:210``): start from a deterministic
+    pseudo-random graph, iterate (neighbors-of-neighbors join →
+    distance → per-node top-k) until < threshold of edges change.
+
+    Each round is one self-join on the bounded edge table (n·k rows) —
+    never on the full pair space; lineage is cut per round."""
+    d = (dataset.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(vec_col).alias("vec"))
+         .persist())
+    n = d.count()
+    # init: k pseudo-random distinct neighbors via hash ordering
+    init = (d.select(F.col("id").alias("src"))
+            .join(d.select(F.col("id").alias("dst")),
+                  F.col("src") != F.col("dst"))
+            .withColumn("_h", F.xxhash64("src", "dst"))
+            )
+    init = select_k(init, "src", "_h", k, tie_cols=["dst"], rank_col=None) \
+        .select("src", "dst")
+    dist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
+
+    def with_dist(edges: DataFrame) -> DataFrame:
+        return (edges
+                .join(d.select(F.col("id").alias("src"),
+                               F.col("vec").alias("_va")), "src")
+                .join(d.select(F.col("id").alias("dst"),
+                               F.col("vec").alias("_vb")), "dst")
+                .select("src", "dst", dist.alias("distance")))
+
+    g = select_k(with_dist(init), "src", "distance", k,
+                 tie_cols=["dst"], rank_col=None).localCheckpoint()
+    for _ in range(max_iterations):
+        fwd = g.select("src", "dst")
+        rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        und = fwd.unionByName(rev)
+        cand = (und.alias("x")
+                .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
+                .select(F.col("x.src").alias("src"),
+                        F.col("y.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .unionByName(fwd)
+                .distinct())
+        new_g = select_k(with_dist(cand), "src", "distance", k,
+                         tie_cols=["dst"], rank_col=None).localCheckpoint()
+        changed = (new_g.select("src", "dst")
+                   .exceptAll(g.select("src", "dst")).count())
+        g = new_g
+        if changed <= termination_threshold * n * k:
+            break
+    d.unpersist()
+    return select_k(g, "src", "distance", k, tie_cols=["dst"])
+
+
+def cagra_optimize(edges: DataFrame, graph_degree: int = 16, *,
+                   intermediate_degree: int | None = None) -> DataFrame:
+    """CAGRA graph optimize (``cagra.hpp:3300``, ``graph_core.cuh``):
+    bound out-degree, add reverse edges for reachability, re-bound.
+    Pure edge-table transforms → ``(src, dst, distance, rank)``."""
+    inter = intermediate_degree or 2 * graph_degree
+    e = edges.select("src", "dst", "distance")
+    fwd = select_k(e, "src", "distance", inter, tie_cols=["dst"],
+                   rank_col=None)
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "distance")
+    merged = (fwd.unionByName(rev)
+              .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
+    return select_k(merged, "src", "distance", graph_degree,
+                    tie_cols=["dst"])
+
+
+def cagra_optimize_sql(edges_sql: str, graph_degree: int,
+                       intermediate_degree: int | None = None) -> str:
+    inter = intermediate_degree or 2 * graph_degree
+    return f"""
+WITH e AS ({edges_sql}),
+fwd AS (
+  SELECT src, dst, distance FROM (
+    SELECT src, dst, distance,
+           row_number() OVER (PARTITION BY src ORDER BY distance ASC, dst ASC) rn
+    FROM e) WHERE rn <= {inter}),
+merged AS (
+  SELECT src, dst, min(distance) AS distance FROM (
+    SELECT src, dst, distance FROM fwd
+    UNION ALL
+    SELECT dst AS src, src AS dst, distance FROM fwd
+  ) GROUP BY src, dst),
+ranked AS (
+  SELECT src, dst, distance,
+         row_number() OVER (PARTITION BY src ORDER BY distance ASC, dst ASC) rank
+  FROM merged)
+SELECT src, dst, distance, rank FROM ranked WHERE rank <= {graph_degree}
+"""
+
+
+def cagra_build(dataset: DataFrame, graph_degree: int = 16, *,
+                build_algo: str = "all_neighbors", metric: str = "sqeuclidean",
+                id_col: str = "id", vec_col: str = "vec",
+                **builder_kw) -> DataFrame:
+    """kNN graph via the chosen builder + optimize (``cagra.pyx:241-331``
+    ``build_algo``: ivf_pq/nn_descent/ace → here all_neighbors or
+    nn_descent)."""
+    inter = 2 * graph_degree
+    if build_algo == "nn_descent":
+        g = nn_descent_build(dataset, inter, metric=metric, id_col=id_col,
+                             vec_col=vec_col, **builder_kw)
+    else:
+        g = all_neighbors_build(dataset, inter, metric=metric, id_col=id_col,
+                                vec_col=vec_col, **builder_kw)
+    return cagra_optimize(g.drop("rank"), graph_degree)
+
+
+def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
+                 k: int = 10, *, itopk: int = 32, search_width: int = 8,
+                 max_iterations: int = 8, metric: str = "sqeuclidean",
+                 id_col: str = "id", vec_col: str = "vec",
+                 qid_col: str = "qid", qvec_col: str = "vec",
+                 n_seeds: int = 16) -> DataFrame:
+    """Batched beam search over the graph (``cagra_search.cuh:137``):
+    per query keep an ``itopk`` candidate pool; each round expands the
+    best ``search_width`` unexpanded nodes through the edge table,
+    scores new candidates, re-selects the pool. All rounds are bounded
+    joins on (n_queries × width) frontiers — batch analytics, not a
+    serving path."""
+    d = (dataset.select(F.col(id_col).cast("long").alias("nid"),
+                        F.col(vec_col).alias("_dv")).persist())
+    q = (queries.select(F.col(qid_col).cast("long").alias("qid"),
+                        F.col(qvec_col).alias("_qv")).persist())
+    edges = graph.select("src", "dst").persist()
+    dist = F.expr(distance_sql_spark(metric, "_qv", "_dv"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (cand.join(d, "nid").join(F.broadcast(q), "qid")
+                .select("qid", "nid", dist.alias("distance")))
+
+    # seeds: deterministic pseudo-random sample per query
+    seeds = (q.select("qid")
+             .join(d.select("nid"))
+             .withColumn("_h", F.xxhash64("qid", "nid")))
+    seeds = select_k(seeds, "qid", "_h", n_seeds, tie_cols=["nid"],
+                     rank_col=None).select("qid", "nid")
+    pool = (score(seeds).withColumn("expanded", F.lit(False))
+            .localCheckpoint())
+    for _ in range(max_iterations):
+        frontier = select_k(pool.filter(~F.col("expanded")),
+                            "qid", "distance", search_width,
+                            tie_cols=["nid"], rank_col=None)
+        if frontier.isEmpty():
+            break
+        expanded_now = frontier.select("qid", "nid",
+                                       F.lit(True).alias("expanded"))
+        cand = (frontier.select("qid", F.col("nid").alias("src"))
+                .join(edges, "src")
+                .select("qid", F.col("dst").alias("nid"))
+                .distinct()
+                .join(pool.select("qid", "nid"), ["qid", "nid"],
+                      "left_anti"))
+        scored = score(cand).withColumn("expanded", F.lit(False))
+        merged = (pool.join(expanded_now.withColumnRenamed("expanded", "_e"),
+                            ["qid", "nid"], "left")
+                  .select("qid", "nid", "distance",
+                          F.coalesce("_e", F.col("expanded")).alias("expanded"))
+                  .unionByName(scored))
+        pool = select_k(merged, "qid", "distance", itopk,
+                        tie_cols=["nid"], rank_col=None).localCheckpoint()
+    out = select_k(pool.select("qid", "nid", "distance"),
+                   "qid", "distance", k, tie_cols=["nid"])
+    d.unpersist(); q.unpersist(); edges.unpersist()
+    return out

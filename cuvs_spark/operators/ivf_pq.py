@@ -1,0 +1,328 @@
+"""IVF-PQ and IVF-SQ: quantized inverted-file indexes.
+
+Reference:
+* ``python/cuvs/cuvs/neighbors/ivf_pq/ivf_pq.pyx:40-172`` (build —
+  ``pq_bits=8``, ``pq_dim``, ``codebook_kind`` subspace/cluster),
+  ``:673-710`` (search — ``n_probes=20``, per-query LUTs); impl
+  ``cpp/src/neighbors/ivf_pq/`` (``select_clusters``
+  ``ivf_pq_search.cuh:61``, ``ivfpq_search_worker`` ``:421``).
+* ``python/cuvs/cuvs/neighbors/ivf_sq/ivf_sq.pyx:41-48,208,303,474``
+  (IVF + fixed 8-bit residual scalar quantization).
+
+Spark design:
+
+* **storage** — codes tables ``(id, list_id, codes array<int>)`` (PQ)
+  or ``(id, list_id, rcodes array<int>)`` (SQ int8 residual codes),
+  partitioned by list_id like IVF-Flat. 64-dim float32 rows become 8
+  bytes (PQ) / 64 bytes (SQ).
+* **PQ search** — the reference's per-query LUT is a *join*: the LUT
+  relation ``(qid, sub, code, subdist)`` (n_queries × pq_dim × 2^bits
+  rows — tiny, broadcast) joins the exploded probed codes on
+  (sub, code); summing subdists per (qid, id) IS the LUT lookup
+  accumulation, with map-side combine. The per-(qid,id) partials are
+  folded in subspace order (sorted-array fold) so results are
+  deterministic and oracle-exact.
+* **SQ search** — decode is a closed-form expression
+  (``center + lo + (code+128)·step``), distance runs on the decoded
+  array; everything stays in whole-stage codegen.
+* optional ``refine`` (§2.4) recovers recall exactly as the reference
+  does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.cluster.kmeans import assign, kmeans_fit
+from cuvs_spark.functions.distance import distance_sql_spark
+from cuvs_spark.operators.select_k import select_k
+from cuvs_spark.preprocessing.pq import PQCodebook, _subvecs, pq_build
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IVFPQIndex:
+    centroids: np.ndarray          # (n_lists, dim)
+    codebook_df: DataFrame         # (sub, code, centroid array<float>)
+    codes: DataFrame               # (id, list_id, codes array<int>)
+    pq_dim: int
+    metric: str = "sqeuclidean"
+
+
+def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
+                 pq_bits: int = 4, *, metric: str = "sqeuclidean",
+                 kmeans_n_iters: int = 10, seed: int = 42,
+                 id_col: str = "id", vec_col: str = "vec",
+                 centroids: np.ndarray | None = None,
+                 codebook: DataFrame | PQCodebook | None = None) -> IVFPQIndex:
+    """Coarse quantizer + per-subspace codebooks + codes table.
+
+    ``codebook_kind='subspace'`` layout: one codebook per subspace
+    shared across lists (the reference's default). Vectors are encoded
+    on their *residuals is skipped* — codes store the raw subvectors'
+    nearest code (simpler; same API surface), matching
+    ``build_precomputed`` semantics (``ivf_pq.pyx:543``)."""
+    spark = dataset.sparkSession
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    if centroids is None:
+        model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
+                           max_iter=kmeans_n_iters, seed=seed, balanced=True)
+        centroids = model.centroids
+    if codebook is None:
+        codebook = pq_build(d, pq_dim, pq_bits,
+                            kmeans_n_iters=kmeans_n_iters, seed=seed)
+    cb_df = (codebook.to_df(spark) if isinstance(codebook, PQCodebook)
+             else codebook)
+    lab = assign(d, centroids, metric="sqeuclidean")
+    # encode: per-subspace argmin against the broadcast codebook
+    sv = _subvecs(d, pq_dim, id_col="id", vec_col="vec")
+    dist = F.expr(distance_sql_spark("sqeuclidean", "subvec", "centroid"))
+    best = (sv.join(F.broadcast(cb_df), "sub")
+            .select("id", "sub",
+                    F.struct(dist.alias("d"), F.col("code").alias("c"))
+                    .alias("_s"))
+            .groupBy("id", "sub").agg(F.min("_s").alias("_b"))
+            .select("id", "sub", F.col("_b.c").alias("code")))
+    codes = (best.groupBy("id")
+             .agg(F.array_sort(F.collect_list(F.struct("sub", "code")))
+                  .alias("_sc"))
+             .select("id", F.expr("transform(_sc, x -> x.code)").alias("codes"))
+             .join(lab, "id")
+             .select("id", F.col("label").alias("list_id"), "codes"))
+    return IVFPQIndex(centroids=np.asarray(centroids, float),
+                      codebook_df=cb_df, codes=codes, pq_dim=pq_dim,
+                      metric=metric)
+
+
+def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
+                  n_probes: int = 8, *, qid_col: str = "qid",
+                  qvec_col: str = "vec") -> DataFrame:
+    """LUT-join search → ``(qid, nid, distance, rank)``; distance is
+    the PQ-approximate sqeuclidean (sum of per-subspace code distances,
+    folded in subspace order → deterministic)."""
+    spark = queries.sparkSession
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "list_id int, centroid array<float>")
+    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
+    probes = select_k(q.join(F.broadcast(cent)).select(
+        "qid", "list_id", cdist.alias("_cd")),
+        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
+        .select("qid", "list_id")
+    # LUT: (qid, sub, code, subdist) — n_queries × pq_dim × n_codes rows
+    pq_dim = index.pq_dim
+    qsub = _subvecs(q.withColumnRenamed("qid", "id"), pq_dim,
+                    id_col="id", vec_col="_qv") \
+        .withColumnRenamed("id", "qid").withColumnRenamed("subvec", "qsub")
+    sdist = F.expr(distance_sql_spark("sqeuclidean", "qsub", "centroid"))
+    lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
+           .select("qid", "sub", "code", sdist.alias("subdist")))
+    # probed codes, exploded per subspace
+    probed = (index.codes.join(F.broadcast(probes), "list_id")
+              .select("qid", "id", F.posexplode("codes").alias("sub", "code")))
+    # LUT lookup accumulation: deterministic subspace-ordered fold
+    scored = (probed.join(F.broadcast(lut), ["qid", "sub", "code"])
+              .groupBy("qid", F.col("id").alias("nid"))
+              .agg(F.array_sort(F.collect_list(F.struct("sub", "subdist")))
+                   .alias("_sd"))
+              .select("qid", "nid", F.expr(
+                  "aggregate(_sd, CAST(0 AS DOUBLE), (acc, x) -> acc + x.subdist)")
+                  .alias("distance")))
+    return select_k(scored, "qid", "distance", k, tie_cols=["nid"])
+
+
+def ivf_pq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
+                      codebook_sql: str, k: int, n_probes: int,
+                      pq_dim: int) -> str:
+    """DuckDB oracle for the full IVF-PQ pipeline (fixed centroids +
+    codebook): assign → encode → probe → LUT-join → ordered fold."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
+    pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
+    edist = distance_sql_duckdb("sqeuclidean", "sv.subvec", "cb.centroid")
+    ldist = distance_sql_duckdb("sqeuclidean", "qs.qsub", "cb.centroid")
+    w = f"(len(d.dv) // {pq_dim})"
+    wq = f"(len(q.qv) // {pq_dim})"
+    return f"""
+WITH d AS ({dataset_sql}), q AS ({queries_sql}), c AS ({cent_sql}),
+cb AS ({codebook_sql}),
+asg AS (
+  SELECT id, label FROM (
+    SELECT d.id, c.label,
+           row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.label ASC) rn
+    FROM d CROSS JOIN c) WHERE rn = 1),
+sv AS (
+  SELECT d.id AS id, s.sub AS sub,
+         d.dv[(s.sub * {w} + 1):((s.sub + 1) * {w})] AS subvec
+  FROM d, (SELECT unnest(range({pq_dim})) AS sub) s),
+enc AS (
+  SELECT id, sub, code FROM (
+    SELECT sv.id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.id, sv.sub
+                              ORDER BY {edist} ASC, cb.code ASC) rn
+    FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1),
+probes AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, c.label,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {pdist} ASC, c.label ASC) rn
+    FROM q CROSS JOIN c) WHERE rn <= {n_probes}),
+qs AS (
+  SELECT q.qid AS qid, s.sub AS sub,
+         q.qv[(s.sub * {wq} + 1):((s.sub + 1) * {wq})] AS qsub
+  FROM q, (SELECT unnest(range({pq_dim})) AS sub) s),
+lut AS (
+  SELECT qs.qid, qs.sub, cb.code, {ldist} AS subdist
+  FROM qs JOIN cb ON qs.sub = cb.sub),
+probed AS (
+  SELECT p.qid, e.id, e.sub, e.code
+  FROM probes p JOIN asg a ON a.label = p.label
+       JOIN enc e ON e.id = a.id),
+scored AS (
+  SELECT pr.qid AS qid, pr.id AS nid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
+                          x -> x[2])), (acc, v) -> acc + v) AS distance
+  FROM probed pr JOIN lut l
+    ON l.qid = pr.qid AND l.sub = pr.sub AND l.code = pr.code
+  GROUP BY pr.qid, pr.id),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM scored)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IVFSQIndex:
+    centroids: np.ndarray          # (n_lists, dim)
+    rcodes: DataFrame              # (id, list_id, rcodes array<int>)
+    lo: float                      # residual quantization range
+    hi: float
+    metric: str = "sqeuclidean"
+
+
+# residual encode/decode expressions (shared by both engines' shapes)
+def _sq_enc(v: str, cent: str, lo: float, hi: float) -> str:
+    return (f"zip_with({v}, {cent}, (x, c) -> CAST(floor((least(greatest("
+            f"CAST(x AS DOUBLE) - CAST(c AS DOUBLE), {lo!r}), {hi!r}) - {lo!r})"
+            f" / ({hi!r} - {lo!r}) * 255.0 + 0.5) - 128 AS INT))")
+
+
+def _sq_dec(codes: str, cent: str, lo: float, hi: float) -> str:
+    return (f"zip_with({codes}, {cent}, (q, c) -> CAST(CAST(c AS DOUBLE) + "
+            f"{lo!r} + (CAST(q AS DOUBLE) + 128.0) * ({hi!r} - {lo!r}) / 255.0"
+            f" AS DOUBLE))")
+
+
+def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
+                 metric: str = "sqeuclidean", kmeans_n_iters: int = 10,
+                 seed: int = 42, id_col: str = "id", vec_col: str = "vec",
+                 centroids: np.ndarray | None = None,
+                 lo: float = -1.0, hi: float = 1.0) -> IVFSQIndex:
+    """IVF + int8 residual scalar quantization (``ivf_sq.pyx:41-48``).
+    Residual range [lo, hi] is fixed 8-bit as in the reference."""
+    spark = dataset.sparkSession
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    if centroids is None:
+        model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
+                           max_iter=kmeans_n_iters, seed=seed, balanced=True)
+        centroids = model.centroids
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<float>")
+    lab = assign(d, centroids, metric="sqeuclidean") \
+        .withColumnRenamed("label", "list_id")
+    rcodes = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
+              .select("id", "list_id",
+                      F.expr(_sq_enc("vec", "centroid", lo, hi))
+                      .alias("rcodes")))
+    return IVFSQIndex(centroids=np.asarray(centroids, float), rcodes=rcodes,
+                      lo=lo, hi=hi, metric=metric)
+
+
+def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
+                  n_probes: int = 8, *, qid_col: str = "qid",
+                  qvec_col: str = "vec") -> DataFrame:
+    """Probe lists, decode residual codes in-expression, exact distance
+    on decoded vectors → top-k."""
+    spark = queries.sparkSession
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "list_id int, centroid array<float>")
+    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
+    probes = select_k(q.join(F.broadcast(cent)).select(
+        "qid", "list_id", cdist.alias("_cd")),
+        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
+        .select("qid", "list_id")
+    dec = _sq_dec("rcodes", "centroid", index.lo, index.hi)
+    fine = (index.rcodes.join(F.broadcast(probes), "list_id")
+            .join(F.broadcast(cent), "list_id")
+            .join(F.broadcast(q), "qid")
+            .select("qid", F.col("id").alias("nid"),
+                    F.expr(dec).alias("_dec"), "_qv"))
+    fdist = F.expr(distance_sql_spark(index.metric, "_qv", "_dec"))
+    pairs = fine.select("qid", "nid", fdist.alias("distance"))
+    return select_k(pairs, "qid", "distance", k, tie_cols=["nid"])
+
+
+def ivf_sq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
+                      k: int, n_probes: int, lo: float, hi: float,
+                      metric: str = "sqeuclidean") -> str:
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
+    pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
+    enc = (f"list_transform(list_zip(d.dv, c.cv), p -> "
+           f"CAST(floor((least(greatest(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE),"
+           f" {lo!r}), {hi!r}) - {lo!r}) / ({hi!r} - {lo!r}) * 255.0 + 0.5)"
+           f" - 128 AS INT))")
+    dec = (f"list_transform(list_zip(e.rcodes, c.cv), p -> "
+           f"CAST(CAST(p[2] AS DOUBLE) + {lo!r} + (CAST(p[1] AS DOUBLE) + 128.0)"
+           f" * ({hi!r} - {lo!r}) / 255.0 AS DOUBLE))")
+    fdist = distance_sql_duckdb(metric, "q.qv", "dec.decv")
+    return f"""
+WITH d AS ({dataset_sql}), q AS ({queries_sql}), c0 AS ({cent_sql}),
+c AS (SELECT label AS list_id, cv FROM c0),
+asg AS (
+  SELECT id, list_id FROM (
+    SELECT d.id, c.list_id,
+           row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.list_id ASC) rn
+    FROM d CROSS JOIN c) WHERE rn = 1),
+enc AS (
+  SELECT d.id AS id, a.list_id AS list_id, {enc} AS rcodes
+  FROM d JOIN asg a ON d.id = a.id JOIN c ON c.list_id = a.list_id),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT q.qid, c.list_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {pdist} ASC, c.list_id ASC) rn
+    FROM q CROSS JOIN c) WHERE rn <= {n_probes}),
+dec AS (
+  SELECT e.id AS id, e.list_id AS list_id, {dec} AS decv
+  FROM enc e JOIN c ON c.list_id = e.list_id),
+pairs AS (
+  SELECT q.qid AS qid, dec.id AS nid, {fdist} AS distance
+  FROM q JOIN probes p ON p.qid = q.qid
+       JOIN dec ON dec.list_id = p.list_id),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM pairs)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,79 @@
+"""Graph builder/search quality — recall thresholds vs exact kNN,
+mirroring the reference's ann_cagra/ann_nn_descent test criteria
+(recall ≥ 0.7-0.9, ``ann_utils.py:130``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators import knn, knn_self
+from cuvs_spark.operators.graph import (
+    all_neighbors_build,
+    cagra_build,
+    cagra_optimize,
+    cagra_search,
+    nn_descent_build,
+)
+
+SF = "/root/testdata/sf0.001"
+K = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .limit(200)
+            .select(F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("vec")).cache())
+
+
+@pytest.fixture(scope="module")
+def exact_graph(emb):
+    return knn_self(emb, K).cache()
+
+
+def graph_recall(approx, exact):
+    a = {(r["src"], r["dst"]) for r in approx.select(
+        F.col("src"), F.col("dst")).collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
+    return len(a & e) / len(e)
+
+
+def test_all_neighbors_recall(emb, exact_graph):
+    g = all_neighbors_build(emb, K, n_clusters=6, overlap_factor=3,
+                            kmeans_n_iters=4)
+    r = graph_recall(g, exact_graph)
+    assert r >= 0.8, r
+
+
+def test_nn_descent_recall(emb, exact_graph):
+    g = nn_descent_build(emb, K, max_iterations=5)
+    r = graph_recall(g, exact_graph)
+    assert r >= 0.8, r
+
+
+def test_cagra_optimize_properties(emb, exact_graph):
+    g = cagra_optimize(exact_graph.select(
+        F.col("qid").alias("src"), F.col("nid").alias("dst"), "distance"),
+        graph_degree=6)
+    per_src = g.groupBy("src").count().collect()
+    assert all(r["count"] <= 6 for r in per_src)
+    # reverse edges added: union graph should be "more symmetric" than input
+    e = {(r["src"], r["dst"]) for r in g.select("src", "dst").collect()}
+    sym = sum((b, a) in e for (a, b) in e) / len(e)
+    assert sym > 0.5
+
+
+def test_cagra_search_recall(spark, emb, exact_graph):
+    graph = cagra_build(emb, graph_degree=8, n_clusters=4, overlap_factor=2,
+                        kmeans_n_iters=4)
+    q = (emb.filter(F.col("id") < 20)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
+    got = cagra_search(graph, emb, q, 5, itopk=24, search_width=6,
+                       max_iterations=6, qvec_col="qv")
+    a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
+    r = len(a & e) / len(e)
+    assert r >= 0.8, r
