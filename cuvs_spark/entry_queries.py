@@ -762,3 +762,154 @@ def _cagra_search(spark, sf_dir):
 
 
 register("cagra_search", _cagra_search)  # rows-only: iterative
+
+
+# --- sparse CSR ops (SURVEY §2.3/2.5) --------------------------------------
+from cuvs_spark.operators import sparse as SP
+
+_SP_THR = 0.25
+
+
+def _sparse_knn(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    A = SP.sparsify(d, _SP_THR)
+    Q = SP.sparsify(q.withColumnRenamed("qid", "id")
+                    .withColumnRenamed("qv", "vec"), _SP_THR) \
+        .withColumnRenamed("id", "qid")
+    return SP.sparse_knn(
+        A.withColumnRenamed("id", "nid").withColumnRenamed("nid", "id")
+        if False else A, Q.withColumnRenamed("qid", "id"), 10)
+
+
+def _sparse_knn_fixed(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    A = SP.sparsify(d, _SP_THR)
+    Q = (SP.sparsify(q.select(F.col("qid").alias("id"),
+                              F.col("qv").alias("vec")), _SP_THR))
+    out = SP.sparse_knn(A, Q, 10)
+    return out
+
+
+register("sparse_knn", _sparse_knn_fixed,
+         SP.sparse_knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, _SP_THR))
+
+
+def _sparse_pairwise_ip(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    X = SP.sparsify(e.filter(F.col("id") < 50), _SP_THR)
+    out = SP.sparse_pairwise_distance(X, metric="inner_product")
+    return out
+
+
+register(
+    "sparse_pairwise_inner_product", _sparse_pairwise_ip,
+    f"""
+WITH d0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 50),
+sp AS (SELECT id,
+  {SP.SPARSIFY_IDX_DUCK.format(v='v', thr=repr(_SP_THR))} AS indices,
+  {SP.SPARSIFY_VAL_DUCK.format(v='v', thr=repr(_SP_THR))} AS vals FROM d0),
+e AS (SELECT id, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM sp)
+SELECT a.id AS i, b.id AS j, ROUND(sum(a.val * b.val), 9) AS distance
+FROM e a JOIN e b ON a.dim = b.dim
+GROUP BY a.id, b.id
+""")
+
+
+# --- tiered index: ANN tier + delta tier (SURVEY §2.5/2.9) -----------------
+def _tiered_search(spark, sf_dir):
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import TieredIndex, tiered_extend, tiered_search
+    d = emb_dataset(spark, sf_dir)
+    old = d.filter(F.col("id") < 400)
+    new = d.filter(F.col("id") >= 400)
+    ann = ivf_flat_build(old, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    idx = TieredIndex(ann=ann,
+                      delta=spark.createDataFrame([], "id long, vec array<float>"),
+                      min_ann_rows=10**9)
+    idx = tiered_extend(idx, new)
+    q = emb_queries(spark, sf_dir, 20)
+    return tiered_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+register(
+    "tiered_search", _tiered_search,
+    f"""
+WITH ann AS ({O.ivf_flat_search_sql("SELECT vec_id AS id, embedding AS dv FROM embeddings WHERE vec_id < 400", _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES)}),
+delta AS ({O.knn_sql("SELECT vec_id AS nid, embedding AS dv FROM embeddings WHERE vec_id >= 400", _Q_SQL.format(nq=20), 10, "sqeuclidean")}),
+merged AS (
+  SELECT qid, nid, distance FROM ann
+  UNION ALL SELECT qid, nid, distance FROM delta),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) AS rank
+  FROM merged)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
+""")
+
+
+# --- event-time windowed aggregation (streaming surface, batch-checked) ----
+def events_table(spark, sf_dir):
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+    rejects; read ns-as-long and floor to micros (what DuckDB's view
+    does implicitly)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    ev = T(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+def _events_windowed(spark, sf_dir):
+    from cuvs_spark.streaming import windowed_event_counts
+    return windowed_event_counts(events_table(spark, sf_dir), window="1 hour")
+
+
+register(
+    "events_windowed_counts", _events_windowed,
+    """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY 1, 2, 3
+""")
+
+
+def _events_sessionize(spark, sf_dir):
+    """Sessionization: window lag + gap>30min cumsum (§2.7 window
+    surface; integer session ids → oracle-exact)."""
+    from pyspark.sql import Window as W
+    ev = events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(w))
+    flag = F.when(gap.isNull() | (gap <= 1800.0), 0).otherwise(1)
+    return (ev.withColumn("_f", flag)
+            .withColumn("session_id",
+                        F.sum("_f").over(w.rowsBetween(W.unboundedPreceding, 0))
+                        .cast("long"))
+            .select("user_id", "event_id", "session_id"))
+
+
+register(
+    "events_sessionize", _events_sessionize,
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) <= 1800.0
+              THEN 0 ELSE 1 END AS f
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+""")

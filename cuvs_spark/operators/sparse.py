@@ -1,0 +1,133 @@
+"""Sparse (CSR) distance and brute-force kNN (SURVEY.md §2.3, §2.5).
+
+Reference: ``cpp/src/distance/sparse_distance.cu:36`` (CSR × CSR
+pairwise) and ``cpp/src/neighbors/sparse_brute_force.cu:20,28``.
+
+Spark shape: a sparse vector is ``(id, indices array<int>,
+values array<float>)`` (MLlib ``SparseVector``-compatible). The dot
+product is an *inverted-index join*: explode to (id, dim, val), join on
+dim, aggregate products per pair — only pairs sharing a nonzero
+dimension ever materialize (the CSR win). sqeuclidean closes over
+precomputed norms: ``d = ‖a‖² + ‖b‖² − 2·dot`` with dot defaulting to
+0 for non-colliding pairs.
+
+Float determinism: the per-pair product sum is rounded to 9 dp on both
+engines (group-sum order is engine-dependent), making kNN ranks
+oracle-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators.select_k import select_k
+
+# dense → sparse projections (0-based dims on both engines)
+SPARSIFY_IDX_SPARK = ("filter(transform({v}, (x, i) -> CASE WHEN abs(x) > {thr} "
+                      "THEN i ELSE -1 END), i -> i >= 0)")
+SPARSIFY_VAL_SPARK = "filter({v}, x -> abs(x) > {thr})"
+SPARSIFY_IDX_DUCK = ("list_filter(list_transform({v}, (x, i) -> CASE WHEN "
+                     "abs(x) > {thr} THEN i - 1 ELSE -1 END), i -> i >= 0)")
+SPARSIFY_VAL_DUCK = "list_filter({v}, x -> abs(x) > {thr})"
+
+
+def sparsify(df: DataFrame, threshold: float = 0.2, *, id_col: str = "id",
+             vec_col: str = "vec") -> DataFrame:
+    """Dense → CSR-style rows: keep entries with |x| > threshold."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(SPARSIFY_IDX_SPARK.format(v=vec_col, thr=repr(threshold)))
+        .alias("indices"),
+        F.expr(SPARSIFY_VAL_SPARK.format(v=vec_col, thr=repr(threshold)))
+        .alias("values"))
+
+
+def _entries(sp: DataFrame, id_alias: str) -> DataFrame:
+    return (sp.select(F.col("id").alias(id_alias),
+                      F.explode(F.arrays_zip("indices", "values")).alias("e"))
+            .select(id_alias, F.col("e.indices").alias("dim"),
+                    F.col("e.values").cast("double").alias("val")))
+
+
+def _norms(sp: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
+    return sp.select(
+        F.col("id").alias(id_alias),
+        F.expr("aggregate(values, CAST(0 AS DOUBLE), "
+               "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+        .alias(norm_alias))
+
+
+def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
+                             metric: str = "sqeuclidean",
+                             ndigits: int = 9) -> DataFrame:
+    """CSR × CSR distance matrix ``(i, j, distance)``.
+
+    ``inner_product``: only colliding pairs are emitted (others are 0).
+    ``sqeuclidean``: all pairs via the norm identity, dot joined with
+    default 0 — the full m×n never shuffles, only the collision pairs
+    plus two tiny norm tables."""
+    Bs = A if B is None else B
+    ea = _entries(A, "i")
+    eb = _entries(Bs, "j")
+    dots = (ea.join(eb, "dim")
+            .groupBy("i", "j")
+            .agg(F.round(F.sum(ea["val"] * eb["val"]), ndigits).alias("dot")))
+    if metric in ("inner_product", "dot"):
+        return dots.select("i", "j", F.col("dot").alias("distance"))
+    if metric != "sqeuclidean":
+        raise ValueError(f"sparse metric {metric!r} not supported")
+    na = _norms(A, "i", "na")
+    nb = _norms(Bs, "j", "nb")
+    allp = na.join(nb)
+    return (allp.join(dots, ["i", "j"], "left")
+            .select("i", "j",
+                    (F.col("na") + F.col("nb")
+                     - 2.0 * F.coalesce("dot", F.lit(0.0))).alias("distance")))
+
+
+def sparse_knn(A: DataFrame, queries: DataFrame, k: int = 10, *,
+               metric: str = "sqeuclidean") -> DataFrame:
+    """Sparse brute-force kNN (sparse_brute_force.cu:20) →
+    ``(qid, nid, distance, rank)``."""
+    pd_ = sparse_pairwise_distance(queries, A, metric=metric)
+    pairs = pd_.select(F.col("i").alias("qid"), F.col("j").alias("nid"),
+                       "distance")
+    select_min = metric not in ("inner_product", "dot")
+    return select_k(pairs, "qid", "distance", k, select_min=select_min,
+                    tie_cols=["nid"])
+
+
+def sparse_knn_sql(dense_dataset_sql: str, dense_queries_sql: str, k: int,
+                   threshold: float = 0.2, ndigits: int = 9) -> str:
+    """DuckDB oracle: same sparsify → inverted-index join → norm
+    identity → window top-k (sqeuclidean)."""
+    sp_i = SPARSIFY_IDX_DUCK.format(v="dv", thr=repr(threshold))
+    sp_v = SPARSIFY_VAL_DUCK.format(v="dv", thr=repr(threshold))
+    sq_i = SPARSIFY_IDX_DUCK.format(v="qv", thr=repr(threshold))
+    sq_v = SPARSIFY_VAL_DUCK.format(v="qv", thr=repr(threshold))
+    nrm = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+           "{vals}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+           "(acc, v) -> acc + v)")
+    return f"""
+WITH d0 AS ({dense_dataset_sql}), q0 AS ({dense_queries_sql}),
+ds AS (SELECT nid, {sp_i} AS indices, {sp_v} AS vals FROM d0),
+qs AS (SELECT qid, {sq_i} AS indices, {sq_v} AS vals FROM q0),
+de AS (SELECT nid, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM ds),
+qe AS (SELECT qid, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM qs),
+dots AS (
+  SELECT qe.qid, de.nid, ROUND(sum(qe.val * de.val), {ndigits}) AS dot
+  FROM qe JOIN de ON qe.dim = de.dim GROUP BY qe.qid, de.nid),
+na AS (SELECT qid, {nrm.format(vals='vals')} AS n FROM qs),
+nb AS (SELECT nid, {nrm.format(vals='vals')} AS n FROM ds),
+pairs AS (
+  SELECT na.qid AS qid, nb.nid AS nid,
+         na.n + nb.n - 2.0 * COALESCE(dots.dot, 0.0) AS distance
+  FROM na CROSS JOIN nb
+  LEFT JOIN dots ON dots.qid = na.qid AND dots.nid = nb.nid),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM pairs)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""

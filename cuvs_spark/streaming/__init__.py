@@ -1,0 +1,4 @@
+from cuvs_spark.streaming.tiered_stream import (  # noqa: F401
+    start_tiered_ingest,
+    windowed_event_counts,
+)

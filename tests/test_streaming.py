@@ -1,0 +1,90 @@
+"""Structured Streaming tests: tiered-index ingestion via foreachBatch
+(the `extend` streaming story, tiered_index.pyx semantics) and
+watermarked window aggregation equivalence vs batch."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators.ivf_flat import ivf_flat_build
+from cuvs_spark.operators.tiered import (
+    TieredIndex,
+    tiered_build,
+    tiered_extend,
+    tiered_search,
+)
+from cuvs_spark.operators import knn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("vec")).cache())
+
+
+def test_tiered_search_sees_delta(spark, emb):
+    old = emb.filter(F.col("id") < 300)
+    new = emb.filter(F.col("id") >= 300)
+    idx = tiered_build(old, n_lists=8, kmeans_n_iters=4, min_ann_rows=10**9)
+    idx = tiered_extend(idx, new)
+    assert idx.delta.count() == new.count()  # not compacted yet
+    q = (emb.filter(F.col("id") >= 490)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got = tiered_search(idx, q, 5, n_probes=8, qvec_col="qv")
+    # a query vector that exists only in the delta must find itself
+    top1 = {r["qid"]: r["nid"] for r in got.filter(F.col("rank") == 1).collect()}
+    assert all(top1[qid] == qid for qid in top1)
+
+
+def test_tiered_compaction_threshold(spark, emb):
+    old = emb.filter(F.col("id") < 300)
+    new = emb.filter(F.col("id") >= 300)
+    idx = tiered_build(old, n_lists=8, kmeans_n_iters=4, min_ann_rows=10)
+    idx = tiered_extend(idx, new)   # 200 rows >= 10 → compacts
+    assert idx.delta.count() == 0
+    assert idx.ann.lists.count() == 500
+
+
+def test_streaming_tiered_ingest(spark, emb, tmp_path):
+    from cuvs_spark.streaming import start_tiered_ingest
+    src = str(tmp_path / "stream_src")
+    (emb.filter(F.col("id") >= 400)
+     .write.mode("overwrite").parquet(src))
+    old = emb.filter(F.col("id") < 400)
+    state = {"index": tiered_build(old, n_lists=8, kmeans_n_iters=4,
+                                   min_ann_rows=10**9)}
+    q = start_tiered_ingest(spark, src, "id long, vec array<float>", state)
+    q.processAllAvailable()
+    q.stop()
+    assert state.get("epochs", 0) >= 1
+    assert state["index"].delta.count() == 100
+    qdf = (emb.filter(F.col("id") == 450)
+           .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got = tiered_search(state["index"], qdf, 3, n_probes=8, qvec_col="qv")
+    assert got.filter(F.col("rank") == 1).head()["nid"] == 450
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from cuvs_spark.streaming import windowed_event_counts
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from cuvs_spark.entry_queries import events_table
+    ev = events_table(spark, SF)
+    src = str(tmp_path / "events_src")
+    ev.write.mode("overwrite").parquet(src)
+    batch = windowed_event_counts(ev).orderBy("window_start", "event_type")
+    stream = (spark.readStream.schema(ev.schema).parquet(src))
+    agg = windowed_event_counts(stream)
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT * FROM win_out")
+           .orderBy("window_start", "event_type"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
