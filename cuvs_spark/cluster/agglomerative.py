@@ -1,0 +1,135 @@
+"""Agglomerative single-linkage clustering (SURVEY.md §2.6).
+
+Reference: ``cpp/include/cuvs/cluster/agglomerative.hpp:107``
+(``single_linkage``: kNN graph → MST → dendrogram → cut to labels;
+``Linkage`` PAIRWISE/KNN_GRAPH at ``agglomerative.hpp:33``;
+``build_dendrogram`` at ``:251``).
+
+Spark design: the expensive part — the kNN connectivity graph — is the
+distributed ``knn_self``/``all_neighbors`` job. MST extraction runs
+Borůvka-style: each round the *distributed* edge table yields one
+minimum outgoing edge per component (a groupBy-min over n·k rows);
+the per-round component merge is a driver-side union-find over at most
+#components rows (the reference's dendrogram step is likewise a serial
+finish on contracted data — SURVEY §2.6). KNN_GRAPH linkage means the
+graph may be disconnected; remaining components simply stay separate
+clusters, matching the reference's connectivity fallback semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators.brute_force import knn_self
+
+
+@dataclass
+class Dendrogram:
+    children: np.ndarray       # (n_merges, 2) merged component ids
+    distances: np.ndarray      # (n_merges,) merge heights
+    n_leaves: int
+
+
+class _UnionFind:
+    def __init__(self, ids):
+        self.parent = {i: i for i in ids}
+
+    def find(self, x):
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        return True
+
+
+def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
+    """Distributed Borůvka: per-round min outgoing edge per component
+    (groupBy-min on the cluster), union-find merge on the driver."""
+    spark = edges.sparkSession
+    uf = _UnionFind(ids)
+    comp_rows = [(i, i) for i in ids]
+    mst: list[tuple] = []
+    while True:
+        comp = spark.createDataFrame(comp_rows, "id long, comp long")
+        e = (edges
+             .join(comp.withColumnRenamed("id", "src")
+                   .withColumnRenamed("comp", "ca"), "src")
+             .join(comp.withColumnRenamed("id", "dst")
+                   .withColumnRenamed("comp", "cb"), "dst")
+             .filter(F.col("ca") != F.col("cb")))
+        mins = (e.select("ca", F.struct("distance", "src", "dst", "cb")
+                         .alias("_s"))
+                .groupBy("ca").agg(F.min("_s").alias("m"))
+                .collect())
+        if not mins:
+            break
+        merged_any = False
+        # deterministic order: by (distance, src, dst)
+        for r in sorted(mins, key=lambda r: (r["m"]["distance"],
+                                             r["m"]["src"], r["m"]["dst"])):
+            m = r["m"]
+            if uf.union(int(m["src"]), int(m["dst"])):
+                mst.append((int(m["src"]), int(m["dst"]),
+                            float(m["distance"])))
+                merged_any = True
+        if not merged_any:
+            break
+        comp_rows = [(i, uf.find(i)) for i in ids]
+    return mst
+
+
+def build_dendrogram(edges: DataFrame, ids: list[int]) -> Dendrogram:
+    """``agglomerative.hpp:251`` — merge list sorted by height."""
+    mst = sorted(_mst_edges(edges, ids), key=lambda t: (t[2], t[0], t[1]))
+    children = np.array([(a, b) for a, b, _ in mst], dtype=np.int64) \
+        if mst else np.zeros((0, 2), np.int64)
+    distances = np.array([d for _, _, d in mst])
+    return Dendrogram(children=children, distances=distances,
+                      n_leaves=len(ids))
+
+
+def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
+                   metric: str = "sqeuclidean", id_col: str = "id",
+                   vec_col: str = "vec",
+                   linkage: str = "knn_graph") -> DataFrame:
+    """single_linkage (``agglomerative.hpp:107``) → ``(id, label)``;
+    labels are the minimum member id of each cluster (deterministic).
+
+    ``linkage='pairwise'`` uses the full pairwise graph (exact, m²);
+    ``'knn_graph'`` bounds the graph to n·k edges as the reference does
+    for scale."""
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    ids = [r["id"] for r in d.select("id").collect()]
+    kk = len(ids) - 1 if linkage == "pairwise" else k
+    g = knn_self(d, kk, metric).select(
+        F.col("qid").alias("src"), F.col("nid").alias("dst"), "distance")
+    mst = sorted(_mst_edges(g, ids), key=lambda t: (t[2], t[0], t[1]))
+    # cut: keep merging smallest edges until n_clusters remain
+    uf = _UnionFind(ids)
+    comps = len(ids)
+    for a, b, _ in mst:
+        if comps <= n_clusters:
+            break
+        if uf.union(a, b):
+            comps -= 1
+    # label = min id in component
+    root_min: dict[int, int] = {}
+    for i in ids:
+        r = uf.find(i)
+        root_min[r] = min(root_min.get(r, i), i)
+    rows = [(i, root_min[uf.find(i)]) for i in ids]
+    spark = dataset.sparkSession
+    return spark.createDataFrame(rows, "id long, label long")

@@ -913,3 +913,29 @@ SELECT user_id, event_id,
                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
 """)
+
+
+# --- agglomerative clustering + CAGRA merge (SURVEY §2.6/2.8) -------------
+def _single_linkage(spark, sf_dir):
+    """kNN-graph single-linkage (iterative MST) — rows-only; exactness
+    vs a Kruskal oracle in tests/test_agglomerative.py."""
+    from cuvs_spark.cluster.agglomerative import single_linkage
+    d = emb_dataset(spark, sf_dir).limit(200)
+    return single_linkage(d, n_clusters=10, k=10)
+
+
+register("agglomerative_single_linkage", _single_linkage)  # rows-only
+
+
+def _cagra_merge(spark, sf_dir):
+    from cuvs_spark.operators import knn_self
+    from cuvs_spark.operators.graph import cagra_merge
+    d = emb_dataset(spark, sf_dir)
+    g = knn_self(d, 12).select(F.col("qid").alias("src"),
+                               F.col("nid").alias("dst"), "distance")
+    parts = [g.filter(F.col("src") % 2 == m) for m in (0, 1)]
+    return cagra_merge(parts, graph_degree=6)
+
+
+register("cagra_merge", _cagra_merge,
+         G.cagra_optimize_sql(_KNN_GRAPH_SQL, 6))

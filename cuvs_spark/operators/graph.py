@@ -272,3 +272,22 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                    "qid", "distance", k, tie_cols=["nid"])
     d.unpersist(); q.unpersist(); edges.unpersist()
     return out
+
+
+def cagra_merge(graphs: list[DataFrame], graph_degree: int = 16, *,
+                strategy: str = "physical") -> DataFrame:
+    """Merge CAGRA indexes (``cagra.hpp:2477``; ``MergeStrategy``
+    PHYSICAL/LOGICAL, ``common.hpp:129``).
+
+    PHYSICAL: union the edge tables and re-optimize (what the reference
+    does to the underlying graphs). LOGICAL merging happens at *search*
+    time — union of per-index search results + top-k — which in Spark
+    is ``knn_merge_parts`` and needs no operator here."""
+    if strategy != "physical":
+        raise ValueError("logical merge = search both + knn_merge_parts")
+    merged = graphs[0].select("src", "dst", "distance")
+    for g in graphs[1:]:
+        merged = merged.unionByName(g.select("src", "dst", "distance"))
+    merged = (merged.groupBy("src", "dst")
+              .agg(F.min("distance").alias("distance")))
+    return cagra_optimize(merged, graph_degree)

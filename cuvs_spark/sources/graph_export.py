@@ -1,0 +1,52 @@
+"""Cross-format graph index export (SURVEY.md §2.1).
+
+Reference: ``hnsw.from_cagra`` (``hnsw.pyx:410``,
+``cpp/include/cuvs/neighbors/hnsw.hpp:474`` — build on GPU, serve on
+CPU) and ``vamana.save`` DiskANN format (``vamana.pyx:228``).
+
+The binary hnswlib/DiskANN file formats are CPU-serving concerns out of
+scope for a Spark engine (per BASELINE.json); what we preserve is the
+*conversion semantics*: a CAGRA graph re-keyed into an HNSW-style
+layer-0 adjacency (``from_cagra`` is exactly a re-keying — the
+reference reuses the CAGRA graph as HNSW's base layer) plus a JSON/
+Parquet layout any exporter can serialize from.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hnsw_from_cagra(graph: DataFrame, *, ef_construction: int = 200,
+                    M: int | None = None) -> DataFrame:
+    """CAGRA edge table → HNSW base-layer adjacency
+    ``(layer, src, neighbors array<long>)`` (hierarchy='none', as
+    ``hnsw.pyx:120-151`` when built from CAGRA)."""
+    deg = (graph.groupBy("src")
+           .agg(F.array_sort(F.collect_list(F.struct("distance", "dst")))
+                .alias("_n")))
+    out = deg.select(F.lit(0).alias("layer"), "src",
+                     F.expr("transform(_n, x -> x.dst)").alias("neighbors"))
+    if M is not None:
+        out = out.withColumn("neighbors", F.expr(f"slice(neighbors, 1, {M})"))
+    return out
+
+
+def save_graph_index(graph: DataFrame, path: str, *, fmt: str = "hnsw",
+                     meta: dict | None = None) -> None:
+    """Persist an adjacency table + metadata sidecar; a CPU-side
+    exporter can rewrite this into hnswlib/DiskANN binaries."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"format": fmt, **(meta or {})}, f)
+    graph.write.mode("overwrite").parquet(os.path.join(path, "adjacency"))
+
+
+def load_graph_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "adjacency")), meta
