@@ -139,10 +139,10 @@ def _init_centroids(df: DataFrame, k: int, *, id_col: str, vec_col: str,
         rows = (d.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), "id")
                 .limit(k).collect())
         return np.array([r["_v"] for r in rows], dtype=np.float64)
-    # k-means||-style: oversample ~5k points by hash, then weight-free
-    # greedy farthest-point refinement on the driver (small sample)
+    # k-means||-style: oversample points by hash, then greedy
+    # farthest-point refinement on the driver (small sample)
     sample = (d.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), "id")
-              .limit(max(5 * k, k)).collect())
+              .limit(max(25 * k, 256)).collect())
     P = np.array([r["_v"] for r in sample], dtype=np.float64)
     chosen = [0]
     d2 = ((P - P[0]) ** 2).sum(1)
@@ -156,11 +156,26 @@ def _init_centroids(df: DataFrame, k: int, *, id_col: str, vec_col: str,
 def kmeans_fit(df: DataFrame, k: int, *, max_iter: int = 20, tol: float = 1e-4,
                init: str = "parallel", seed: int = 42, id_col: str = "id",
                vec_col: str = "vec", metric: str = "sqeuclidean",
-               balanced: bool = False) -> KMeansModel:
+               balanced: bool = False, n_init: int = 1) -> KMeansModel:
     """Lloyd's algorithm; ``balanced=True`` adds the reference's
     size-capping rebalance (``kmeans_balanced.cuh``): oversized clusters
     shed their farthest points to the next-nearest center each round,
-    which is what keeps IVF partitions even at scale."""
+    which is what keeps IVF partitions even at scale. ``n_init`` restarts
+    with shifted seeds and keeps the lowest-inertia run (kmeans.pyx:48
+    ``n_init``)."""
+    if n_init > 1 and not isinstance(init, np.ndarray):
+        best = None
+        for r in range(n_init):
+            m = kmeans_fit(df, k, max_iter=max_iter, tol=tol, init=init,
+                           seed=seed + 1000003 * r, id_col=id_col,
+                           vec_col=vec_col, metric=metric, balanced=balanced)
+            cost = cluster_cost(df.select(F.col(id_col).alias("id"),
+                                          F.col(vec_col).alias("vec")),
+                                m).head()["inertia"]
+            if best is None or cost < best[0]:
+                best = (cost, m)
+        best[1].inertia = best[0]
+        return best[1]
     if isinstance(init, np.ndarray):
         centroids = init.astype(np.float64)
     else:

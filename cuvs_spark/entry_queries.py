@@ -939,3 +939,34 @@ def _cagra_merge(spark, sf_dir):
 
 register("cagra_merge", _cagra_merge,
          G.cagra_optimize_sql(_KNN_GRAPH_SQL, 6))
+
+
+# --- CustomUDF metric + spectral (SURVEY §2.10 / §2.2 / §2.6) --------------
+def _knn_udf(spark, sf_dir):
+    """CustomUDF distance (pandas-UDF escape hatch); ids+rank output —
+    NumPy's pairwise-summed floats aren't bit-reproducible, ordering
+    is."""
+    from cuvs_spark.operators.brute_force import knn_udf_metric
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+
+    def sq(A, B):
+        return ((A - B) ** 2).sum(1)
+
+    return knn_udf_metric(d, q, 10, sq, qvec_col="qv").drop("distance")
+
+
+register("knn_custom_udf_metric", _knn_udf,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean",
+                   with_distance=False))
+
+
+def _spectral_predict(spark, sf_dir):
+    """Driver-side eigensolve (non-SQL) — rows-only; blob recovery
+    asserted in tests/test_udf_spectral.py."""
+    from cuvs_spark.cluster.spectral import spectral_fit_predict
+    d = emb_dataset(spark, sf_dir).limit(150)
+    return spectral_fit_predict(d, 5, k=10, n_init=1, max_iter=8)
+
+
+register("spectral_fit_predict", _spectral_predict)  # rows-only

@@ -190,6 +190,53 @@ def _knn_blas(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
     return knn_merge_parts(local, k, select_min=minimize)
 
 
+def knn_udf_metric(dataset: DataFrame, queries: DataFrame, k: int,
+                   metric_fn, *, select_min: bool = True,
+                   id_col: str = "id", vec_col: str = "vec",
+                   qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+    """kNN with a user-supplied Python distance — the ``CustomUDF``
+    metric surface (``distance.hpp:66``, ``fern/pages/udf_usage.md``,
+    test ``cpp/tests/neighbors/ann_ivf_flat/test_udf.cu``).
+
+    ``metric_fn(A, B) -> np.ndarray`` takes two (n, dim) float64 blocks
+    and returns n pairwise distances — an Arrow-batched pandas UDF, the
+    Spark analog of the reference's NVRTC-JIT'd device lambda. The
+    builtin expression metrics are the precompiled fast path; this is
+    the escape hatch."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _d(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(metric_fn(A, B))
+
+    d = dataset.select(F.col(id_col).cast("long").alias("nid"),
+                       F.col(vec_col).alias("_dv"))
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    pairs = (d.join(F.broadcast(q))
+             .select("qid", "nid", _d("_qv", "_dv").alias("distance")))
+    return select_k(pairs, "qid", "distance", k, select_min=select_min,
+                    tie_cols=["nid"])
+
+
+def knn_precomputed(distances: DataFrame, k: int, *,
+                    select_min: bool = True) -> DataFrame:
+    """``DistanceType.Precomputed`` (``distance.hpp:64``): the caller
+    supplies the ``(qid, nid, distance)`` relation; we only rank."""
+    return select_k(distances.select("qid", "nid", "distance"),
+                    "qid", "distance", k, select_min=select_min,
+                    tie_cols=["nid"])
+
+
+def masked_nn(dataset: DataFrame, queries: DataFrame, mask: DataFrame,
+              k: int = 10, metric: str = "sqeuclidean", **kw) -> DataFrame:
+    """``masked_nn`` (``cpp/src/distance/masked_nn.cuh:103``): NN under
+    an adjacency mask — the mask is the bitmap prefilter semi-join."""
+    return knn(dataset, queries, k, metric, allow_pairs=mask, **kw)
+
+
 def knn_self(dataset: DataFrame, k: int, metric: str = "sqeuclidean",
              *, id_col: str = "id", vec_col: str = "vec",
              include_self: bool = False, method: str = "expr") -> DataFrame:
