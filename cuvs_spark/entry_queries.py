@@ -970,3 +970,83 @@ def _spectral_predict(spark, sf_dir):
 
 
 register("spectral_fit_predict", _spectral_predict)  # rows-only
+
+
+# --- remaining metric family + Gram matrices (SURVEY §2.3) -----------------
+def _knn_bitwise_hamming(spark, sf_dir):
+    """BitwiseHamming over binary-quantized codes — integer distances,
+    exact parity (distance.pyx:38 binary-packed uint8 path)."""
+    e = emb_dataset(spark, sf_dir)
+    bits = QZ.binary_quantize(e.select("id", "vec")).select("id", "bits")
+    q = (QZ.binary_quantize(
+        emb_queries(spark, sf_dir, 20).select(F.col("qid").alias("id"),
+                                              F.col("qv").alias("vec")))
+        .select(F.col("id").alias("qid"), F.col("bits").alias("qbits")))
+    return knn(bits, q, 10, "bitwise_hamming", vec_col="bits",
+               qvec_col="qbits")
+
+
+register(
+    "knn_bitwise_hamming", _knn_bitwise_hamming,
+    O.knn_sql(
+        f"SELECT vec_id AS nid, {QZ.binary_quantize_sql('embedding')} AS dv "
+        f"FROM embeddings",
+        f"SELECT vec_id AS qid, {QZ.binary_quantize_sql('embedding')} AS qv "
+        f"FROM embeddings WHERE vec_id < 20",
+        10, "bitwise_hamming"))
+
+
+def _knn_minkowski(spark, sf_dir):
+    """Minkowski p=3 — pow() is not correctly rounded across libms, so
+    the gate compares ids+rank only (ordering is stable)."""
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    return knn(d, q, 10, "minkowski", qvec_col="qv", minkowski_p=3.0,
+               with_distance=False)
+
+
+register("knn_minkowski_p3", _knn_minkowski,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "minkowski",
+                   with_distance=False, p=3.0))
+
+
+def _pairwise_haversine(spark, sf_dir):
+    """Haversine over 2-d (lat, lon) radians derived from the first two
+    embedding dims; asin/sin differ in ulps across libms → ids-only
+    would be meaningless for a full matrix, so round to 9 dp."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    X = e.select(F.col("vec_id").alias("id"),
+                 F.expr("slice(embedding, 1, 2)").alias("vec"))
+    out = pairwise_distance(X, None, "haversine")
+    return out.select("i", "j", F.round("distance", 9).alias("distance"))
+
+
+register(
+    "pairwise_haversine", _pairwise_haversine,
+    f"""
+WITH a AS (SELECT vec_id AS i, embedding[1:2] AS xa FROM embeddings WHERE vec_id < 40),
+b AS (SELECT vec_id AS j, embedding[1:2] AS xb FROM embeddings WHERE vec_id < 40)
+SELECT a.i AS i, b.j AS j,
+       ROUND({O.distance_sql_duckdb('haversine', 'a.xa', 'b.xb')}, 9) AS distance
+FROM a CROSS JOIN b
+""")
+
+
+def _gram(kernel, ndigits):
+    def fn(spark, sf_dir, kernel=kernel, ndigits=ndigits):
+        from cuvs_spark.operators.kernels import gram_matrix
+        e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+        X = e.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").alias("vec"))
+        return gram_matrix(X, None, kernel, gamma=0.5, ndigits=ndigits)
+    from cuvs_spark.operators.kernels import gram_matrix_sql
+    sub_a = "SELECT vec_id AS i, embedding AS xa FROM embeddings WHERE vec_id < 40"
+    sub_b = "SELECT vec_id AS j, embedding AS xb FROM embeddings WHERE vec_id < 40"
+    return fn, gram_matrix_sql(sub_a, sub_b, kernel, gamma=0.5,
+                               ndigits=ndigits)
+
+
+for _kern, _nd in [("linear", None), ("rbf", 9), ("polynomial", 9),
+                   ("tanh", 9)]:
+    _fn, _sql = _gram(_kern, _nd)
+    register(f"gram_{_kern}", _fn, _sql)
