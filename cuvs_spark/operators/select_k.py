@@ -47,6 +47,12 @@ def select_k(df: DataFrame,
     order = [F.col(order_col).asc() if select_min else F.col(order_col).desc()]
     order += [F.col(c).asc() for c in tie_cols]
 
+    if strategy == "auto":
+        # mirror of the reference's SelectAlgo::kAuto (select_k.hpp:78):
+        # small k → hash-agg with bounded sorted slices (no sort-based
+        # window exchange); large k → the window (full sort pays off)
+        strategy = "agg" if k <= 64 else "window"
+
     if strategy == "agg":
         other = [c for c in df.columns if c not in keys]
         sort_struct = F.struct(

