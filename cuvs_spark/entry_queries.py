@@ -1050,3 +1050,17 @@ for _kern, _nd in [("linear", None), ("rbf", 9), ("polynomial", 9),
                    ("tanh", 9)]:
     _fn, _sql = _gram(_kern, _nd)
     register(f"gram_{_kern}", _fn, _sql)
+
+
+# --- near-dup canonicalization: ANN pairs → connected components -----------
+def _dedup_components(spark, sf_dir):
+    pairs = DD.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir),
+                                 jaccard_threshold=0.5)
+    return DD.connected_components(pairs)
+
+
+register(
+    "dedup_connected_components", _dedup_components,
+    DD.connected_components_sql(
+        "SELECT doc_a, doc_b FROM ("
+        + DD.minhash_lsh_pairs_sql(_DOC_DUP_SQL, 0.5) + ")"))

@@ -363,3 +363,63 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {dist} AS distance
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {dist} <= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup canonicalization: connected components over dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
+                         a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """Collapse near-duplicate pairs into groups →
+    ``(doc_id, canonical_id)`` with canonical = min id per component
+    (the ANN-join + connected-components dedup finisher, SURVEY §2.8).
+
+    Distributed min-label propagation over the (small) dup-pair edge
+    table; each round is one join + groupBy-min and the label table is
+    one row per endpoint node; converges in O(component diameter)
+    rounds. Dup components are shallow in practice (stars around a
+    canonical), so 2-3 rounds is typical."""
+    e = pairs.select(F.col(a_col).cast("long").alias("a"),
+                     F.col(b_col).cast("long").alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))).distinct()
+    labels = (und.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("lbl", F.col("id"))).localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (und.join(labels.withColumnRenamed("id", "b")
+                          .withColumnRenamed("lbl", "nl"), "b")
+                 .groupBy("a").agg(F.min("nl").alias("nl"))
+                 .withColumnRenamed("a", "id"))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id", F.least("lbl", F.coalesce("nl", "lbl"))
+                              .alias("lbl"))).localCheckpoint()
+        changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
+                   .join(labels, "id")
+                   .filter(F.col("new_lbl") != F.col("lbl")))
+        stable = changed.isEmpty()
+        labels = new_labels
+        if stable:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("canonical_id"))
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: recursive transitive closure + min ancestor —
+    reaches the same fixpoint as the label propagation."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION SELECT doc_b AS a, doc_a AS b FROM p),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(a, b) AS (
+  SELECT id AS a, id AS b FROM nodes
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+"""
