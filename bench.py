@@ -56,7 +56,7 @@ def main() -> None:
         from cuvs_spark.pipeline.text import doc_fingerprints
         docs = (T(spark, sf_dir, "documents")
                 .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
-        return doc_fingerprints(docs)
+        return doc_fingerprints(docs, hash_fn="xxhash64")
 
     def bench_eps_blas():
         from cuvs_spark.operators import epsilon_neighborhood_blas
@@ -77,6 +77,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, make in benches.items():
+        # warmup run: JVM JIT + codegen caches, excluded from timing
+        # (JMH-style; the steady-state number is what scales)
+        make().write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = make()
         df.write.format("noop").mode("overwrite").save()

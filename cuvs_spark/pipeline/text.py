@@ -176,20 +176,24 @@ FROM d
 # ---------------------------------------------------------------------------
 
 def doc_fingerprints(df: DataFrame, k: int = 8, w: int = 4, *,
-                     id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     id_col: str = "doc_id", text_col: str = "text",
+                     hash_fn: str = "md5") -> DataFrame:
     """Winnowing (Schleimer et al.): k-gram rolling hashes, min per
     sliding window of w → distinct ``(doc_id, fp)``. Window is
-    partitioned by doc — fingerprinting shuffles nothing across docs."""
+    partitioned by doc — fingerprinting shuffles nothing across docs.
+
+    ``hash_fn='md5'`` is the cross-engine-reproducible form (the DuckDB
+    oracle shares it); ``'xxhash64'`` is the JVM-native throughput form
+    (~10× cheaper per k-gram, same winnowing guarantees)."""
     d = _doc(df, id_col, text_col)
     pos = (d.filter(F.length("text") >= k)
            .select("doc_id",
                    F.explode(F.expr(
                        f"sequence(1, length(text) - {k} + 1)")).alias("pos"),
                    "text"))
-    kh = pos.select("doc_id", "pos",
-                    F.expr(H64_SPARK.format(s=f"substr(text, pos, {k})"))
-                    .alias("h"))
+    h_expr = (f"xxhash64(substr(text, pos, {k}))" if hash_fn == "xxhash64"
+              else H64_SPARK.format(s=f"substr(text, pos, {k})"))
+    kh = pos.select("doc_id", "pos", F.expr(h_expr).alias("h"))
     win = (Window.partitionBy("doc_id").orderBy("pos")
            .rowsBetween(0, w - 1))
     fps = kh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
