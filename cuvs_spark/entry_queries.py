@@ -1064,3 +1064,42 @@ register(
     DD.connected_components_sql(
         "SELECT doc_a, doc_b FROM ("
         + DD.minhash_lsh_pairs_sql(_DOC_DUP_SQL, 0.5) + ")"))
+
+
+# --- ln-based metrics (jensenshannon / kl): round-9 absorbs libm ulps ------
+def _knn_lnmetric(metric):
+    def fn(spark, sf_dir, metric=metric):
+        d = emb_dataset(spark, sf_dir)
+        q = emb_queries(spark, sf_dir, 20)
+        d = d.withColumn("vec", F.expr(_PROB_SPARK.format(col="vec")))
+        q = q.withColumn("qv", F.expr(_PROB_SPARK.format(col="qv")))
+        out = knn(d, q, 10, metric, qvec_col="qv")
+        return out.select("qid", "nid", F.round("distance", 9).alias("distance"),
+                          "rank")
+    d_sql = (f"SELECT vec_id AS nid, {_PROB.format(col='embedding')} AS dv "
+             f"FROM embeddings")
+    q_sql = (f"SELECT vec_id AS qid, {_PROB.format(col='embedding')} AS qv "
+             f"FROM embeddings WHERE vec_id < 20")
+    sql = f"""
+SELECT qid, nid, ROUND(distance, 9) AS distance, rank FROM (
+{O.knn_sql(d_sql, q_sql, 10, metric)}
+)"""
+    return fn, sql
+
+
+for _metric in ["jensenshannon", "kl_divergence"]:
+    _fn, _sql = _knn_lnmetric(_metric)
+    register(f"knn_bf_{_metric}", _fn, _sql)
+
+
+def _ivf_trained(spark, sf_dir):
+    """Trained coarse quantizer (iterative k-means) — rows-only gate;
+    recall floor asserted in tests/test_kmeans_ivf.py."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, 16, kmeans_n_iters=8, seed=5)
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_flat_search(idx, q, 10, 6, qvec_col="qv")
+
+
+register("ivf_flat_search_trained", _ivf_trained)  # rows-only: iterative
