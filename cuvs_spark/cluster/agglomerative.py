@@ -102,20 +102,35 @@ def build_dendrogram(edges: DataFrame, ids: list[int]) -> Dendrogram:
 
 def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
                    metric: str = "sqeuclidean", id_col: str = "id",
-                   vec_col: str = "vec",
-                   linkage: str = "knn_graph") -> DataFrame:
+                   vec_col: str = "vec", linkage: str = "knn_graph",
+                   mutual_reachability_k: int | None = None) -> DataFrame:
     """single_linkage (``agglomerative.hpp:107``) → ``(id, label)``;
     labels are the minimum member id of each cluster (deterministic).
 
     ``linkage='pairwise'`` uses the full pairwise graph (exact, m²);
     ``'knn_graph'`` bounds the graph to n·k edges as the reference does
-    for scale."""
+    for scale. ``mutual_reachability_k`` switches edge weights to the
+    HDBSCAN mutual-reachability distance
+    max(core_k(a), core_k(b), d(a,b)) (``agglomerative.hpp:133,191``) —
+    core distances come from the same kNN job."""
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
     ids = [r["id"] for r in d.select("id").collect()]
     kk = len(ids) - 1 if linkage == "pairwise" else k
     g = knn_self(d, kk, metric).select(
-        F.col("qid").alias("src"), F.col("nid").alias("dst"), "distance")
+        F.col("qid").alias("src"), F.col("nid").alias("dst"), "distance",
+        "rank")
+    if mutual_reachability_k:
+        core = (g.filter(F.col("rank") == mutual_reachability_k)
+                .select(F.col("src").alias("id"),
+                        F.col("distance").alias("core")))
+        g = (g.join(core.withColumnRenamed("id", "src")
+                    .withColumnRenamed("core", "ca"), "src")
+             .join(core.withColumnRenamed("id", "dst")
+                   .withColumnRenamed("core", "cb"), "dst")
+             .select("src", "dst",
+                     F.greatest("distance", "ca", "cb").alias("distance")))
+    g = g.select("src", "dst", "distance")
     mst = sorted(_mst_edges(g, ids), key=lambda t: (t[2], t[0], t[1]))
     # cut: keep merging smallest edges until n_clusters remain
     uf = _UnionFind(ids)

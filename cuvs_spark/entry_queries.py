@@ -1103,3 +1103,39 @@ def _ivf_trained(spark, sf_dir):
 
 
 register("ivf_flat_search_trained", _ivf_trained)  # rows-only: iterative
+
+
+# --- §3.3 quality-tiered pipeline: IVF-PQ candidates → exact refine --------
+def _ivf_pq_refined(spark, sf_dir):
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d, _IVF_LISTS, _PQ_DIM,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    q = emb_queries(spark, sf_dir, 20)
+    cand = ivf_pq_search(idx, q, 30, _IVF_PROBES, qvec_col="qv") \
+        .select("qid", F.col("nid").alias("id"))
+    return refine(d, q, cand, 10, "sqeuclidean", qvec_col="qv")
+
+
+def _register_pq_refined():
+    from cuvs_spark.operators.ivf_pq import ivf_pq_search_sql
+    inner = ivf_pq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                              _PQ_CB_SQL, 30, _IVF_PROBES, _PQ_DIM)
+    sql = f"""
+WITH cand AS ({inner}),
+d AS ({_D_SQL}), q AS ({_Q_SQL.format(nq=20)}),
+exact AS (
+  SELECT c.qid AS qid, c.nid AS nid,
+         {O.distance_sql_duckdb('sqeuclidean', 'q.qv', 'd.dv')} AS distance
+  FROM cand c JOIN d ON d.nid = c.nid JOIN q ON q.qid = c.qid),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) AS rank
+  FROM exact)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
+"""
+    register("ivf_pq_search_refined", _ivf_pq_refined, sql)
+
+
+_register_pq_refined()

@@ -107,14 +107,27 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
 
 
 def ivf_flat_extend(index: IVFFlatIndex, new_rows: DataFrame, *,
-                    id_col: str = "id", vec_col: str = "vec") -> IVFFlatIndex:
+                    id_col: str = "id", vec_col: str = "vec",
+                    adaptive_centers: bool = False) -> IVFFlatIndex:
     """``extend(new_vectors, new_indices)`` (ivf_flat.pyx:467): assign
-    new rows to their nearest existing center and append. Centers stay
-    fixed (``adaptive_centers=False`` default)."""
+    new rows to their nearest existing center and append.
+
+    ``adaptive_centers=True`` (ivf_flat.pyx:78-88) drifts each center to
+    the mean of its (now larger) list — one posexplode aggregation over
+    the updated inverted file, k×dim rows to the driver."""
     d = new_rows.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
     lab = assign(d, index.centroids, metric="sqeuclidean")
     add = d.join(lab, "id").select("id", F.col("label").alias("list_id"), "vec")
-    return IVFFlatIndex(centroids=index.centroids,
-                        lists=index.lists.unionByName(add),
+    lists = index.lists.unionByName(add)
+    centroids = index.centroids
+    if adaptive_centers:
+        rows = (lists.select("list_id", F.posexplode("vec").alias("dim", "x"))
+                .groupBy("list_id", "dim")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .collect())
+        centroids = np.array(index.centroids, copy=True)
+        for r in rows:
+            centroids[r["list_id"], r["dim"]] = r["m"]
+    return IVFFlatIndex(centroids=centroids, lists=lists,
                         metric=index.metric)

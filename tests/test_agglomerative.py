@@ -102,3 +102,19 @@ def test_hnsw_export_roundtrip(spark, rng, tmp_path):
     loaded, meta = load_graph_index(spark, path)
     assert meta["M"] == 4
     assert loaded.count() == 30
+
+
+def test_mutual_reachability_linkage(spark, rng):
+    """HDBSCAN-style mutual-reachability weights still recover clean
+    blobs and are >= raw distances (agglomerative.hpp:133)."""
+    X = np.vstack([rng.normal(c, 0.05, (10, 4)) for c in (0.0, 5.0)]) \
+        .astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "id long, vec array<float>")
+    got = {r["id"]: r["label"]
+           for r in single_linkage(df, 2, k=6,
+                                   mutual_reachability_k=3).collect()}
+    assert {got[i] for i in range(10)} == {got[0]}
+    assert {got[i] for i in range(10, 20)} == {got[10]}
+    assert got[0] != got[10]

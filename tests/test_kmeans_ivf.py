@@ -103,3 +103,23 @@ def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
     idx2 = load_ivf_flat(spark, path)
     after = ivf_flat_search(idx2, q, 5, 4, qvec_col="qv").collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_ivf_extend_adaptive_centers(spark, emb):
+    """adaptive_centers drift (ivf_flat.pyx:78-88): after extending,
+    each center equals the mean of its list."""
+    d = emb.select("id", "vec")
+    cent = np.array(
+        [r["vec"] for r in emb.filter(F.col("id") < 4).orderBy("id").collect()],
+        dtype=float)
+    idx = ivf_flat_build(d.filter(F.col("id") < 250), 4, centroids=cent)
+    ext = ivf_flat_extend(idx, d.filter(F.col("id") >= 250),
+                          adaptive_centers=True)
+    assert not np.allclose(ext.centroids, cent)
+    rows = ext.lists.collect()
+    by_list = {}
+    for r in rows:
+        by_list.setdefault(r["list_id"], []).append(r["vec"])
+    for l, vs in by_list.items():
+        np.testing.assert_allclose(ext.centroids[l],
+                                   np.asarray(vs, float).mean(0), atol=1e-9)
