@@ -1139,3 +1139,23 @@ SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
 
 
 _register_pq_refined()
+
+
+# --- IVF-BQ: IVF + sign-bit codes (rabitq-style 1-bit path) ----------------
+def _ivf_bq_search(spark, sf_dir):
+    from cuvs_spark.operators.ivf_pq import ivf_bq_build, ivf_bq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_bq_build(d, _IVF_LISTS,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_bq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _register_ivf_bq():
+    from cuvs_spark.operators.ivf_pq import ivf_bq_search_sql
+    register("ivf_bq_search", _ivf_bq_search,
+             ivf_bq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               10, _IVF_PROBES))
+
+
+_register_ivf_bq()

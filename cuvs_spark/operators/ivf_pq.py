@@ -326,3 +326,117 @@ ranked AS (
   FROM pairs)
 SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ: IVF + 1-bit binary quantization (the ivf_rabitq-style path)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IVFBQIndex:
+    centroids: np.ndarray          # (n_lists, dim)
+    bits: DataFrame                # (id, list_id, bits array<int>)
+    metric: str = "bitwise_hamming"
+
+
+def ivf_bq_build(dataset: DataFrame, n_lists: int = 32, *,
+                 kmeans_n_iters: int = 10, seed: int = 42,
+                 id_col: str = "id", vec_col: str = "vec",
+                 centroids: np.ndarray | None = None,
+                 threshold: float = 0.0) -> IVFBQIndex:
+    """IVF over 1-bit sign codes — the semantics of ``ivf_rabitq``
+    (``ivf_rabitq.hpp:38-54``, ``bits_per_dim`` minimal case): 64-dim
+    float32 rows compress to 8 bytes of sign bits; candidate scoring is
+    pure popcount. Composes the IVF skeleton with the binary quantizer
+    (``binary.pyx:21``); ``refine`` recovers exactness on the shortlist
+    as the reference does."""
+    from cuvs_spark.preprocessing.quantize import binary_quantize
+
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    if centroids is None:
+        model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
+                           max_iter=kmeans_n_iters, seed=seed, balanced=True)
+        centroids = model.centroids
+    lab = assign(d, centroids, metric="sqeuclidean") \
+        .withColumnRenamed("label", "list_id")
+    bits = (binary_quantize(d, threshold=threshold)
+            .join(lab, "id").select("id", "list_id", "bits"))
+    return IVFBQIndex(centroids=np.asarray(centroids, float), bits=bits)
+
+
+def ivf_bq_search(index: IVFBQIndex, queries: DataFrame, k: int = 10,
+                  n_probes: int = 8, *, qid_col: str = "qid",
+                  qvec_col: str = "vec", threshold: float = 0.0,
+                  refine_with: DataFrame | None = None,
+                  refine_k0: int = 30) -> DataFrame:
+    """Probe lists, popcount-score sign codes, optionally refine the
+    shortlist with exact distances against ``refine_with`` (the raw
+    vector table)."""
+    from cuvs_spark.operators.pairwise import refine as exact_refine
+    from cuvs_spark.preprocessing.quantize import binary_quantize
+
+    spark = queries.sparkSession
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "list_id int, centroid array<float>")
+    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
+    probes = select_k(q.join(F.broadcast(cent)).select(
+        "qid", "list_id", cdist.alias("_cd")),
+        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
+        .select("qid", "list_id")
+    qbits = (binary_quantize(q.withColumnRenamed("qid", "id")
+                             .withColumnRenamed("_qv", "vec"),
+                             threshold=threshold)
+             .select(F.col("id").alias("qid"), F.col("bits").alias("qbits")))
+    fine = (index.bits.join(F.broadcast(probes), "list_id")
+            .join(F.broadcast(qbits), "qid"))
+    hdist = F.expr(distance_sql_spark("bitwise_hamming", "qbits", "bits"))
+    k0 = refine_k0 if refine_with is not None else k
+    pairs = fine.select("qid", F.col("id").alias("nid"),
+                        hdist.alias("distance"))
+    short = select_k(pairs, "qid", "distance", k0, tie_cols=["nid"])
+    if refine_with is None:
+        return short
+    cand = short.select("qid", F.col("nid").alias("id"))
+    return exact_refine(refine_with, queries, cand, k, "sqeuclidean",
+                        qid_col=qid_col, qvec_col=qvec_col)
+
+
+def ivf_bq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
+                      k: int, n_probes: int, threshold: float = 0.0) -> str:
+    """DuckDB oracle for the popcount stage (no refine)."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    from cuvs_spark.preprocessing.quantize import binary_quantize_sql
+    adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
+    pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
+    hdist = distance_sql_duckdb("bitwise_hamming", "qb.qbits", "db.bits")
+    return f"""
+WITH d AS ({dataset_sql}), q AS ({queries_sql}), c0 AS ({cent_sql}),
+c AS (SELECT label AS list_id, cv FROM c0),
+asg AS (
+  SELECT id, list_id FROM (
+    SELECT d.id, c.list_id,
+           row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.list_id ASC) rn
+    FROM d CROSS JOIN c) WHERE rn = 1),
+db AS (SELECT d.id AS id, a.list_id AS list_id,
+              {binary_quantize_sql('d.dv', threshold)} AS bits
+       FROM d JOIN asg a ON d.id = a.id),
+qb AS (SELECT qid, {binary_quantize_sql('qv', threshold)} AS qbits FROM q),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT q.qid, c.list_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {pdist} ASC, c.list_id ASC) rn
+    FROM q CROSS JOIN c) WHERE rn <= {n_probes}),
+pairs AS (
+  SELECT qb.qid AS qid, db.id AS nid, {hdist} AS distance
+  FROM qb JOIN probes p ON p.qid = qb.qid
+       JOIN db ON db.list_id = p.list_id),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM pairs)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""

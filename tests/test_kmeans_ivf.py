@@ -123,3 +123,20 @@ def test_ivf_extend_adaptive_centers(spark, emb):
     for l, vs in by_list.items():
         np.testing.assert_allclose(ext.centroids[l],
                                    np.asarray(vs, float).mean(0), atol=1e-9)
+
+
+def test_ivf_bq_refine_recall(spark, emb):
+    """1-bit IVF (rabitq-style): popcount shortlist + exact refine must
+    reach the reference recall floor."""
+    from cuvs_spark.operators.ivf_pq import ivf_bq_build, ivf_bq_search
+    d = emb.select("id", "vec")
+    q = (emb.filter(F.col("id") < 20)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    idx = ivf_bq_build(d, 8, kmeans_n_iters=6, seed=9)
+    exact = knn(d, q, 10, "sqeuclidean", qvec_col="qv")
+    # sign bits are a weak sketch on this barely-clustered data — widen
+    # the shortlist (the reference's refinement_rate knob) to recover
+    got = ivf_bq_search(idx, q, 10, n_probes=6, qvec_col="qv",
+                        refine_with=d, refine_k0=120)
+    r = recall_at_k(got, exact, 10)
+    assert r >= 0.7, r

@@ -1,0 +1,82 @@
+"""Empirical scale probe — runs the scale-path operators on synthetic
+data 10-100× larger than sf0.1 to validate the claims in README
+("would this plan survive a 100× scale-up?"). Not part of the gate
+(gate inputs are only driver testdata); writes /tmp only.
+
+Usage: python tools/scale_probe.py [n_rows] [dim] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    nq = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+
+    from pyspark.sql import functions as F
+
+    from cuvs_spark import get_spark
+    from cuvs_spark.operators import knn
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = f"/tmp/scale_probe_{n}x{dim}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(7)
+        # clustered data (256 centers) so IVF pruning has structure
+        centers = rng.normal(0, 1, (256, dim))
+        rows = []
+        import pandas as pd
+        batch = 50_000
+        dfs = []
+        for s in range(0, n, batch):
+            m = min(batch, n - s)
+            lab = rng.integers(0, 256, m)
+            X = (centers[lab] + rng.normal(0, 0.3, (m, dim))).astype(np.float32)
+            dfs.append(pd.DataFrame({
+                "id": np.arange(s, s + m, dtype=np.int64),
+                "vec": list(X)}))
+        pdf = pd.concat(dfs)
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+
+    d = spark.read.parquet(path).repartition(32).cache()
+    d.count()
+    q = (d.filter(F.col("id") < nq)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+
+    out = {}
+    t0 = time.time()
+    knn(d, q, 10, "euclidean", qvec_col="qv", method="blas") \
+        .write.format("noop").mode("overwrite").save()
+    out["knn_blas_sec"] = round(time.time() - t0, 2)
+    out["knn_blas_pairs_per_sec"] = round(n * nq / out["knn_blas_sec"] / 1e6, 1)
+
+    t0 = time.time()
+    idx = ivf_flat_build(d, n_lists=128, kmeans_n_iters=4,
+                         trainset_fraction=0.1)
+    idx.lists.cache().count()
+    out["ivf_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_flat_search(idx, q, 10, n_probes=8, qvec_col="qv", method="blas") \
+        .write.format("noop").mode("overwrite").save()
+    out["ivf_search_sec"] = round(time.time() - t0, 2)
+    scanned = 8 / 128
+    out["ivf_vs_blas_speedup_expected"] = round(1 / scanned, 1)
+
+    print(json.dumps({"n_rows": n, "dim": dim, "n_queries": nq, **out}))
+
+
+if __name__ == "__main__":
+    main()
