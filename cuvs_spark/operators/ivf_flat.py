@@ -62,6 +62,7 @@ def ivf_flat_build(dataset: DataFrame, n_lists: int = 64, *,
     """
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
+    fixed = centroids is not None
     if centroids is None:
         train = d.sample(fraction=min(1.0, trainset_fraction), seed=seed)
         model = kmeans_fit(train, n_lists, max_iter=kmeans_n_iters,
@@ -69,11 +70,39 @@ def ivf_flat_build(dataset: DataFrame, n_lists: int = 64, *,
         centroids = model.centroids
     lists = None
     if add_data_on_build:
-        lab = assign(d, centroids, metric="sqeuclidean")
-        lists = (d.join(lab, "id")
-                 .select("id", F.col("label").alias("list_id"), "vec"))
+        if fixed:
+            # oracle-exact expr path (gate queries pin the centroids)
+            lab = assign(d, centroids, metric="sqeuclidean", method="expr")
+            lists = (d.join(lab, "id")
+                     .select("id", F.col("label").alias("list_id"), "vec"))
+        else:
+            # trained path: one map-only pass emits (id, list_id, vec) —
+            # GEMM argmin AND the vector carry, no label re-join shuffle
+            lists = _assign_with_vec(d, np.asarray(centroids, float))
     return IVFFlatIndex(centroids=np.asarray(centroids, float), lists=lists,
                         metric=metric)
+
+
+def _assign_with_vec(d: DataFrame, C: np.ndarray) -> DataFrame:
+    import pandas as pd
+
+    spark = d.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def argmin(batches):
+        C = bc.value
+        cn = (C * C).sum(1)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            lab = (cn - 2.0 * (X @ C.T)).argmin(1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "list_id": lab.astype(np.int32),
+                                "vec": pdf["vec"].to_numpy()})
+
+    return d.mapInPandas(argmin,
+                         schema="id long, list_id int, vec array<float>")
 
 
 def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
