@@ -1159,3 +1159,56 @@ def _register_ivf_bq():
 
 
 _register_ivf_bq()
+
+
+# --- end-to-end corpus curation (composition of oracle-checked stages) -----
+def _curate(spark, sf_dir):
+    from cuvs_spark.pipeline.curate import curate_corpus
+    return curate_corpus(_docs_with_dups(spark, sf_dir),
+                         min_tokens=10, max_punct_ratio=0.2,
+                         langs=("en", "und"), near_dup_jaccard=0.8)
+
+
+def _curate_oracle():
+    q_sql = TX.quality_score_sql(_DOC_DUP_SQL)
+    bad_q = (f"SELECT doc_id, 'quality' AS stage FROM ({q_sql}) "
+             f"WHERE n_tokens < 10 OR punct_ratio > 0.2")
+    s1 = (f"SELECT doc_id, text FROM ({_DOC_DUP_SQL}) "
+          f"WHERE doc_id NOT IN (SELECT doc_id FROM ({bad_q}))")
+    lid = TX.language_id_sql(s1)
+    bad_l = (f"SELECT doc_id, 'lang' AS stage FROM ({lid}) "
+             f"WHERE pred_lang NOT IN ('en', 'und')")
+    s2 = (f"SELECT doc_id, text FROM ({s1}) "
+          f"WHERE doc_id NOT IN (SELECT doc_id FROM ({bad_l}))")
+    grp = DD.exact_dedup_sql(s2)
+    bad_e = (f"SELECT doc_id, 'exact_dup' AS stage FROM ({s2}) "
+             f"WHERE doc_id NOT IN (SELECT canonical_id FROM ({grp}))")
+    s3 = (f"SELECT doc_id, text FROM ({s2}) "
+          f"WHERE doc_id IN (SELECT canonical_id FROM ({grp}))")
+    pairs = (f"SELECT doc_a, doc_b FROM ({DD.minhash_lsh_pairs_sql(s3, 0.8)})")
+    comp = DD.connected_components_sql(pairs)
+    bad_n = (f"SELECT doc_id, 'near_dup' AS stage FROM ({comp}) "
+             f"WHERE doc_id <> canonical_id")
+    kept = (f"SELECT doc_id, 'kept' AS stage FROM ({s3}) "
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM ({bad_n}))")
+    return f"""
+SELECT doc_id, stage FROM ({bad_q})
+UNION ALL SELECT doc_id, stage FROM ({bad_l})
+UNION ALL SELECT doc_id, stage FROM ({bad_e})
+UNION ALL SELECT doc_id, stage FROM ({bad_n})
+UNION ALL {kept}
+"""
+
+
+register("pipeline_curate_corpus", _curate, _curate_oracle())
+
+
+def _curate_stats(spark, sf_dir):
+    from cuvs_spark.pipeline.curate import curate_stats
+    return curate_stats(_curate(spark, sf_dir))
+
+
+register(
+    "pipeline_curate_stats", _curate_stats,
+    f"SELECT stage, CAST(count(*) AS BIGINT) AS n FROM ({_curate_oracle()}) "
+    f"GROUP BY stage")

@@ -120,3 +120,24 @@ def test_multimodal_plumbing(spark, docs):
     frames = sample_frames(vid, every_n=2).collect()
     assert len(frames) == 8 * 3
     assert {r["frame_idx"] for r in frames} == {0, 2, 4}
+
+
+def test_curate_corpus_stages(spark, docs_dup):
+    from cuvs_spark.pipeline.curate import curate_corpus, curate_stats
+    cur = curate_corpus(docs_dup, min_tokens=5, langs=None,
+                        near_dup_jaccard=0.8)
+    stages = {r["doc_id"]: r["stage"] for r in cur.collect()}
+    # every doc accounted for exactly once
+    assert len(stages) == docs_dup.count()
+    # the 20 exact copies (ids 1000+) collapse onto canonicals < 20
+    for i in range(20):
+        assert stages[i + 1000] == "exact_dup"
+        assert stages[i] in ("kept", "near_dup")
+    # the near-copies (ids 2020..2039) collapse onto their source
+    near_marked = sum(stages[i + 2000] == "near_dup"
+                      or stages[i] == "near_dup"
+                      for i in range(20, 40))
+    assert near_marked >= 18
+    stats = {r["stage"]: r["n"] for r in curate_stats(cur).collect()}
+    assert stats.get("exact_dup", 0) >= 20
+    assert stats.get("kept", 0) > 0
