@@ -63,8 +63,16 @@ def main() -> None:
         d = emb_dataset(spark, sf_dir).select("id", "vec")
         return epsilon_neighborhood_blas(d, None, 1.5, "sqeuclidean")
 
+    def bench_cagra_build():
+        from cuvs_spark.operators.graph import cagra_build
+        d = emb_dataset(spark, sf_dir)
+        return cagra_build(d, graph_degree=16, n_clusters=8,
+                           overlap_factor=2, kmeans_n_iters=4,
+                           method="blas")
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
+        "cagra_build_optimize": bench_cagra_build,
         "knn_bf_euclidean_blas_all": bench_knn_blas_wide,
         "ivf_flat_search": bench_entry("ivf_flat_search"),
         "kmeans_fit_16x5": bench_kmeans_fit,
