@@ -857,6 +857,10 @@ def events_table(spark, sf_dir):
     does implicitly)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB timestamps are naive-UTC; pin the session TZ so
+        # collected Spark timestamps render identically regardless of
+        # the host session's default
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     ev = T(spark, sf_dir, "events")
