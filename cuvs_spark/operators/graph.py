@@ -142,12 +142,20 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
                         F.col(vec_col).alias("vec"))
          .persist())
     n = d.count()
-    # init: k pseudo-random distinct neighbors via hash ordering
-    init = (d.select(F.col("id").alias("src"))
-            .join(d.select(F.col("id").alias("dst")),
-                  F.col("src") != F.col("dst"))
-            .withColumn("_h", F.xxhash64("src", "dst"))
-            )
+    # init: k pseudo-random distinct neighbors WITHOUT an n² cross join —
+    # two INDEPENDENT hash bucketings of ~4k members are equi-joined, so
+    # each node draws its ~4k candidates from an unrelated slice of the
+    # whole dataset (O(n·k) pairs, no bucket-local connectivity trap)
+    n_buckets = max(1, n // (4 * k))
+    bx = d.select("id", (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_buckets)))
+                  .alias("_b"))
+    by = d.select("id", (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_buckets)))
+                  .alias("_b"))
+    init = (bx.alias("x")
+            .join(by.alias("y"), (F.col("x._b") == F.col("y._b"))
+                  & (F.col("x.id") != F.col("y.id")))
+            .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+            .withColumn("_h", F.xxhash64("src", "dst")))
     init = select_k(init, "src", "_h", k, tie_cols=["dst"], rank_col=None) \
         .select("src", "dst")
     dist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
@@ -265,12 +273,12 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
         return (cand.join(d, "nid").join(F.broadcast(q), "qid")
                 .select("qid", "nid", dist.alias("distance")))
 
-    # seeds: deterministic pseudo-random sample per query
-    seeds = (q.select("qid")
-             .join(d.select("nid"))
-             .withColumn("_h", F.xxhash64("qid", "nid")))
-    seeds = select_k(seeds, "qid", "_h", n_seeds, tie_cols=["nid"],
-                     rank_col=None).select("qid", "nid")
+    # seeds: one deterministic pseudo-random sample of the dataset is
+    # shared by every query (n_seeds rows crossed with the query set —
+    # never the full n × n_queries relation)
+    seed_ids = (d.select("nid")
+                .orderBy(F.xxhash64("nid"), "nid").limit(n_seeds))
+    seeds = q.select("qid").join(F.broadcast(seed_ids))
     pool = (score(seeds).withColumn("expanded", F.lit(False))
             .localCheckpoint())
     for _ in range(max_iterations):
