@@ -171,9 +171,14 @@ _register(_m("hellinger",
              {"s": "sqrt(abs({x} * {y}))"},
              "sqrt(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {s}))"))
 _register(_m("jensenshannon",
-             {"s": "(CASE WHEN {x} <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+             # defined on probability vectors; the x+y guard keeps both
+             # engines total on junk input (Spark would NaN, DuckDB
+             # raises on ln(<0))
+             {"s": "(CASE WHEN {x} <= CAST(0 AS DOUBLE) "
+                   "OR {x} + {y} <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
                    "ELSE {x} * ln(CAST(2 AS DOUBLE) * {x} / ({x} + {y})) END) + "
-                   "(CASE WHEN {y} <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+                   "(CASE WHEN {y} <= CAST(0 AS DOUBLE) "
+                   "OR {x} + {y} <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
                    "ELSE {y} * ln(CAST(2 AS DOUBLE) * {y} / ({x} + {y})) END)"},
              "sqrt(greatest(CAST(0 AS DOUBLE), CAST(0.5 AS DOUBLE) * {s}))",
              exact_parity=False))

@@ -147,13 +147,20 @@ FROM sigs
 
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text",
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate pairs verified by exact shingle Jaccard →
     ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
 
     shingle → minhash → band → bucket-join: candidates shuffle on the
     (band, band_key) pair only; the exact-Jaccard verification join
-    touches candidates, never the full corpus square."""
+    touches candidates, never the full corpus square.
+
+    ``max_bucket_size`` is the skew guard for 100 TB corpora:
+    boilerplate (empty pages, license headers) lands millions of docs in
+    one band bucket, turning the self-join quadratic on a single hot
+    key. Buckets above the cap are dropped — their members are
+    near-identical en masse and exact dedup already collapses them."""
     d = _doc(df, id_col, text_col)
     sh = F.expr(SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text")))
     sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
@@ -170,6 +177,15 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                      F.concat_ws("-", *[F.col("sig")[b * BAND_R + r]
                                         for r in range(BAND_R)]).alias("key"))
             for b in range(n_bands)])).alias("bk"))
+    if max_bucket_size is not None:
+        hot = (bands.groupBy(F.col("bk.band").alias("_hb"),
+                             F.col("bk.key").alias("_hk"))
+               .count().filter(F.col("count") > max_bucket_size)
+               .select("_hb", "_hk"))
+        bands = bands.join(
+            F.broadcast(hot),
+            (F.col("bk.band") == F.col("_hb"))
+            & (F.col("bk.key") == F.col("_hk")), "left_anti")
     cand = (bands.alias("x").join(bands.alias("y"),
             (F.col("x.bk.band") == F.col("y.bk.band"))
             & (F.col("x.bk.key") == F.col("y.bk.key"))

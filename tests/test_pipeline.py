@@ -141,3 +141,18 @@ def test_curate_corpus_stages(spark, docs_dup):
     stats = {r["stage"]: r["n"] for r in curate_stats(cur).collect()}
     assert stats.get("exact_dup", 0) >= 20
     assert stats.get("kept", 0) > 0
+
+
+def test_minhash_skew_guard(spark, docs):
+    """A boilerplate bucket (many identical docs) is dropped by
+    max_bucket_size without touching normal pairs."""
+    boiler = spark.createDataFrame(
+        [(9000 + i, "same boiler plate text repeated everywhere always forever ok")
+         for i in range(30)], "doc_id long, text string")
+    corpus = docs.limit(50).unionByName(boiler)
+    unguarded = minhash_lsh_pairs(corpus, jaccard_threshold=0.9).collect()
+    n_boiler_pairs = sum(p["doc_a"] >= 9000 for p in unguarded)
+    assert n_boiler_pairs == 30 * 29 // 2  # quadratic blowup
+    guarded = minhash_lsh_pairs(corpus, jaccard_threshold=0.9,
+                                max_bucket_size=10).collect()
+    assert sum(p["doc_a"] >= 9000 for p in guarded) == 0
