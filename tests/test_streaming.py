@@ -88,3 +88,45 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     got = (spark.sql("SELECT * FROM win_out")
            .orderBy("window_start", "event_type"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_running_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState across micro-batches converges to the
+    batch twin's answer."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from cuvs_spark.entry_queries import events_table
+    from cuvs_spark.streaming.stateful import (
+        running_user_stats, user_stats_batch)
+    ev = events_table(spark, SF).select("user_id", "ts", "value")
+    src = str(tmp_path / "ev_stateful")
+    # the running-gap state assumes event-time-ordered arrival (the
+    # watermarked-stream contract) — feed two micro-batches split at
+    # the median timestamp, second written only after the first drains
+    cut = ev.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).head()[0]
+    first = ev.filter(F.col("ts").cast("double") <= cut)
+    second = ev.filter(F.col("ts").cast("double") > cut)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (running_user_stats(stream).writeStream.outputMode("update")
+         .format("memory").queryName("stateful_out").start())
+    q.processAllAvailable()
+    second.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user == the batch answer
+    got = spark.sql("""
+      SELECT user_id, n_events, total_value, max_gap_seconds FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY n_events DESC) rn
+        FROM stateful_out) WHERE rn = 1""")
+    exp = user_stats_batch(ev)
+    g = {r["user_id"]: (r["n_events"], r["total_value"], r["max_gap_seconds"])
+         for r in got.collect()}
+    e = {r["user_id"]: (r["n_events"], r["total_value"], r["max_gap_seconds"])
+         for r in exp.collect()}
+    assert set(g) == set(e)
+    for u in e:
+        assert g[u][0] == e[u][0], (u, g[u], e[u])
+        assert g[u][1] == pytest.approx(e[u][1], abs=1e-4)
+        assert g[u][2] == pytest.approx(e[u][2], abs=1e-4)
