@@ -131,7 +131,8 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
                      max_iterations: int = 6,
                      termination_threshold: float = 0.001,
                      metric: str = "sqeuclidean", id_col: str = "id",
-                     vec_col: str = "vec") -> DataFrame:
+                     vec_col: str = "vec",
+                     score_method: str = "expr") -> DataFrame:
     """NN-Descent (``nn_descent.pyx:210``): start from a deterministic
     pseudo-random graph, iterate (neighbors-of-neighbors join →
     distance → per-node top-k) until < threshold of edges change.
@@ -158,15 +159,10 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
             .withColumn("_h", F.xxhash64("src", "dst")))
     init = select_k(init, "src", "_h", k, tie_cols=["dst"], rank_col=None) \
         .select("src", "dst")
-    dist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
+    from cuvs_spark.operators.pairwise import score_pairs
 
     def with_dist(edges: DataFrame) -> DataFrame:
-        return (edges
-                .join(d.select(F.col("id").alias("src"),
-                               F.col("vec").alias("_va")), "src")
-                .join(d.select(F.col("id").alias("dst"),
-                               F.col("vec").alias("_vb")), "dst")
-                .select("src", "dst", dist.alias("distance")))
+        return score_pairs(edges, d, metric=metric, method=score_method)
 
     g = select_k(with_dist(init), "src", "distance", k,
                  tie_cols=["dst"], rank_col=None).localCheckpoint()
@@ -255,7 +251,7 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                  max_iterations: int = 8, metric: str = "sqeuclidean",
                  id_col: str = "id", vec_col: str = "vec",
                  qid_col: str = "qid", qvec_col: str = "vec",
-                 n_seeds: int = 16) -> DataFrame:
+                 n_seeds: int = 16, score_method: str = "expr") -> DataFrame:
     """Batched beam search over the graph (``cagra_search.cuh:137``):
     per query keep an ``itopk`` candidate pool; each round expands the
     best ``search_width`` unexpanded nodes through the edge table,
@@ -270,6 +266,17 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
     dist = F.expr(distance_sql_spark(metric, "_qv", "_dv"))
 
     def score(cand: DataFrame) -> DataFrame:
+        if score_method == "blas":
+            from cuvs_spark.operators.pairwise import score_pairs
+            out = score_pairs(
+                cand.select(F.col("qid").alias("src"),
+                            F.col("nid").alias("dst")),
+                q.select(F.col("qid").alias("id"), F.col("_qv").alias("vec")),
+                right_vectors=d.select(F.col("nid").alias("id"),
+                                       F.col("_dv").alias("vec")),
+                metric=metric, method="blas")
+            return out.select(F.col("src").alias("qid"),
+                              F.col("dst").alias("nid"), "distance")
         return (cand.join(d, "nid").join(F.broadcast(q), "qid")
                 .select("qid", "nid", dist.alias("distance")))
 

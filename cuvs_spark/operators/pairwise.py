@@ -101,6 +101,59 @@ def epsilon_neighborhood_blas(X: DataFrame, Y: DataFrame | None = None,
     return xp.mapInPandas(tiles, schema="i long, j long, distance double")
 
 
+def score_pairs(pairs: DataFrame, vectors: DataFrame, *,
+                right_vectors: DataFrame | None = None,
+                metric: str = "sqeuclidean",
+                left_col: str = "src", right_col: str = "dst",
+                id_col: str = "id", vec_col: str = "vec",
+                method: str = "expr") -> DataFrame:
+    """Distance for an explicit (left, right) id-pair relation —
+    the scoring kernel of the iterative graph algorithms (NN-Descent
+    rounds, CAGRA frontiers), where candidates arrive as edges, not as
+    matrices.
+
+    ``method="blas"`` evaluates the metric row-wise over Arrow batches
+    (vectorized NumPy; ~10× the interpreted-HOF throughput); the join
+    shape is identical, only the projection changes."""
+    l = vectors.select(F.col(id_col).alias(left_col),
+                       F.col(vec_col).alias("_va"))
+    rv = vectors if right_vectors is None else right_vectors
+    r = rv.select(F.col(id_col).alias(right_col),
+                  F.col(vec_col).alias("_vb"))
+    joined = pairs.join(l, left_col).join(r, right_col)
+    if method == "blas":
+        import numpy as np
+        import pandas as pd
+
+        def rowwise(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.vstack(pdf["_va"].to_numpy()).astype(np.float64)
+                B = np.vstack(pdf["_vb"].to_numpy()).astype(np.float64)
+                if metric == "sqeuclidean":
+                    d = ((A - B) ** 2).sum(1)
+                elif metric in ("euclidean", "l2"):
+                    d = np.sqrt(((A - B) ** 2).sum(1))
+                elif metric == "cosine":
+                    d = 1.0 - (A * B).sum(1) / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+                elif metric in ("inner_product", "dot"):
+                    d = (A * B).sum(1)
+                elif metric in ("cityblock", "l1"):
+                    d = np.abs(A - B).sum(1)
+                else:
+                    raise ValueError(f"no rowwise kernel for {metric!r}")
+                yield pd.DataFrame({left_col: pdf[left_col],
+                                    right_col: pdf[right_col],
+                                    "distance": d})
+
+        return joined.select(left_col, right_col, "_va", "_vb").mapInPandas(
+            rowwise, schema=f"{left_col} long, {right_col} long, distance double")
+    dist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
+    return joined.select(left_col, right_col, dist.alias("distance"))
+
+
 def eps_degrees(adj: DataFrame) -> DataFrame:
     """Per-row neighborhood size (the ``vd`` output of the reference)."""
     return adj.groupBy("i").agg(F.count("*").alias("degree"))
