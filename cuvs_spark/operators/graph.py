@@ -131,8 +131,8 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
                      max_iterations: int = 6,
                      termination_threshold: float = 0.001,
                      metric: str = "sqeuclidean", id_col: str = "id",
-                     vec_col: str = "vec",
-                     score_method: str = "expr") -> DataFrame:
+                     vec_col: str = "vec", score_method: str = "expr",
+                     sample_per_node: int | None = None) -> DataFrame:
     """NN-Descent (``nn_descent.pyx:210``): start from a deterministic
     pseudo-random graph, iterate (neighbors-of-neighbors join →
     distance → per-node top-k) until < threshold of edges change.
@@ -166,12 +166,22 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
 
     g = select_k(with_dist(init), "src", "distance", k,
                  tie_cols=["dst"], rank_col=None).localCheckpoint()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         fwd = g.select("src", "dst")
         rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         und = fwd.unionByName(rev)
-        cand = (und.alias("x")
-                .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
+        # neighbor-of-neighbor candidates grow as n·(2k)² per round;
+        # sample_per_node bounds that to n·s² at corpus scale (the
+        # reference's internal per-round sampling, nn_descent.cuh) at
+        # some recall cost per round — leave None below ~10⁵ rows
+        sampled = und
+        if sample_per_node is not None:
+            sampled = select_k(
+                und.withColumn("_h", F.xxhash64("src", "dst", F.lit(it))),
+                "src", "_h", sample_per_node, tie_cols=["dst"],
+                rank_col=None).select("src", "dst")
+        cand = (sampled.alias("x")
+                .join(sampled.alias("y"), F.col("x.dst") == F.col("y.src"))
                 .select(F.col("x.src").alias("src"),
                         F.col("y.dst").alias("dst"))
                 .filter(F.col("src") != F.col("dst"))
