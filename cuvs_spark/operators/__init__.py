@@ -1,4 +1,37 @@
-from cuvs_spark.operators.brute_force import knn, knn_self  # noqa: F401
+from cuvs_spark.operators.brute_force import (  # noqa: F401
+    knn,
+    knn_precomputed,
+    knn_self,
+    knn_udf_metric,
+    masked_nn,
+)
+from cuvs_spark.operators.graph import (  # noqa: F401
+    all_neighbors_build,
+    cagra_build,
+    cagra_merge,
+    cagra_optimize,
+    cagra_search,
+    nn_descent_build,
+)
+from cuvs_spark.operators.ivf_flat import (  # noqa: F401
+    ivf_flat_build,
+    ivf_flat_extend,
+    ivf_flat_search,
+)
+from cuvs_spark.operators.ivf_pq import (  # noqa: F401
+    ivf_bq_build,
+    ivf_bq_search,
+    ivf_pq_build,
+    ivf_pq_search,
+    ivf_sq_build,
+    ivf_sq_search,
+)
+from cuvs_spark.operators.kernels import gram_matrix  # noqa: F401
+from cuvs_spark.operators.mg import (  # noqa: F401
+    distribute,
+    replicated_knn,
+    sharded_knn,
+)
 from cuvs_spark.operators.pairwise import (  # noqa: F401
     eps_degrees,
     epsilon_neighborhood,
@@ -6,5 +39,17 @@ from cuvs_spark.operators.pairwise import (  # noqa: F401
     kde,
     pairwise_distance,
     refine,
+    score_pairs,
 )
 from cuvs_spark.operators.select_k import knn_merge_parts, select_k  # noqa: F401
+from cuvs_spark.operators.sparse import (  # noqa: F401
+    sparse_knn,
+    sparse_pairwise_distance,
+    sparsify,
+)
+from cuvs_spark.operators.tiered import (  # noqa: F401
+    composite_search,
+    tiered_build,
+    tiered_extend,
+    tiered_search,
+)
