@@ -1216,3 +1216,67 @@ register(
     "pipeline_curate_stats", _curate_stats,
     f"SELECT stage, CAST(count(*) AS BIGINT) AS n FROM ({_curate_oracle()}) "
     f"GROUP BY stage")
+
+
+# --- ScaNN: SOAR-partitioned tree + residual PQ (SURVEY §2.5) -------------
+def _scann_soar(spark, sf_dir):
+    from cuvs_spark.operators.scann import soar_labels
+    d = emb_dataset(spark, sf_dir)
+    return soar_labels(d, _fixed_centroids(spark, sf_dir, _IVF_LISTS))
+
+
+def _register_scann():
+    from cuvs_spark.operators.scann import (scann_search_pq_sql,
+                                            scann_search_sql,
+                                            soar_labels_sql)
+    register("scann_soar_labels", _scann_soar,
+             soar_labels_sql(_DA_SQL, _IVF_CENT_SQL))
+    register("scann_search_reorder", _scann_reorder,
+             scann_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                              10, _IVF_PROBES))
+    register("scann_search_pq", _scann_pq,
+             scann_search_pq_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                 _IVF_CENT_SQL, _PQ_CB_SQL, 10, _IVF_PROBES,
+                                 _PQ_DIM))
+
+
+def _scann_reorder(spark, sf_dir):
+    from cuvs_spark.operators.scann import scann_build, scann_search
+    d = emb_dataset(spark, sf_dir)
+    idx = scann_build(d, _IVF_LISTS,
+                      centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return scann_search(idx, q, 10, _IVF_PROBES, qvec_col="qv",
+                        method="reorder")
+
+
+def _scann_pq(spark, sf_dir):
+    from cuvs_spark.operators.scann import scann_build, scann_search
+    d = emb_dataset(spark, sf_dir)
+    idx = scann_build(d, _IVF_LISTS, pq_dim=_PQ_DIM,
+                      centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                      codebook=_pq_fixed_codebook(spark, sf_dir))
+    q = emb_queries(spark, sf_dir, 20)
+    return scann_search(idx, q, 10, _IVF_PROBES, qvec_col="qv", method="pq")
+
+
+_register_scann()
+
+
+# --- Vamana (DiskANN) build: alpha-robust prune (SURVEY §2.5) --------------
+def _vamana_build(spark, sf_dir):
+    from cuvs_spark.operators.vamana import vamana_build
+    d = emb_dataset(spark, sf_dir)
+    return vamana_build(d, 8, visited_size=16, n_clusters=_AN_CL,
+                        overlap_factor=_AN_OV,
+                        centroids=_fixed_centroids(spark, sf_dir, _AN_CL))
+
+
+def _register_vamana():
+    from cuvs_spark.operators.vamana import vamana_build_sql
+    register("vamana_build", _vamana_build,
+             vamana_build_sql(_DA_SQL, _AN_CENT_SQL, 8, visited_size=16,
+                              overlap_factor=_AN_OV))
+
+
+_register_vamana()

@@ -41,7 +41,16 @@ from cuvs_spark.operators.pairwise import (  # noqa: F401
     refine,
     score_pairs,
 )
+from cuvs_spark.operators.scann import (  # noqa: F401
+    scann_build,
+    scann_search,
+    soar_labels,
+)
 from cuvs_spark.operators.select_k import knn_merge_parts, select_k  # noqa: F401
+from cuvs_spark.operators.vamana import (  # noqa: F401
+    robust_prune,
+    vamana_build,
+)
 from cuvs_spark.operators.sparse import (  # noqa: F401
     sparse_knn,
     sparse_pairwise_distance,

@@ -24,7 +24,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuvs_spark.cluster.kmeans import kmeans_fit
 from cuvs_spark.functions.distance import distance_sql_spark
 
 
@@ -68,18 +67,35 @@ def pq_build(df: DataFrame, pq_dim: int = 8, pq_bits: int = 4, *,
     """Train per-subspace codebooks (k = 2^pq_bits) — ``pq.pyx:198``.
 
     Uses ``max_train_rows`` seeded subsampling, mirroring the
-    reference's ``max_train_points_per_pq_code`` guard."""
+    reference's ``max_train_points_per_pq_code`` guard. The capped
+    sample is collected ONCE and all per-subspace Lloyd loops run
+    driver-side in NumPy — one Spark job instead of
+    ``pq_dim * kmeans_n_iters``; the sample bound (not the dataset
+    size) fixes driver memory, so this is the 100 TB shape too (the
+    reference likewise trains on a host-side subsample)."""
     n_codes = 1 << pq_bits
-    sv = _subvecs(df, pq_dim, id_col=id_col, vec_col=vec_col)
-    sv = sv.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+    d = df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(vec_col).alias("vec"))
+    sample = (d.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+              .orderBy("_h", "id").limit(max_train_rows)
+              .select("vec").collect())
+    X = np.array([r["vec"] for r in sample], dtype=np.float64)
+    w = X.shape[1] // pq_dim
+    rng = np.random.default_rng(seed)
     books = []
     for s in range(pq_dim):
-        sub = (sv.filter(F.col("sub") == s)
-               .orderBy("_h", "id").limit(max_train_rows)
-               .select("id", F.col("subvec").alias("vec")))
-        model = kmeans_fit(sub, n_codes, max_iter=kmeans_n_iters, seed=seed,
-                           init="random")
-        books.append(model.centroids)
+        S = X[:, s * w:(s + 1) * w]
+        C = S[rng.choice(len(S), min(n_codes, len(S)), replace=False)]
+        if len(C) < n_codes:  # degenerate tiny input: pad with repeats
+            C = np.vstack([C, C[rng.integers(0, len(C),
+                                             n_codes - len(C))]])
+        for _ in range(kmeans_n_iters):
+            D = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            lab = D.argmin(1)
+            for j in range(n_codes):
+                if (lab == j).any():
+                    C[j] = S[lab == j].mean(0)
+        books.append(C.copy())
     return PQCodebook(codebook=np.stack(books))
 
 
