@@ -1280,3 +1280,25 @@ def _register_vamana():
 
 
 _register_vamana()
+
+
+# --- IVF-RaBitQ: multi-bit extended-rabitq codes (SURVEY §2.5) -------------
+def _ivf_rabitq(spark, sf_dir):
+    from cuvs_spark.operators.ivf_rabitq import (ivf_rabitq_build,
+                                                 ivf_rabitq_search)
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_rabitq_build(d, _IVF_LISTS, bits_per_dim=3,
+                           centroids=_fixed_centroids(spark, sf_dir,
+                                                      _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_rabitq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _register_ivf_rabitq():
+    from cuvs_spark.operators.ivf_rabitq import ivf_rabitq_search_sql
+    register("ivf_rabitq_search", _ivf_rabitq,
+             ivf_rabitq_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                   _IVF_CENT_SQL, 10, _IVF_PROBES, 3))
+
+
+_register_ivf_rabitq()

@@ -26,6 +26,10 @@ from cuvs_spark.operators.ivf_pq import (  # noqa: F401
     ivf_sq_build,
     ivf_sq_search,
 )
+from cuvs_spark.operators.ivf_rabitq import (  # noqa: F401
+    ivf_rabitq_build,
+    ivf_rabitq_search,
+)
 from cuvs_spark.operators.kernels import gram_matrix  # noqa: F401
 from cuvs_spark.operators.mg import (  # noqa: F401
     distribute,
