@@ -61,32 +61,69 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cl int, centroid array<float>")
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "vec", "centroid"))
-    asg = select_k(d.join(F.broadcast(cent)).select(
-        "id", "cl", cdist.alias("_cd"), "vec"),
-        "id", "_cd", overlap_factor, tie_cols=["cl"], rank_col=None) \
-        .select("id", "cl", "vec")
     if method == "blas":
         import pandas as pd
 
         from cuvs_spark.operators.brute_force import _pairwise_np
 
+        # multi-assignment as one GEMM map pass: emits exactly
+        # n * overlap_factor skinny (id, cl) rows — no n*n_clusters
+        # relation, no window shuffle of vector payloads
+        C = np.asarray(centroids, np.float64)
+        cn = (C * C).sum(1)[None, :]
+        o = overlap_factor
+
+        def assign_topo(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                D = cn - 2.0 * (X @ C.T)
+                part = np.argpartition(D, o - 1, axis=1)[:, :o]
+                yield pd.DataFrame({
+                    "id": np.repeat(pdf["id"].to_numpy(np.int64), o),
+                    "cl": part.astype(np.int64).ravel()})
+
+        asg = (d.mapInPandas(assign_topo, "id long, cl long")
+               .join(d, "id"))
+    else:
+        cdist = F.expr(distance_sql_spark("sqeuclidean", "vec", "centroid"))
+        asg = select_k(d.join(F.broadcast(cent)).select(
+            "id", "cl", cdist.alias("_cd"), "vec"),
+            "id", "_cd", overlap_factor, tie_cols=["cl"], rank_col=None) \
+            .select("id", "cl", "vec")
+    if method == "blas":
+
         def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) < 2:
+            m = len(pdf)
+            if m < 2:
                 return pd.DataFrame(columns=["src", "dst", "distance"])
             X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             ids = pdf["id"].to_numpy().astype(np.int64)
-            D = _pairwise_np(X, X, metric)
-            np.fill_diagonal(D, np.inf)
-            kk = min(k, len(ids) - 1)
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            return pd.DataFrame({
-                "src": np.repeat(ids, kk),
-                "dst": ids[part].ravel(),
-                "distance": np.take_along_axis(D, part, axis=1).ravel()})
+            kk = min(k, m - 1)
+            # tile the query side so a skewed cluster costs O(chunk*m)
+            # memory, never a full m*m matrix
+            chunk = max(256, int(2 ** 27 / max(1, m)))
+            outs = []
+            for s in range(0, m, chunk):
+                D = _pairwise_np(X[s:s + chunk], X, metric)
+                c = D.shape[0]
+                D[np.arange(c), np.arange(s, s + c)] = np.inf
+                part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                outs.append(pd.DataFrame({
+                    "src": np.repeat(ids[s:s + c], kk),
+                    "dst": ids[part].ravel(),
+                    "distance": np.take_along_axis(D, part,
+                                                   axis=1).ravel()}))
+            return pd.concat(outs, ignore_index=True)
 
-        local = (asg.groupBy("cl").applyInPandas(
-            local_knn, schema="src long, dst long, distance double"))
+        # pre-partition on cl with an explicit count: the grouped-map
+        # exchange is reused as-is, so AQE cannot coalesce the pandas
+        # stage down to a couple of tasks (quadratic local work must
+        # spread over every core)
+        local = (asg.repartition(max(32, n_clusters), "cl")
+                 .groupBy("cl").applyInPandas(
+                     local_knn, schema="src long, dst long, distance double"))
         pairs = (local.groupBy("src", "dst")
                  .agg(F.min("distance").alias("distance")))
         return select_k(pairs, "src", "distance", k, tie_cols=["dst"])

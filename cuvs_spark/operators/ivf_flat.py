@@ -133,7 +133,7 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
         "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None)
     probes = probes.select("qid", "list_id")
     if method == "blas":
-        return _fine_blas(index, q, probes, k, metric)
+        return _fine_blas(index.lists, q, probes, k, metric)
     # fine: broadcast the (qid, list_id) probe set against the inverted
     # file — only probed lists are scanned, dataset side never shuffles.
     fine = (index.lists.join(F.broadcast(probes), "list_id")
@@ -145,10 +145,13 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
                     select_min=is_min_close(metric), tie_cols=["nid"])
 
 
-def _fine_blas(index: IVFFlatIndex, q: DataFrame, probes: DataFrame,
-               k: int, metric: str) -> DataFrame:
+def _fine_blas(lists: DataFrame, q: DataFrame, probes: DataFrame,
+               k: int, metric: str, *, dedupe: bool = False) -> DataFrame:
     """Cogrouped fine stage: per list_id, (list vectors) × (probing
-    queries) → GEMM tile → local top-k; global knn_merge_parts."""
+    queries) → GEMM tile → local top-k; global knn_merge_parts.
+    ``lists`` is any ``(list_id, id, vec)`` relation; ``dedupe=True``
+    collapses a vector probed through several lists (ScaNN's spilled
+    assignment) to its single exact distance before the merge."""
     import pandas as pd
 
     from cuvs_spark.operators.brute_force import _pairwise_np
@@ -175,9 +178,12 @@ def _fine_blas(index: IVFFlatIndex, q: DataFrame, probes: DataFrame,
                 np.broadcast_to(ids, D.shape), part, axis=1).ravel(),
             "distance": np.take_along_axis(D, part, axis=1).ravel()})
 
-    local = (index.lists.groupBy("list_id")
+    local = (lists.groupBy("list_id")
              .cogroup(probing_q.groupBy("list_id"))
              .applyInPandas(score, schema="qid long, nid long, distance double"))
+    if dedupe:
+        local = (local.groupBy("qid", "nid")
+                 .agg(F.min("distance").alias("distance")))
     return knn_merge_parts(local, k, select_min=minimize)
 
 

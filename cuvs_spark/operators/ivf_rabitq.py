@@ -126,7 +126,8 @@ def ivf_rabitq_build(dataset: DataFrame, n_lists: int = 32, *,
                      bits_per_dim: int = 3, kmeans_n_iters: int = 10,
                      seed: int = 42, id_col: str = "id",
                      vec_col: str = "vec",
-                     centroids: np.ndarray | None = None) -> IVFRabitQIndex:
+                     centroids: np.ndarray | None = None,
+                     assign_method: str = "expr") -> IVFRabitQIndex:
     """Assign to lists, quantize residual directions to ``bits_per_dim``
     odd-grid codes, precompute the per-row estimator scalars
     (``|r|^2``, ``|v|^2``, ``<v, r>``)."""
@@ -143,7 +144,8 @@ def ivf_rabitq_build(dataset: DataFrame, n_lists: int = 32, *,
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "list_id long, cv array<float>")
-    lab = assign(d, centroids, metric="sqeuclidean") \
+    lab = assign(d, centroids, metric="sqeuclidean",
+                 method=assign_method) \
         .select("id", F.col("label").cast("long").alias("list_id"))
     s1 = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
           .select("id", "list_id",
@@ -166,7 +168,8 @@ def ivf_rabitq_search(index: IVFRabitQIndex, queries: DataFrame,
                       k: int = 10, n_probes: int = 8, *,
                       qid_col: str = "qid", qvec_col: str = "vec",
                       refine_with: DataFrame | None = None,
-                      refine_k0: int = 30) -> DataFrame:
+                      refine_k0: int = 30,
+                      score_method: str = "expr") -> DataFrame:
     """Probe ``n_probes`` lists, score codes with the RaBitQ estimator,
     top-k -> ``(qid, nid, distance, rank)``; optionally re-rank a
     ``refine_k0`` shortlist exactly against ``refine_with`` (raw
@@ -189,12 +192,56 @@ def ivf_rabitq_search(index: IVFRabitQIndex, queries: DataFrame,
                      F.expr(_res("spark", "_qv", "cv")).alias("qres"),
                      F.expr(distance_sql_spark("sqeuclidean", "_qv", "cv"))
                      .alias("qn2")))
-    scored = (index.codes.join(F.broadcast(qside), "list_id")
-              .withColumn("v", F.expr(_decode("spark", "codes", B)))
-              .withColumn("ipq", F.expr(_fold("spark", "v", "qres", _DOT)))
-              .select("qid", F.col("id").alias("nid"),
-                      F.expr(_est("n2", "qn2", "vn2", "ipr", "ipq"))
-                      .alias("distance")))
+    if score_method == "blas":
+        # cogrouped per list: decode the list's code matrix once, score
+        # every probing query against it with ONE GEMM (ipq = QR @ V.T),
+        # keep a local top-k, merge — no per-pair row materialization
+        import pandas as pd
+        g = float(1 << B)
+        k0 = refine_k0 if refine_with is not None else k
+
+        def score(key, rows: pd.DataFrame, qp: pd.DataFrame):
+            if rows.empty or qp.empty:
+                return pd.DataFrame(columns=["qid", "nid", "distance"])
+            V = (2.0 * np.vstack(rows["codes"].to_numpy()) + 1.0 - g) / g
+            n2 = rows["n2"].to_numpy(float)
+            vn2 = rows["vn2"].to_numpy(float)
+            ipr = rows["ipr"].to_numpy(float)
+            ids = rows["id"].to_numpy(np.int64)
+            QR = np.vstack(qp["qres"].to_numpy()).astype(np.float64)
+            qn2 = qp["qn2"].to_numpy(float)
+            qids = qp["qid"].to_numpy(np.int64)
+            IPQ = QR @ V.T                      # (p, m)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                T = (IPQ / (np.sqrt(vn2)[None, :]
+                            * np.sqrt(qn2)[:, None])) / \
+                    (ipr / (np.sqrt(vn2) * np.sqrt(n2)))[None, :]
+            bad = ((ipr == 0) | (n2 == 0))[None, :] | (qn2 == 0)[:, None]
+            adj = np.where(bad, 0.0,
+                           2.0 * np.sqrt(n2)[None, :]
+                           * np.sqrt(qn2)[:, None] * T)
+            D = n2[None, :] + qn2[:, None] - adj
+            kk = min(k0, D.shape[1])
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            return pd.DataFrame({
+                "qid": np.repeat(qids, kk),
+                "nid": np.take_along_axis(
+                    np.broadcast_to(ids, D.shape), part, axis=1).ravel(),
+                "distance": np.take_along_axis(D, part, axis=1).ravel()})
+
+        scored = (index.codes.groupBy("list_id")
+                  .cogroup(qside.groupBy("list_id"))
+                  .applyInPandas(score,
+                                 "qid long, nid long, distance double"))
+    else:
+        joined = index.codes.join(F.broadcast(qside), "list_id")
+        scored = (joined
+                  .withColumn("v", F.expr(_decode("spark", "codes", B)))
+                  .withColumn("ipq",
+                              F.expr(_fold("spark", "v", "qres", _DOT)))
+                  .select("qid", F.col("id").alias("nid"),
+                          F.expr(_est("n2", "qn2", "vn2", "ipr", "ipq"))
+                          .alias("distance")))
     k0 = refine_k0 if refine_with is not None else k
     short = select_k(scored, "qid", "distance", k0, tie_cols=["nid"])
     if refine_with is None:

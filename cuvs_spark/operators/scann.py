@@ -98,12 +98,44 @@ def _soar_score_duck(v: str, cp: str, cc: str, lam: float) -> str:
 
 def soar_labels(dataset: DataFrame, centroids: np.ndarray,
                 soar_lambda: float = 1.0, *, id_col: str = "id",
-                vec_col: str = "vec") -> DataFrame:
+                vec_col: str = "vec", method: str = "expr") -> DataFrame:
     """``compute_soar_labels`` (``scann_soar.cuh:37-147``) →
-    ``(id, label, soar_label)``."""
+    ``(id, label, soar_label)``.
+
+    ``method="blas"`` evaluates both argmins as batched GEMMs in
+    ``mapInPandas`` (broadcast centroid matrix, no candidate relation
+    materialized) — the 100 TB shape; ``"expr"`` is the oracle-exact
+    declarative plan."""
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
+    if method == "blas":
+        import pandas as pd
+        C = np.asarray(centroids, np.float64)
+        cn = (C * C).sum(1)
+        lam = float(soar_lambda)
+
+        def score_batches(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                xc = X @ C.T
+                D2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * xc
+                prim = D2.argmin(1)
+                R = X - C[prim]                      # residuals
+                rn = np.linalg.norm(R, axis=1, keepdims=True)
+                Rh = np.divide(R, rn, out=np.zeros_like(R), where=rn > 0)
+                # <r_hat, x - c'> = r_hat.x - r_hat.c'
+                T = (Rh * X).sum(1)[:, None] - Rh @ C.T
+                S = np.where(rn > 0, lam * T * T + D2, D2)
+                yield pd.DataFrame({"id": pdf["id"],
+                                    "label": prim.astype(np.int64),
+                                    "soar_label":
+                                        S.argmin(1).astype(np.int64)})
+
+        return d.mapInPandas(score_batches,
+                             "id long, label long, soar_label long")
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "label int, cv array<float>")
@@ -169,7 +201,8 @@ def scann_build(dataset: DataFrame, n_leaves: int = 32, *,
                 kmeans_n_iters: int = 10, seed: int = 42,
                 id_col: str = "id", vec_col: str = "vec",
                 centroids: np.ndarray | None = None,
-                codebook: DataFrame | PQCodebook | None = None) -> ScannIndex:
+                codebook: DataFrame | PQCodebook | None = None,
+                method: str = "expr") -> ScannIndex:
     """Partition (k-means) + SOAR spill + optional residual PQ.
 
     ``scann.hpp:40-70``: ``n_leaves``, ``soar_lambda``, ``pq_dim``,
@@ -188,7 +221,7 @@ def scann_build(dataset: DataFrame, n_leaves: int = 32, *,
     # materialize: the spilled assignment feeds 2 union branches and (with
     # PQ) ~pq_dim*kmeans_n_iters training jobs — never recompute the
     # cross-join SOAR scoring per downstream job
-    lab = soar_labels(d, centroids, soar_lambda).cache()
+    lab = soar_labels(d, centroids, soar_lambda, method=method).cache()
     asg = (lab.select("id", F.col("label").alias("list_id"),
                       F.lit(False).alias("is_soar"))
            .unionByName(lab.select("id", F.col("soar_label").alias("list_id"),
@@ -252,9 +285,12 @@ def _probes(index: ScannIndex, q: DataFrame, n_probes: int) -> DataFrame:
 
 def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
                  n_probes: int = 8, *, qid_col: str = "qid",
-                 qvec_col: str = "vec", method: str = "reorder") -> DataFrame:
+                 qvec_col: str = "vec", method: str = "reorder",
+                 score_method: str = "expr") -> DataFrame:
     """Probe leaves over the spilled assignment, score, top-k →
-    ``(qid, nid, distance, rank)``."""
+    ``(qid, nid, distance, rank)``. ``score_method="blas"`` scores the
+    reorder tier's candidate pairs with the vectorized row-wise kernel
+    (``score_pairs``) instead of the oracle-exact fold expression."""
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
@@ -262,8 +298,21 @@ def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
     if method == "reorder":
         cand = (index.assignments.join(F.broadcast(probes), "list_id")
                 .select("qid", "id").distinct())
+        if score_method == "blas":
+            # cogrouped GEMM per leaf (the IVF-Flat fine stage over the
+            # spilled lists); a vector probed through both of its leaves
+            # scores identically — dedupe collapses it before the merge
+            from cuvs_spark.operators.ivf_flat import _fine_blas
+            # distinct (id, leaf): a vector whose SOAR leaf equals its
+            # primary leaf must not occupy two local top-k slots
+            lists = (index.assignments.select("id", "list_id").distinct()
+                     .join(index.vectors, "id")
+                     .select("list_id", "id", "vec"))
+            return _fine_blas(lists, q, probes, k, index.metric,
+                              dedupe=True)
         fdist = F.expr(distance_sql_spark(index.metric, "_qv", "vec"))
-        pairs = (cand.join(index.vectors, "id").join(F.broadcast(q), "qid")
+        pairs = (cand.join(index.vectors, "id")
+                 .join(F.broadcast(q), "qid")
                  .select("qid", F.col("id").alias("nid"),
                          fdist.alias("distance")))
         return select_k(pairs, "qid", "distance", k, tie_cols=["nid"],

@@ -52,20 +52,60 @@ _PRUNE_SCHEMA = "src long, dst long, distance double, rank long"
 def robust_prune(edges: DataFrame, dataset: DataFrame,
                  graph_degree: int = 32, alpha: float = 1.2, *,
                  visited_size: int = 64, id_col: str = "id",
-                 vec_col: str = "vec",
-                 metric: str = "sqeuclidean") -> DataFrame:
+                 vec_col: str = "vec", metric: str = "sqeuclidean",
+                 method: str = "expr") -> DataFrame:
     """Vamana RobustPrune on an edge table -> ``(src, dst, distance,
     rank)`` with <= ``graph_degree`` out-edges per src.
 
-    Pair distances among a node's candidates are computed with the same
-    SQL expression template as the candidate distances (not NumPy), so
-    the greedy's comparisons are bit-identical to the DuckDB oracle's.
+    ``method="expr"`` (oracle path): candidate-pair distances come from
+    the same SQL expression template as the candidate distances (not
+    NumPy), so the greedy's comparisons are bit-identical to the DuckDB
+    oracle's — at the cost of materializing the n*V^2 pair relation.
+
+    ``method="local"`` (scale path): only candidate *vectors* are
+    shuffled (n*V rows); each node's V x V distance matrix is a local
+    GEMM inside the grouped pandas greedy. Same greedy, float64 BLAS
+    sums instead of sequential folds — what you run at 100 TB.
     """
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
     cand = select_k(edges.select("src", "dst", "distance"),
                     "src", "distance", visited_size, tie_cols=["dst"],
                     rank_col=None)
+    if method == "local":
+        import numpy as np
+
+        # one pandas group per node would mean n tiny applyInPandas
+        # invocations (the per-group overhead dwarfs the V x V GEMM);
+        # bucket ~2k nodes per group and loop srcs with NumPy inside
+        def greedy_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["src", "distance", "dst"])
+            srcs, dsts, dists = [], [], []
+            ranks = []
+            for src, grp in pdf.groupby("src", sort=False):
+                X = np.vstack(grp["vec"].to_numpy()).astype(np.float64)
+                nrm = (X * X).sum(1)
+                D = nrm[:, None] + nrm[None, :] - 2.0 * (X @ X.T)
+                dv = grp["distance"].to_numpy()
+                dd = grp["dst"].to_numpy()
+                kept: list[int] = []
+                for i in range(len(dd)):
+                    if len(kept) >= graph_degree:
+                        break
+                    if alpha * D[kept, i].min(initial=np.inf) > dv[i]:
+                        kept.append(i)
+                srcs.extend([src] * len(kept))
+                dsts.extend(dd[kept])
+                dists.extend(dv[kept])
+                ranks.extend(range(1, len(kept) + 1))
+            return pd.DataFrame({"src": srcs, "dst": dsts,
+                                 "distance": dists, "rank": ranks})
+
+        withvec = (cand.select("src", "dst", "distance")
+                   .join(d.select(F.col("id").alias("dst"), "vec"), "dst")
+                   .withColumn("_b", F.pmod(F.xxhash64("src"), F.lit(512))))
+        return (withvec.groupBy("_b")
+                .applyInPandas(greedy_bucket, _PRUNE_SCHEMA))
     pdist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
     cp = (cand.select("src", F.col("dst").alias("a"))
           .join(cand.select("src", F.col("dst").alias("b")), "src")
@@ -157,7 +197,8 @@ FROM pruned, unnest(kept) AS u(k)
 def vamana_build(dataset: DataFrame, graph_degree: int = 32, *,
                  alpha: float = 1.2, visited_size: int = 64,
                  metric: str = "sqeuclidean", id_col: str = "id",
-                 vec_col: str = "vec", **builder_kw) -> DataFrame:
+                 vec_col: str = "vec", prune_method: str = "expr",
+                 **builder_kw) -> DataFrame:
     """Batch Vamana build -> ``(src, dst, distance, rank)``.
 
     candidates (partitioned kNN, ``visited_size`` wide) -> RobustPrune
@@ -169,7 +210,8 @@ def vamana_build(dataset: DataFrame, graph_degree: int = 32, *,
                                id_col=id_col, vec_col=vec_col, **builder_kw)
     pruned = robust_prune(base.drop("rank"), dataset, graph_degree, alpha,
                           visited_size=visited_size, id_col=id_col,
-                          vec_col=vec_col, metric=metric)
+                          vec_col=vec_col, metric=metric,
+                          method=prune_method)
     rev = pruned.select(F.col("dst").alias("src"),
                         F.col("src").alias("dst"), "distance")
     merged = (pruned.select("src", "dst", "distance").unionByName(rev)

@@ -75,6 +75,45 @@ def main() -> None:
     scanned = 8 / 128
     out["ivf_vs_blas_speedup_expected"] = round(1 / scanned, 1)
 
+    # Vamana: candidates via partitioned kNN (blas) + local-GEMM prune
+    from cuvs_spark.operators.graph import all_neighbors_build
+    from cuvs_spark.operators.vamana import robust_prune
+    t0 = time.time()
+    base = all_neighbors_build(d, 32, n_clusters=128, overlap_factor=2,
+                               kmeans_n_iters=4, method="blas")
+    g = robust_prune(base.drop("rank"), d, 16, 1.2, visited_size=32,
+                     method="local")
+    g.write.format("noop").mode("overwrite").save()
+    out["vamana_build_sec"] = round(time.time() - t0, 2)
+
+    # ScaNN: SOAR build (spilled assignment) + reorder search
+    from cuvs_spark.operators.scann import scann_build, scann_search
+    import numpy as np_
+    rows = d.filter(F.col("id") < 128).collect()
+    cents = np_.array([r["vec"] for r in rows], dtype=float)
+    t0 = time.time()
+    sidx = scann_build(d, 128, centroids=cents, method="blas")
+    sidx.assignments.cache().count()
+    out["scann_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    scann_search(sidx, q, 10, 8, qvec_col="qv", score_method="blas") \
+        .write.format("noop").mode("overwrite").save()
+    out["scann_search_sec"] = round(time.time() - t0, 2)
+
+    # IVF-RaBitQ: 3-bit codes build + estimator search
+    from cuvs_spark.operators.ivf_rabitq import (ivf_rabitq_build,
+                                                 ivf_rabitq_search)
+    t0 = time.time()
+    ridx = ivf_rabitq_build(d, 128, bits_per_dim=3, centroids=cents,
+                            assign_method="blas")
+    ridx.codes.cache().count()
+    out["rabitq_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_rabitq_search(ridx, q, 10, 8, qvec_col="qv",
+                      score_method="blas") \
+        .write.format("noop").mode("overwrite").save()
+    out["rabitq_search_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_rows": n, "dim": dim, "n_queries": nq, **out}))
 
 
