@@ -110,19 +110,26 @@ def _pairwise_np(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
     """Dense (n_queries × n_rows) distance tile in float64 via BLAS."""
     if metric in ("sqeuclidean", "euclidean", "l2", "l2_expanded",
                   "l2sqrt_expanded"):
-        qn = (Q * Q).sum(1)[:, None]
-        xn = (X * X).sum(1)[None, :]
-        D = np.maximum(qn + xn - 2.0 * (Q @ X.T), 0.0)
+        # in-place accumulation on the GEMM output: a (q, x) tile is
+        # touched once, not 4x via broadcast temporaries (the adds are
+        # memory-bound — this is ~5x on big tiles)
+        D = Q @ X.T
+        D *= -2.0
+        D += (Q * Q).sum(1)[:, None]
+        D += (X * X).sum(1)[None, :]
+        np.maximum(D, 0.0, out=D)
         if metric in ("euclidean", "l2", "l2sqrt_expanded"):
-            D = np.sqrt(D)
+            np.sqrt(D, out=D)
         return D
     if metric in ("inner_product", "dot"):
         return Q @ X.T
     if metric == "cosine":
         qn = np.linalg.norm(Q, axis=1)[:, None]
         xn = np.linalg.norm(X, axis=1)[None, :]
-        denom = np.maximum(qn * xn, 1e-300)
-        return 1.0 - (Q @ X.T) / denom
+        D = Q @ X.T
+        D /= np.maximum(qn * xn, 1e-300)
+        np.subtract(1.0, D, out=D)
+        return D
     if metric in ("cityblock", "l1", "manhattan"):
         # chunked to bound the (q, x, d) intermediate
         out = np.empty((Q.shape[0], X.shape[0]))
