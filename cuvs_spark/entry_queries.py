@@ -1302,3 +1302,18 @@ def _register_ivf_rabitq():
 
 
 _register_ivf_rabitq()
+
+
+# --- CAGRA extend: splice a batch into a built graph (rows-only) -----------
+def _cagra_extend(spark, sf_dir):
+    """Iterative (beam search inside) — rows-only; recall-vs-rebuild
+    asserted in tests/test_graph.py."""
+    d = emb_dataset(spark, sf_dir).limit(300)
+    old = d.filter(F.col("id") >= 50)
+    g = G.cagra_build(old, graph_degree=8, n_clusters=4, overlap_factor=2,
+                      kmeans_n_iters=4)
+    g2, _d2 = G.cagra_extend(g, old, d.filter(F.col("id") < 50), 8)
+    return g2
+
+
+register("cagra_extend_graph", _cagra_extend)  # rows-only: iterative

@@ -8,6 +8,7 @@ from cuvs_spark.operators.brute_force import (  # noqa: F401
 from cuvs_spark.operators.graph import (  # noqa: F401
     all_neighbors_build,
     cagra_build,
+    cagra_extend,
     cagra_merge,
     cagra_optimize,
     cagra_search,

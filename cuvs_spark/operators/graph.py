@@ -363,6 +363,50 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
     return out
 
 
+def cagra_extend(graph: DataFrame, dataset: DataFrame,
+                 new_rows: DataFrame, graph_degree: int = 16, *,
+                 metric: str = "sqeuclidean", id_col: str = "id",
+                 vec_col: str = "vec", itopk: int = 32,
+                 search_width: int = 8, max_iterations: int = 4,
+                 score_method: str = "expr") -> tuple[DataFrame, DataFrame]:
+    """``cagra.extend`` (``cagra.hpp:1255``, ``cagra.pyx:1065``): add a
+    batch of vectors to a built graph without a full rebuild.
+
+    The reference's batched extend searches the existing graph for each
+    new vector and splices it in; here: (1) beam-search the graph for
+    each new row's approximate neighbors, (2) brute-force kNN *within*
+    the new batch (new↔new edges — batches are small relative to the
+    index), (3) union forward+reverse edges with the old graph and
+    re-bound degree with the optimize rule. Returns
+    ``(extended_graph, extended_dataset)``.
+
+    Scale notes: the only work proportional to the index is the beam
+    search (bounded frontier joins); everything else is sized by the
+    new batch. This is the CAGRA tier's compaction step for the
+    streaming/tiered ingestion path (``tiered.py``)."""
+    from cuvs_spark.operators.brute_force import knn_self
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    new = new_rows.select(F.col(id_col).cast("long").alias("id"),
+                          F.col(vec_col).alias("vec"))
+    found = cagra_search(graph, d,
+                         new.select(F.col("id").alias("qid"), "vec"),
+                         graph_degree, itopk=itopk,
+                         search_width=search_width,
+                         max_iterations=max_iterations, metric=metric,
+                         qvec_col="vec", score_method=score_method)
+    splice = found.select(F.col("qid").alias("src"),
+                          F.col("nid").alias("dst"), "distance")
+    intra = (knn_self(new, graph_degree, metric)
+             .select(F.col("qid").alias("src"),
+                     F.col("nid").alias("dst"), "distance"))
+    merged = (graph.select("src", "dst", "distance")
+              .unionByName(splice).unionByName(intra)
+              .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
+    return (cagra_optimize(merged, graph_degree),
+            d.unionByName(new))
+
+
 def cagra_merge(graphs: list[DataFrame], graph_degree: int = 16, *,
                 strategy: str = "physical") -> DataFrame:
     """Merge CAGRA indexes (``cagra.hpp:2477``; ``MergeStrategy``

@@ -77,3 +77,29 @@ def test_cagra_search_recall(spark, emb, exact_graph):
     e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
     r = len(a & e) / len(e)
     assert r >= 0.8, r
+
+
+def test_cagra_extend_matches_rebuild(spark, emb):
+    """``cagra.extend``: splicing a held-out batch into a built graph
+    must search as well as the graph rebuilt from scratch (within the
+    reference's recall tolerance)."""
+    from cuvs_spark.operators.graph import cagra_extend
+    old = emb.filter(F.col("id") >= 50).cache()
+    new = emb.filter(F.col("id") < 50).cache()
+    g_old = cagra_build(old, graph_degree=8, n_clusters=4,
+                        overlap_factor=2, kmeans_n_iters=4)
+    g_ext, d_ext = cagra_extend(g_old, old, new, 8)
+    assert d_ext.count() == emb.count()
+    # new ids now have out-edges, bounded by graph_degree
+    deg = (g_ext.filter(F.col("src") < 50).groupBy("src").count())
+    assert deg.count() == 50
+    assert deg.agg(F.max("count")).head()[0] <= 8
+    q = (emb.filter(F.col("id") < 20)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
+    got = cagra_search(g_ext, d_ext, q, 5, itopk=24, search_width=6,
+                       max_iterations=6, qvec_col="qv")
+    a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
+    r = len(a & e) / len(e)
+    assert r >= 0.7, r
