@@ -40,3 +40,16 @@ def plan_has_exchange(df: DataFrame) -> bool:
     # shuffle exchanges print as "+- Exchange (N"; broadcast exchanges
     # as "BroadcastExchange" — only the former is a shuffle
     return re.search(r"[+:]- Exchange \(", plan) is not None
+
+
+def count_exchanges(df: DataFrame) -> tuple[int, int]:
+    """(shuffle_exchanges, broadcast_exchanges) in the physical plan —
+    the budget hook for plan-shape regression tests."""
+    import re
+
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    return (len(re.findall(r"[+:]- Exchange \(", plan)),
+            len(re.findall(r"BroadcastExchange", plan)))

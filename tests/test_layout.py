@@ -65,3 +65,39 @@ def test_int8_vectors_same_neighbors(spark):
     r8 = knn(as_i8, q8, 5, "sqeuclidean", qvec_col="qv")
     rf = knn(as_f, qf, 5, "sqeuclidean", qvec_col="qv")
     assert (sorted(map(tuple, r8.collect())) == sorted(map(tuple, rf.collect())))
+
+
+def test_quantized_search_plan_shape(spark):
+    """The quantized-index fine stages must join the (small) probe set
+    INTO the codes table by broadcast — the codes/assignment lineage
+    may shuffle only for the final top-k, never for the join itself."""
+    import numpy as np
+    from cuvs_spark.operators.ivf_rabitq import (ivf_rabitq_build,
+                                                 ivf_rabitq_search)
+    from cuvs_spark.operators.scann import scann_build, scann_search
+    from cuvs_spark.plans.layout import count_exchanges
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")).cache())
+    cent = np.array([r["vec"] for r in
+                     emb.filter(F.col("id") < 16).orderBy("id").collect()],
+                    dtype=float)
+    q = (emb.filter(F.col("id") < 5)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+
+    ridx = ivf_rabitq_build(emb, 16, centroids=cent)
+    plan = ivf_rabitq_search(ridx, q, 5, 4, qvec_col="qv")
+    shuffles, bcasts = count_exchanges(plan)
+    assert bcasts >= 1, "probe/query side must broadcast into the codes scan"
+    # codes lineage: assign join + final top-k window are the only
+    # allowed shuffles (small relations); budget them
+    assert shuffles <= 4, f"rabitq search plan grew to {shuffles} shuffles"
+
+    sidx = scann_build(emb, 16, centroids=cent)
+    plan2 = scann_search(sidx, q, 5, 4, qvec_col="qv")
+    shuffles2, bcasts2 = count_exchanges(plan2)
+    assert bcasts2 >= 1
+    # the un-persisted index keeps the SOAR build lineage (argmin groupBy
+    # + spill union) inside this plan; 7 = build (4) + probes + candidate
+    # dedupe + final top-k
+    assert shuffles2 <= 7, f"scann search plan grew to {shuffles2} shuffles"

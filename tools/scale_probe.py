@@ -79,7 +79,8 @@ def main() -> None:
     from cuvs_spark.operators.graph import all_neighbors_build
     from cuvs_spark.operators.vamana import robust_prune
     t0 = time.time()
-    base = all_neighbors_build(d, 32, n_clusters=128, overlap_factor=2,
+    ncl = max(128, n // 1500)   # per-cluster quadratic work stays bounded
+    base = all_neighbors_build(d, 32, n_clusters=ncl, overlap_factor=2,
                                kmeans_n_iters=4, method="blas")
     g = robust_prune(base.drop("rank"), d, 16, 1.2, visited_size=32,
                      method="local")
