@@ -106,3 +106,96 @@ def read_bin_dataset(spark: SparkSession, path: str,
     rdd = spark.sparkContext.parallelize(offsets, max(1, len(offsets))) \
         .mapPartitions(lambda p: load_chunk(p))
     return spark.createDataFrame(rdd, "id long, vec array<float>")
+
+
+# ---------------------------------------------------------------------------
+# ScaNN / IVF-RaBitQ index persistence — same named-tables layout;
+# quantized code tables partition by list_id for probe-time pruning.
+# ---------------------------------------------------------------------------
+
+def _write_centroids(spark, centroids, path: str) -> None:
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<float>")
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
+
+
+def _read_centroids(spark, path: str) -> np.ndarray:
+    rows = (spark.read.parquet(os.path.join(path, "centroids.parquet"))
+            .orderBy("list_id").collect())
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def save_scann(index, path: str, *, include_dataset: bool = True) -> None:
+    """ScaNN serialize analog (``scann.hpp``; reference is
+    build/serialize-only). Tables: spilled assignment (partitioned by
+    list_id), raw reordering vectors, optional residual-PQ codes +
+    codebook."""
+    from cuvs_spark.operators.scann import ScannIndex
+    assert isinstance(index, ScannIndex)
+    os.makedirs(path, exist_ok=True)
+    spark = index.vectors.sparkSession
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "scann", "metric": index.metric,
+                   "n_leaves": int(index.centroids.shape[0]),
+                   "dim": int(index.centroids.shape[1]),
+                   "soar_lambda": index.soar_lambda,
+                   "pq_dim": index.pq_dim,
+                   "include_dataset": include_dataset}, f)
+    _write_centroids(spark, index.centroids, path)
+    (index.assignments.write.mode("overwrite").partitionBy("list_id")
+     .parquet(os.path.join(path, "assignments")))
+    if include_dataset:
+        index.vectors.write.mode("overwrite").parquet(
+            os.path.join(path, "vectors.parquet"))
+    if index.codes is not None:
+        (index.codes.write.mode("overwrite").partitionBy("list_id")
+         .parquet(os.path.join(path, "codes")))
+        index.codebook_df.write.mode("overwrite").parquet(
+            os.path.join(path, "codebook.parquet"))
+
+
+def load_scann(spark: SparkSession, path: str):
+    from cuvs_spark.operators.scann import ScannIndex
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    codes = cb = vectors = None
+    if meta.get("include_dataset", True):
+        vectors = spark.read.parquet(os.path.join(path, "vectors.parquet"))
+    if meta.get("pq_dim") is not None:
+        codes = spark.read.parquet(os.path.join(path, "codes"))
+        cb = spark.read.parquet(os.path.join(path, "codebook.parquet"))
+    return ScannIndex(centroids=_read_centroids(spark, path),
+                      assignments=spark.read.parquet(
+                          os.path.join(path, "assignments")),
+                      vectors=vectors, codes=codes, codebook_df=cb,
+                      pq_dim=meta.get("pq_dim"),
+                      soar_lambda=meta["soar_lambda"],
+                      metric=meta["metric"])
+
+
+def save_ivf_rabitq(index, path: str) -> None:
+    """IVF-RaBitQ serialize analog (``ivf_rabitq.hpp`` index): codes
+    table (codes + estimator scalars) partitioned by list_id."""
+    from cuvs_spark.operators.ivf_rabitq import IVFRabitQIndex
+    assert isinstance(index, IVFRabitQIndex)
+    os.makedirs(path, exist_ok=True)
+    spark = index.codes.sparkSession
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "ivf_rabitq",
+                   "n_lists": int(index.centroids.shape[0]),
+                   "dim": int(index.centroids.shape[1]),
+                   "bits_per_dim": index.bits_per_dim}, f)
+    _write_centroids(spark, index.centroids, path)
+    (index.codes.write.mode("overwrite").partitionBy("list_id")
+     .parquet(os.path.join(path, "codes")))
+
+
+def load_ivf_rabitq(spark: SparkSession, path: str):
+    from cuvs_spark.operators.ivf_rabitq import IVFRabitQIndex
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IVFRabitQIndex(centroids=_read_centroids(spark, path),
+                          codes=spark.read.parquet(
+                              os.path.join(path, "codes")),
+                          bits_per_dim=meta["bits_per_dim"])

@@ -68,3 +68,15 @@ def test_rabitq_bits_monotone_and_refined(spark, emb, queries, centroids):
 def test_rabitq_bits_validation(emb, centroids):
     with pytest.raises(ValueError):
         ivf_rabitq_build(emb, 16, bits_per_dim=10, centroids=centroids)
+
+
+def test_rabitq_save_load_roundtrip(spark, emb, queries, centroids,
+                                    tmp_path):
+    from cuvs_spark.sources import load_ivf_rabitq, save_ivf_rabitq
+    idx = ivf_rabitq_build(emb, 16, bits_per_dim=3, centroids=centroids)
+    before = ivf_rabitq_search(idx, queries, 5, 4, qvec_col="qv").collect()
+    path = str(tmp_path / "rabitq_index")
+    save_ivf_rabitq(idx, path)
+    idx2 = load_ivf_rabitq(spark, path)
+    after = ivf_rabitq_search(idx2, queries, 5, 4, qvec_col="qv").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -92,3 +92,21 @@ def test_scann_pq_recall(emb, queries, centroids):
                      cand.select("qid", F.col("nid").alias("id")), 10,
                      qvec_col="qv")
     assert recall_at_k(refined, exact) >= 0.7
+
+
+def test_scann_save_load_roundtrip(spark, emb, queries, centroids, tmp_path):
+    """save → load → search equality (reference serialization tests,
+    ``test_serialization.py``) — including the residual-PQ tables."""
+    from cuvs_spark.sources import load_scann, save_scann
+    idx = scann_build(emb, 16, centroids=centroids, pq_dim=8, pq_bits=4)
+    before_r = scann_search(idx, queries, 5, 4, qvec_col="qv").collect()
+    before_p = scann_search(idx, queries, 5, 4, qvec_col="qv",
+                            method="pq").collect()
+    path = str(tmp_path / "scann_index")
+    save_scann(idx, path)
+    idx2 = load_scann(spark, path)
+    after_r = scann_search(idx2, queries, 5, 4, qvec_col="qv").collect()
+    after_p = scann_search(idx2, queries, 5, 4, qvec_col="qv",
+                           method="pq").collect()
+    assert sorted(map(tuple, before_r)) == sorted(map(tuple, after_r))
+    assert sorted(map(tuple, before_p)) == sorted(map(tuple, after_p))
