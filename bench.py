@@ -70,9 +70,47 @@ def main() -> None:
                            overlap_factor=2, kmeans_n_iters=4,
                            method="blas")
 
+    def bench_vamana_build():
+        from cuvs_spark.operators.graph import all_neighbors_build
+        from cuvs_spark.operators.vamana import robust_prune
+        d = emb_dataset(spark, sf_dir)
+        base = all_neighbors_build(d, 32, n_clusters=8, overlap_factor=2,
+                                   kmeans_n_iters=4, method="blas")
+        return robust_prune(base.drop("rank"), d, 16, 1.2,
+                            visited_size=32, method="local")
+
+    def bench_scann_search():
+        import numpy as np
+
+        from cuvs_spark.operators.scann import scann_build, scann_search
+        d = emb_dataset(spark, sf_dir)
+        cents = np.array([r["vec"] for r in
+                          d.filter(F.col("id") < 32).collect()], dtype=float)
+        idx = scann_build(d, 32, centroids=cents, method="blas")
+        q = d.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+        return scann_search(idx, q, 10, 8, qvec_col="qv",
+                            score_method="blas")
+
+    def bench_rabitq_search():
+        import numpy as np
+
+        from cuvs_spark.operators.ivf_rabitq import (ivf_rabitq_build,
+                                                     ivf_rabitq_search)
+        d = emb_dataset(spark, sf_dir)
+        cents = np.array([r["vec"] for r in
+                          d.filter(F.col("id") < 32).collect()], dtype=float)
+        idx = ivf_rabitq_build(d, 32, bits_per_dim=3, centroids=cents,
+                               assign_method="blas")
+        q = d.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+        return ivf_rabitq_search(idx, q, 10, 8, qvec_col="qv",
+                                 score_method="blas")
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "cagra_build_optimize": bench_cagra_build,
+        "vamana_build_prune": bench_vamana_build,
+        "scann_search_full": bench_scann_search,
+        "ivf_rabitq_search_full": bench_rabitq_search,
         "knn_bf_euclidean_blas_all": bench_knn_blas_wide,
         "ivf_flat_search": bench_entry("ivf_flat_search"),
         "kmeans_fit_16x5": bench_kmeans_fit,
