@@ -1317,3 +1317,20 @@ def _cagra_extend(spark, sf_dir):
 
 
 register("cagra_extend_graph", _cagra_extend)  # rows-only: iterative
+
+
+# --- KDE: remaining kernel family (distance.hpp:93-100, 6 kernels) ---------
+def _kde_kernel(kernel):
+    def fn(spark, sf_dir, kernel=kernel):
+        d = emb_dataset(spark, sf_dir)
+        q = emb_queries(spark, sf_dir, 50)
+        return kde(d, q, bandwidth=3.0, kernel=kernel,
+                   metric="euclidean", qvec_col="qv")
+    return fn
+
+
+for _kern in ["gaussian", "exponential", "tophat", "linear",
+              "cosine_kernel"]:
+    register(f"kde_{_kern}", _kde_kernel(_kern),
+             O.kde_sql(_D_SQL, _Q_SQL.format(nq=50), 3.0,
+                       _KERNELS[_kern], "euclidean"))
