@@ -176,7 +176,9 @@ def _pairwise(metric, n=30):
     return fn, O.pairwise_sql(sub, sub2, metric)
 
 
-for _metric in ["sqeuclidean", "cosine", "chebyshev", "canberra"]:
+for _metric in ["sqeuclidean", "cosine", "chebyshev", "canberra",
+                "euclidean", "cityblock", "braycurtis", "correlation",
+                "inner_product"]:  # minkowski: engines' pow() differ 1 ulp
     _fn, _sql = _pairwise(_metric)
     register(f"pairwise_{_metric}", _fn, _sql)
 
