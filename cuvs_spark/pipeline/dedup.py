@@ -399,8 +399,11 @@ def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
     canonical), so 2-3 rounds is typical."""
     e = pairs.select(F.col(a_col).cast("long").alias("a"),
                      F.col(b_col).cast("long").alias("b"))
+    # materialize the edge table once: its lineage (an LSH/ANN join) is
+    # otherwise re-derived by BOTH jobs of EVERY propagation round
     und = e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"))).distinct()
+                                 F.col("a").alias("b"))).distinct() \
+        .localCheckpoint()
     labels = (und.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("lbl", F.col("id"))).localCheckpoint()
