@@ -61,7 +61,8 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
                  kmeans_n_iters: int = 10, seed: int = 42,
                  id_col: str = "id", vec_col: str = "vec",
                  centroids: np.ndarray | None = None,
-                 codebook: DataFrame | PQCodebook | None = None) -> IVFPQIndex:
+                 codebook: DataFrame | PQCodebook | None = None,
+                 method: str = "expr") -> IVFPQIndex:
     """Coarse quantizer + per-subspace codebooks + codes table.
 
     ``codebook_kind='subspace'`` layout: one codebook per subspace
@@ -81,7 +82,16 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
                             kmeans_n_iters=kmeans_n_iters, seed=seed)
     cb_df = (codebook.to_df(spark) if isinstance(codebook, PQCodebook)
              else codebook)
-    lab = assign(d, centroids, metric="sqeuclidean")
+    lab = assign(d, centroids, metric="sqeuclidean",
+                 method="blas" if method == "blas" else "expr")
+    if method == "blas":
+        from cuvs_spark.preprocessing.pq import pq_transform
+        codes = (pq_transform(d, cb_df, method="blas")
+                 .join(lab, "id")
+                 .select("id", F.col("label").alias("list_id"), "codes"))
+        return IVFPQIndex(centroids=np.asarray(centroids, float),
+                          codebook_df=cb_df, codes=codes, pq_dim=pq_dim,
+                          metric=metric)
     # encode: per-subspace argmin against the broadcast codebook
     sv = _subvecs(d, pq_dim, id_col="id", vec_col="vec")
     dist = F.expr(distance_sql_spark("sqeuclidean", "subvec", "centroid"))
@@ -104,10 +114,17 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
 
 def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                   n_probes: int = 8, *, qid_col: str = "qid",
-                  qvec_col: str = "vec") -> DataFrame:
+                  qvec_col: str = "vec", method: str = "expr") -> DataFrame:
     """LUT-join search → ``(qid, nid, distance, rank)``; distance is
     the PQ-approximate sqeuclidean (sum of per-subspace code distances,
-    folded in subspace order → deterministic)."""
+    folded in subspace order → deterministic).
+
+    ``method="blas"`` is the scale path (the reference's
+    ``compute_similarity`` kernel shape): cogroup the codes table with
+    the probing queries per list, build each query's LUT once in NumPy,
+    score the whole list's code matrix by fancy-indexed LUT gather, and
+    keep a local top-k before the merge — no per-(row, subspace)
+    explosion, no LUT join relation."""
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
@@ -119,6 +136,43 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
         "qid", "list_id", cdist.alias("_cd")),
         "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
         .select("qid", "list_id")
+    if method == "blas":
+        import pandas as pd
+
+        from cuvs_spark.operators.select_k import knn_merge_parts
+        cb_rows = index.codebook_df.collect()
+        S = index.pq_dim
+        n_codes = max(r["code"] for r in cb_rows) + 1
+        w = len(cb_rows[0]["centroid"])
+        CB = np.zeros((S, n_codes, w))
+        for r in cb_rows:
+            CB[r["sub"], r["code"]] = r["centroid"]
+        qside = probes.join(q, "qid").select("list_id", "qid", "_qv")
+
+        def score(key, rows: pd.DataFrame, qp: pd.DataFrame):
+            if rows.empty or qp.empty:
+                return pd.DataFrame(columns=["qid", "nid", "distance"])
+            C = np.vstack(rows["codes"].to_numpy()).astype(np.int64)
+            ids = rows["id"].to_numpy(np.int64)
+            Q = np.vstack(qp["_qv"].to_numpy()).astype(np.float64)
+            qids = qp["qid"].to_numpy(np.int64)
+            Q3 = Q.reshape(len(Q), S, w)
+            # per-query LUT (p, S, n_codes), then gather along codes
+            LUT = ((Q3[:, :, None, :] - CB[None]) ** 2).sum(-1)
+            D = LUT[:, np.arange(S)[None, :], C].sum(-1)   # (p, m)
+            kk = min(k, D.shape[1])
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            return pd.DataFrame({
+                "qid": np.repeat(qids, kk),
+                "nid": np.take_along_axis(
+                    np.broadcast_to(ids, D.shape), part, axis=1).ravel(),
+                "distance": np.take_along_axis(D, part, axis=1).ravel()})
+
+        local = (index.codes.groupBy("list_id")
+                 .cogroup(qside.groupBy("list_id"))
+                 .applyInPandas(score,
+                                "qid long, nid long, distance double"))
+        return knn_merge_parts(local, k)
     # LUT: (qid, sub, code, subdist) — n_queries × pq_dim × n_codes rows
     pq_dim = index.pq_dim
     qsub = _subvecs(q.withColumnRenamed("qid", "id"), pq_dim,

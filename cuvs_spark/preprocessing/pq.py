@@ -100,13 +100,43 @@ def pq_build(df: DataFrame, pq_dim: int = 8, pq_bits: int = 4, *,
 
 
 def pq_transform(df: DataFrame, book: PQCodebook | DataFrame, *,
-                 id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+                 id_col: str = "id", vec_col: str = "vec",
+                 method: str = "expr") -> DataFrame:
     """Encode → ``(id, codes array<int>)``: per-subspace argmin vs the
-    broadcast codebook, ties to the lowest code id."""
+    broadcast codebook, ties to the lowest code id.
+
+    ``method="blas"`` encodes each Arrow batch against the codebook
+    tensor in one NumPy pass (map-only, no subvector explosion or
+    argmin shuffle) — the bulk-encode path for index builds at scale.
+    """
     spark = df.sparkSession
     cb = book if isinstance(book, DataFrame) else book.to_df(spark)
     pq_dim = (book.pq_dim if isinstance(book, PQCodebook)
               else cb.agg(F.max("sub")).head()[0] + 1)
+    if method == "blas":
+        import pandas as pd
+        cb_rows = cb.collect()
+        S = pq_dim
+        n_codes = max(r["code"] for r in cb_rows) + 1
+        w = len(cb_rows[0]["centroid"])
+        CB = np.zeros((S, n_codes, w))
+        for r in cb_rows:
+            CB[r["sub"], r["code"]] = r["centroid"]
+        d = df.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(vec_col).alias("vec"))
+
+        def encode(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                X3 = X.reshape(len(X), S, w)
+                D = ((X3[:, :, None, :] - CB[None]) ** 2).sum(-1)
+                codes = D.argmin(-1).astype(np.int32)   # (n, S)
+                yield pd.DataFrame({"id": pdf["id"],
+                                    "codes": list(codes)})
+
+        return d.mapInPandas(encode, "id long, codes array<int>")
     sv = _subvecs(df, pq_dim, id_col=id_col, vec_col=vec_col)
     dist = F.expr(distance_sql_spark("sqeuclidean", "subvec", "centroid"))
     best = (sv.join(F.broadcast(cb), "sub")

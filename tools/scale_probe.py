@@ -115,6 +115,17 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     out["rabitq_search_sec"] = round(time.time() - t0, 2)
 
+    # IVF-PQ: blas encode build + cogrouped LUT search
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    t0 = time.time()
+    pidx = ivf_pq_build(d, 128, 8, 4, centroids=cents, method="blas")
+    pidx.codes.cache().count()
+    out["ivf_pq_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_pq_search(pidx, q, 10, 8, qvec_col="qv", method="blas") \
+        .write.format("noop").mode("overwrite").save()
+    out["ivf_pq_search_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_rows": n, "dim": dim, "n_queries": nq, **out}))
 
 
