@@ -1336,3 +1336,70 @@ for _kern in ["gaussian", "exponential", "tophat", "linear",
     register(f"kde_{_kern}", _kde_kernel(_kern),
              O.kde_sql(_D_SQL, _Q_SQL.format(nq=50), 3.0,
                        _KERNELS[_kern], "euclidean"))
+
+
+# --- scale-path (blas) variants: ids+rank gated vs the same oracles --------
+# (GEMM float sums differ from sequential folds in the last ulp, so the
+# distance column is dropped; the ORDER the engines produce must match)
+def _ivf_blas(spark, sf_dir):
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv",
+                           method="blas").select("qid", "nid", "rank")
+
+
+register("ivf_flat_search_blas", _ivf_blas,
+         "SELECT qid, nid, rank FROM ("
+         + O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                 _IVF_CENT_SQL, 10, _IVF_PROBES) + ")")
+
+
+def _scann_blas(spark, sf_dir):
+    from cuvs_spark.operators.scann import scann_build, scann_search
+    d = emb_dataset(spark, sf_dir)
+    idx = scann_build(d, _IVF_LISTS,
+                      centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                      method="blas")
+    q = emb_queries(spark, sf_dir, 20)
+    return scann_search(idx, q, 10, _IVF_PROBES, qvec_col="qv",
+                        score_method="blas").select("qid", "nid", "rank")
+
+
+def _register_scann_blas():
+    from cuvs_spark.operators.scann import scann_search_sql
+    register("scann_search_reorder_blas", _scann_blas,
+             "SELECT qid, nid, rank FROM ("
+             + scann_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                _IVF_CENT_SQL, 10, _IVF_PROBES) + ")")
+
+
+_register_scann_blas()
+
+
+def _rabitq_blas(spark, sf_dir):
+    from cuvs_spark.operators.ivf_rabitq import (ivf_rabitq_build,
+                                                 ivf_rabitq_search)
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_rabitq_build(d, _IVF_LISTS, bits_per_dim=3,
+                           centroids=_fixed_centroids(spark, sf_dir,
+                                                      _IVF_LISTS),
+                           assign_method="blas")
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_rabitq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv",
+                             score_method="blas") \
+        .select("qid", "nid", "rank")
+
+
+def _register_rabitq_blas():
+    from cuvs_spark.operators.ivf_rabitq import ivf_rabitq_search_sql
+    register("ivf_rabitq_search_blas", _rabitq_blas,
+             "SELECT qid, nid, rank FROM ("
+             + ivf_rabitq_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                     _IVF_CENT_SQL, 10, _IVF_PROBES, 3)
+             + ")")
+
+
+_register_rabitq_blas()
