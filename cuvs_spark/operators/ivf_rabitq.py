@@ -49,6 +49,7 @@ from cuvs_spark.operators.select_k import select_k
 __all__ = [
     "IVFRabitQIndex",
     "ivf_rabitq_build",
+    "ivf_rabitq_extend",
     "ivf_rabitq_search",
     "ivf_rabitq_search_sql",
 ]
@@ -162,6 +163,41 @@ def ivf_rabitq_build(dataset: DataFrame, n_lists: int = 32, *,
         F.expr(_fold("spark", "v", "res", _DOT)).alias("ipr"))
     return IVFRabitQIndex(centroids=centroids, codes=codes,
                           bits_per_dim=bits_per_dim)
+
+
+def ivf_rabitq_extend(index: IVFRabitQIndex, new_rows: DataFrame, *,
+                      id_col: str = "id", vec_col: str = "vec",
+                      assign_method: str = "expr") -> IVFRabitQIndex:
+    """``extend`` parity (IVF family, ``ivf_flat.pyx:467`` shape):
+    assign new rows to the existing centers, encode their residuals
+    with the same closed-form expressions, append to the codes table.
+    Centers and bit width are immutable, so an extended index scores
+    identically to one built over the union."""
+    from dataclasses import replace
+    spark = new_rows.sparkSession
+    B = index.bits_per_dim
+    d = new_rows.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(vec_col).alias("vec"))
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(index.centroids)],
+        "list_id long, cv array<float>")
+    lab = assign(d, index.centroids, metric="sqeuclidean",
+                 method=assign_method) \
+        .select("id", F.col("label").cast("long").alias("list_id"))
+    s1 = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
+          .select("id", "list_id",
+                  F.expr(_res("spark", "vec", "cv")).alias("res"),
+                  F.expr(distance_sql_spark("sqeuclidean", "vec", "cv"))
+                  .alias("n2")))
+    s3 = (s1.withColumn("codes",
+                        F.expr(_codes("spark", "res", "n2", B)))
+          .withColumn("v", F.expr(_decode("spark", "codes", B))))
+    new_codes = s3.select(
+        "id", "list_id", "codes", "n2",
+        F.expr(_fold("spark", "v", "v", _DOT)).alias("vn2"),
+        F.expr(_fold("spark", "v", "res", _DOT)).alias("ipr"))
+    return replace(index, codes=index.codes.unionByName(new_codes))
 
 
 def ivf_rabitq_search(index: IVFRabitQIndex, queries: DataFrame,

@@ -32,10 +32,18 @@ from cuvs_spark.operators.select_k import knn_merge_parts
 
 @dataclass
 class TieredIndex:
-    ann: IVFFlatIndex
+    """``ann`` may be any index type (the reference's
+    ``ann_index_type``: cagra / ivf_flat / ivf_pq, tiered_index.pyx:48):
+    ``search_fn(ann, queries, k, n_probes, qid_col=, qvec_col=)`` and
+    ``extend_fn(ann, rows)`` plug the tier's operators in; defaults are
+    the IVF-Flat pair."""
+    ann: object
     delta: DataFrame               # (id, vec) — recent rows
     min_ann_rows: int = 1000
     create_ann_index_on_extend: bool = False
+    search_fn: object = None       # Callable | None -> ivf_flat_search
+    extend_fn: object = None       # Callable | None -> ivf_flat_extend
+    metric: str = "sqeuclidean"
 
 
 def tiered_build(dataset: DataFrame, n_lists: int = 16, *,
@@ -58,7 +66,8 @@ def tiered_extend(index: TieredIndex, new_rows: DataFrame, *,
     delta = index.delta.unionByName(add)
     if (index.create_ann_index_on_extend
             or delta.count() >= index.min_ann_rows):
-        ann = ivf_flat_extend(index.ann, delta)
+        extend_fn = index.extend_fn or ivf_flat_extend
+        ann = extend_fn(index.ann, delta)
         return replace(index, ann=ann, delta=index.delta.sparkSession
                        .createDataFrame([], "id long, vec array<float>"))
     return replace(index, delta=delta)
@@ -67,12 +76,14 @@ def tiered_extend(index: TieredIndex, new_rows: DataFrame, *,
 def tiered_search(index: TieredIndex, queries: DataFrame, k: int = 10,
                   n_probes: int = 8, *, qid_col: str = "qid",
                   qvec_col: str = "vec") -> DataFrame:
-    """Fan out to both tiers, merge: ANN-tier IVF search ∪ exact
+    """Fan out to both tiers, merge: ANN-tier search ∪ exact
     brute-force over the delta → global top-k."""
-    parts = [ivf_flat_search(index.ann, queries, k, n_probes,
-                             qid_col=qid_col, qvec_col=qvec_col)]
+    search_fn = index.search_fn or ivf_flat_search
+    parts = [search_fn(index.ann, queries, k, n_probes,
+                       qid_col=qid_col, qvec_col=qvec_col)]
+    metric = getattr(index.ann, "metric", index.metric)
     if not index.delta.isEmpty():
-        parts.append(knn(index.delta, queries, k, index.ann.metric,
+        parts.append(knn(index.delta, queries, k, metric,
                          qid_col=qid_col, qvec_col=qvec_col))
     return knn_merge_parts(parts, k)
 

@@ -130,3 +130,45 @@ def test_stateful_running_stats_matches_batch(spark, tmp_path):
         assert g[u][0] == e[u][0], (u, g[u], e[u])
         assert g[u][1] == pytest.approx(e[u][1], abs=1e-4)
         assert g[u][2] == pytest.approx(e[u][2], abs=1e-4)
+
+
+def test_tiered_with_rabitq_tier(spark):
+    """The ANN tier is pluggable (tiered_index.pyx:48 ann_index_type):
+    a RaBitQ tier with its own extend_fn compacts the delta and an
+    extended index must equal a from-scratch build over the union."""
+    import numpy as np
+
+    from cuvs_spark.operators.ivf_rabitq import (ivf_rabitq_build,
+                                                 ivf_rabitq_extend,
+                                                 ivf_rabitq_search)
+    from cuvs_spark.operators.tiered import (TieredIndex, tiered_extend,
+                                             tiered_search)
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")).cache())
+    cent = np.array([r["vec"] for r in
+                     emb.filter(F.col("id") < 8).orderBy("id").collect()],
+                    dtype=float)
+    old = emb.filter(F.col("id") >= 100)
+    ann = ivf_rabitq_build(old, 8, bits_per_dim=3, centroids=cent)
+    empty = spark.createDataFrame([], "id long, vec array<float>")
+    idx = TieredIndex(ann=ann, delta=empty, min_ann_rows=40,
+                      search_fn=ivf_rabitq_search,
+                      extend_fn=ivf_rabitq_extend)
+    # below threshold: rows stay in the delta
+    idx = tiered_extend(idx, emb.filter(F.col("id") < 30))
+    assert idx.delta.count() == 30
+    # crossing it: compaction folds the delta into the RaBitQ tier
+    idx = tiered_extend(idx, emb.filter((F.col("id") >= 30)
+                                        & (F.col("id") < 100)))
+    assert idx.delta.count() == 0
+    assert idx.ann.codes.count() == emb.count()
+    q = (emb.filter(F.col("id") < 10)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got = tiered_search(idx, q, 5, 4, qvec_col="qv")
+    full = ivf_rabitq_search(
+        ivf_rabitq_build(emb, 8, bits_per_dim=3, centroids=cent),
+        q, 5, 4, qvec_col="qv")
+    a = {(r["qid"], r["nid"]) for r in got.collect()}
+    b = {(r["qid"], r["nid"]) for r in full.collect()}
+    assert a == b
