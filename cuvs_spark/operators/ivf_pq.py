@@ -54,6 +54,29 @@ class IVFPQIndex:
     codes: DataFrame               # (id, list_id, codes array<int>)
     pq_dim: int
     metric: str = "sqeuclidean"
+    encode: str = "raw"            # "raw" (build_precomputed) | "residual"
+    rotation: np.ndarray | None = None   # (dim, dim) orthogonal, or None
+
+
+# residual expression shared by build + search (reference
+# select_residuals, ivf_pq_build.cuh:79-127)
+def _res_expr(v: str, cent: str) -> str:
+    return (f"zip_with({v}, {cent}, (x, c) -> "
+            f"CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
+
+
+def _rand_rotation(dim: int, seed: int) -> np.ndarray:
+    """Seeded random orthogonal matrix (QR of a Gaussian draw) — the
+    ``force_random_rotation`` analog (``ivf_pq.pyx:40-172``)."""
+    rng = np.random.default_rng(seed)
+    Q, R = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return Q * np.sign(np.diag(R))
+
+
+def _cent_df(spark, centroids):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<float>")
 
 
 def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
@@ -62,14 +85,23 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
                  id_col: str = "id", vec_col: str = "vec",
                  centroids: np.ndarray | None = None,
                  codebook: DataFrame | PQCodebook | None = None,
+                 encode: str = "raw",
+                 force_random_rotation: bool = False,
                  method: str = "expr") -> IVFPQIndex:
     """Coarse quantizer + per-subspace codebooks + codes table.
 
     ``codebook_kind='subspace'`` layout: one codebook per subspace
-    shared across lists (the reference's default). Vectors are encoded
-    on their *residuals is skipped* — codes store the raw subvectors'
-    nearest code (simpler; same API surface), matching
-    ``build_precomputed`` semantics (``ivf_pq.pyx:543``)."""
+    shared across lists (the reference's default).
+
+    ``encode="raw"`` stores each raw subvector's nearest code —
+    ``build_precomputed`` semantics (``ivf_pq.pyx:543``) and the
+    oracle-exact path. ``encode="residual"`` is the reference's default
+    fidelity (``ivf_pq_build.cuh:79-127 select_residuals``): codes
+    quantize ``x - center[list_id]``, optionally pre-rotated by a
+    seeded orthogonal matrix (``force_random_rotation``), which is what
+    keeps recall up at realistic ``n_lists`` — the residual energy is
+    much smaller than the raw vector's. Rotation runs only on the
+    ``method="blas"`` path (a matmul has no sane SQL form)."""
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -77,23 +109,55 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
         model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
                            max_iter=kmeans_n_iters, seed=seed, balanced=True)
         centroids = model.centroids
+    centroids = np.asarray(centroids, float)
+    rotation = None
+    if force_random_rotation:
+        if encode != "residual" or method != "blas":
+            raise ValueError("force_random_rotation requires "
+                             "encode='residual', method='blas'")
+        rotation = _rand_rotation(centroids.shape[1], seed)
+    lab = assign(d, centroids, metric="sqeuclidean",
+                 method="blas" if method == "blas" else "expr")
+    if encode == "residual":
+        cent = _cent_df(spark, centroids)
+        enc_in = (d.join(lab.withColumnRenamed("label", "list_id"), "id")
+                  .join(F.broadcast(cent), "list_id")
+                  .select("id", "list_id",
+                          F.expr(_res_expr("vec", "centroid")).alias("vec")))
+        if rotation is not None:
+            Rb = spark.sparkContext.broadcast(rotation)
+
+            def rot(batches):
+                import pandas as pd
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                    pdf["vec"] = list(X @ Rb.value.T)
+                    yield pdf
+
+            enc_in = enc_in.mapInPandas(
+                rot, "id long, list_id long, vec array<double>")
+    else:
+        enc_in = d.join(lab.withColumnRenamed("label", "list_id"), "id") \
+            .select("id", "list_id", "vec")
     if codebook is None:
-        codebook = pq_build(d, pq_dim, pq_bits,
+        codebook = pq_build(enc_in, pq_dim, pq_bits,
                             kmeans_n_iters=kmeans_n_iters, seed=seed)
     cb_df = (codebook.to_df(spark) if isinstance(codebook, PQCodebook)
              else codebook)
-    lab = assign(d, centroids, metric="sqeuclidean",
-                 method="blas" if method == "blas" else "expr")
     if method == "blas":
         from cuvs_spark.preprocessing.pq import pq_transform
-        codes = (pq_transform(d, cb_df, method="blas")
-                 .join(lab, "id")
-                 .select("id", F.col("label").alias("list_id"), "codes"))
-        return IVFPQIndex(centroids=np.asarray(centroids, float),
-                          codebook_df=cb_df, codes=codes, pq_dim=pq_dim,
-                          metric=metric)
+        codes = (pq_transform(enc_in.select("id", "vec"), cb_df,
+                              method="blas")
+                 .join(enc_in.select("id", "list_id"), "id")
+                 .select("id", "list_id", "codes"))
+        return IVFPQIndex(centroids=centroids, codebook_df=cb_df,
+                          codes=codes, pq_dim=pq_dim, metric=metric,
+                          encode=encode, rotation=rotation)
     # encode: per-subspace argmin against the broadcast codebook
-    sv = _subvecs(d, pq_dim, id_col="id", vec_col="vec")
+    sv = _subvecs(enc_in.select("id", "vec"), pq_dim,
+                  id_col="id", vec_col="vec")
     dist = F.expr(distance_sql_spark("sqeuclidean", "subvec", "centroid"))
     best = (sv.join(F.broadcast(cb_df), "sub")
             .select("id", "sub",
@@ -105,11 +169,11 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
              .agg(F.array_sort(F.collect_list(F.struct("sub", "code")))
                   .alias("_sc"))
              .select("id", F.expr("transform(_sc, x -> x.code)").alias("codes"))
-             .join(lab, "id")
-             .select("id", F.col("label").alias("list_id"), "codes"))
-    return IVFPQIndex(centroids=np.asarray(centroids, float),
-                      codebook_df=cb_df, codes=codes, pq_dim=pq_dim,
-                      metric=metric)
+             .join(enc_in.select("id", "list_id"), "id")
+             .select("id", "list_id", "codes"))
+    return IVFPQIndex(centroids=centroids, codebook_df=cb_df, codes=codes,
+                      pq_dim=pq_dim, metric=metric, encode=encode,
+                      rotation=rotation)
 
 
 def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
@@ -128,14 +192,13 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
-        "list_id int, centroid array<float>")
+    cent = _cent_df(spark, index.centroids)
     cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
     probes = select_k(q.join(F.broadcast(cent)).select(
         "qid", "list_id", cdist.alias("_cd")),
         "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
         .select("qid", "list_id")
+    residual = index.encode == "residual"
     if method == "blas":
         import pandas as pd
 
@@ -147,6 +210,8 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
         CB = np.zeros((S, n_codes, w))
         for r in cb_rows:
             CB[r["sub"], r["code"]] = r["centroid"]
+        cent_np = index.centroids if residual else None
+        rot = index.rotation
         qside = probes.join(q, "qid").select("list_id", "qid", "_qv")
 
         def score(key, rows: pd.DataFrame, qp: pd.DataFrame):
@@ -156,7 +221,14 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             ids = rows["id"].to_numpy(np.int64)
             Q = np.vstack(qp["_qv"].to_numpy()).astype(np.float64)
             qids = qp["qid"].to_numpy(np.int64)
-            Q3 = Q.reshape(len(Q), S, w)
+            if cent_np is not None:
+                # residual LUT: per probed list the query shifts by the
+                # list center (then the build-time rotation, if any)
+                Q = Q - cent_np[int(key[0])][None, :]
+                if rot is not None:
+                    Q = Q @ rot.T
+            # floor-width slice: keep parity with _subvecs when dim % S != 0
+            Q3 = Q[:, :S * w].reshape(len(Q), S, w)
             # per-query LUT (p, S, n_codes), then gather along codes
             LUT = ((Q3[:, :, None, :] - CB[None]) ** 2).sum(-1)
             D = LUT[:, np.arange(S)[None, :], C].sum(-1)   # (p, m)
@@ -173,12 +245,47 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                  .applyInPandas(score,
                                 "qid long, nid long, distance double"))
         return knn_merge_parts(local, k)
-    # LUT: (qid, sub, code, subdist) — n_queries × pq_dim × n_codes rows
     pq_dim = index.pq_dim
+    sdist = F.expr(distance_sql_spark("sqeuclidean", "qsub", "centroid"))
+    if residual:
+        if index.rotation is not None:
+            raise ValueError("rotation requires method='blas'")
+        # per-(query, probed list) residual LUT — the ScaNN shape; the
+        # packed key multiplier derives from n_lists (no collisions)
+        n_lists = len(index.centroids)
+        pack = (F.when(F.col("qid") < 0,
+                       F.raise_error("ivf_pq: qids must be non-negative"))
+                .otherwise(F.col("qid")) * F.lit(int(max(n_lists, 1)))
+                + F.col("list_id"))
+        qres = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
+                .select(pack.alias("_key"), "qid", "list_id",
+                        F.expr(_res_expr("_qv", "centroid")).alias("res")))
+        qsub = _subvecs(qres.select("_key", "res"), pq_dim,
+                        id_col="_key", vec_col="res") \
+            .withColumnRenamed("id", "_key") \
+            .withColumnRenamed("subvec", "qsub")
+        lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
+               .join(qres.select("_key", "qid", "list_id"), "_key")
+               .select("qid", "list_id", "sub", "code",
+                       sdist.alias("subdist")))
+        probed = (index.codes.join(F.broadcast(probes), "list_id")
+                  .select("qid", "list_id", "id",
+                          F.posexplode("codes").alias("sub", "code")))
+        scored = (probed.join(F.broadcast(lut),
+                              ["qid", "list_id", "sub", "code"])
+                  .groupBy("qid", F.col("id").alias("nid"))
+                  .agg(F.array_sort(
+                      F.collect_list(F.struct("sub", "subdist")))
+                      .alias("_sd"))
+                  .select("qid", "nid", F.expr(
+                      "aggregate(_sd, CAST(0 AS DOUBLE), "
+                      "(acc, x) -> acc + x.subdist)").alias("distance")))
+        return select_k(scored, "qid", "distance", k, tie_cols=["nid"])
+    # raw path — LUT: (qid, sub, code, subdist), n_queries × pq_dim ×
+    # n_codes rows (tiny, broadcast)
     qsub = _subvecs(q.withColumnRenamed("qid", "id"), pq_dim,
                     id_col="id", vec_col="_qv") \
         .withColumnRenamed("id", "qid").withColumnRenamed("subvec", "qsub")
-    sdist = F.expr(distance_sql_spark("sqeuclidean", "qsub", "centroid"))
     lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
            .select("qid", "sub", "code", sdist.alias("subdist")))
     # probed codes, exploded per subspace
@@ -248,6 +355,79 @@ scored AS (
                           x -> x[2])), (acc, v) -> acc + v) AS distance
   FROM probed pr JOIN lut l
     ON l.qid = pr.qid AND l.sub = pr.sub AND l.code = pr.code
+  GROUP BY pr.qid, pr.id),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM scored)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_pq_residual_search_sql(dataset_sql: str, queries_sql: str,
+                               cent_sql: str, codebook_sql: str, k: int,
+                               n_probes: int, pq_dim: int) -> str:
+    """DuckDB oracle for the residual-encoded IVF-PQ pipeline (fixed
+    centroids + codebook, no rotation): assign → encode residuals →
+    probe → per-(query, list) residual LUT → ordered fold."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
+    pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
+    edist = distance_sql_duckdb("sqeuclidean", "sv.subvec", "cb.centroid")
+    ldist = distance_sql_duckdb("sqeuclidean", "qs.qsub", "cb.centroid")
+    res_d = ("list_transform(list_zip(d.dv, c.cv), p -> "
+             "CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+    res_q = ("list_transform(list_zip(q.qv, c.cv), p -> "
+             "CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+    w = f"(len(r.res) // {pq_dim})"
+    wq = f"(len(qr.res) // {pq_dim})"
+    return f"""
+WITH d AS ({dataset_sql}), q AS ({queries_sql}), c AS ({cent_sql}),
+cb AS ({codebook_sql}),
+asg AS (
+  SELECT id, label FROM (
+    SELECT d.id, c.label,
+           row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.label ASC) rn
+    FROM d CROSS JOIN c) WHERE rn = 1),
+r AS (
+  SELECT d.id AS id, a.label AS list_id, {res_d} AS res
+  FROM d JOIN asg a ON d.id = a.id JOIN c ON c.label = a.label),
+sv AS (
+  SELECT r.id AS id, r.list_id AS list_id, s.sub AS sub,
+         r.res[(s.sub * {w} + 1):((s.sub + 1) * {w})] AS subvec
+  FROM r, (SELECT unnest(range({pq_dim})) AS sub) s),
+enc AS (
+  SELECT id, list_id, sub, code FROM (
+    SELECT sv.id, sv.list_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.id, sv.sub
+                              ORDER BY {edist} ASC, cb.code ASC) rn
+    FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT q.qid, c.label AS list_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {pdist} ASC, c.label ASC) rn
+    FROM q CROSS JOIN c) WHERE rn <= {n_probes}),
+qr AS (
+  SELECT p.qid AS qid, p.list_id AS list_id, {res_q} AS res
+  FROM probes p JOIN q ON q.qid = p.qid JOIN c ON c.label = p.list_id),
+qs AS (
+  SELECT qr.qid AS qid, qr.list_id AS list_id, s.sub AS sub,
+         qr.res[(s.sub * {wq} + 1):((s.sub + 1) * {wq})] AS qsub
+  FROM qr, (SELECT unnest(range({pq_dim})) AS sub) s),
+lut AS (
+  SELECT qs.qid, qs.list_id, qs.sub, cb.code, {ldist} AS subdist
+  FROM qs JOIN cb ON qs.sub = cb.sub),
+probed AS (
+  SELECT p.qid, e.list_id, e.id, e.sub, e.code
+  FROM probes p JOIN enc e ON e.list_id = p.list_id),
+scored AS (
+  SELECT pr.qid AS qid, pr.id AS nid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
+                          x -> x[2])), (acc, v) -> acc + v) AS distance
+  FROM probed pr JOIN lut l
+    ON l.qid = pr.qid AND l.list_id = pr.list_id
+   AND l.sub = pr.sub AND l.code = pr.code
   GROUP BY pr.qid, pr.id),
 ranked AS (
   SELECT qid, nid, distance,

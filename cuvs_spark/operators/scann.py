@@ -244,8 +244,13 @@ def scann_build(dataset: DataFrame, n_leaves: int = 32, *,
         cb_df = (codebook.to_df(spark) if isinstance(codebook, PQCodebook)
                  else codebook)
         # packed numeric (id, leaf) key — _subvecs needs a long id; a
-        # vector sits in ≤2 leaves so the pair must stay distinct
-        pack = (F.col("id") * F.lit(1_000_000) + F.col("list_id"))
+        # vector sits in ≤2 leaves so the pair must stay distinct.  The
+        # multiplier must exceed every list_id, so derive it from the
+        # actual leaf count; negative ids would alias and are rejected.
+        mult = int(max(len(centroids), 1))
+        pack = (F.when(F.col("id") < 0,
+                       F.raise_error("scann: ids must be non-negative"))
+                .otherwise(F.col("id")) * F.lit(mult) + F.col("list_id"))
         sv = _subvecs(resid.select(
             pack.alias("_key"),
             F.col("res").alias("vec")), pq_dim, id_col="_key",
@@ -325,9 +330,14 @@ def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
         [(int(i), [float(x) for x in c])
          for i, c in enumerate(index.centroids)],
         "list_id long, cv array<float>")
-    # per-(query, probed-leaf) residual, split into subspaces
+    # per-(query, probed-leaf) residual, split into subspaces; multiplier
+    # derived from the leaf count so (qid, list_id) pairs never collide
+    qmult = int(max(len(index.centroids), 1))
     qres = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
-            .select((F.col("qid") * F.lit(1_000_000) + F.col("list_id"))
+            .select((F.when(F.col("qid") < 0,
+                            F.raise_error("scann: qids must be non-negative"))
+                     .otherwise(F.col("qid")) * F.lit(qmult)
+                     + F.col("list_id"))
                     .alias("_key"), "qid", "list_id",
                     F.expr(_res_spark("_qv", "cv")).alias("vec")))
     qsv = _subvecs(qres.select("_key", "vec"), index.pq_dim,

@@ -129,7 +129,11 @@ def robust_prune(edges: DataFrame, dataset: DataFrame,
                 break
             dab = ({} if r.pairs is None else
                    {int(p["b"]): float(p["dab"]) for p in r.pairs})
-            if all(alpha * dab[j] > r.distance for j in kept_ids):
+            # missing pair distance → +inf (candidate kept), matching the
+            # oracle's coalesce(dab, 'inf') when a vector is absent from
+            # the dataset side of the cp join
+            if all(alpha * dab.get(j, float("inf")) > r.distance
+                   for j in kept_ids):
                 kept.append((r.src, r.dst, r.distance, len(kept) + 1))
                 kept_ids.add(int(r.dst))
         return pd.DataFrame(kept,

@@ -284,14 +284,37 @@ def simhash_near_dup(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text",
                      max_hamming: int = 6) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming`` →
-    ``(doc_a, doc_b, hamming)``. At scale block on a bit-prefix instead
-    of the plain self-join used at test sizes."""
+    ``(doc_a, doc_b, hamming)``.
+
+    Pigeonhole band blocking, never an all-pairs self-join: the 32-bit
+    sketch is split into ``max_hamming + 1`` contiguous bit-bands, so
+    any pair within ``max_hamming`` differing bits agrees EXACTLY on at
+    least one band. Candidates come from an equi-join on
+    ``(band, band_bits)`` — the shuffle carries ``(max_hamming+1)·n``
+    rows — and are verified with an exact popcount, giving output
+    identical to the quadratic formulation at linear-ish cost.
+    """
     s = simhash(df, id_col=id_col, text_col=text_col)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    nb = max_hamming + 1
+    bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash DIV {1 << bounds[i]}) % "
+                   f"{1 << (bounds[i + 1] - bounds[i])}").alias("key"))
+        for i in range(nb)])
+    sb = (s.select("doc_id", "simhash", F.explode(bands).alias("b"))
+          .select("doc_id", "simhash", F.col("b.band").alias("band"),
+                  F.col("b.key").alias("key")))
+    a = sb.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("ha"), "band", "key")
+    b = sb.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("hb"), "band", "key")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha", "hb").distinct())
     ham = F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
-    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", ham.alias("hamming"))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 
 

@@ -42,6 +42,15 @@ def plan_has_exchange(df: DataFrame) -> bool:
     return re.search(r"[+:]- Exchange \(", plan) is not None
 
 
+def plan_string(df: DataFrame) -> str:
+    """Formatted physical plan text — for plan-shape assertions (e.g.
+    "this join must never be a CartesianProduct")."""
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
 def count_exchanges(df: DataFrame) -> tuple[int, int]:
     """(shuffle_exchanges, broadcast_exchanges) in the physical plan —
     the budget hook for plan-shape regression tests."""

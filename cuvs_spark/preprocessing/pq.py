@@ -79,6 +79,8 @@ def pq_build(df: DataFrame, pq_dim: int = 8, pq_bits: int = 4, *,
     sample = (d.withColumn("_h", F.xxhash64("id", F.lit(seed)))
               .orderBy("_h", "id").limit(max_train_rows)
               .select("vec").collect())
+    if not sample:
+        raise ValueError("cannot train PQ codebook on empty input")
     X = np.array([r["vec"] for r in sample], dtype=np.float64)
     w = X.shape[1] // pq_dim
     rng = np.random.default_rng(seed)
@@ -130,7 +132,9 @@ def pq_transform(df: DataFrame, book: PQCodebook | DataFrame, *,
                 if pdf.empty:
                     continue
                 X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
-                X3 = X.reshape(len(X), S, w)
+                # slice off remainder dims first (dim % pq_dim != 0) to
+                # match the expr path's _subvecs floor-width semantics
+                X3 = X[:, :S * w].reshape(len(X), S, w)
                 D = ((X3[:, :, None, :] - CB[None]) ** 2).sum(-1)
                 codes = D.argmin(-1).astype(np.int32)   # (n, S)
                 yield pd.DataFrame({"id": pdf["id"],

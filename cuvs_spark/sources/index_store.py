@@ -11,7 +11,7 @@ Layout for IVF-Flat::
 
     <dir>/meta.json                       {"type": "ivf_flat", "metric": ..,
                                            "n_lists": .., "dim": ..}
-    <dir>/centroids.parquet               (list_id int, centroid array<float>)
+    <dir>/centroids.parquet               (list_id int, centroid array<double>)
     <dir>/lists/ (partitionBy list_id)    (id long, vec array<float>, list_id)
 
 ``partitionBy(list_id)`` is the load-bearing choice: a search that
@@ -50,7 +50,9 @@ def save_ivf_flat(index: IVFFlatIndex, path: str, *,
                    "include_dataset": include_dataset}, f)
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
-        "list_id int, centroid array<float>")
+        "list_id int, centroid array<double>")
+    # ^ double: trained centroids must round-trip bit-exact
+    # (float32 truncation would shift assignment/probe boundaries)
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
     if include_dataset:
         (index.lists.write.mode("overwrite").partitionBy("list_id")
@@ -116,7 +118,9 @@ def read_bin_dataset(spark: SparkSession, path: str,
 def _write_centroids(spark, centroids, path: str) -> None:
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<float>")
+        "list_id int, centroid array<double>")
+    # ^ double: trained centroids must round-trip bit-exact
+    # (float32 truncation would shift assignment/probe boundaries)
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
 
 
@@ -199,3 +203,168 @@ def load_ivf_rabitq(spark: SparkSession, path: str):
                           codes=spark.read.parquet(
                               os.path.join(path, "codes")),
                           bits_per_dim=meta["bits_per_dim"])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ / IVF-SQ persistence — reference ivf_pq_serialize.cuh /
+# ivf_flat_serialize.cuh semantics: everything a search needs (coarse
+# centroids, codebook, per-list codes) round-trips; codes partition by
+# list_id so a probed search prunes files exactly like the live index.
+# ---------------------------------------------------------------------------
+
+def save_ivf_pq(index, path: str) -> None:
+    """IVF-PQ serialize analog (``ivf_pq_serialize.cuh``,
+    ``ivf_pq.pyx`` save): centroids + subspace codebook + codes."""
+    from cuvs_spark.operators.ivf_pq import IVFPQIndex
+    assert isinstance(index, IVFPQIndex)
+    os.makedirs(path, exist_ok=True)
+    spark = index.codes.sparkSession
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "ivf_pq", "metric": index.metric,
+                   "n_lists": int(index.centroids.shape[0]),
+                   "dim": int(index.centroids.shape[1]),
+                   "pq_dim": int(index.pq_dim)}, f)
+    _write_centroids(spark, index.centroids, path)
+    index.codebook_df.write.mode("overwrite").parquet(
+        os.path.join(path, "codebook.parquet"))
+    (index.codes.write.mode("overwrite").partitionBy("list_id")
+     .parquet(os.path.join(path, "codes")))
+
+
+def load_ivf_pq(spark: SparkSession, path: str):
+    from cuvs_spark.operators.ivf_pq import IVFPQIndex
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IVFPQIndex(centroids=_read_centroids(spark, path),
+                      codebook_df=spark.read.parquet(
+                          os.path.join(path, "codebook.parquet")),
+                      codes=spark.read.parquet(os.path.join(path, "codes")),
+                      pq_dim=meta["pq_dim"], metric=meta["metric"])
+
+
+def save_ivf_sq(index, path: str) -> None:
+    """IVF-SQ serialize analog (``ivf_sq.pyx`` save): centroids +
+    int8 residual codes + the (lo, hi) quantization range."""
+    from cuvs_spark.operators.ivf_pq import IVFSQIndex
+    assert isinstance(index, IVFSQIndex)
+    os.makedirs(path, exist_ok=True)
+    spark = index.rcodes.sparkSession
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "ivf_sq", "metric": index.metric,
+                   "n_lists": int(index.centroids.shape[0]),
+                   "dim": int(index.centroids.shape[1]),
+                   "lo": float(index.lo), "hi": float(index.hi)}, f)
+    _write_centroids(spark, index.centroids, path)
+    (index.rcodes.write.mode("overwrite").partitionBy("list_id")
+     .parquet(os.path.join(path, "rcodes")))
+
+
+def load_ivf_sq(spark: SparkSession, path: str):
+    from cuvs_spark.operators.ivf_pq import IVFSQIndex
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IVFSQIndex(centroids=_read_centroids(spark, path),
+                      rcodes=spark.read.parquet(
+                          os.path.join(path, "rcodes")),
+                      lo=meta["lo"], hi=meta["hi"], metric=meta["metric"])
+
+
+# ---------------------------------------------------------------------------
+# CAGRA persistence — cagra_serialize.cuh: the graph is the index; the
+# dataset rides along unless include_dataset=False (cagra.pyx:910).
+# ---------------------------------------------------------------------------
+
+def save_cagra(graph: DataFrame, path: str, *,
+               dataset: DataFrame | None = None,
+               include_dataset: bool = True,
+               metric: str = "sqeuclidean") -> None:
+    """CAGRA serialize analog. ``graph`` is the optimized edge table
+    ``(src, dst, distance[, rank])``; ``dataset`` the ``(id, vec)``
+    rows a search scores against."""
+    os.makedirs(path, exist_ok=True)
+    degree = graph.groupBy("src").count().agg(
+        F.max("count")).collect()[0][0]
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "cagra", "metric": metric,
+                   "graph_degree": int(degree or 0),
+                   "include_dataset": bool(include_dataset
+                                           and dataset is not None)}, f)
+    graph.write.mode("overwrite").parquet(os.path.join(path, "edges.parquet"))
+    if include_dataset and dataset is not None:
+        dataset.write.mode("overwrite").parquet(
+            os.path.join(path, "vectors.parquet"))
+
+
+def load_cagra(spark: SparkSession, path: str):
+    """→ ``(edges_df, dataset_df | None, meta)``."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    edges = spark.read.parquet(os.path.join(path, "edges.parquet"))
+    dataset = None
+    if meta.get("include_dataset", False):
+        dataset = spark.read.parquet(os.path.join(path, "vectors.parquet"))
+    return edges, dataset, meta
+
+
+# ---------------------------------------------------------------------------
+# Tiered persistence — tiered_index.pyx:48: ANN tier (any saved index
+# type, nested directory) + brute-force delta tier + threshold.
+# ---------------------------------------------------------------------------
+
+def save_tiered(index, path: str) -> None:
+    from cuvs_spark.operators.tiered import TieredIndex
+    assert isinstance(index, TieredIndex)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "tiered", "metric": index.metric,
+                   "min_ann_rows": int(index.min_ann_rows),
+                   "create_ann_index_on_extend":
+                       bool(index.create_ann_index_on_extend)}, f)
+    save_index(index.ann, os.path.join(path, "ann"))
+    index.delta.write.mode("overwrite").parquet(
+        os.path.join(path, "delta.parquet"))
+
+
+def load_tiered(spark: SparkSession, path: str):
+    from cuvs_spark.operators.tiered import TieredIndex
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    delta = spark.read.parquet(os.path.join(path, "delta.parquet"))
+    return TieredIndex(ann=load_index(spark, os.path.join(path, "ann")),
+                       delta=delta, min_ann_rows=meta["min_ann_rows"],
+                       create_ann_index_on_extend=meta[
+                           "create_ann_index_on_extend"],
+                       metric=meta["metric"])
+
+
+# ---------------------------------------------------------------------------
+# Generic dispatch — the reference's one-call cuvsSerialize surface.
+# ---------------------------------------------------------------------------
+
+def save_index(index, path: str, **kw) -> None:
+    """Type-dispatched save (per-index ``*.save`` in the reference)."""
+    from cuvs_spark.operators.ivf_flat import IVFFlatIndex
+    from cuvs_spark.operators.ivf_pq import IVFPQIndex, IVFSQIndex
+    from cuvs_spark.operators.ivf_rabitq import IVFRabitQIndex
+    from cuvs_spark.operators.scann import ScannIndex
+    from cuvs_spark.operators.tiered import TieredIndex
+    savers = [(IVFFlatIndex, save_ivf_flat), (IVFPQIndex, save_ivf_pq),
+              (IVFSQIndex, save_ivf_sq), (IVFRabitQIndex, save_ivf_rabitq),
+              (ScannIndex, save_scann), (TieredIndex, save_tiered)]
+    for cls, fn in savers:
+        if isinstance(index, cls):
+            fn(index, path, **kw)
+            return
+    raise TypeError(f"no saver for index type {type(index).__name__}")
+
+
+def load_index(spark: SparkSession, path: str):
+    """Type-dispatched load keyed on the meta.json ``type`` field."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    loaders = {"ivf_flat": load_ivf_flat, "ivf_pq": load_ivf_pq,
+               "ivf_sq": load_ivf_sq, "ivf_rabitq": load_ivf_rabitq,
+               "scann": load_scann, "tiered": load_tiered}
+    if meta["type"] not in loaders:
+        raise ValueError(f"unknown index type {meta['type']!r}")
+    return loaders[meta["type"]](spark, path)

@@ -68,6 +68,37 @@ def test_simhash_near_dup_finds_exact(docs_dup):
     assert {(i, i + 1000) for i in range(20)} <= found
 
 
+def test_simhash_banded_equals_all_pairs(docs_dup):
+    """Pigeonhole band blocking must reproduce the quadratic join's
+    output exactly (the bands are a candidate filter, not an
+    approximation)."""
+    from cuvs_spark.pipeline.dedup import simhash
+
+    got = {(p["doc_a"], p["doc_b"], p["hamming"])
+           for p in simhash_near_dup(docs_dup, max_hamming=6).collect()}
+    s = simhash(docs_dup)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = (a.join(b, F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= 6))
+    want = {(p["doc_a"], p["doc_b"], p["hamming"]) for p in brute.collect()}
+    assert got == want
+
+
+def test_simhash_near_dup_plan_is_not_all_pairs(docs_dup):
+    """The scale guarantee: candidate generation is an equi-join on
+    (band, key) — the physical plan must contain no cartesian product
+    or nested-loop join."""
+    from cuvs_spark.plans.layout import plan_string
+
+    plan = plan_string(simhash_near_dup(docs_dup, max_hamming=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_language_id_prefers_planted_stopwords(spark):
     d = spark.createDataFrame(
         [(1, "el perro de la casa y el gato en que vive"),

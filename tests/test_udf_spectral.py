@@ -64,3 +64,24 @@ def test_spectral_separates_blobs(spark, rng):
         by_pred.setdefault(labels[i], set()).add(t)
     assert len(by_pred) == 3
     assert all(len(v) == 1 for v in by_pred.values())
+
+
+def test_spectral_sparse_path_separates_blobs(spark, rng):
+    """Above _DENSE_MAX rows the Lanczos/CSR path runs (no dense n×n on
+    the driver) and must still recover well-separated blobs."""
+    from cuvs_spark.cluster import spectral as SP
+
+    n_per = (SP._DENSE_MAX // 3) + 40      # total > _DENSE_MAX
+    X = np.vstack([rng.normal(c, 0.05, (n_per, 4)) for c in
+                   (0.0, 4.0, 8.0)]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "id long, vec array<float>")
+    labels = {r["id"]: r["label"]
+              for r in spectral_fit_predict(df, 3, k=8).collect()}
+    true = [i // n_per for i in range(3 * n_per)]
+    by_pred = {}
+    for i, t in enumerate(true):
+        by_pred.setdefault(labels[i], set()).add(t)
+    assert len(by_pred) == 3
+    assert all(len(v) == 1 for v in by_pred.values())

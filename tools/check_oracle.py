@@ -4,7 +4,14 @@ Runs every ``__spark_entry__.queries()`` entry at the given sf dir and
 compares row-count, schema (sorted column names) and order-insensitive
 values against the DuckDB ``oracle_sql()``. Exits nonzero on mismatch.
 
-Usage: python tools/check_oracle.py [sf_dir] [name_filter]
+Usage: python tools/check_oracle.py [sf_dir] [name_filter] [--canon-strict]
+
+``--canon-strict`` additionally runs each Spark result through a
+replica of the driver's pandas canonicalizer (a bare ``sort_values``
+over every column, no list→tuple coercion). The driver's version
+crashes with ``TypeError: unhashable type: 'list'`` on any
+array-typed output column — round 2's one red row — so this mode
+catches that class of failure before the round ends.
 """
 
 from __future__ import annotations
@@ -30,9 +37,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the harness canonicalizer: sort every column as-is.
+
+    Raises on array-typed cells exactly like the driver does."""
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    strict = "--canon-strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filt = args[1] if len(args) > 1 else ""
 
     import __spark_entry__ as E
     from cuvs_spark import get_spark
@@ -55,6 +72,13 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error {ex}")
             continue
+        if strict:
+            try:
+                driver_canon(sdf)
+            except Exception as ex:
+                failures.append((name, f"CANON ERROR: {ex}"))
+                print(f"FAIL  {name}: driver canonicalizer would crash: {ex}")
+                continue
         if name not in os_:
             no_oracle.append(name)
             print(f"skip  {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")

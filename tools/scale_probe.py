@@ -126,6 +126,16 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     out["ivf_pq_search_sec"] = round(time.time() - t0, 2)
 
+    # Spectral (sparse driver eigensolve): 100k rows through the CSR +
+    # Lanczos path — completes in driver memory (O(n·k) edges, no n×n)
+    from cuvs_spark.cluster.spectral import spectral_fit_predict
+    nsp = min(n, 100_000)
+    t0 = time.time()
+    spectral_fit_predict(d.filter(F.col("id") < nsp), 8, k=8, max_iter=5,
+                         n_init=1) \
+        .write.format("noop").mode("overwrite").save()
+    out["spectral_100k_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_rows": n, "dim": dim, "n_queries": nq, **out}))
 
 
