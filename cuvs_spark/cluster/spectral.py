@@ -8,13 +8,14 @@ embedding + k-means).
 Spark design: the heavy stage — the kNN connectivity graph — is the
 distributed job (``knn_self``/``all_neighbors``); the graph is then
 n·k sparse edges. The eigensolve runs driver-side on the SPARSE
-normalized Laplacian: CSR edges + Lanczos (``scipy.sparse.linalg
-.eigsh``), so driver memory is O(n·k), never an n×n matrix (dense
-``eigh`` only below _DENSE_MAX rows). A distributed Lanczos/power
-iteration over edge-table matvecs is the >10⁸-row path — each matvec
-is one groupBy-sum join, the classic Spark iterative kernel. Mirrors
-the reference, whose eigensolver is likewise a single-GPU LOBPCG over
-the assembled sparse matrix.
+normalized Laplacian: edge arrays + an iterative matvec solver
+(scipy Lanczos when present, else a pure-NumPy subspace iteration),
+so driver memory is O(n·k), never an n×n matrix (dense ``eigh`` only
+below _DENSE_MAX rows). A distributed Lanczos/power iteration over
+edge-table matvecs is the >10⁸-row path — each matvec is one
+groupBy-sum join, the classic Spark iterative kernel. Mirrors the
+reference, whose eigensolver is likewise a single-GPU LOBPCG over the
+assembled sparse matrix.
 """
 
 from __future__ import annotations
@@ -37,56 +38,88 @@ def _laplacian_eig(dataset: DataFrame, k: int, metric: str, id_col: str,
     """kNN connectivity graph → ``nev`` smallest eigenpairs of the
     normalized Laplacian.
 
-    Driver memory is bounded by the n·k edge list (CSR) — the adjacency
-    is NEVER densified at scale. The epsilon all-pairs coupling (which
+    Driver memory is bounded by the n·k edge list — the adjacency is
+    NEVER densified at scale. The epsilon all-pairs coupling (which
     keeps a disconnected graph's 0-eigenspace non-degenerate) is
     applied *implicitly* inside the matvec as the rank-one term
     ``eps·(sum(x) − x)``, so it costs O(n), not O(n²). Eigenpairs come
-    from Lanczos (``eigsh``) on ``2I − L`` (PSD, ‖L‖ ≤ 2), whose
-    largest eigenvalues are L's smallest; at ≤ _DENSE_MAX rows a dense
-    ``eigh`` keeps tiny cases exact and deterministic.
+    from an iterative solve on ``2I − L`` (PSD, ‖L‖ ≤ 2), whose largest
+    eigenvalues are L's smallest: ``scipy``'s Lanczos when available,
+    else a pure-NumPy orthogonal (subspace) iteration with
+    Rayleigh–Ritz — every step is the same O(n·k) edge-array matvec
+    (``bincount`` gather-sum), no external dependency. At ≤ _DENSE_MAX
+    rows a dense ``eigh`` keeps tiny cases exact and deterministic.
     """
-    import scipy.sparse as sp
-
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
     ids = [r["id"] for r in d.select("id").orderBy("id").collect()]
     pos = {v: i for i, v in enumerate(ids)}
     n = len(ids)
     edges = knn_self(d, k, metric).select("qid", "nid").collect()
-    ri = np.array([pos[r["qid"]] for r in edges], dtype=np.int64)
-    ci = np.array([pos[r["nid"]] for r in edges], dtype=np.int64)
-    S = sp.coo_matrix((np.ones(len(ri)), (ri, ci)), shape=(n, n)).tocsr()
-    S = S.maximum(S.T)
-    S.data[:] = 1.0
-    S.setdiag(0.0)
-    S.eliminate_zeros()
+    ri0 = np.array([pos[r["qid"]] for r in edges], dtype=np.int64)
+    ci0 = np.array([pos[r["nid"]] for r in edges], dtype=np.int64)
+    keep = ri0 != ci0
+    ri0, ci0 = ri0[keep], ci0[keep]
+    # symmetrize + dedup via packed (i, j) keys
+    key = np.unique(np.concatenate([ri0 * n + ci0, ci0 * n + ri0]))
+    ri, ci = key // n, key % n
     eps = 1e-6
     # A_full = (1-eps)·S + eps·(J - I); degrees follow the same split
-    deg = (1.0 - eps) * np.asarray(S.sum(axis=1)).ravel() + eps * (n - 1)
+    deg = ((1.0 - eps) * np.bincount(ri, minlength=n).astype(np.float64)
+           + eps * (n - 1))
     deg[deg == 0] = 1.0
     Dm12 = 1.0 / np.sqrt(deg)
     nev = max(1, min(nev, n - 1))
     if n <= _DENSE_MAX:
-        A = (1.0 - eps) * S.toarray() + eps * (1.0 - np.eye(n))
+        A = np.full((n, n), eps)
+        np.fill_diagonal(A, 0.0)
+        A[ri, ci] = 1.0
         L = np.eye(n) - (Dm12[:, None] * A * Dm12[None, :])
         vals, vecs = np.linalg.eigh(L)
         order = np.argsort(vals)[:nev]
         return ids, vals[order], vecs[:, order], Dm12
 
-    from scipy.sparse.linalg import LinearOperator, eigsh
-
-    def mv(x):
+    def mv(x):                          # (2I − L) @ x, O(edges)
         y = Dm12 * x
-        ay = (1.0 - eps) * (S @ y) + eps * (y.sum() - y)
-        return x + Dm12 * ay           # (2I − L) @ x
+        ay = ((1.0 - eps) * np.bincount(ri, weights=y[ci], minlength=n)
+              + eps * (y.sum() - y))
+        return x + Dm12 * ay
 
-    M = LinearOperator((n, n), matvec=mv, dtype=np.float64)
-    v0 = np.full(n, 1.0 / np.sqrt(n))  # fixed start → reproducible runs
-    w, V = eigsh(M, k=nev, which="LA", v0=v0)
+    try:
+        from scipy.sparse.linalg import LinearOperator, eigsh
+        M = LinearOperator((n, n), matvec=mv, dtype=np.float64)
+        v0 = np.full(n, 1.0 / np.sqrt(n))   # fixed start → reproducible
+        w, V = eigsh(M, k=nev, which="LA", v0=v0)
+    except ImportError:
+        w, V = _subspace_iteration(mv, n, nev)
     lam = 2.0 - w
     order = np.argsort(lam)
     return ids, lam[order], V[:, order], Dm12
+
+
+def _subspace_iteration(mv, n: int, nev: int, *, extra: int = 4,
+                        max_iter: int = 300, tol: float = 1e-9):
+    """Orthogonal iteration + Rayleigh–Ritz for the top ``nev``
+    eigenpairs of a symmetric PSD operator given only its matvec.
+    Deterministic (seeded start); the guard block of ``extra`` vectors
+    absorbs slow convergence at the spectral gap."""
+    b = min(n, nev + extra)
+    rng = np.random.default_rng(0)
+    V = np.linalg.qr(rng.standard_normal((n, b)))[0]
+    prev = None
+    for it in range(max_iter):
+        W = np.column_stack([mv(V[:, j]) for j in range(b)])
+        V, _ = np.linalg.qr(W)
+        if it % 5 == 4 or it == max_iter - 1:
+            AV = np.column_stack([mv(V[:, j]) for j in range(b)])
+            H = V.T @ AV
+            w, U = np.linalg.eigh((H + H.T) / 2.0)
+            if prev is not None and np.max(np.abs(w - prev)) < tol:
+                V = V @ U
+                return w[::-1][:nev], V[:, ::-1][:, :nev]
+            prev = w
+    V = V @ U
+    return w[::-1][:nev], V[:, ::-1][:, :nev]
 
 
 def spectral_embedding(dataset: DataFrame, n_components: int = 2, *,

@@ -874,8 +874,14 @@ def events_table(spark, sf_dir):
     except Exception:
         pass
     ev = T(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        # nanosAsLong didn't take (static conf): the reader yields NTZ,
+        # which Spark 4 refuses to cast to double downstream. NTZ→LTZ
+        # under the pinned UTC session tz is wall-time identity.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -1482,6 +1488,32 @@ def _register_save_load_gates():
 
 
 _register_save_load_gates()
+
+
+# --- CAGRA VPQ dataset compression (cagra.pyx:50-124; common.hpp:411) ------
+def _cagra_vpq_decode(spark, sf_dir):
+    """Gate for the VPQ decode expression (fixed codebook): compress the
+    embeddings through the cagra_compress surface and decode — exploded
+    to scalar rows for the harness canonicalizer."""
+    from cuvs_spark.operators.graph import cagra_compress
+    from cuvs_spark.preprocessing.pq import pq_inverse_transform
+    e = emb_dataset(spark, sf_dir)
+    codes, cb = cagra_compress(e, pq_dim=_PQ_DIM,
+                               codebook=_pq_fixed_codebook(spark, sf_dir))
+    dec = pq_inverse_transform(codes, cb)
+    return dec.select("id", F.posexplode("vec").alias("dim", "val")) \
+              .select("id", F.col("dim").cast("long"), "val")
+
+
+register(
+    "cagra_vpq_decode", _cagra_vpq_decode,
+    f"""
+WITH codes AS ({PQ.pq_transform_sql(_DA_SQL, _PQ_CB_SQL, _PQ_DIM)}),
+dec AS ({PQ.pq_inverse_sql("SELECT id, codes FROM codes", _PQ_CB_SQL)})
+SELECT id, CAST(generate_subscripts(vec, 1) AS BIGINT) - 1 AS dim,
+       unnest(vec) AS val
+FROM dec
+""")
 
 
 # --- driver-window ordering ------------------------------------------------

@@ -424,3 +424,112 @@ def cagra_merge(graphs: list[DataFrame], graph_degree: int = 16, *,
     merged = (merged.groupBy("src", "dst")
               .agg(F.min("distance").alias("distance")))
     return cagra_optimize(merged, graph_degree)
+
+
+# ---------------------------------------------------------------------------
+# VPQ dataset compression (cagra.pyx:50-124 ``compression``;
+# common.hpp:411 ``vpq_dataset``): the graph stays exact, the VECTORS
+# the beam search scores against are PQ codes — at 100 TB the raw
+# vectors dominate storage, so the searchable copy shrinks ~dim·4 /
+# pq_dim bytes per row; ``refinement_rate`` re-ranks the shortlist
+# against the raw table to recover exact-recall.
+# ---------------------------------------------------------------------------
+
+def cagra_compress(dataset: DataFrame, pq_dim: int = 8, pq_bits: int = 8,
+                   *, kmeans_n_iters: int = 10, seed: int = 42,
+                   id_col: str = "id", vec_col: str = "vec",
+                   codebook=None) -> tuple[DataFrame, DataFrame]:
+    """Compress the dataset to a VPQ codes table →
+    ``(codes_df(id, codes), codebook_df(sub, code, centroid))``."""
+    from cuvs_spark.preprocessing.pq import PQCodebook, pq_build, pq_transform
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(vec_col).alias("vec"))
+    if codebook is None:
+        codebook = pq_build(d, pq_dim, pq_bits,
+                            kmeans_n_iters=kmeans_n_iters, seed=seed)
+    cb_df = (codebook.to_df(dataset.sparkSession)
+             if isinstance(codebook, PQCodebook) else codebook)
+    return pq_transform(d, cb_df), cb_df
+
+
+def cagra_search_compressed(graph: DataFrame, codes: DataFrame,
+                            codebook_df: DataFrame, queries: DataFrame,
+                            k: int = 10, *, refinement_rate: float = 1.0,
+                            dataset: DataFrame | None = None,
+                            metric: str = "sqeuclidean",
+                            qid_col: str = "qid", qvec_col: str = "vec",
+                            **search_kw) -> DataFrame:
+    """Beam search against DECODED vpq codes (``cagra.pyx:286``
+    ``refinement_rate``): search the graph scoring approximate
+    (decoded) distances for ``k·refinement_rate`` candidates, then
+    exact re-rank against the raw ``dataset`` table. With
+    ``refinement_rate=1`` the compressed scores rank directly."""
+    import math
+
+    from cuvs_spark.operators.pairwise import refine
+    from cuvs_spark.preprocessing.pq import pq_inverse_transform
+    decoded = pq_inverse_transform(codes, codebook_df)
+    k0 = max(k, int(math.ceil(k * refinement_rate)))
+    approx = cagra_search(graph, decoded, queries, k0, metric=metric,
+                          qid_col=qid_col, qvec_col=qvec_col, **search_kw)
+    if k0 == k or dataset is None:
+        return approx
+    cand = approx.select("qid", F.col("nid").alias("id"))
+    return refine(dataset, queries, cand, k, metric,
+                  qid_col=qid_col, qvec_col=qvec_col)
+
+
+# ---------------------------------------------------------------------------
+# ACE: out-of-core partitioned CAGRA build (cagra.pyx:127-175 — ACE
+# ``npartitions``, host/disk spill dirs, per-partition build + merge).
+# Spark is out-of-core by construction, so what this surfaces is the
+# LIFECYCLE: per-partition graphs are independent jobs whose edge
+# tables land in a spill directory (restartable; each partition's
+# working set is ~n/npartitions rows), then merge + re-optimize folds
+# them into one graph.
+# ---------------------------------------------------------------------------
+
+def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
+                    npartitions: int = 4, spill_dir: str | None = None,
+                    overlap_factor: int = 2, metric: str = "sqeuclidean",
+                    id_col: str = "id", vec_col: str = "vec",
+                    kmeans_n_iters: int = 4, seed: int = 42,
+                    method: str = "expr", **builder_kw) -> DataFrame:
+    """Partitioned CAGRA build: balanced k-means split into
+    ``npartitions`` overlapping shards, per-shard graph build (spilled
+    to ``spill_dir`` as parquet when given), physical merge +
+    optimize. ``overlap_factor`` shards per row supplies the
+    cross-partition edges the merge needs."""
+    import os
+    import tempfile
+
+    from cuvs_spark.cluster.kmeans import kmeans_fit
+    from cuvs_spark.operators.select_k import select_k as _sk
+    from cuvs_spark.functions.distance import distance_sql_spark as _dss
+
+    spark = dataset.sparkSession
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    model = kmeans_fit(d, npartitions, max_iter=kmeans_n_iters, seed=seed,
+                      balanced=True)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(model.centroids)],
+        "part int, cv array<float>")
+    pdist = F.expr(_dss("sqeuclidean", "vec", "cv"))
+    asg = _sk(d.join(F.broadcast(cent)).select(
+        "id", "part", pdist.alias("_d")),
+        "id", "_d", min(overlap_factor, npartitions),
+        tie_cols=["part"], rank_col=None).select("id", "part")
+    spill = spill_dir or tempfile.mkdtemp(prefix="cagra_ace_")
+    parts = []
+    for p in range(npartitions):
+        sub = (asg.filter(F.col("part") == p).join(d, "id")
+               .select("id", "vec"))
+        g = cagra_build(sub, graph_degree, metric=metric,
+                        kmeans_n_iters=kmeans_n_iters, seed=seed,
+                        method=method, **builder_kw)
+        path = os.path.join(spill, f"part={p}")
+        g.write.mode("overwrite").parquet(path)
+        parts.append(spark.read.parquet(path))
+    return cagra_merge(parts, graph_degree)

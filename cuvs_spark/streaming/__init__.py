@@ -1,3 +1,6 @@
+from cuvs_spark.streaming.dynamic_batching import (  # noqa: F401
+    start_dynamic_batching,
+)
 from cuvs_spark.streaming.tiered_stream import (  # noqa: F401
     start_tiered_ingest,
     windowed_event_counts,

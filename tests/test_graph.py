@@ -103,3 +103,53 @@ def test_cagra_extend_matches_rebuild(spark, emb):
     e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
     r = len(a & e) / len(e)
     assert r >= 0.7, r
+
+
+def test_cagra_vpq_compressed_search_recall(spark, emb):
+    """VPQ compression + refinement_rate (``cagra.pyx:50-124,286``;
+    ``common.hpp:411 vpq_dataset``): beam search over decoded codes with
+    a 2× exact re-rank must keep recall ≥ 0.9 of the uncompressed
+    search's ground truth (the reference's vpq test criterion,
+    ``ann_cagra/test_float_uint32_t.cu`` vpq cases)."""
+    from cuvs_spark.operators.graph import (cagra_compress,
+                                            cagra_search_compressed)
+    graph = cagra_build(emb, graph_degree=8, n_clusters=4, overlap_factor=2,
+                        kmeans_n_iters=4)
+    codes, cb = cagra_compress(emb, pq_dim=16, pq_bits=6, seed=3)
+    q = (emb.filter(F.col("id") < 20)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
+    got = cagra_search_compressed(graph, codes, cb, q, 5,
+                                  refinement_rate=2.0, dataset=emb,
+                                  itopk=24, search_width=6,
+                                  max_iterations=6, qvec_col="qv")
+    a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
+    r = len(a & e) / len(e)
+    assert r >= 0.9, r
+    # storage shape: codes are pq_dim ints per row, not dim floats
+    row = codes.limit(1).collect()[0]
+    assert len(row["codes"]) == 16
+
+
+def test_cagra_build_ace_recall(spark, emb, tmp_path):
+    """ACE partitioned build (``cagra.pyx:127-175``): per-shard graphs
+    spill to disk, merge + optimize; search recall must match the
+    single-shot build's threshold."""
+    from cuvs_spark.operators.graph import cagra_build_ace
+    spill = str(tmp_path / "ace_spill")
+    graph = cagra_build_ace(emb, graph_degree=8, npartitions=3,
+                            spill_dir=spill, overlap_factor=2,
+                            n_clusters=2)
+    import os
+    assert sorted(os.listdir(spill)) == ["part=0", "part=1", "part=2"]
+    per_src = graph.groupBy("src").count().collect()
+    assert all(r["count"] <= 8 for r in per_src)
+    q = (emb.filter(F.col("id") < 20)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
+    got = cagra_search(graph, emb, q, 5, itopk=24, search_width=6,
+                       max_iterations=6, qvec_col="qv")
+    a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
+    assert len(a & e) / len(e) >= 0.75

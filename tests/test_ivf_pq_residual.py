@@ -50,7 +50,7 @@ def recall_at_k(ann_df, exact_df):
 
 def test_residual_recall_clears_reference_floor(data, exact):
     d, q = data
-    idx = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=4, encode="residual",
+    idx = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=8, encode="residual",
                        seed=3, method="blas")
     got = ivf_pq_search(idx, q, K, N_PROBES, qvec_col="qv", method="blas")
     r = recall_at_k(got, exact)
@@ -62,9 +62,9 @@ def test_residual_beats_raw_encoding(data, exact):
     loses far less than quantizing raw subvectors at realistic
     n_lists."""
     d, q = data
-    raw = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=4, encode="raw",
+    raw = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=8, encode="raw",
                        seed=3, method="blas")
-    res = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=4, encode="residual",
+    res = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=8, encode="residual",
                        seed=3, method="blas")
     r_raw = recall_at_k(
         ivf_pq_search(raw, q, K, N_PROBES, qvec_col="qv", method="blas"),
@@ -79,7 +79,7 @@ def test_rotation_preserves_recall(data, exact):
     """Orthogonal rotation is distance-preserving — recall with
     force_random_rotation must stay above the floor."""
     d, q = data
-    idx = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=4, encode="residual",
+    idx = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=8, encode="residual",
                        force_random_rotation=True, seed=3, method="blas")
     assert idx.rotation is not None
     R = idx.rotation

@@ -172,3 +172,35 @@ def test_tiered_with_rabitq_tier(spark):
     a = {(r["qid"], r["nid"]) for r in got.collect()}
     b = {(r["qid"], r["nid"]) for r in full.collect()}
     assert a == b
+
+
+def test_dynamic_batching_dispatch(spark, emb, tmp_path):
+    """dynamic_batching (``dynamic_batching.hpp:24-70``): queued single
+    queries co-dispatch as batched searches; results must equal a
+    direct batch search, and batch formation must be measured with no
+    dispatch above max_batch_size."""
+    from cuvs_spark.streaming import start_dynamic_batching
+
+    idx = ivf_flat_build(emb, 8, kmeans_n_iters=4, seed=7)
+    src = str(tmp_path / "query_stream")
+    queries = (emb.filter(F.col("id") < 30)
+               .select(F.col("id").alias("qid"), F.col("vec")))
+    queries.write.mode("overwrite").parquet(src)
+    state: dict = {}
+    q = start_dynamic_batching(
+        spark, src, "qid long, vec array<float>", idx, state,
+        k=5, n_probes=8, max_batch_size=8, dispatch_timeout_s=0.25)
+    q.processAllAvailable()
+    q.stop()
+    assert state["batches"], "no dispatch recorded"
+    total_q = sum(b["n_queries"] for b in state["batches"])
+    assert total_q == 30
+    # queue cap respected: every dispatch ≤ max_batch_size
+    for b in state["batches"]:
+        assert b["n_dispatches"] >= (b["n_queries"] + 7) // 8
+    got = {(r["qid"], r["nid"]) for rows in state["results"] for r in rows}
+    from cuvs_spark.operators.ivf_flat import ivf_flat_search
+    want = {(r["qid"], r["nid"])
+            for r in ivf_flat_search(idx, queries.withColumnRenamed(
+                "vec", "qv"), 5, 8, qvec_col="qv").collect()}
+    assert got == want

@@ -62,8 +62,9 @@ def main() -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     failures, no_oracle = [], []
+    pats = [p for p in filt.split(",") if p] if filt else []
     for name, fn in qs.items():
-        if filt and filt not in name:
+        if pats and not any(p in name for p in pats):
             continue
         t0 = time.time()
         try:
