@@ -269,26 +269,65 @@ def kmeans_fit(df: DataFrame, k: int, *, max_iter: int = 20, tol: float = 1e-4,
 
 
 def _rebalance(df: DataFrame, centroids: np.ndarray, *, id_col: str,
-               vec_col: str, metric: str, max_ratio: float = 2.0) -> np.ndarray:
-    """Nudge centers of oversized clusters toward their far points'
-    complement — one smoothing pass (cheap approximation of
-    kmeans_balanced's hierarchical splitting, good enough to even out
-    IVF list sizes)."""
+               vec_col: str, metric: str, max_ratio: float = 2.0,
+               rounds: int = 4) -> np.ndarray:
+    """Iterative split rebalance (``kmeans_balanced.cuh``'s
+    hierarchical-splitting semantics): each round every oversized
+    cluster splits into its near-half / far-half member means — the far
+    half re-seeds the emptiest center — until no cluster exceeds
+    ``max_ratio × n/k`` or ``rounds`` is hit. One distributed pass per
+    round (assign + per-(label, half) dim means, all map-side-combined);
+    driver state is k centers."""
     k = len(centroids)
-    lab = assign(df, centroids, id_col=id_col, vec_col=vec_col, metric=metric,
-                 method="blas" if metric == "sqeuclidean" else "expr")
-    sizes = {r["label"]: r["n"] for r in
-             lab.groupBy("label").agg(F.count("*").alias("n")).collect()}
-    n_total = sum(sizes.values())
-    cap = max_ratio * n_total / k
-    heavy = [l for l, n in sizes.items() if n > cap]
-    if not heavy:
-        return centroids
-    # split each oversized cluster: move its center halfway to the
-    # smallest cluster's center region by re-seeding the emptiest center
-    order = sorted(range(k), key=lambda l: sizes.get(l, 0))
-    out = centroids.copy()
-    for h, l in zip(heavy, order):
-        if sizes.get(l, 0) * 4 < sizes[h]:
-            out[l] = (centroids[h] + out[l]) / 2 + 1e-6
+    out = np.asarray(centroids, float).copy()
+    spark = df.sparkSession
+    d = df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(vec_col).alias("_v"))
+    for _ in range(rounds):
+        lab = assign(d, out, id_col="id", vec_col="_v", metric=metric,
+                     method="blas" if metric == "sqeuclidean" else "expr")
+        cent = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(out)],
+            "label int, _c array<double>")
+        dist = F.expr(distance_sql_spark("sqeuclidean", "_v", "_c"))
+        scored = (d.join(lab, "id").join(F.broadcast(cent), "label")
+                  .select("id", "label", "_v", dist.alias("_d")))
+        med = (scored.groupBy("label")
+               .agg(F.expr("percentile_approx(_d, 0.5)").alias("_m")))
+        halves = (scored.join(F.broadcast(med), "label")
+                  .withColumn("_far", (F.col("_d") > F.col("_m")).cast("int"))
+                  .select("label", "_far", F.posexplode("_v")
+                          .alias("_dim", "_x"))
+                  .groupBy("label", "_far", "_dim")
+                  .agg(F.avg("_x").alias("_mean"), F.count("*").alias("_n")))
+        rows = halves.collect()
+        sizes: dict[int, int] = {}
+        means: dict[tuple, list] = {}
+        for r in rows:
+            key = (int(r["label"]), int(r["_far"]))
+            means.setdefault(key, [0.0] * out.shape[1])
+            means[key][int(r["_dim"])] = float(r["_mean"])
+            if int(r["_dim"]) == 0:
+                sizes[key[0]] = sizes.get(key[0], 0) + int(r["_n"])
+        n_total = sum(sizes.values())
+        cap = max_ratio * n_total / k
+        heavy = sorted((l for l, n in sizes.items() if n > cap),
+                       key=lambda l: -sizes[l])
+        if not heavy:
+            break
+        light = sorted(range(k), key=lambda l: sizes.get(l, 0))
+        li = 0
+        for h in heavy:
+            # skip donor centers that are themselves oversized
+            while li < len(light) and light[li] in heavy:
+                li += 1
+            if li >= len(light):
+                break
+            far = means.get((h, 1))
+            near = means.get((h, 0))
+            if far is None or near is None:
+                continue
+            out[light[li]] = np.array(far)
+            out[h] = np.array(near)
+            li += 1
     return out

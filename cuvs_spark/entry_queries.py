@@ -427,6 +427,18 @@ register("dedup_ngram_jaccard", _ngram_jac,
              "SELECT doc_id, text FROM documents WHERE doc_id < 40", 3, 0.2))
 
 
+def _ngram_jac_lsh(spark, sf_dir):
+    """n-gram Jaccard routed behind MinHash-LSH candidates — the
+    composed scale path (cost tracks candidates, not corpus²)."""
+    return DD.ngram_jaccard_lsh(_docs_with_dups(spark, sf_dir), 3,
+                                threshold=0.2,
+                                lsh_jaccard_threshold=0.3)
+
+
+register("dedup_ngram_jaccard_lsh", _ngram_jac_lsh,
+         DD.ngram_jaccard_lsh_sql(_DOC_DUP_SQL, 3, 0.2, 0.3))
+
+
 def _emb_near_dup(spark, sf_dir):
     return DD.embedding_near_dup(T(spark, sf_dir, "embeddings"), tau=0.62)
 

@@ -361,6 +361,49 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_jaccard_lsh(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.0,
+                      lsh_jaccard_threshold: float = 0.3,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """Character n-gram Jaccard computed ONLY on MinHash-LSH candidate
+    pairs → ``(doc_a, doc_b, jaccard)`` — the composed scale path:
+    ``ngram_jaccard_pairs`` is the all-pairs verification kernel, this
+    routes it behind the banded bucket join so cost tracks the
+    candidate count, never the corpus square."""
+    cand = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col,
+        jaccard_threshold=lsh_jaccard_threshold,
+        max_bucket_size=max_bucket_size).select("doc_a", "doc_b")
+    d = _doc(df, id_col, text_col)
+    g = d.select("doc_id",
+                 F.expr(NGRAM_SPARK.format(s="text", n=n)).alias("g"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = (F.size(F.array_intersect("ga", "gb")).cast("double")
+           / F.size(F.array_union("ga", "gb")))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_lsh_sql(doc_sql: str, n: int = 3,
+                          threshold: float = 0.0,
+                          lsh_jaccard_threshold: float = 0.3) -> str:
+    g = NGRAM_DUCK.format(s="text", n=n)
+    return f"""
+WITH cand0 AS ({minhash_lsh_pairs_sql(doc_sql, lsh_jaccard_threshold)}),
+d AS ({doc_sql}),
+g AS (SELECT doc_id, {g} AS g FROM d)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         / len(list_distinct(a.g || b.g)) AS jaccard
+FROM cand0 c JOIN g a ON a.doc_id = c.doc_a
+             JOIN g b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / len(list_distinct(a.g || b.g)) >= {threshold}
+"""
+
+
 def ngram_jaccard_pairs_sql(doc_sql: str, n: int = 3,
                             threshold: float = 0.0) -> str:
     g = NGRAM_DUCK.format(s="text", n=n)

@@ -140,3 +140,30 @@ def test_ivf_bq_refine_recall(spark, emb):
                         refine_with=d, refine_k0=120)
     r = recall_at_k(got, exact, 10)
     assert r >= 0.7, r
+
+
+def test_kmeans_balanced_caps_list_sizes_larger_n(spark):
+    """kmeans_balanced (``kmeans_balanced.cuh``) at a larger n: no
+    cluster may exceed the rebalance cap (max_ratio × n/k) by more than
+    the one-pass approximation's slack — the property that keeps IVF
+    partitions even at scale."""
+    import numpy as np
+    from cuvs_spark.cluster import kmeans_fit
+    from cuvs_spark.cluster.kmeans import assign
+
+    rng = np.random.default_rng(5)
+    # skewed data: half the mass in one tight blob, the rest spread out
+    tight = rng.normal(0.0, 0.05, (2000, 8))
+    wide = rng.normal(0.0, 4.0, (2000, 8))
+    X = np.vstack([tight, wide])
+    d = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "id long, vec array<float>")
+    k = 16
+    model = kmeans_fit(d, k, max_iter=8, seed=3, balanced=True)
+    lab = assign(d, model.centroids)
+    sizes = [r["n"] for r in
+             lab.groupBy("label").agg(F.count("*").alias("n")).collect()]
+    # unbalanced k-means would put ~50% of rows in one list; balanced
+    # must stay under 3× the even share
+    assert max(sizes) <= 3.0 * len(X) / k, sizes
