@@ -34,7 +34,7 @@ _DENSE_MAX = 1024
 
 
 def _laplacian_eig(dataset: DataFrame, k: int, metric: str, id_col: str,
-                   vec_col: str, nev: int):
+                   vec_col: str, nev: int, graph_method: str = "exact"):
     """kNN connectivity graph → ``nev`` smallest eigenpairs of the
     normalized Laplacian.
 
@@ -55,7 +55,19 @@ def _laplacian_eig(dataset: DataFrame, k: int, metric: str, id_col: str,
     ids = [r["id"] for r in d.select("id").orderBy("id").collect()]
     pos = {v: i for i, v in enumerate(ids)}
     n = len(ids)
-    edges = knn_self(d, k, metric).select("qid", "nid").collect()
+    if graph_method == "approx":
+        # the scale path: partitioned approximate kNN graph (the
+        # all_neighbors batching blueprint) instead of the n² self-join
+        from cuvs_spark.operators.graph import all_neighbors_build
+        g = all_neighbors_build(d, k, metric=metric, method="blas",
+                                n_clusters=max(8, n // 4000),
+                                overlap_factor=2)
+        edges = (g.select(F.col("src").alias("qid"),
+                          F.col("dst").alias("nid")).collect())
+    else:
+        edges = knn_self(d, k, metric,
+                         method="blas" if graph_method == "blas"
+                         else "expr").select("qid", "nid").collect()
     ri0 = np.array([pos[r["qid"]] for r in edges], dtype=np.int64)
     ci0 = np.array([pos[r["nid"]] for r in edges], dtype=np.int64)
     keep = ri0 != ci0
@@ -124,13 +136,15 @@ def _subspace_iteration(mv, n: int, nev: int, *, extra: int = 4,
 
 def spectral_embedding(dataset: DataFrame, n_components: int = 2, *,
                        k: int = 10, metric: str = "sqeuclidean",
-                       id_col: str = "id",
-                       vec_col: str = "vec") -> DataFrame:
+                       id_col: str = "id", vec_col: str = "vec",
+                       graph_method: str = "exact") -> DataFrame:
     """Laplacian eigenmaps → ``(id, embedding array<float>)``: the
     ``n_components`` eigenvectors above the trivial one, rows scaled
-    D^{-1/2} (manifold-learning form, spectral_embedding.hpp:118)."""
+    D^{-1/2} (manifold-learning form, spectral_embedding.hpp:118).
+    ``graph_method='approx'`` swaps the n² kNN self-join for the
+    partitioned all_neighbors graph — the ≥10⁵-row path."""
     ids, _, vecs, Dm12 = _laplacian_eig(dataset, k, metric, id_col, vec_col,
-                                        n_components + 1)
+                                        n_components + 1, graph_method)
     take = vecs[:, 1:n_components + 1] * Dm12[:, None]
     for c in range(take.shape[1]):
         j = int(np.argmax(np.abs(take[:, c])))
@@ -145,7 +159,8 @@ def spectral_embedding(dataset: DataFrame, n_components: int = 2, *,
 def spectral_fit_predict(dataset: DataFrame, n_clusters: int, *,
                          k: int = 10, seed: int = 42, id_col: str = "id",
                          vec_col: str = "vec", n_init: int = 4,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         graph_method: str = "exact") -> DataFrame:
     """``spectral.hpp:87`` fit_predict → (id, label).
 
     Ng–Jordan–Weiss: take the first ``n_clusters`` eigenvectors of the
@@ -154,7 +169,7 @@ def spectral_fit_predict(dataset: DataFrame, n_clusters: int, *,
     within-cluster structure and must not dominate (which is exactly
     what happens with the raw eigenmap embedding)."""
     ids, _, vecs, _ = _laplacian_eig(dataset, k, "sqeuclidean", id_col,
-                                     vec_col, n_clusters)
+                                     vec_col, n_clusters, graph_method)
     U = vecs[:, :n_clusters]
     norms = np.linalg.norm(U, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

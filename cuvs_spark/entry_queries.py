@@ -1528,6 +1528,46 @@ FROM dec
 """)
 
 
+# --- SNMG distribution modes (mg/*.pyx; snmg.cuh:248,358,378) --------------
+# Sharded and replicated searches are exact — both gate against the
+# plain kNN oracle (sharded = ids+rank: GEMM float sums are not
+# bit-reproducible, ordering is).
+def _mg_sharded(spark, sf_dir):
+    from cuvs_spark.operators.mg import sharded_knn
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    return sharded_knn(d, q, 10, "euclidean", n_shards=8, qvec_col="qv",
+                       with_distance=False)
+
+
+def _mg_replicated(spark, sf_dir):
+    from cuvs_spark.operators.mg import replicated_knn
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    return replicated_knn(d, q, 10, "euclidean", qvec_col="qv")
+
+
+register("mg_sharded_search", _mg_sharded,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "euclidean",
+                   with_distance=False))
+register("mg_replicated_search", _mg_replicated,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "euclidean"))
+
+
+# --- ACE partitioned CAGRA build (cagra.pyx:127-175) -----------------------
+def _cagra_ace(spark, sf_dir):
+    """Rows-only (trained partitioner + per-shard builds are
+    iterative); recall + spill-layout asserted in tests/test_graph.py."""
+    from cuvs_spark.operators.graph import cagra_build_ace
+    d = emb_dataset(spark, sf_dir).limit(300)
+    return cagra_build_ace(d, graph_degree=8, npartitions=2,
+                           overlap_factor=2, n_clusters=2,
+                           kmeans_n_iters=3)
+
+
+register("cagra_ace_graph", _cagra_ace)  # rows-only: iterative
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2

@@ -78,7 +78,8 @@ def test_spectral_sparse_path_separates_blobs(spark, rng):
         [(i, [float(x) for x in v]) for i, v in enumerate(X)],
         "id long, vec array<float>")
     labels = {r["id"]: r["label"]
-              for r in spectral_fit_predict(df, 3, k=8).collect()}
+              for r in spectral_fit_predict(
+                  df, 3, k=8, graph_method="approx").collect()}
     true = [i // n_per for i in range(3 * n_per)]
     by_pred = {}
     for i, t in enumerate(true):

@@ -132,7 +132,7 @@ def main() -> None:
     nsp = min(n, 100_000)
     t0 = time.time()
     spectral_fit_predict(d.filter(F.col("id") < nsp), 8, k=8, max_iter=5,
-                         n_init=1) \
+                         n_init=1, graph_method="approx") \
         .write.format("noop").mode("overwrite").save()
     out["spectral_100k_sec"] = round(time.time() - t0, 2)
 
