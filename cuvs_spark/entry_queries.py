@@ -1568,6 +1568,66 @@ def _cagra_ace(spark, sf_dir):
 register("cagra_ace_graph", _cagra_ace)  # rows-only: iterative
 
 
+# --- Precomputed metric / ball_cover API / HNSW view gates -----------------
+def _knn_precomputed(spark, sf_dir):
+    """``DistanceType.Precomputed`` (distance.hpp:64): caller-supplied
+    (qid, nid, distance) relation, engine only ranks."""
+    from cuvs_spark.functions.distance import distance_col
+    from cuvs_spark.operators.brute_force import knn_precomputed
+    d = emb_dataset(spark, sf_dir).select(F.col("id").alias("nid"),
+                                          F.col("vec").alias("_dv"))
+    q = emb_queries(spark, sf_dir, 20)
+    pre = (d.join(F.broadcast(q))
+           .select("qid", "nid",
+                   distance_col("cityblock", "qv", "_dv").alias("distance")))
+    return knn_precomputed(pre, 10)
+
+
+register("knn_precomputed_metric", _knn_precomputed,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "cityblock"))
+
+
+def _ball_cover_knn(spark, sf_dir):
+    """ball_cover API parity (ball_cover.hpp:334): exact kNN; Spark's
+    pruning comes from IVF partitioning instead (SURVEY §2.5)."""
+    from cuvs_spark.operators.ball_cover import ball_cover_build, knn_query
+    idx = ball_cover_build(emb_dataset(spark, sf_dir))
+    q = emb_queries(spark, sf_dir, 20)
+    return knn_query(idx, q, 10, "euclidean", qvec_col="qv")
+
+
+register("ball_cover_knn", _ball_cover_knn,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "euclidean"))
+
+
+def _hnsw_view(spark, sf_dir):
+    """hnsw.from_cagra (hnsw.pyx:410): base-layer adjacency view of the
+    optimized graph — exploded (layer, src, pos, neighbor) so the
+    harness canonicalizer never sees an array cell."""
+    from cuvs_spark.operators import knn_self
+    from cuvs_spark.sources.graph_export import hnsw_from_cagra
+    d = emb_dataset(spark, sf_dir)
+    g = knn_self(d, 12).select(F.col("qid").alias("src"),
+                               F.col("nid").alias("dst"), "distance")
+    h = hnsw_from_cagra(G.cagra_optimize(g, graph_degree=6))
+    return (h.select("layer", "src",
+                     F.posexplode("neighbors").alias("pos", "neighbor"))
+            .select(F.col("layer").cast("long"), "src",
+                    F.col("pos").cast("long"), "neighbor"))
+
+
+def _register_hnsw_view():
+    register("hnsw_from_cagra_view", _hnsw_view, f"""
+WITH g AS ({G.cagra_optimize_sql(_KNN_GRAPH_SQL, 6)})
+SELECT CAST(0 AS BIGINT) AS layer, src,
+       CAST(rank - 1 AS BIGINT) AS pos, dst AS neighbor
+FROM g
+""")
+
+
+_register_hnsw_view()
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
