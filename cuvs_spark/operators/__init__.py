@@ -8,10 +8,13 @@ from cuvs_spark.operators.brute_force import (  # noqa: F401
 from cuvs_spark.operators.graph import (  # noqa: F401
     all_neighbors_build,
     cagra_build,
+    cagra_build_ace,
+    cagra_compress,
     cagra_extend,
     cagra_merge,
     cagra_optimize,
     cagra_search,
+    cagra_search_compressed,
     nn_descent_build,
 )
 from cuvs_spark.operators.ivf_flat import (  # noqa: F401

@@ -1,8 +1,10 @@
 from cuvs_spark.pipeline.dedup import (  # noqa: F401
+    connected_components,
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_jaccard_lsh,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dup,
