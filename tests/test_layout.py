@@ -101,3 +101,25 @@ def test_quantized_search_plan_shape(spark):
     # + spill union) inside this plan; 7 = build (4) + probes + candidate
     # dedupe + final top-k
     assert shuffles2 <= 7, f"scann search plan grew to {shuffles2} shuffles"
+
+
+def test_ivf_search_plan_broadcasts_probes(spark):
+    """The IVF fine stage's scale guarantee: the probe set reaches the
+    codes/lists side via broadcast (no shuffle of the big table) and no
+    cartesian product appears anywhere in the plan."""
+    import numpy as np
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    from cuvs_spark.plans.layout import plan_string
+
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")))
+    cent = np.array([r["vec"] for r in
+                     emb.filter(F.col("id") < 8).orderBy("id").collect()],
+                    dtype=float)
+    idx = ivf_flat_build(emb, 8, centroids=cent)
+    q = (emb.filter(F.col("id") < 5)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    plan = plan_string(ivf_flat_search(idx, q, 5, 4, qvec_col="qv"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, "probe set must broadcast"
