@@ -1078,7 +1078,10 @@ def _gram(kernel, ndigits):
                                ndigits=ndigits)
 
 
-for _kern, _nd in [("linear", None), ("rbf", 9), ("polynomial", 9),
+# polynomial is registered with ndigits=None: the integer-degree kernel is
+# now a pure product fold (see kernels._kernel_expr) and therefore bit-exact
+# across engines like linear — no rounding knife-edge left to hit.
+for _kern, _nd in [("linear", None), ("rbf", 9), ("polynomial", None),
                    ("tanh", 9)]:
     _fn, _sql = _gram(_kern, _nd)
     register(f"gram_{_kern}", _fn, _sql)

@@ -6,9 +6,9 @@ impl ``cpp/src/distance/detail/kernels/``.
 
 Same cross-join expression family as pairwise_distance: the kernel is a
 closed-form scalar over the dot product / squared distance, evaluated
-JVM-side. LINEAR is oracle-exact (pure fold); POLYNOMIAL/RBF/TANH use
-pow/exp (libm, not correctly rounded) so their oracle outputs round to
-9 dp on both engines.
+JVM-side. LINEAR and integer-degree POLYNOMIAL are oracle-exact (pure
+product folds); RBF/TANH use exp (libm, not correctly rounded) so their
+oracle outputs round to 9 dp on both engines.
 """
 
 from __future__ import annotations
@@ -24,7 +24,14 @@ def _kernel_expr(kernel: str, dot: str, sq: str, *, gamma: float,
     if kernel == "linear":
         return dot
     if kernel == "polynomial":
-        return f"power({gamma!r} * ({dot}) + {coef0!r}, {degree})"
+        base = f"({gamma!r} * ({dot}) + {coef0!r})"
+        if float(degree) == int(degree) and 1 <= int(degree) <= 16:
+            # Integer power as a repeated-multiplication product fold:
+            # bit-exact across engines (libm pow is not correctly rounded
+            # and a ~1-ulp divergence can flip a rounding midpoint —
+            # observed as the r3 gram_polynomial driver hash mismatch).
+            return "(" + " * ".join([base] * int(degree)) + ")"
+        return f"power({base}, {degree})"
     if kernel == "rbf":
         return f"exp(-{gamma!r} * ({sq}))"
     if kernel == "tanh":
