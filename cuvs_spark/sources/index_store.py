@@ -223,7 +223,16 @@ def save_ivf_pq(index, path: str) -> None:
         json.dump({"type": "ivf_pq", "metric": index.metric,
                    "n_lists": int(index.centroids.shape[0]),
                    "dim": int(index.centroids.shape[1]),
-                   "pq_dim": int(index.pq_dim)}, f)
+                   "pq_dim": int(index.pq_dim),
+                   "encode": index.encode,
+                   # rotation is dim×dim doubles — small (≤ a few KB for
+                   # embedding dims); inline in meta.json keeps the sidecar
+                   # self-contained. Dropping it would make a rotated index
+                   # unrecoverable (codes are in the rotated basis).
+                   "rotation": (None if index.rotation is None
+                                else np.asarray(index.rotation,
+                                                dtype=np.float64).tolist())},
+                  f)
     _write_centroids(spark, index.centroids, path)
     index.codebook_df.write.mode("overwrite").parquet(
         os.path.join(path, "codebook.parquet"))
@@ -235,11 +244,15 @@ def load_ivf_pq(spark: SparkSession, path: str):
     from cuvs_spark.operators.ivf_pq import IVFPQIndex
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    rot = meta.get("rotation")
     return IVFPQIndex(centroids=_read_centroids(spark, path),
                       codebook_df=spark.read.parquet(
                           os.path.join(path, "codebook.parquet")),
                       codes=spark.read.parquet(os.path.join(path, "codes")),
-                      pq_dim=meta["pq_dim"], metric=meta["metric"])
+                      pq_dim=meta["pq_dim"], metric=meta["metric"],
+                      encode=meta.get("encode", "raw"),
+                      rotation=(None if rot is None
+                                else np.array(rot, dtype=np.float64)))
 
 
 def save_ivf_sq(index, path: str) -> None:

@@ -58,6 +58,31 @@ def test_ivf_pq_save_load_roundtrip(spark, emb, queries, trained_centroids,
     assert before == after
 
 
+def test_ivf_pq_residual_rotated_save_load(spark, emb, queries,
+                                           trained_centroids, tmp_path):
+    """encode/rotation must round-trip: a residual index reloaded as
+    encode='raw' would build a raw-query LUT against residual codes and
+    silently return wrong distances; a rotated index whose matrix isn't
+    persisted is unrecoverable (codes live in the rotated basis)."""
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    from cuvs_spark.sources import load_ivf_pq, save_ivf_pq
+
+    idx = ivf_pq_build(emb, 8, pq_dim=8, centroids=trained_centroids,
+                       seed=3, encode="residual",
+                       force_random_rotation=True, method="blas")
+    before = _rows(ivf_pq_search(idx, queries, 5, 4, qvec_col="qv",
+                                 method="blas"))
+    path = str(tmp_path / "pq_res_rot")
+    save_ivf_pq(idx, path)
+    idx2 = load_ivf_pq(spark, path)
+    assert idx2.encode == "residual"
+    assert idx2.rotation is not None
+    assert np.array_equal(idx2.rotation, idx.rotation)
+    after = _rows(ivf_pq_search(idx2, queries, 5, 4, qvec_col="qv",
+                                method="blas"))
+    assert before == after
+
+
 def test_ivf_sq_save_load_roundtrip(spark, emb, queries, trained_centroids,
                                     tmp_path):
     from cuvs_spark.operators.ivf_pq import ivf_sq_build, ivf_sq_search
