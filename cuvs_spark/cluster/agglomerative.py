@@ -71,9 +71,14 @@ def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
     component count per round → ≤ log₂(n) rounds)."""
     spark = edges.sparkSession
     uf = _UnionFind()
-    comp = (edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
-            .distinct().withColumn("comp", F.col("id"))
+    vertices = (edges.select(F.col("src").alias("id"))
+                .unionByName(edges.select(F.col("dst").alias("id"))))
+    if ids:
+        # vertices with no edges must still be tracked as singleton
+        # components (KNN_GRAPH linkage can leave them edge-less)
+        vertices = vertices.unionByName(
+            spark.createDataFrame([(int(i),) for i in ids], "id long"))
+    comp = (vertices.distinct().withColumn("comp", F.col("id"))
             .localCheckpoint())
     mst: list[tuple] = []
     while True:

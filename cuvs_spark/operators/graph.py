@@ -472,8 +472,12 @@ def cagra_search_compressed(graph: DataFrame, codes: DataFrame,
     k0 = max(k, int(math.ceil(k * refinement_rate)))
     approx = cagra_search(graph, decoded, queries, k0, metric=metric,
                           qid_col=qid_col, qvec_col=qvec_col, **search_kw)
-    if k0 == k or dataset is None:
+    if k0 == k:
         return approx
+    if dataset is None:
+        # no raw vectors to re-rank against: honor the requested k by
+        # truncating the (already ranked 1..k0) approximate pool
+        return approx.filter(F.col("rank") <= k)
     cand = approx.select("qid", F.col("nid").alias("id"))
     return refine(dataset, queries, cand, k, metric,
                   qid_col=qid_col, qvec_col=qvec_col)

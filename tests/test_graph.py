@@ -130,6 +130,14 @@ def test_cagra_vpq_compressed_search_recall(spark, emb):
     # storage shape: codes are pq_dim ints per row, not dim floats
     row = codes.limit(1).collect()[0]
     assert len(row["codes"]) == 16
+    # refinement_rate > 1 WITHOUT a dataset: no exact re-rank possible,
+    # but the requested k must still be honored (truncated approx pool)
+    no_ds = cagra_search_compressed(graph, codes, cb, q, 5,
+                                    refinement_rate=2.0, dataset=None,
+                                    itopk=24, search_width=6,
+                                    max_iterations=6, qvec_col="qv")
+    per_q = no_ds.groupBy("qid").count().collect()
+    assert per_q and all(r["count"] == 5 for r in per_q)
 
 
 def test_cagra_build_ace_recall(spark, emb, tmp_path):
