@@ -227,13 +227,21 @@ def kmeans_fit(df: DataFrame, k: int, *, max_iter: int = 20, tol: float = 1e-4,
                init: str = "parallel", seed: int = 42, id_col: str = "id",
                vec_col: str = "vec", metric: str = "sqeuclidean",
                balanced: bool = False, n_init: int = 1,
-               update_method: str = "blas") -> KMeansModel:
+               update_method: str = "blas",
+               centroid_round: int | None = None) -> KMeansModel:
     """Lloyd's algorithm; ``balanced=True`` adds the reference's
     size-capping rebalance (``kmeans_balanced.cuh``): oversized clusters
     shed their farthest points to the next-nearest center each round,
     which is what keeps IVF partitions even at scale. ``n_init`` restarts
     with shifted seeds and keeps the lowest-inertia run (kmeans.pyx:48
-    ``n_init``)."""
+    ``n_init``).
+
+    ``centroid_round`` rounds every centroid to that many decimals after
+    each update. With a fixed ndarray ``init``, ``tol=0.0`` and
+    ``update_method="expr"``, the whole fit is reproducible across
+    engines (each iteration's input is a rounded, order-insensitive
+    value — shuffle-order FP noise cannot compound), which is what the
+    DuckDB gate oracle keys on."""
     if n_init > 1 and not isinstance(init, np.ndarray):
         best = None
         for r in range(n_init):
@@ -257,6 +265,8 @@ def kmeans_fit(df: DataFrame, k: int, *, max_iter: int = 20, tol: float = 1e-4,
         new, cnt = _update_means(df, centroids, id_col=id_col,
                                  vec_col=vec_col, metric=metric,
                                  method=update_method)
+        if centroid_round is not None:
+            new = np.round(new, centroid_round)
         shift = float(np.sqrt(((new - centroids) ** 2).sum(1)).max())
         centroids = new
         if shift < tol:

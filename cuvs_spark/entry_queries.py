@@ -288,9 +288,16 @@ register("kmeans_lloyd_step", _kmeans_lloyd,
          O.lloyd_step_sql(_DA_SQL, _CENT_SQL))
 
 
+_KM_FIT_ITERS = 3
+
+
 def _kmeans_fit_rows(spark, sf_dir):
-    """Trained k-means (iterative, non-SQL) — rows-only driver check;
-    inertia-vs-sklearn asserted in tests.
+    """Trained k-means, now oracle-backed: fixed ndarray init, tol=0.0
+    (always runs the full iteration budget), update_method="expr"
+    (assignment via the bit-parity distance template) and
+    centroid_round=6 — every iteration's centroids are rounded
+    identically on both engines, so the DuckDB chained-Lloyd CTE
+    (plans/oracle.kmeans_fit_sql) reproduces the fit exactly.
 
     Output is exploded ``(label, dim, val)`` — the harness canonicalizer
     sorts every column and cannot hash an ``array<float>`` cell (the one
@@ -298,14 +305,17 @@ def _kmeans_fit_rows(spark, sf_dir):
     """
     from cuvs_spark.cluster import kmeans_fit
     d = emb_dataset(spark, sf_dir)
-    model = kmeans_fit(d, 10, max_iter=5, seed=42)
+    model = kmeans_fit(d, _K_FIXED, max_iter=_KM_FIT_ITERS, tol=0.0,
+                       init=_fixed_centroids(spark, sf_dir),
+                       update_method="expr", centroid_round=6)
     rows = [(int(lab), int(dim), round(float(v), 6))
             for lab, c in enumerate(model.centroids)
             for dim, v in enumerate(c)]
     return spark.createDataFrame(rows, "label long, dim long, val double")
 
 
-register("kmeans_fit_centroids", _kmeans_fit_rows)  # no oracle: iterative
+register("kmeans_fit_centroids", _kmeans_fit_rows,
+         O.kmeans_fit_sql(_DA_SQL, _CENT_SQL, _KM_FIT_ITERS))
 
 
 # --- IVF-Flat (SURVEY §2.5): partition-pruned ANN search ------------------

@@ -104,6 +104,51 @@ FROM exploded GROUP BY label, dim
 """
 
 
+def kmeans_fit_sql(dataset_sql: str, cent_sql: str, n_iters: int,
+                   metric: str = "sqeuclidean", ndigits: int = 6) -> str:
+    """Full fixed-init Lloyd fit → exploded ``(label, dim, val)``.
+
+    Chains ``n_iters`` assign→means steps as CTEs. Matches
+    ``kmeans_fit(init=<fixed>, tol=0.0, update_method="expr",
+    centroid_round=ndigits)``: each iteration's centroids are rounded to
+    ``ndigits`` on BOTH engines, so shuffle-order FP noise in the means
+    cannot compound across iterations. Empty clusters carry the previous
+    (rounded) centroid via the LEFT JOIN / COALESCE, mirroring
+    ``_update_means``'s nonempty mask."""
+    rnd = f"list_transform(c.cv, v -> ROUND(CAST(v AS DOUBLE), {ndigits}))"
+    parts = [f"d AS ({dataset_sql})",
+             f"cent_0 AS (SELECT label, cv FROM ({cent_sql}))"]
+    for i in range(1, n_iters + 1):
+        dist = distance_sql_duckdb(metric, "d.dv", "c.cv")
+        parts.append(f"""asg_{i} AS (
+  SELECT id, label FROM (
+    SELECT d.id AS id, c.label AS label,
+           row_number() OVER (PARTITION BY d.id ORDER BY {dist} ASC, c.label ASC) AS rn
+    FROM d CROSS JOIN cent_{i - 1} c) WHERE rn = 1
+)""")
+        parts.append(f"""means_{i} AS (
+  SELECT label, dim, ROUND(avg(x), {ndigits}) AS val FROM (
+    SELECT a.label AS label,
+           CAST(generate_subscripts(d.dv, 1) AS BIGINT) - 1 AS dim,
+           CAST(unnest(d.dv) AS DOUBLE) AS x
+    FROM d JOIN asg_{i} a ON d.id = a.id)
+  GROUP BY label, dim
+)""")
+        parts.append(f"""newc_{i} AS (
+  SELECT label, list(val ORDER BY dim) AS cv FROM means_{i} GROUP BY label
+)""")
+        parts.append(f"""cent_{i} AS (
+  SELECT c.label AS label, COALESCE(n.cv, {rnd}) AS cv
+  FROM cent_{i - 1} c LEFT JOIN newc_{i} n ON c.label = n.label
+)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT label, CAST(generate_subscripts(cv, 1) AS BIGINT) - 1 AS dim,
+       ROUND(CAST(unnest(cv) AS DOUBLE), {ndigits}) AS val
+FROM cent_{n_iters}
+"""
+
+
 def ivf_flat_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
                         k: int, n_probes: int, metric: str = "sqeuclidean",
                         coarse_metric: str = "sqeuclidean") -> str:
