@@ -718,6 +718,33 @@ def _ivf_sq_search(spark, sf_dir):
     return ivf_sq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
 
 
+def _ivf_pq_extend_search(spark, sf_dir):
+    """Build on ids ≥ 100, extend with ids < 100, search — with fixed
+    centers + codebook this must hash-equal the full-dataset search
+    (encoding is row-local, so union-then-build == build-then-extend)."""
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_build, ivf_pq_extend,
+                                             ivf_pq_search)
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d.filter(F.col("id") >= 100), _IVF_LISTS, _PQ_DIM,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    idx = ivf_pq_extend(idx, d.filter(F.col("id") < 100))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_pq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _ivf_sq_extend_search(spark, sf_dir):
+    from cuvs_spark.operators.ivf_pq import (ivf_sq_build, ivf_sq_extend,
+                                             ivf_sq_search)
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_sq_build(d.filter(F.col("id") >= 100), _IVF_LISTS,
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       lo=-0.5, hi=0.5)
+    idx = ivf_sq_extend(idx, d.filter(F.col("id") < 100))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_sq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
 def _register_ivf_quantized():
     from cuvs_spark.operators.ivf_pq import (ivf_pq_search_sql,
                                              ivf_sq_search_sql)
@@ -725,6 +752,14 @@ def _register_ivf_quantized():
              ivf_pq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
                                _PQ_CB_SQL, 10, _IVF_PROBES, _PQ_DIM))
     register("ivf_sq_search", _ivf_sq_search,
+             ivf_sq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               10, _IVF_PROBES, -0.5, 0.5))
+    # extend gates share the full-dataset oracles: an extended index
+    # must be indistinguishable from one built over the union
+    register("ivf_pq_extend_search", _ivf_pq_extend_search,
+             ivf_pq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
+                               _PQ_CB_SQL, 10, _IVF_PROBES, _PQ_DIM))
+    register("ivf_sq_extend_search", _ivf_sq_extend_search,
              ivf_sq_search_sql(_DA_SQL, _Q_SQL.format(nq=20), _IVF_CENT_SQL,
                                10, _IVF_PROBES, -0.5, 0.5))
 

@@ -26,12 +26,15 @@ from cuvs_spark.operators.ivf_pq import (  # noqa: F401
     ivf_bq_build,
     ivf_bq_search,
     ivf_pq_build,
+    ivf_pq_extend,
     ivf_pq_search,
     ivf_sq_build,
+    ivf_sq_extend,
     ivf_sq_search,
 )
 from cuvs_spark.operators.ivf_rabitq import (  # noqa: F401
     ivf_rabitq_build,
+    ivf_rabitq_extend,
     ivf_rabitq_search,
 )
 from cuvs_spark.operators.kernels import gram_matrix  # noqa: F401

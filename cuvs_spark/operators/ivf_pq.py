@@ -116,6 +116,25 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
             raise ValueError("force_random_rotation requires "
                              "encode='residual', method='blas'")
         rotation = _rand_rotation(centroids.shape[1], seed)
+    enc_in = _pq_enc_input(d, centroids, encode, rotation, method)
+    if codebook is None:
+        codebook = pq_build(enc_in, pq_dim, pq_bits,
+                            kmeans_n_iters=kmeans_n_iters, seed=seed)
+    cb_df = (codebook.to_df(spark) if isinstance(codebook, PQCodebook)
+             else codebook)
+    codes = _pq_encode(enc_in, cb_df, pq_dim, method)
+    return IVFPQIndex(centroids=centroids, codebook_df=cb_df, codes=codes,
+                      pq_dim=pq_dim, metric=metric, encode=encode,
+                      rotation=rotation)
+
+
+def _pq_enc_input(d: DataFrame, centroids: np.ndarray, encode: str,
+                  rotation: np.ndarray | None,
+                  method: str) -> DataFrame:
+    """``(id, list_id, vec)`` rows ready for PQ encoding: assigned to
+    their coarse list and, for ``encode='residual'``, shifted by the
+    list center (then rotated when a build-time rotation exists)."""
+    spark = d.sparkSession
     lab = assign(d, centroids, metric="sqeuclidean",
                  method="blas" if method == "blas" else "expr")
     if encode == "residual":
@@ -138,24 +157,22 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
 
             enc_in = enc_in.mapInPandas(
                 rot, "id long, list_id long, vec array<double>")
-    else:
-        enc_in = d.join(lab.withColumnRenamed("label", "list_id"), "id") \
-            .select("id", "list_id", "vec")
-    if codebook is None:
-        codebook = pq_build(enc_in, pq_dim, pq_bits,
-                            kmeans_n_iters=kmeans_n_iters, seed=seed)
-    cb_df = (codebook.to_df(spark) if isinstance(codebook, PQCodebook)
-             else codebook)
+        return enc_in
+    return d.join(lab.withColumnRenamed("label", "list_id"), "id") \
+        .select("id", "list_id", "vec")
+
+
+def _pq_encode(enc_in: DataFrame, cb_df: DataFrame, pq_dim: int,
+               method: str) -> DataFrame:
+    """Encode ``(id, list_id, vec)`` against a broadcast codebook →
+    ``(id, list_id, codes)``."""
     if method == "blas":
         from cuvs_spark.preprocessing.pq import pq_transform
-        codes = (pq_transform(enc_in.select("id", "vec"), cb_df,
-                              method="blas")
-                 .join(enc_in.select("id", "list_id"), "id")
-                 .select("id", "list_id", "codes"))
-        return IVFPQIndex(centroids=centroids, codebook_df=cb_df,
-                          codes=codes, pq_dim=pq_dim, metric=metric,
-                          encode=encode, rotation=rotation)
-    # encode: per-subspace argmin against the broadcast codebook
+        return (pq_transform(enc_in.select("id", "vec"), cb_df,
+                             method="blas")
+                .join(enc_in.select("id", "list_id"), "id")
+                .select("id", "list_id", "codes"))
+    # per-subspace argmin against the broadcast codebook
     sv = _subvecs(enc_in.select("id", "vec"), pq_dim,
                   id_col="id", vec_col="vec")
     dist = F.expr(distance_sql_spark("sqeuclidean", "subvec", "centroid"))
@@ -165,15 +182,32 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
                     .alias("_s"))
             .groupBy("id", "sub").agg(F.min("_s").alias("_b"))
             .select("id", "sub", F.col("_b.c").alias("code")))
-    codes = (best.groupBy("id")
-             .agg(F.array_sort(F.collect_list(F.struct("sub", "code")))
-                  .alias("_sc"))
-             .select("id", F.expr("transform(_sc, x -> x.code)").alias("codes"))
-             .join(enc_in.select("id", "list_id"), "id")
-             .select("id", "list_id", "codes"))
-    return IVFPQIndex(centroids=centroids, codebook_df=cb_df, codes=codes,
-                      pq_dim=pq_dim, metric=metric, encode=encode,
-                      rotation=rotation)
+    return (best.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("sub", "code")))
+                 .alias("_sc"))
+            .select("id", F.expr("transform(_sc, x -> x.code)").alias("codes"))
+            .join(enc_in.select("id", "list_id"), "id")
+            .select("id", "list_id", "codes"))
+
+
+def ivf_pq_extend(index: IVFPQIndex, new_rows: DataFrame, *,
+                  id_col: str = "id", vec_col: str = "vec",
+                  method: str = "expr") -> IVFPQIndex:
+    """``extend`` parity for IVF-PQ (``ivf_pq.pyx:467`` family shape,
+    like ``ivf_flat.pyx:467``): assign new rows to the EXISTING coarse
+    centers, encode with the EXISTING codebook (centers, codebook,
+    encode mode and rotation are immutable), append to the codes table.
+    An extended index therefore scores identically to one built over
+    the union with the same fixed centers + codebook."""
+    from dataclasses import replace
+    d = new_rows.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(vec_col).alias("vec"))
+    if index.rotation is not None:
+        method = "blas"          # the rotation only has a BLAS form
+    enc_in = _pq_enc_input(d, index.centroids, index.encode,
+                           index.rotation, method)
+    new_codes = _pq_encode(enc_in, index.codebook_df, index.pq_dim, method)
+    return replace(index, codes=index.codes.unionByName(new_codes))
 
 
 def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
@@ -488,6 +522,31 @@ def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
                       .alias("rcodes")))
     return IVFSQIndex(centroids=np.asarray(centroids, float), rcodes=rcodes,
                       lo=lo, hi=hi, metric=metric)
+
+
+def ivf_sq_extend(index: IVFSQIndex, new_rows: DataFrame, *,
+                  id_col: str = "id", vec_col: str = "vec") -> IVFSQIndex:
+    """``extend`` parity for IVF-SQ (``ivf_flat.pyx:467`` shape):
+    assign new rows to the existing centers, int8-encode their
+    residuals with the index's fixed [lo, hi] range, append. Centers
+    and range are immutable, so the extended index scores identically
+    to one built over the union."""
+    from dataclasses import replace
+    spark = new_rows.sparkSession
+    d = new_rows.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(vec_col).alias("vec"))
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(index.centroids)],
+        "list_id int, centroid array<float>")
+    lab = assign(d, index.centroids, metric="sqeuclidean") \
+        .withColumnRenamed("label", "list_id")
+    new_rcodes = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
+                  .select("id", "list_id",
+                          F.expr(_sq_enc("vec", "centroid",
+                                         index.lo, index.hi))
+                          .alias("rcodes")))
+    return replace(index, rcodes=index.rcodes.unionByName(new_rcodes))
 
 
 def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,

@@ -107,3 +107,48 @@ def test_residual_expr_matches_blas_ids(data):
     sb = {(r["qid"], r["nid"]) for r in b.collect()}
     # tied PQ distances may order differently; demand ≥95% agreement
     assert len(sa & sb) / len(sa) >= 0.95
+
+
+def test_residual_rotated_extend_matches_union_build(data):
+    """ivf_pq_extend on the residual+rotated path: building on a subset
+    and extending with the rest must score identically to one build
+    over everything (centers, codebook and rotation are immutable)."""
+    from cuvs_spark.operators.ivf_pq import ivf_pq_extend
+    d, q = data
+    rows = d.filter(F.col("id") < N_LISTS).orderBy("id").collect()
+    cent = np.array([r["vec"] for r in rows], dtype=float)
+    full = ivf_pq_build(d, N_LISTS, pq_dim=8, pq_bits=4, encode="residual",
+                        centroids=cent, seed=3, method="blas",
+                        force_random_rotation=True)
+    part = ivf_pq_build(d.filter(F.col("id") >= 500), N_LISTS, pq_dim=8,
+                        pq_bits=4, encode="residual", centroids=cent,
+                        codebook=full.codebook_df, seed=3, method="blas",
+                        force_random_rotation=True)
+    assert np.array_equal(part.rotation, full.rotation)  # seeded
+    ext = ivf_pq_extend(part, d.filter(F.col("id") < 500))
+    qq = q.limit(10)
+    a = ivf_pq_search(full, qq, K, N_PROBES, qvec_col="qv", method="blas")
+    b = ivf_pq_search(ext, qq, K, N_PROBES, qvec_col="qv", method="blas")
+    sa = sorted((r["qid"], r["nid"], round(r["distance"], 9))
+                for r in a.collect())
+    sb = sorted((r["qid"], r["nid"], round(r["distance"], 9))
+                for r in b.collect())
+    assert sa == sb
+
+
+def test_sq_extend_matches_union_build(data):
+    from cuvs_spark.operators.ivf_pq import (ivf_sq_build, ivf_sq_extend,
+                                             ivf_sq_search)
+    d, q = data
+    rows = d.filter(F.col("id") < 16).orderBy("id").collect()
+    cent = np.array([r["vec"] for r in rows], dtype=float)
+    full = ivf_sq_build(d, 16, centroids=cent, lo=-2.0, hi=2.0)
+    part = ivf_sq_build(d.filter(F.col("id") >= 500), 16, centroids=cent,
+                        lo=-2.0, hi=2.0)
+    ext = ivf_sq_extend(part, d.filter(F.col("id") < 500))
+    qq = q.limit(10)
+    a = ivf_sq_search(full, qq, K, 4, qvec_col="qv")
+    b = ivf_sq_search(ext, qq, K, 4, qvec_col="qv")
+    sa = sorted((r["qid"], r["nid"]) for r in a.collect())
+    sb = sorted((r["qid"], r["nid"]) for r in b.collect())
+    assert sa == sb
