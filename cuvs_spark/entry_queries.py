@@ -863,6 +863,32 @@ register("sparse_knn", _sparse_knn_fixed,
          SP.sparse_knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, _SP_THR))
 
 
+def _sparse_knn_cosine(spark, sf_dir):
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    A = SP.sparsify(d, _SP_THR)
+    Q = SP.sparsify(q.select(F.col("qid").alias("id"),
+                             F.col("qv").alias("vec")), _SP_THR)
+    return SP.sparse_knn(A, Q, 10, metric="cosine")
+
+
+register("sparse_knn_cosine", _sparse_knn_cosine,
+         SP.sparse_knn_cosine_sql(_D_SQL, _Q_SQL.format(nq=20), 10,
+                                  _SP_THR))
+
+
+def _sparse_pairwise_jac(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    X = SP.sparsify(e.filter(F.col("id") < 50), _SP_THR)
+    return SP.sparse_pairwise_distance(X, metric="jaccard")
+
+
+register("sparse_pairwise_jaccard", _sparse_pairwise_jac,
+         SP.sparse_pairwise_jaccard_sql(
+             "SELECT vec_id AS id, embedding AS v FROM embeddings "
+             "WHERE vec_id < 50", _SP_THR))
+
+
 def _sparse_pairwise_ip(spark, sf_dir):
     e = emb_dataset(spark, sf_dir)
     X = SP.sparsify(e.filter(F.col("id") < 50), _SP_THR)

@@ -7,9 +7,11 @@ Spark shape: a sparse vector is ``(id, indices array<int>,
 values array<float>)`` (MLlib ``SparseVector``-compatible). The dot
 product is an *inverted-index join*: explode to (id, dim, val), join on
 dim, aggregate products per pair — only pairs sharing a nonzero
-dimension ever materialize (the CSR win). sqeuclidean closes over
-precomputed norms: ``d = ‖a‖² + ‖b‖² − 2·dot`` with dot defaulting to
-0 for non-colliding pairs.
+dimension ever materialize (the CSR win). The metric dispatch covers
+inner_product / sqeuclidean / euclidean / cosine (norm identity:
+``d = ‖a‖² + ‖b‖² − 2·dot`` with dot defaulting to 0 for non-colliding
+pairs) plus the set family jaccard / hamming (collision counts against
+per-row nnz).
 
 Float determinism: the per-pair product sum is rounded to 9 dp on both
 engines (group-sum order is engine-dependent), making kNN ranks
@@ -58,44 +60,157 @@ def _norms(sp: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
         .alias(norm_alias))
 
 
+def _nnz(sp: DataFrame, id_alias: str, alias: str) -> DataFrame:
+    return sp.select(F.col("id").alias(id_alias),
+                     F.size("values").cast("double").alias(alias))
+
+
+SPARSE_METRICS = ("inner_product", "dot", "sqeuclidean", "euclidean",
+                  "cosine", "jaccard", "hamming")
+
+
 def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
                              metric: str = "sqeuclidean",
-                             ndigits: int = 9) -> DataFrame:
-    """CSR × CSR distance matrix ``(i, j, distance)``.
+                             ndigits: int = 9,
+                             n_cols: int | None = None) -> DataFrame:
+    """CSR × CSR distance matrix ``(i, j, distance)`` — the
+    ``sparse_distance.cu:36`` metric dispatch over the inverted-index
+    join.
 
     ``inner_product``: only colliding pairs are emitted (others are 0).
-    ``sqeuclidean``: all pairs via the norm identity, dot joined with
-    default 0 — the full m×n never shuffles, only the collision pairs
-    plus two tiny norm tables."""
+    ``sqeuclidean``/``euclidean``/``cosine``: all pairs via the norm
+    identity, dot joined with default 0 — the full m×n never shuffles,
+    only the collision pairs plus two tiny norm tables.
+    ``jaccard``: 1 − |nonzero∩| / |nonzero∪| (set semantics on the
+    sparsity patterns, like the dense binary family).
+    ``hamming``: #(dims whose values differ) / ``n_cols`` — requires
+    the densified column count since zero-zero dims agree implicitly."""
     Bs = A if B is None else B
-    ea = _entries(A, "i")
-    eb = _entries(Bs, "j")
-    dots = (ea.join(eb, "dim")
-            .groupBy("i", "j")
-            .agg(F.round(F.sum(ea["val"] * eb["val"]), ndigits).alias("dot")))
-    if metric in ("inner_product", "dot"):
-        return dots.select("i", "j", F.col("dot").alias("distance"))
-    if metric != "sqeuclidean":
+    ea = _entries(A, "i").withColumnRenamed("val", "va")
+    eb = _entries(Bs, "j").withColumnRenamed("val", "vb")
+    coll = ea.join(eb, "dim")
+    if metric in ("inner_product", "dot", "sqeuclidean", "euclidean",
+                  "cosine"):
+        dots = (coll.groupBy("i", "j")
+                .agg(F.round(F.sum(F.col("va") * F.col("vb")), ndigits)
+                     .alias("dot")))
+        if metric in ("inner_product", "dot"):
+            return dots.select("i", "j", F.col("dot").alias("distance"))
+        na = _norms(A, "i", "na")
+        nb = _norms(Bs, "j", "nb")
+        allp = na.join(nb).join(dots, ["i", "j"], "left") \
+            .withColumn("dot", F.coalesce("dot", F.lit(0.0)))
+        if metric == "cosine":
+            # zero-norm rows (everything pruned by the sparsify
+            # threshold) get the max distance 1.0 — deterministic on
+            # both engines instead of a 0/0
+            dist = (F.when((F.col("na") * F.col("nb")) == 0.0, F.lit(1.0))
+                    .otherwise(1.0 - F.col("dot")
+                               / (F.sqrt("na") * F.sqrt("nb"))))
+            return allp.select("i", "j", dist.alias("distance"))
+        sq = F.col("na") + F.col("nb") - 2.0 * F.col("dot")
+        dist = F.sqrt(F.greatest(sq, F.lit(0.0))) \
+            if metric == "euclidean" else sq
+        return allp.select("i", "j", dist.alias("distance"))
+    if metric not in ("jaccard", "hamming"):
         raise ValueError(f"sparse metric {metric!r} not supported")
-    na = _norms(A, "i", "na")
-    nb = _norms(Bs, "j", "nb")
-    allp = na.join(nb)
-    return (allp.join(dots, ["i", "j"], "left")
-            .select("i", "j",
-                    (F.col("na") + F.col("nb")
-                     - 2.0 * F.coalesce("dot", F.lit(0.0))).alias("distance")))
+    counts = (coll.groupBy("i", "j")
+              .agg(F.count("*").cast("double").alias("ncoll"),
+                   F.sum(F.when(F.col("va") == F.col("vb"), 1.0)
+                         .otherwise(0.0)).alias("neq")))
+    za = _nnz(A, "i", "za")
+    zb = _nnz(Bs, "j", "zb")
+    allp = (za.join(zb).join(counts, ["i", "j"], "left")
+            .withColumn("ncoll", F.coalesce("ncoll", F.lit(0.0)))
+            .withColumn("neq", F.coalesce("neq", F.lit(0.0))))
+    if metric == "jaccard":
+        uni = F.col("za") + F.col("zb") - F.col("ncoll")
+        dist = F.when(uni == 0.0, F.lit(0.0)) \
+            .otherwise(1.0 - F.col("ncoll") / uni)
+        return allp.select("i", "j", dist.alias("distance"))
+    if n_cols is None:
+        raise ValueError("sparse hamming needs n_cols (zero-zero dims "
+                         "agree implicitly)")
+    diff = (F.col("za") + F.col("zb") - F.col("ncoll") - F.col("neq"))
+    return allp.select(
+        "i", "j", (diff / F.lit(float(n_cols))).alias("distance"))
 
 
 def sparse_knn(A: DataFrame, queries: DataFrame, k: int = 10, *,
-               metric: str = "sqeuclidean") -> DataFrame:
+               metric: str = "sqeuclidean",
+               n_cols: int | None = None) -> DataFrame:
     """Sparse brute-force kNN (sparse_brute_force.cu:20) →
     ``(qid, nid, distance, rank)``."""
-    pd_ = sparse_pairwise_distance(queries, A, metric=metric)
+    pd_ = sparse_pairwise_distance(queries, A, metric=metric, n_cols=n_cols)
     pairs = pd_.select(F.col("i").alias("qid"), F.col("j").alias("nid"),
                        "distance")
     select_min = metric not in ("inner_product", "dot")
     return select_k(pairs, "qid", "distance", k, select_min=select_min,
                     tie_cols=["nid"])
+
+
+def sparse_knn_cosine_sql(dense_dataset_sql: str, dense_queries_sql: str,
+                          k: int, threshold: float = 0.2,
+                          ndigits: int = 9) -> str:
+    """DuckDB oracle for cosine sparse kNN: sparsify → collision dot
+    (rounded) → norm folds → guarded 1 − dot/(‖a‖‖b‖) → top-k."""
+    sp_i = SPARSIFY_IDX_DUCK.format(v="dv", thr=repr(threshold))
+    sp_v = SPARSIFY_VAL_DUCK.format(v="dv", thr=repr(threshold))
+    sq_i = SPARSIFY_IDX_DUCK.format(v="qv", thr=repr(threshold))
+    sq_v = SPARSIFY_VAL_DUCK.format(v="qv", thr=repr(threshold))
+    nrm = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+           "{vals}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+           "(acc, v) -> acc + v)")
+    return f"""
+WITH d0 AS ({dense_dataset_sql}), q0 AS ({dense_queries_sql}),
+ds AS (SELECT nid, {sp_i} AS indices, {sp_v} AS vals FROM d0),
+qs AS (SELECT qid, {sq_i} AS indices, {sq_v} AS vals FROM q0),
+de AS (SELECT nid, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM ds),
+qe AS (SELECT qid, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM qs),
+dots AS (
+  SELECT qe.qid, de.nid, ROUND(sum(qe.val * de.val), {ndigits}) AS dot
+  FROM qe JOIN de ON qe.dim = de.dim GROUP BY qe.qid, de.nid),
+na AS (SELECT qid, {nrm.format(vals='vals')} AS n FROM qs),
+nb AS (SELECT nid, {nrm.format(vals='vals')} AS n FROM ds),
+pairs AS (
+  SELECT na.qid AS qid, nb.nid AS nid,
+         CASE WHEN na.n * nb.n = CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) - COALESCE(dots.dot, CAST(0 AS DOUBLE))
+                   / (sqrt(na.n) * sqrt(nb.n)) END AS distance
+  FROM na CROSS JOIN nb
+  LEFT JOIN dots ON dots.qid = na.qid AND dots.nid = nb.nid),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM pairs)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def sparse_pairwise_jaccard_sql(dense_x_sql: str,
+                                threshold: float = 0.2) -> str:
+    """DuckDB oracle for self jaccard pairwise: collision counts vs
+    per-row nnz — integer arithmetic, engine-exact."""
+    sp_i = SPARSIFY_IDX_DUCK.format(v="v", thr=repr(threshold))
+    sp_v = SPARSIFY_VAL_DUCK.format(v="v", thr=repr(threshold))
+    return f"""
+WITH d0 AS ({dense_x_sql}),
+sp AS (SELECT id, {sp_i} AS indices, {sp_v} AS vals FROM d0),
+e AS (SELECT id, unnest(indices) AS dim FROM sp),
+coll AS (
+  SELECT a.id AS i, b.id AS j, CAST(count(*) AS DOUBLE) AS ncoll
+  FROM e a JOIN e b ON a.dim = b.dim GROUP BY a.id, b.id),
+z AS (SELECT id, CAST(len(vals) AS DOUBLE) AS nz FROM sp),
+pairs AS (
+  SELECT za.id AS i, zb.id AS j,
+         CASE WHEN za.nz + zb.nz - COALESCE(c.ncoll, 0) = 0
+              THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) - COALESCE(c.ncoll, 0)
+                   / (za.nz + zb.nz - COALESCE(c.ncoll, 0)) END AS distance
+  FROM z za CROSS JOIN z zb
+  LEFT JOIN coll c ON c.i = za.id AND c.j = zb.id)
+SELECT i, j, distance FROM pairs
+"""
 
 
 def sparse_knn_sql(dense_dataset_sql: str, dense_queries_sql: str, k: int,
