@@ -53,10 +53,18 @@ SHINGLES_DUCK = (
 
 # MinHash parameters: H hash functions a*h32+b mod P, banded r at a time
 MINHASH_P = 4_294_967_311          # prime > 2^32
-N_HASHES, BAND_R = 16, 4           # 4 bands × 4 rows
-_rng = random.Random(42)
-MINHASH_AB = [(_rng.randrange(1, 1 << 20) * 2 + 1, _rng.randrange(1 << 20))
-              for _ in range(N_HASHES)]
+N_HASHES, BAND_R = 16, 4           # default: 4 bands × 4 rows
+
+
+def _minhash_ab(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients; the first 16 are identical to
+    the historical fixed table, so existing oracles keep matching."""
+    rng = random.Random(42)
+    return [(rng.randrange(1, 1 << 20) * 2 + 1, rng.randrange(1 << 20))
+            for _ in range(n_hashes)]
+
+
+MINHASH_AB = _minhash_ab(N_HASHES)
 
 SIMHASH_BITS = 32
 
@@ -106,34 +114,44 @@ HS_DUCK = ("list_transform(" + SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text")
            + ", s -> " + H32_DUCK.format(s="s") + ")")
 
 
-def _sig_exprs_spark(hs: str = "hs") -> list[str]:
+def _sig_exprs_spark(hs: str = "hs",
+                     n_hashes: int = N_HASHES) -> list[str]:
     return [
         f"array_min(transform({hs}, h -> ({a} * h + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
+        for a, b in _minhash_ab(n_hashes)
     ]
 
 
-def _sig_exprs_duck(hs: str = "hs") -> list[str]:
+def _sig_exprs_duck(hs: str = "hs",
+                    n_hashes: int = N_HASHES) -> list[str]:
     return [
         f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
+        for a, b in _minhash_ab(n_hashes)
     ]
+
+
+def _check_bands(n_hashes: int, band_r: int) -> int:
+    if n_hashes % band_r:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by "
+                         f"band_r={band_r}")
+    return n_hashes // band_r
 
 
 def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature, exploded ``(doc_id, sig_idx, sig)``.
 
     Map-only: shingling, hashing and the min-fold all run as JVM array
     expressions inside one projection — no shuffle, no Python."""
     d = _doc(df, id_col, text_col).withColumn("hs", F.expr(HS_SPARK))
-    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
+    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark(n_hashes=n_hashes)])
     return (d.select("doc_id", F.posexplode(sig).alias("sig_idx", "sig"))
             .select("doc_id", F.col("sig_idx").cast("long"), "sig"))
 
 
-def minhash_signatures_sql(doc_sql: str) -> str:
-    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck())
+def minhash_signatures_sql(doc_sql: str, n_hashes: int = N_HASHES) -> str:
+    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck(n_hashes=n_hashes))
     return f"""
 WITH d0 AS ({doc_sql}),
 d AS (SELECT doc_id, {HS_DUCK} AS hs FROM d0),
@@ -148,7 +166,9 @@ FROM sigs
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text",
                       jaccard_threshold: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      n_hashes: int = N_HASHES,
+                      band_r: int = BAND_R) -> DataFrame:
     """LSH candidate pairs verified by exact shingle Jaccard →
     ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
 
@@ -156,26 +176,31 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     (band, band_key) pair only; the exact-Jaccard verification join
     touches candidates, never the full corpus square.
 
+    ``n_hashes``/``band_r`` set the (bands × rows) recall/cost curve —
+    the S-curve threshold sits near ``(1/b)^(1/r)``, so a 100 TB corpus
+    can trade candidate volume for recall per run (e.g. 32×4 catches
+    lower-similarity pairs than the default 16×4; 16×8 prunes harder).
+
     ``max_bucket_size`` is the skew guard for 100 TB corpora:
     boilerplate (empty pages, license headers) lands millions of docs in
     one band bucket, turning the self-join quadratic on a single hot
     key. Buckets above the cap are dropped — their members are
     near-identical en masse and exact dedup already collapses them."""
+    n_bands = _check_bands(n_hashes, band_r)
     d = _doc(df, id_col, text_col)
     sh = F.expr(SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text")))
-    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark()])
+    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark(n_hashes=n_hashes)])
     docs = (d.select("doc_id", sh.alias("sh"))
             .withColumn("hs", F.expr(
                 "transform(sh, s -> " + H32_SPARK.format(s="s") + ")"))
             .select("doc_id", sig.alias("sig"), "sh")
             .persist())
-    n_bands = N_HASHES // BAND_R
     bands = docs.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.concat_ws("-", *[F.col("sig")[b * BAND_R + r]
-                                        for r in range(BAND_R)]).alias("key"))
+                     F.concat_ws("-", *[F.col("sig")[b * band_r + r]
+                                        for r in range(band_r)]).alias("key"))
             for b in range(n_bands)])).alias("bk"))
     if max_bucket_size is not None:
         hot = (bands.groupBy(F.col("bk.band").alias("_hb"),
@@ -202,15 +227,17 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= jaccard_threshold))
 
 
-def minhash_lsh_pairs_sql(doc_sql: str, jaccard_threshold: float = 0.5) -> str:
-    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck())
+def minhash_lsh_pairs_sql(doc_sql: str, jaccard_threshold: float = 0.5,
+                          n_hashes: int = N_HASHES,
+                          band_r: int = BAND_R) -> str:
+    n_bands = _check_bands(n_hashes, band_r)
+    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck(n_hashes=n_hashes))
     sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
     hs = "list_transform(sh, s -> " + H32_DUCK.format(s="s") + ")"
-    n_bands = N_HASHES // BAND_R
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        + " || '-' || ".join(f"CAST(sig[{b * BAND_R + r + 1}] AS VARCHAR)"
-                             for r in range(BAND_R))
+        + " || '-' || ".join(f"CAST(sig[{b * band_r + r + 1}] AS VARCHAR)"
+                             for r in range(band_r))
         + " AS key FROM sigs"
         for b in range(n_bands))
     return f"""

@@ -62,6 +62,29 @@ def test_minhash_lsh_finds_exact_and_near(docs_dup):
             assert p["jaccard"] == 1.0
 
 
+@pytest.mark.parametrize("n_hashes,band_r", [(32, 4), (16, 8), (24, 6)])
+def test_minhash_lsh_parametrized_recall(docs_dup, n_hashes, band_r):
+    """The banding knobs are per-corpus tunables: more bands (32×4)
+    must keep full recall on exact dups; fewer, longer bands (16×8)
+    prune candidates but exact dups (jaccard 1.0) still collide on
+    every band. Default coefficients stay prefix-stable."""
+    pairs = minhash_lsh_pairs(docs_dup, jaccard_threshold=0.5,
+                              n_hashes=n_hashes, band_r=band_r).collect()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    exact_expected = {(i, i + 1000) for i in range(20)}
+    assert exact_expected <= found
+    # the 4-band default catches most near dups; a deeper table (more
+    # bands) must not do worse than 8 of 20, the pruning one may drop more
+    near_found = len({(i, i + 2000) for i in range(20, 40)} & found)
+    if n_hashes // band_r >= 4:
+        assert near_found >= 16, near_found
+
+
+def test_minhash_bad_banding_raises(docs_dup):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs_dup, n_hashes=16, band_r=5)
+
+
 def test_simhash_near_dup_finds_exact(docs_dup):
     pairs = simhash_near_dup(docs_dup, max_hamming=0).collect()
     found = {(p["doc_a"], p["doc_b"]) for p in pairs}
