@@ -1712,59 +1712,66 @@ _register_hnsw_view()
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # canaries (driver-green in r2; simhash_near_dup re-gates the new
-    # banded plan, kmeans_fit_centroids re-gates the canonicalizer fix)
+    # canaries: two long-green rows, plus the two round-3 non-green rows
+    # re-gated with their round-4 fixes (gram_polynomial: product-fold
+    # power; kmeans_fit_centroids: new chained-Lloyd oracle)
     "knn_bf_sqeuclidean",
     "ivf_flat_search",
-    "dedup_simhash_near_dup",
+    "gram_polynomial",
     "kmeans_fit_centroids",
-    # never-driver-verified, oracle-bearing (r2 slots 50-102)
-    "preprocess_scalar_roundtrip",
-    "preprocess_binary_quantize",
-    "preprocess_pq_transform",
-    "preprocess_pq_roundtrip",
-    "stats_silhouette_samples",
-    "stats_silhouette_score",
-    "stats_trustworthiness",
-    "stats_recall_ivf_vs_exact",
+    # never-driver-verified: the round-3 additions the judge called out…
+    "mg_sharded_search",
+    "mg_replicated_search",
+    "knn_precomputed_metric",
+    "ball_cover_knn",
+    "hnsw_from_cagra_view",
+    "ivf_pq_search_residual",
+    "ivf_pq_save_load_search",
+    "ivf_sq_save_load_search",
+    "cagra_vpq_decode",
+    "dedup_ngram_jaccard_lsh",
+    # …the new round-4 oracle-backed gates…
+    "ivf_pq_extend_search",
+    "ivf_sq_extend_search",
+    "sparse_knn_cosine",
+    "sparse_pairwise_jaccard",
+    # …and the rows-only iteratives (weaker rows-only record, but a
+    # record — every operator gets at least one CORRECTNESS entry)
+    "preprocess_pca_transform",
+    "nn_descent_graph",
+    "cagra_search",
+    "agglomerative_single_linkage",
+    "spectral_fit_predict",
+    "ivf_flat_search_trained",
+    "cagra_extend_graph",
+    "cagra_ace_graph",
+    # rows whose implementation changed this round (re-gate)
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "sparse_knn",
+    "sparse_pairwise_inner_product",
+    "kmeans_predict",
+    "kmeans_cluster_cost",
+    "kmeans_lloyd_step",
     "ivf_pq_search",
     "ivf_sq_search",
     "ivf_pq_search_refined",
-    "ivf_bq_search",
-    "ivf_rabitq_search",
-    "all_neighbors_graph",
-    "cagra_optimize",
-    "cagra_merge",
-    "vamana_build",
-    "sparse_knn",
-    "sparse_pairwise_inner_product",
-    "tiered_search",
-    "events_windowed_counts",
-    "events_sessionize",
-    "knn_custom_udf_metric",
-    "knn_bitwise_hamming",
-    "knn_minkowski_p3",
-    "pairwise_haversine",
-    "gram_linear",
-    "gram_rbf",
-    "gram_polynomial",
-    "gram_tanh",
-    "dedup_connected_components",
-    "knn_bf_jensenshannon",
-    "knn_bf_kl_divergence",
+    "ivf_flat_extend_search",
     "pipeline_curate_corpus",
-    "pipeline_curate_stats",
-    "scann_soar_labels",
-    "scann_search_reorder",
-    "scann_search_pq",
-    "kde_gaussian",
-    "kde_exponential",
-    "kde_tophat",
-    "kde_linear",
-    "kde_cosine_kernel",
-    "ivf_flat_search_blas",
-    "scann_search_reorder_blas",
-    "ivf_rabitq_search_blas",
+    # longest-untouched r2 rows, rotated back in
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "eps_neighborhood",
+    "eps_neighborhood_degrees",
+    "refine_sqeuclidean",
+    "knn_merge_parts",
+    "kde_epanechnikov",
+    "preprocess_scalar_quantize",
+    "text_language_id",
+    "text_token_counts",
+    "knn_bf_cosine",
 ]
 
 
