@@ -51,7 +51,10 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     else:
         flags = q.select("doc_id",
                          F.when(bad_quality, "quality").alias("stage"))
-    bad_ql = flags.filter(F.col("stage").isNotNull()).localCheckpoint()
+    # cache, not localCheckpoint: the marking pass is a row-wise
+    # projection over the already-checkpointed d, so a lazy cache lets
+    # the first consumer materialize it without the extra eager job
+    bad_ql = flags.filter(F.col("stage").isNotNull()).cache()
     survivors = d.join(bad_ql.select("doc_id"), "doc_id", "left_anti") \
         .localCheckpoint()
     marks = [bad_ql]
