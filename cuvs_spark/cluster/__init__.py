@@ -5,3 +5,8 @@ from cuvs_spark.cluster.kmeans import (  # noqa: F401
     kmeans_predict,
     lloyd_step,
 )
+from cuvs_spark.cluster.spectral import (  # noqa: F401
+    spectral_embedding,
+    spectral_embedding_from_edges,
+    spectral_fit_predict,
+)

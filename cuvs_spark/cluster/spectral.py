@@ -134,6 +134,139 @@ def _subspace_iteration(mv, n: int, nev: int, *, extra: int = 4,
     return w[::-1][:nev], V[:, ::-1][:, :nev]
 
 
+def _distributed_block_operator(edges: DataFrame, n: int, eps: float,
+                                Dm12: np.ndarray):
+    """Block matvec ``Y -> (2I − L) @ Y`` where the adjacency lives in a
+    Spark edge table — the >10⁸-row path the driver-side ``bincount``
+    cannot hold.  One Spark job per call: the n×b Krylov block is
+    broadcast (b·n doubles — the ONLY driver-held state), each edge
+    partition computes pandas groupby partial row-sums (map-side
+    combine; edges are hash-partitioned by row index once and cached,
+    so partials are already per-row disjoint across partitions), and
+    the driver scatter-adds the ≈n partial rows.  The epsilon all-pairs
+    coupling stays the implicit rank-one term — O(n), never an n² join.
+
+    Reference parity: ``spectral_embedding.hpp:118`` assembles the same
+    normalized-Laplacian operator for a single-GPU LOBPCG; here the
+    operator application itself is distributed.
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    part = (edges.repartition(sc.defaultParallelism, "i")
+            .persist())
+    part.count()                        # materialize the cached layout once
+
+    def mvb(Y: np.ndarray) -> np.ndarray:
+        b = Y.shape[1]
+        W = Dm12[:, None] * Y
+        bW = sc.broadcast(W)
+        cols = [f"c{t}" for t in range(b)]
+        schema = "i long, " + ", ".join(f"{c} double" for c in cols)
+
+        def part_sum(batches):
+            # aggregate across ALL Arrow batches of the partition before
+            # emitting: rows shipped to the driver are the partition's
+            # unique row indices (disjoint across partitions thanks to
+            # the hash layout) — Σ ≈ n per iteration, never Σ ≈ edges
+            import pandas as pd
+            parts = []
+            for pdf in batches:
+                vals = bW.value[pdf["j"].to_numpy()]
+                out = pd.DataFrame(vals, columns=cols)
+                out["i"] = pdf["i"].to_numpy()
+                parts.append(out.groupby("i", sort=False,
+                                         as_index=False).sum())
+            if parts:
+                allp = pd.concat(parts, ignore_index=True)
+                g = allp.groupby("i", sort=False, as_index=False).sum()
+                yield g[["i"] + cols]
+
+        got = part.mapInPandas(part_sum, schema).toPandas()
+        SW = np.zeros((n, b))
+        np.add.at(SW, got["i"].to_numpy(),
+                  got[cols].to_numpy(dtype=np.float64))
+        bW.destroy()
+        AW = (1.0 - eps) * SW + eps * (W.sum(axis=0)[None, :] - W)
+        return Y + Dm12[:, None] * AW
+
+    return mvb, part
+
+
+def _subspace_iteration_block(mvb, n: int, nev: int, *, extra: int = 4,
+                              max_iter: int = 60, tol: float = 1e-7):
+    """Orthogonal iteration with a BLOCK operator: one operator
+    application (= one Spark job on the distributed path) per
+    iteration, Rayleigh–Ritz for free from ``H = Vᵀ(AV)`` — no second
+    matvec per convergence check."""
+    b = min(n, nev + extra)
+    rng = np.random.default_rng(0)
+    V = np.linalg.qr(rng.standard_normal((n, b)))[0]
+    prev = None
+    for _ in range(max_iter):
+        W = mvb(V)
+        H = V.T @ W
+        w, U = np.linalg.eigh((H + H.T) / 2.0)
+        if prev is not None and np.max(np.abs(w - prev)) < tol:
+            R = V @ U
+            return w[::-1][:nev], R[:, ::-1][:, :nev]
+        prev = w
+        V, _ = np.linalg.qr(W)
+    R = V @ U
+    return w[::-1][:nev], R[:, ::-1][:, :nev]
+
+
+def spectral_embedding_from_edges(edges: DataFrame, n_components: int = 2, *,
+                                  n: int | None = None,
+                                  src_col: str = "src", dst_col: str = "dst",
+                                  max_iter: int = 60,
+                                  tol: float = 1e-7) -> DataFrame:
+    """Laplacian eigenmaps over a PREBUILT similarity edge table with a
+    fully distributed operator — the ≥10⁶-row scale path
+    (``spectral_embedding.hpp:203`` takes the same precomputed
+    connectivity).  Vertex ids must be ``0..n-1`` (the natural output
+    of the kNN-graph builders after ``row_number`` densification);
+    symmetrization, dedup and degrees all run as Spark jobs, the driver
+    holds only O(n·b): the Krylov block, degrees and the result.
+
+    Returns ``(id, embedding array<float>)`` rows scaled D^{-1/2},
+    trivial eigenvector dropped — same contract as
+    :func:`spectral_embedding`.
+    """
+    e = (edges.select(F.col(src_col).cast("long").alias("i"),
+                      F.col(dst_col).cast("long").alias("j"))
+         .filter(F.col("i") != F.col("j")))
+    sym = (e.unionByName(e.select(F.col("j").alias("i"),
+                                  F.col("i").alias("j")))
+           .distinct())
+    if n is None:
+        n = int(sym.agg(F.max(F.greatest("i", "j"))).head()[0]) + 1
+    eps = 1e-6
+    degrees = sym.groupBy("i").count().toPandas()
+    cnt = np.zeros(n)
+    cnt[degrees["i"].to_numpy()] = degrees["count"].to_numpy()
+    deg = (1.0 - eps) * cnt + eps * (n - 1)
+    deg[deg == 0] = 1.0
+    Dm12 = 1.0 / np.sqrt(deg)
+    nev = max(1, min(n_components + 1, n - 1))
+    mvb, cached = _distributed_block_operator(sym, n, eps, Dm12)
+    try:
+        w, V = _subspace_iteration_block(mvb, n, nev, max_iter=max_iter,
+                                         tol=tol)
+    finally:
+        cached.unpersist()
+    take = V[:, 1:nev] * Dm12[:, None]
+    for c in range(take.shape[1]):
+        jmx = int(np.argmax(np.abs(take[:, c])))
+        if take[jmx, c] < 0:
+            take[:, c] = -take[:, c]
+    import pandas as pd
+    spark = edges.sparkSession
+    pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                        "embedding": [row.astype(np.float32)
+                                      for row in take]})
+    return spark.createDataFrame(pdf, "id long, embedding array<float>")
+
+
 def spectral_embedding(dataset: DataFrame, n_components: int = 2, *,
                        k: int = 10, metric: str = "sqeuclidean",
                        id_col: str = "id", vec_col: str = "vec",

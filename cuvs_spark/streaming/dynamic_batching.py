@@ -14,13 +14,19 @@ dispatched search against the wrapped index — any index type, via the
 same pluggable ``search_fn`` the tiered index uses. Per-dispatch batch
 formation (size, latency) is measured and recorded, which is the
 observable the reference's batcher exposes through its benchmark hooks.
+
+With ``sink_dir`` set, results flow executor-side straight to the sink
+— no query row or result row ever passes through the driver; the
+driver only keeps the O(#dispatches) formation measurements. Without a
+sink the operator runs as an inspection harness and collects results
+into ``state`` (small-queue debugging only).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -29,7 +35,7 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
                            k: int = 10, n_probes: int = 8,
                            max_batch_size: int = 100,
                            dispatch_timeout_s: float = 0.5,
-                           search_fn=None,
+                           search_fn=None, sink_dir: str | None = None,
                            qid_col: str = "qid", qvec_col: str = "vec"):
     """Stream single-query rows from ``source_dir``; every trigger
     dispatches the queued queries as ONE batched search against
@@ -37,13 +43,14 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
 
     ``dispatch_timeout_s`` ≈ ``dispatch_timeout_ms`` (the trigger
     interval: how long single queries wait to co-dispatch);
-    ``max_batch_size`` caps rows per dispatch via the file source's
-    ``maxFilesPerTrigger``-style admission (oversize micro-batches are
-    split into consecutive searches so no dispatch exceeds the cap,
-    matching the reference's queue semantics).
+    ``max_batch_size`` caps rows per dispatch — an oversize queue is
+    split into consecutive dispatches by a rank over the queue, so no
+    dispatch exceeds the cap (the reference's queue semantics).
 
-    Results append to ``state["results"]`` (list of collected row
-    lists) and batch-formation measurements to ``state["batches"]``:
+    Results append to ``sink_dir`` as parquet (distributed write, one
+    ``epoch``/``dispatch`` column pair per batch) when given, else to
+    ``state["results"]`` (driver-collected inspection mode).  Batch
+    formation measurements go to ``state["batches"]``:
     ``{"epoch", "n_queries", "n_dispatches", "dispatch_sec"}``.
     """
     from cuvs_spark.operators.ivf_flat import ivf_flat_search
@@ -58,18 +65,25 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
         n = q.count()
         if n == 0:
             return
-        dispatches = 0
-        rows = []
-        # split an oversize queue into ≤ max_batch_size dispatches
-        qids = sorted(r["qid"] for r in q.select("qid").collect())
-        for s in range(0, n, max_batch_size):
-            chunk_ids = set(qids[s:s + max_batch_size])
-            chunk = q.filter(F.col("qid").isin(chunk_ids))
-            out = fn(index, chunk, k, n_probes, qid_col="qid",
-                     qvec_col="qv")
-            rows.extend(out.collect())
-            dispatches += 1
-        state.setdefault("results", []).append(rows)
+        # split an oversize queue into ≤ max_batch_size dispatches:
+        # rank over the queued qids (queue-sized, executor-side) — the
+        # driver never sees a query row
+        w = Window.orderBy("qid")
+        q = q.withColumn(
+            "_dispatch",
+            ((F.row_number().over(w) - 1) / max_batch_size).cast("long")
+        ).localCheckpoint()
+        dispatches = int(q.agg(F.max("_dispatch")).head()[0]) + 1
+        for c in range(dispatches):
+            out = fn(index, q.filter(F.col("_dispatch") == c)
+                     .drop("_dispatch"), k, n_probes,
+                     qid_col="qid", qvec_col="qv")
+            if sink_dir is not None:
+                (out.withColumn("epoch", F.lit(int(epoch_id)))
+                    .withColumn("dispatch", F.lit(c))
+                    .write.mode("append").parquet(sink_dir))
+            else:
+                state.setdefault("results", []).append(out.collect())
         state.setdefault("batches", []).append(
             {"epoch": int(epoch_id), "n_queries": int(n),
              "n_dispatches": dispatches,

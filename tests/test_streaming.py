@@ -187,9 +187,11 @@ def test_dynamic_batching_dispatch(spark, emb, tmp_path):
                .select(F.col("id").alias("qid"), F.col("vec")))
     queries.write.mode("overwrite").parquet(src)
     state: dict = {}
+    sink = str(tmp_path / "result_sink")
     q = start_dynamic_batching(
         spark, src, "qid long, vec array<float>", idx, state,
-        k=5, n_probes=8, max_batch_size=8, dispatch_timeout_s=0.25)
+        k=5, n_probes=8, max_batch_size=8, dispatch_timeout_s=0.25,
+        sink_dir=sink)
     q.processAllAvailable()
     q.stop()
     assert state["batches"], "no dispatch recorded"
@@ -198,7 +200,12 @@ def test_dynamic_batching_dispatch(spark, emb, tmp_path):
     # queue cap respected: every dispatch ≤ max_batch_size
     for b in state["batches"]:
         assert b["n_dispatches"] >= (b["n_queries"] + 7) // 8
-    got = {(r["qid"], r["nid"]) for rows in state["results"] for r in rows}
+    # results reached the executor-side sink, never the driver
+    sunk = spark.read.parquet(sink)
+    per_dispatch = sunk.select("epoch", "dispatch", "qid").distinct() \
+        .groupBy("epoch", "dispatch").count().collect()
+    assert all(r["count"] <= 8 for r in per_dispatch)
+    got = {(r["qid"], r["nid"]) for r in sunk.collect()}
     from cuvs_spark.operators.ivf_flat import ivf_flat_search
     want = {(r["qid"], r["nid"])
             for r in ivf_flat_search(idx, queries.withColumnRenamed(
