@@ -626,6 +626,91 @@ def _pca_transform_rows(spark, sf_dir):
 register("preprocess_pca_transform", _pca_transform_rows)  # rows-only
 
 
+# --- VQ+PQ composite quantizer (pq.pyx use_vq/vq_n_centers) ----------------
+_VQ_K = 8
+_VQ_SQL = (f"SELECT CAST(vec_id AS INT) AS vlabel, embedding AS vcent "
+           f"FROM embeddings WHERE vec_id < {_VQ_K}")
+_VPQ_DONOR_SQL = (f"SELECT vec_id AS id, embedding AS dv FROM embeddings "
+                  f"WHERE vec_id >= 100 AND vec_id < {100 + _PQ_CODES}")
+# fixed residual codebook: subvectors of the donors' residuals — both
+# engines derive it from the same double-exact residual relation, so
+# the centroids are bit-identical
+_VPQ_CB_SQL = f"""
+SELECT s.sub AS sub, CAST(r.id - 100 AS INT) AS code,
+       r.dv[(s.sub * (len(r.dv) // {_PQ_DIM}) + 1):
+            ((s.sub + 1) * (len(r.dv) // {_PQ_DIM}))] AS centroid
+FROM ({{res}}) r, (SELECT unnest(range({_PQ_DIM})) AS sub) s
+"""
+
+
+def _vq_fixed_df(spark, sf_dir):
+    return (T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _VQ_K)
+            .select(F.col("vec_id").cast("int").alias("vlabel"),
+                    F.col("embedding").alias("vcent")))
+
+
+def _vpq_fixed_codebook(spark, sf_dir):
+    from cuvs_spark.preprocessing.pq import _subvecs, vpq_residuals
+    donors = (emb_dataset(spark, sf_dir)
+              .filter((F.col("id") >= 100) & (F.col("id") < 100 + _PQ_CODES)))
+    r = vpq_residuals(donors.select("id", "vec"),
+                      _vq_fixed_df(spark, sf_dir))
+    return (_subvecs(r, _PQ_DIM, id_col="id", vec_col="rvec")
+            .select("sub", (F.col("id") - 100).cast("int").alias("code"),
+                    F.col("subvec").alias("centroid")))
+
+
+def _vpq_cb_sql():
+    return _VPQ_CB_SQL.format(res=PQ.vpq_res_sql(_VPQ_DONOR_SQL, _VQ_SQL))
+
+
+def _vpq_transform(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    out = PQ.vpq_transform(e.select("id", "vec"), None,
+                           vq=_vq_fixed_df(spark, sf_dir),
+                           codebook=_vpq_fixed_codebook(spark, sf_dir))
+    return (out.select("id", F.col("vq_label").cast("long").alias("vq_label"),
+                       F.posexplode("codes").alias("sub", "code"))
+            .select("id", "vq_label", F.col("sub").cast("long"),
+                    F.col("code").cast("long")))
+
+
+def _vpq_roundtrip(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    vq = _vq_fixed_df(spark, sf_dir)
+    cb = _vpq_fixed_codebook(spark, sf_dir)
+    codes = PQ.vpq_transform(e.select("id", "vec"), None, vq=vq,
+                             codebook=cb)
+    dec = PQ.vpq_inverse_transform(codes, None, vq=vq, codebook=cb)
+    return (dec.select("id", F.posexplode("vec").alias("dim", "val"))
+            .select("id", F.col("dim").cast("long"), "val"))
+
+
+def _register_vpq():
+    register(
+        "preprocess_vpq_transform", _vpq_transform,
+        f"""
+WITH t AS ({PQ.vpq_transform_sql(_DA_SQL, _VQ_SQL, _vpq_cb_sql(), _PQ_DIM)})
+SELECT id, CAST(vq_label AS BIGINT) AS vq_label,
+       CAST(generate_subscripts(codes, 1) AS BIGINT) - 1 AS sub,
+       CAST(unnest(codes) AS BIGINT) AS code
+FROM t
+""")
+    register(
+        "preprocess_vpq_roundtrip", _vpq_roundtrip,
+        f"""
+WITH codes AS ({PQ.vpq_transform_sql(_DA_SQL, _VQ_SQL, _vpq_cb_sql(), _PQ_DIM)}),
+dec AS ({PQ.vpq_inverse_sql("SELECT id, vq_label, codes FROM codes",
+                            _VQ_SQL, _vpq_cb_sql())})
+SELECT id, CAST(generate_subscripts(vec, 1) AS BIGINT) - 1 AS dim,
+       unnest(vec) AS val
+FROM dec
+""")
+
+
+_register_vpq()
+
+
 # --- stats: silhouette, trustworthiness, recall (SURVEY §2.6) --------------
 from cuvs_spark.stats import metrics as ST
 
@@ -1760,6 +1845,8 @@ _WINDOW_PRIORITY = [
     "ivf_sq_extend_search",
     "sparse_knn_cosine",
     "sparse_pairwise_jaccard",
+    "preprocess_vpq_transform",
+    "preprocess_vpq_roundtrip",
     # …and the rows-only iteratives (weaker rows-only record, but a
     # record — every operator gets at least one CORRECTNESS entry)
     "preprocess_pca_transform",

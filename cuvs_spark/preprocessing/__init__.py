@@ -8,5 +8,9 @@ from cuvs_spark.preprocessing.pq import (  # noqa: F401
     pq_build,
     pq_inverse_transform,
     pq_transform,
+    vpq_build,
+    vpq_inverse_transform,
+    vpq_residuals,
+    vpq_transform,
 )
 from cuvs_spark.preprocessing.pca import pca_fit, pca_transform  # noqa: F401

@@ -46,6 +46,34 @@ class PQCodebook:
                                      "sub int, code int, centroid array<float>")
 
 
+@dataclass
+class VPQQuantizer:
+    """VQ+PQ composite quantizer (``pq.pyx:69-79`` ``use_vq`` /
+    ``vq_n_centers``; ``:247`` transform returns ``(codes, vq_labels)``;
+    ``:314`` inverse adds the VQ center back): one coarse vector-
+    quantization center per vector, product quantization on the
+    residual."""
+    vq_centroids: np.ndarray        # (vq_n_centers, dim) float64
+    pq: PQCodebook
+
+    @property
+    def vq_n_centers(self) -> int:
+        return self.vq_centroids.shape[0]
+
+    def vq_df(self, spark) -> DataFrame:
+        rows = [(i, [float(x) for x in c])
+                for i, c in enumerate(self.vq_centroids)]
+        return spark.createDataFrame(rows, "vlabel int, vcent array<double>")
+
+
+# residual of a vector vs its VQ center — double-exact elementwise
+# subtraction, the same fold both engines use (see
+# operators/ivf_pq._res_expr and its DuckDB twin)
+def _vq_res_expr(v: str, cent: str) -> str:
+    return (f"zip_with({v}, {cent}, (x, c) -> "
+            f"CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
+
+
 def _subvecs(df: DataFrame, pq_dim: int, *, id_col: str,
              vec_col: str) -> DataFrame:
     """(id, sub, subvec) — one row per subspace slice."""
@@ -82,23 +110,61 @@ def pq_build(df: DataFrame, pq_dim: int = 8, pq_bits: int = 4, *,
     if not sample:
         raise ValueError("cannot train PQ codebook on empty input")
     X = np.array([r["vec"] for r in sample], dtype=np.float64)
+    return PQCodebook(codebook=_train_books(X, pq_dim, n_codes,
+                                            np.random.default_rng(seed),
+                                            kmeans_n_iters))
+
+
+def _lloyd(S: np.ndarray, k: int, rng, iters: int) -> np.ndarray:
+    """Seeded NumPy Lloyd over a driver-held sample."""
+    C = S[rng.choice(len(S), min(k, len(S)), replace=False)]
+    if len(C) < k:              # degenerate tiny input: pad with repeats
+        C = np.vstack([C, C[rng.integers(0, len(C), k - len(C))]])
+    for _ in range(iters):
+        D = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        lab = D.argmin(1)
+        for j in range(k):
+            if (lab == j).any():
+                C[j] = S[lab == j].mean(0)
+    return C
+
+
+def _train_books(X: np.ndarray, pq_dim: int, n_codes: int, rng,
+                 iters: int) -> np.ndarray:
     w = X.shape[1] // pq_dim
+    return np.stack([_lloyd(X[:, s * w:(s + 1) * w].copy(), n_codes, rng,
+                            iters)
+                     for s in range(pq_dim)])
+
+
+def vpq_build(df: DataFrame, pq_dim: int = 8, pq_bits: int = 4,
+              vq_n_centers: int = 16, *, vq_centroids=None,
+              kmeans_n_iters: int = 10, seed: int = 42,
+              id_col: str = "id", vec_col: str = "vec",
+              max_train_rows: int = 20000) -> VPQQuantizer:
+    """Train the VQ+PQ composite (``pq.pyx:198`` with ``use_vq=True``):
+    a ``vq_n_centers`` coarse codebook over full vectors, then
+    per-subspace PQ codebooks over the RESIDUALS.  Same capped-sample
+    discipline as :func:`pq_build` — one Spark job collects the seeded
+    sample, all Lloyd loops run driver-side, so driver memory is fixed
+    by ``max_train_rows`` at any corpus size."""
+    n_codes = 1 << pq_bits
+    d = df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(vec_col).alias("vec"))
+    sample = (d.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+              .orderBy("_h", "id").limit(max_train_rows)
+              .select("vec").collect())
+    if not sample:
+        raise ValueError("cannot train VPQ quantizer on empty input")
+    X = np.array([r["vec"] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
-    books = []
-    for s in range(pq_dim):
-        S = X[:, s * w:(s + 1) * w]
-        C = S[rng.choice(len(S), min(n_codes, len(S)), replace=False)]
-        if len(C) < n_codes:  # degenerate tiny input: pad with repeats
-            C = np.vstack([C, C[rng.integers(0, len(C),
-                                             n_codes - len(C))]])
-        for _ in range(kmeans_n_iters):
-            D = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            lab = D.argmin(1)
-            for j in range(n_codes):
-                if (lab == j).any():
-                    C[j] = S[lab == j].mean(0)
-        books.append(C.copy())
-    return PQCodebook(codebook=np.stack(books))
+    C = (np.asarray(vq_centroids, dtype=np.float64)
+         if vq_centroids is not None
+         else _lloyd(X.copy(), vq_n_centers, rng, kmeans_n_iters))
+    lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    R = X - C[lab]
+    books = _train_books(R, pq_dim, n_codes, rng, kmeans_n_iters)
+    return VPQQuantizer(vq_centroids=C, pq=PQCodebook(codebook=books))
 
 
 def pq_transform(df: DataFrame, book: PQCodebook | DataFrame, *,
@@ -172,6 +238,92 @@ def pq_inverse_transform(codes_df: DataFrame, book: PQCodebook | DataFrame, *,
                 "flatten(transform(_sc, x -> x.centroid))").alias("vec")))
 
 
+def vpq_transform(df: DataFrame, quant: VPQQuantizer, *,
+                  vq: DataFrame | None = None,
+                  codebook: DataFrame | None = None,
+                  id_col: str = "id", vec_col: str = "vec",
+                  method: str = "expr") -> DataFrame:
+    """VQ+PQ encode → ``(id, vq_label, codes array<int>)``
+    (``pq.pyx:247`` returns ``(codes, vq_labels)`` when ``use_vq``).
+
+    expr path: fused argmin min-struct agg vs the broadcast VQ table
+    (the kmeans.assign shape), double-exact residual, then the standard
+    PQ argmin-join — all JVM expressions.  ``method="blas"`` does
+    assign + residual + encode for each Arrow batch in one NumPy pass
+    (map-only, the bulk path for index builds).  ``vq``/``codebook``
+    override the model's tables (gates pass data-derived fixtures)."""
+    spark = df.sparkSession
+    d = df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(vec_col).alias("vec"))
+    if method == "blas":
+        import pandas as pd
+        C = quant.vq_centroids
+        CB = quant.pq.codebook
+        S, n_codes, w = CB.shape
+
+        def encode(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                lab = ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+                R = (X - C[lab])[:, :S * w].reshape(len(X), S, w)
+                D = ((R[:, :, None, :] - CB[None]) ** 2).sum(-1)
+                yield pd.DataFrame({"id": pdf["id"],
+                                    "vq_label": lab.astype(np.int32),
+                                    "codes": list(D.argmin(-1)
+                                                  .astype(np.int32))})
+
+        return d.mapInPandas(encode,
+                             "id long, vq_label int, codes array<int>")
+    vqt = vq if vq is not None else quant.vq_df(spark)
+    r = vpq_residuals(d, vqt)
+    book = codebook if codebook is not None else quant.pq
+    codes = pq_transform(r, book, vec_col="rvec")
+    return (codes.join(r.select("id", "vq_label"), "id")
+            .select("id", "vq_label", "codes"))
+
+
+def vpq_residuals(df: DataFrame, vq: DataFrame, *, id_col: str = "id",
+                  vec_col: str = "vec") -> DataFrame:
+    """(id, vq_label, rvec): fused argmin assignment vs the broadcast
+    VQ table (min-struct agg — ties to the lowest label, matching the
+    oracle's ``ORDER BY dist, vlabel``) + double-exact residual."""
+    d = df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(vec_col).alias("vec"))
+    dist = F.expr(distance_sql_spark("sqeuclidean", "vec", "vcent"))
+    lab = (d.join(F.broadcast(vq))
+           .groupBy("id")
+           .agg(F.min(F.struct(dist.alias("d"),
+                               F.col("vlabel").alias("l"))).alias("_b"))
+           .select("id", F.col("_b.l").alias("vq_label")))
+    return (d.join(lab, "id")
+            .join(F.broadcast(vq), F.col("vq_label") == F.col("vlabel"))
+            .select("id", "vq_label",
+                    F.expr(_vq_res_expr("vec", "vcent")).alias("rvec")))
+
+
+def vpq_inverse_transform(codes_df: DataFrame, quant: VPQQuantizer, *,
+                          vq: DataFrame | None = None,
+                          codebook: DataFrame | None = None,
+                          id_col: str = "id", codes_col: str = "codes",
+                          label_col: str = "vq_label") -> DataFrame:
+    """Decode → ``(id, vec array<double>)``: PQ residual decode + VQ
+    center add-back (``pq.pyx:314`` requires ``vq_labels``)."""
+    spark = codes_df.sparkSession
+    vqt = vq if vq is not None else quant.vq_df(spark)
+    book = codebook if codebook is not None else quant.pq
+    lab = codes_df.select(F.col(id_col).cast("long").alias("id"),
+                          F.col(label_col).alias("_l"))
+    dec = pq_inverse_transform(codes_df, book, id_col=id_col,
+                               codes_col=codes_col)
+    return (dec.join(lab, "id")
+            .join(F.broadcast(vqt), F.col("_l") == F.col("vlabel"))
+            .select("id", F.expr(
+                "zip_with(vec, vcent, (r, c) -> "
+                "CAST(r AS DOUBLE) + CAST(c AS DOUBLE))").alias("vec")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (fixed codebook passed as a subquery (sub, code,
 # centroid)); same join/argmin/flatten structure.
@@ -196,6 +348,52 @@ best AS (
     FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1
 )
 SELECT id, list(code ORDER BY sub) AS codes FROM best GROUP BY id
+"""
+
+
+def vpq_res_sql(dataset_sql: str, vq_sql: str) -> str:
+    """(id, vq_label, dv=residual) — argmin VQ assignment + double-exact
+    residual; the shared front half of the VPQ transform oracle."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    adist = distance_sql_duckdb("sqeuclidean", "d0.dv", "v.vcent")
+    return f"""
+WITH d0 AS ({dataset_sql}), v AS ({vq_sql}),
+asg AS (
+  SELECT id, vlabel FROM (
+    SELECT d0.id, v.vlabel,
+           row_number() OVER (PARTITION BY d0.id
+                              ORDER BY {adist} ASC, v.vlabel ASC) rn
+    FROM d0 CROSS JOIN v) WHERE rn = 1)
+SELECT d0.id AS id, a.vlabel AS vq_label,
+       list_transform(list_zip(d0.dv, v.vcent),
+                      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS dv
+FROM d0 JOIN asg a ON d0.id = a.id JOIN v ON v.vlabel = a.vlabel
+"""
+
+
+def vpq_transform_sql(dataset_sql: str, vq_sql: str, codebook_sql: str,
+                      pq_dim: int) -> str:
+    """→ (id, vq_label, codes); ``codebook_sql`` must be a codebook over
+    RESIDUAL subvectors (the gate derives it from the same residual
+    relation, so both engines see bit-identical centroids)."""
+    return f"""
+WITH r AS ({vpq_res_sql(dataset_sql, vq_sql)}),
+enc AS ({pq_transform_sql("SELECT id, dv FROM r", codebook_sql, pq_dim)})
+SELECT enc.id AS id, r.vq_label AS vq_label, enc.codes AS codes
+FROM enc JOIN r ON enc.id = r.id
+"""
+
+
+def vpq_inverse_sql(codes_sql: str, vq_sql: str, codebook_sql: str) -> str:
+    """→ (id, vec): PQ residual decode + VQ center add-back;
+    ``codes_sql`` must yield (id, vq_label, codes)."""
+    return f"""
+WITH c0 AS ({codes_sql}), v AS ({vq_sql}),
+dec AS ({pq_inverse_sql("SELECT id, codes FROM c0", codebook_sql)})
+SELECT dec.id AS id,
+       list_transform(list_zip(dec.vec, v.vcent),
+                      p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) AS vec
+FROM dec JOIN c0 ON dec.id = c0.id JOIN v ON v.vlabel = c0.vq_label
 """
 
 

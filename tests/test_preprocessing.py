@@ -73,6 +73,44 @@ def test_pq_roundtrip_reduces_error(spark, emb, X):
     assert mse < var * 0.7, (mse, var)  # beats the all-zeros quantizer
 
 
+def test_vpq_roundtrip_beats_plain_pq(spark, emb, X):
+    """VQ+PQ (``pq.pyx`` ``use_vq``): removing the coarse center before
+    PQ must reconstruct at least as well as plain PQ with the same code
+    budget, and labels/codes must be within range."""
+    from cuvs_spark.preprocessing.pq import (vpq_build,
+                                             vpq_inverse_transform,
+                                             vpq_transform)
+    quant = vpq_build(emb, pq_dim=8, pq_bits=4, vq_n_centers=16,
+                      kmeans_n_iters=6)
+    assert quant.vq_centroids.shape[0] == 16
+    assert quant.pq.codebook.shape == (8, 16, 8)
+    codes = vpq_transform(emb, quant).cache()
+    got = codes.orderBy("id").collect()
+    assert all(0 <= r["vq_label"] < 16 for r in got)
+    assert all(0 <= c < 16 for r in got for c in r["codes"])
+    dec = vpq_inverse_transform(codes, quant)
+    R = np.array([r["vec"] for r in dec.orderBy("id").collect()],
+                 dtype=np.float64)
+    vpq_mse = ((R - X) ** 2).mean()
+    book = pq_build(emb, pq_dim=8, pq_bits=4, kmeans_n_iters=6)
+    P = np.array([r["vec"] for r in
+                  pq_inverse_transform(pq_transform(emb, book), book)
+                  .orderBy("id").collect()], dtype=np.float64)
+    pq_mse = ((P - X) ** 2).mean()
+    assert vpq_mse <= pq_mse * 1.05, (vpq_mse, pq_mse)
+
+
+def test_vpq_blas_matches_expr(spark, emb):
+    from cuvs_spark.preprocessing.pq import vpq_build, vpq_transform
+    quant = vpq_build(emb, pq_dim=4, pq_bits=4, vq_n_centers=8,
+                      kmeans_n_iters=4)
+    a = {(r["id"], r["vq_label"], tuple(r["codes"]))
+         for r in vpq_transform(emb, quant, method="expr").collect()}
+    b = {(r["id"], r["vq_label"], tuple(r["codes"]))
+         for r in vpq_transform(emb, quant, method="blas").collect()}
+    assert a == b
+
+
 def test_pca_matches_numpy(spark, emb, X):
     model = pca_fit(emb, n_components=4)
     mu = X.mean(0)
