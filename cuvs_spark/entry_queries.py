@@ -1637,9 +1637,67 @@ def _register_ivf_pq_residual():
 _register_ivf_pq_residual()
 
 
+def _ivf_pq_transform_codes(spark, sf_dir):
+    """``ivf_pq.pyx:987 transform``: encode new vectors with an
+    existing index's centers + codebook, no extend.  The residual
+    encode is structurally the VPQ transform (coarse assign → residual
+    → PQ), so the oracle reuses that template with the IVF centroids
+    as the VQ table."""
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_transform
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d.filter(F.col("id") >= 100), _IVF_LISTS,
+                       pq_dim=_PQ_DIM, encode="residual",
+                       centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    out = ivf_pq_transform(idx, d.filter(F.col("id") < 100))
+    return (out.select("id", F.col("list_id").cast("long").alias("list_id"),
+                       F.posexplode("codes").alias("sub", "code"))
+            .select("id", "list_id", F.col("sub").cast("long"),
+                    F.col("code").cast("long")))
+
+
+def _register_ivf_pq_transform():
+    vq_sql = (f"SELECT CAST(label AS INT) AS vlabel, cv AS vcent "
+              f"FROM ({_IVF_CENT_SQL})")
+    d_sql = ("SELECT vec_id AS id, embedding AS dv FROM embeddings "
+             "WHERE vec_id < 100")
+    register(
+        "ivf_pq_transform_codes", _ivf_pq_transform_codes,
+        f"""
+WITH t AS ({PQ.vpq_transform_sql(d_sql, vq_sql, _PQ_CB_SQL, _PQ_DIM)})
+SELECT id, CAST(vq_label AS BIGINT) AS list_id,
+       CAST(generate_subscripts(codes, 1) AS BIGINT) - 1 AS sub,
+       CAST(unnest(codes) AS BIGINT) AS code
+FROM t
+""")
+
+
+_register_ivf_pq_transform()
+
+
 # --- index save/load round-trips (§2.1: ivf_pq_serialize.cuh et al.) -------
 # Gate-visible persistence: build with fixed params, save to a scratch
 # dir, load, search — hash-equal to the direct-search oracle.
+def _bf_save_load(spark, sf_dir):
+    """brute_force save→load→search must equal a direct exact knn
+    (``brute_force.pyx:266,304``)."""
+    import tempfile
+
+    from cuvs_spark.operators.brute_force import bf_build
+    from cuvs_spark.sources import load_index, save_index
+    d = emb_dataset(spark, sf_dir)
+    idx = bf_build(d.select("id", "vec"), "sqeuclidean")
+    path = tempfile.mkdtemp(prefix="gate_bf_")
+    save_index(idx, path)
+    idx2 = load_index(spark, path)
+    q = emb_queries(spark, sf_dir, 20)
+    return idx2.search(q, 10, qvec_col="qv")
+
+
+register("bf_save_load_search", _bf_save_load,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean"))
+
+
 def _ivf_pq_save_load(spark, sf_dir):
     import tempfile
 
@@ -1975,6 +2033,7 @@ _WINDOW_PRIORITY = [
     "sparse_pairwise_jaccard",
     "preprocess_vpq_transform",
     "preprocess_vpq_roundtrip",
+    "bf_save_load_search",
     # …and the iterative operators, each as an oracle-backed QUALITY
     # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
     # the measured value) instead of a weak rows-only record — every

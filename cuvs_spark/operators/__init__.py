@@ -1,4 +1,6 @@
 from cuvs_spark.operators.brute_force import (  # noqa: F401
+    BruteForceIndex,
+    bf_build,
     knn,
     knn_precomputed,
     knn_self,

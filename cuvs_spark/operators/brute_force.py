@@ -197,6 +197,29 @@ def _knn_blas(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
     return knn_merge_parts(local, k, select_min=minimize)
 
 
+class BruteForceIndex:
+    """The reference's ``brute_force.Index`` (``brute_force.pyx:60``):
+    for an exact index the "build" is just binding the dataset and
+    metric — Spark's lazy DataFrame IS the index; ``search`` delegates
+    to :func:`knn`.  Exists so the save/load and tiered/composite
+    surfaces can treat brute force like any other index type."""
+
+    def __init__(self, dataset: DataFrame, metric: str = "sqeuclidean",
+                 *, id_col: str = "id", vec_col: str = "vec"):
+        self.dataset = dataset.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"))
+        self.metric = metric
+
+    def search(self, queries: DataFrame, k: int = 10, **kw) -> DataFrame:
+        return knn(self.dataset, queries, k, self.metric, **kw)
+
+
+def bf_build(dataset: DataFrame, metric: str = "sqeuclidean", *,
+             id_col: str = "id", vec_col: str = "vec") -> BruteForceIndex:
+    return BruteForceIndex(dataset, metric, id_col=id_col, vec_col=vec_col)
+
+
 def knn_udf_metric(dataset: DataFrame, queries: DataFrame, k: int,
                    metric_fn, *, select_min: bool = True,
                    id_col: str = "id", vec_col: str = "vec",

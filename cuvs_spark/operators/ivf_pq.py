@@ -200,14 +200,24 @@ def ivf_pq_extend(index: IVFPQIndex, new_rows: DataFrame, *,
     An extended index therefore scores identically to one built over
     the union with the same fixed centers + codebook."""
     from dataclasses import replace
-    d = new_rows.select(F.col(id_col).cast("long").alias("id"),
-                        F.col(vec_col).alias("vec"))
+    new_codes = ivf_pq_transform(index, new_rows, id_col=id_col,
+                                 vec_col=vec_col, method=method)
+    return replace(index, codes=index.codes.unionByName(new_codes))
+
+
+def ivf_pq_transform(index: IVFPQIndex, dataset: DataFrame, *,
+                     id_col: str = "id", vec_col: str = "vec",
+                     method: str = "expr") -> DataFrame:
+    """Encode vectors with an EXISTING index's coarse centers and
+    codebook WITHOUT extending it (``ivf_pq.pyx:987 transform``:
+    returns labels + codes) → ``(id, list_id, codes array<int>)``."""
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
     if index.rotation is not None:
         method = "blas"          # the rotation only has a BLAS form
     enc_in = _pq_enc_input(d, index.centroids, index.encode,
                            index.rotation, method)
-    new_codes = _pq_encode(enc_in, index.codebook_df, index.pq_dim, method)
-    return replace(index, codes=index.codes.unionByName(new_codes))
+    return _pq_encode(enc_in, index.codebook_df, index.pq_dim, method)
 
 
 def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,

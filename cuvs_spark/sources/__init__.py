@@ -17,3 +17,14 @@ from cuvs_spark.sources.index_store import (  # noqa: F401
     save_scann,
     save_tiered,
 )
+from cuvs_spark.sources.index_store import (  # noqa: F401
+    load_brute_force,
+    save_brute_force,
+)
+from cuvs_spark.sources.graph_export import (  # noqa: F401
+    hnsw_build,
+    hnsw_from_cagra,
+    hnsw_search,
+    load_graph_index,
+    save_graph_index,
+)

@@ -36,6 +36,36 @@ def hnsw_from_cagra(graph: DataFrame, *, ef_construction: int = 200,
     return out
 
 
+def hnsw_build(dataset: DataFrame, *, graph_degree: int = 16,
+               ef_construction: int = 200, metric: str = "sqeuclidean",
+               id_col: str = "id", vec_col: str = "vec",
+               **builder_kw) -> DataFrame:
+    """``hnsw.build`` (``hnsw.pyx:472``): the reference builds via
+    CAGRA and re-keys the graph as the HNSW base layer (hierarchy
+    'none'); same composition here — :func:`cagra_build` then
+    :func:`hnsw_from_cagra`.  Returns the layered adjacency view."""
+    from cuvs_spark.operators.graph import cagra_build
+    g = cagra_build(dataset, graph_degree, metric=metric, id_col=id_col,
+                    vec_col=vec_col, **builder_kw)
+    return hnsw_from_cagra(g)
+
+
+def hnsw_search(layers: DataFrame, dataset: DataFrame, queries: DataFrame,
+                k: int = 10, *, ef: int = 40, metric: str = "sqeuclidean",
+                id_col: str = "id", vec_col: str = "vec",
+                qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+    """``hnsw.search`` (``hnsw.pyx:648``) over a flat-hierarchy view:
+    with hierarchy 'none' the HNSW search IS a base-layer beam search
+    with pool size ``ef`` — delegate to the CAGRA batched beam over the
+    un-keyed layer-0 adjacency."""
+    from cuvs_spark.operators.graph import cagra_search
+    edges = (layers.filter(F.col("layer") == 0)
+             .select("src", F.explode("neighbors").alias("dst")))
+    return cagra_search(edges, dataset, queries, k, itopk=max(ef, k),
+                        metric=metric, id_col=id_col, vec_col=vec_col,
+                        qid_col=qid_col, qvec_col=qvec_col)
+
+
 def save_graph_index(graph: DataFrame, path: str, *, fmt: str = "hnsw",
                      meta: dict | None = None) -> None:
     """Persist an adjacency table + metadata sidecar; a CPU-side

@@ -350,12 +350,39 @@ def load_tiered(spark: SparkSession, path: str):
                        metric=meta["metric"])
 
 
+def save_brute_force(index, path: str, *,
+                     include_dataset: bool = True) -> None:
+    """``brute_force.pyx:266`` — the exact index serializes as its
+    dataset + metric (``include_dataset=False`` writes metadata only,
+    matching the reference's flag)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"type": "brute_force", "metric": index.metric,
+                   "include_dataset": include_dataset}, f)
+    if include_dataset:
+        index.dataset.write.mode("overwrite").parquet(
+            os.path.join(path, "dataset"))
+
+
+def load_brute_force(spark: SparkSession, path: str):
+    """``brute_force.pyx:304``."""
+    from cuvs_spark.operators.brute_force import BruteForceIndex
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("include_dataset", True):
+        raise ValueError("index was saved with include_dataset=False; "
+                         "re-bind a dataset via bf_build")
+    ds = spark.read.parquet(os.path.join(path, "dataset"))
+    return BruteForceIndex(ds, meta["metric"])
+
+
 # ---------------------------------------------------------------------------
 # Generic dispatch — the reference's one-call cuvsSerialize surface.
 # ---------------------------------------------------------------------------
 
 def save_index(index, path: str, **kw) -> None:
     """Type-dispatched save (per-index ``*.save`` in the reference)."""
+    from cuvs_spark.operators.brute_force import BruteForceIndex
     from cuvs_spark.operators.ivf_flat import IVFFlatIndex
     from cuvs_spark.operators.ivf_pq import IVFPQIndex, IVFSQIndex
     from cuvs_spark.operators.ivf_rabitq import IVFRabitQIndex
@@ -363,7 +390,8 @@ def save_index(index, path: str, **kw) -> None:
     from cuvs_spark.operators.tiered import TieredIndex
     savers = [(IVFFlatIndex, save_ivf_flat), (IVFPQIndex, save_ivf_pq),
               (IVFSQIndex, save_ivf_sq), (IVFRabitQIndex, save_ivf_rabitq),
-              (ScannIndex, save_scann), (TieredIndex, save_tiered)]
+              (ScannIndex, save_scann), (TieredIndex, save_tiered),
+              (BruteForceIndex, save_brute_force)]
     for cls, fn in savers:
         if isinstance(index, cls):
             fn(index, path, **kw)
@@ -377,7 +405,8 @@ def load_index(spark: SparkSession, path: str):
         meta = json.load(f)
     loaders = {"ivf_flat": load_ivf_flat, "ivf_pq": load_ivf_pq,
                "ivf_sq": load_ivf_sq, "ivf_rabitq": load_ivf_rabitq,
-               "scann": load_scann, "tiered": load_tiered}
+               "scann": load_scann, "tiered": load_tiered,
+               "brute_force": load_brute_force}
     if meta["type"] not in loaders:
         raise ValueError(f"unknown index type {meta['type']!r}")
     return loaders[meta["type"]](spark, path)

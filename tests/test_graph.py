@@ -161,3 +161,22 @@ def test_cagra_build_ace_recall(spark, emb, tmp_path):
     a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
     e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
     assert len(a & e) / len(e) >= 0.75
+
+
+def test_hnsw_build_search_recall(spark, emb):
+    """hnsw.pyx:472,648 — flat-hierarchy build via CAGRA + base-layer
+    beam search with pool size ef."""
+    from cuvs_spark.operators import knn
+    from cuvs_spark.sources.graph_export import hnsw_build, hnsw_search
+
+    layers = hnsw_build(emb, graph_degree=8, n_clusters=4,
+                        overlap_factor=2, kmeans_n_iters=4)
+    assert layers.select("layer").distinct().collect() == [(0,)] or \
+        [r["layer"] for r in layers.select("layer").distinct().collect()] == [0]
+    q = (emb.filter(F.col("id") < 20)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got = hnsw_search(layers, emb, q, 5, ef=24, qvec_col="qv")
+    exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
+    a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
+    assert len(a & e) / len(e) >= 0.8

@@ -167,3 +167,31 @@ def test_generic_dispatch_roundtrip(spark, emb, queries, trained_centroids,
     out = ivf_flat_search(load_index(spark, str(tmp_path / "any_flat")),
                           queries, 5, 4, qvec_col="qv")
     assert out.count() == 5 * 5
+
+
+def test_brute_force_save_load_roundtrip(spark, emb, queries, tmp_path):
+    """brute_force.pyx:266,304 — save/load the exact index; a loaded
+    index must search identically (it is exact, so identical to a
+    direct knn too)."""
+    from cuvs_spark.operators import knn
+    from cuvs_spark.operators.brute_force import bf_build
+    from cuvs_spark.sources import load_index, save_index
+
+    idx = bf_build(emb, "cosine")
+    path = str(tmp_path / "bf_index")
+    save_index(idx, path)
+    idx2 = load_index(spark, path)
+    assert idx2.metric == "cosine"
+    got = _rows(idx2.search(queries, 5, qvec_col="qv"))
+    want = _rows(knn(emb, queries, 5, "cosine", qvec_col="qv"))
+    assert got == want
+
+
+def test_brute_force_save_no_dataset(spark, emb, tmp_path):
+    from cuvs_spark.operators.brute_force import bf_build
+    from cuvs_spark.sources import load_index, save_brute_force
+
+    path = str(tmp_path / "bf_meta_only")
+    save_brute_force(bf_build(emb), path, include_dataset=False)
+    with pytest.raises(ValueError):
+        load_index(spark, path)
