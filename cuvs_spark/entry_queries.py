@@ -2034,6 +2034,7 @@ _WINDOW_PRIORITY = [
     "preprocess_vpq_transform",
     "preprocess_vpq_roundtrip",
     "bf_save_load_search",
+    "ivf_pq_transform_codes",
     # …and the iterative operators, each as an oracle-backed QUALITY
     # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
     # the measured value) instead of a weak rows-only record — every
