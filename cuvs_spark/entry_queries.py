@@ -987,6 +987,35 @@ register("sparse_knn_cosine", _sparse_knn_cosine,
                                   _SP_THR))
 
 
+def _sparse_knn_cityblock(spark, sf_dir):
+    """Unexpanded-l1 over CSR (reference ``lp_distance.cuh:73``):
+    norm folds + collision correction — the union sum without a union
+    join."""
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    A = SP.sparsify(d, _SP_THR)
+    Q = SP.sparsify(q.select(F.col("qid").alias("id"),
+                             F.col("qv").alias("vec")), _SP_THR)
+    return SP.sparse_knn(A, Q, 10, metric="cityblock")
+
+
+register("sparse_knn_cityblock", _sparse_knn_cityblock,
+         SP.sparse_knn_cityblock_sql(_D_SQL, _Q_SQL.format(nq=20), 10,
+                                     _SP_THR))
+
+
+def _sparse_pairwise_canberra(spark, sf_dir):
+    e = emb_dataset(spark, sf_dir)
+    X = SP.sparsify(e.filter(F.col("id") < 50), _SP_THR)
+    return SP.sparse_pairwise_distance(X, metric="canberra")
+
+
+register("sparse_pairwise_canberra", _sparse_pairwise_canberra,
+         SP.sparse_pairwise_canberra_sql(
+             "SELECT vec_id AS id, embedding AS v FROM embeddings "
+             "WHERE vec_id < 50", _SP_THR))
+
+
 def _sparse_pairwise_jac(spark, sf_dir):
     e = emb_dataset(spark, sf_dir)
     X = SP.sparsify(e.filter(F.col("id") < 50), _SP_THR)
@@ -2031,6 +2060,8 @@ _WINDOW_PRIORITY = [
     "ivf_sq_extend_search",
     "sparse_knn_cosine",
     "sparse_pairwise_jaccard",
+    "sparse_knn_cityblock",
+    "sparse_pairwise_canberra",
     "preprocess_vpq_transform",
     "preprocess_vpq_roundtrip",
     "bf_save_load_search",

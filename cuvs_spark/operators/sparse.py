@@ -66,13 +66,15 @@ def _nnz(sp: DataFrame, id_alias: str, alias: str) -> DataFrame:
 
 
 SPARSE_METRICS = ("inner_product", "dot", "sqeuclidean", "euclidean",
-                  "cosine", "jaccard", "hamming")
+                  "cosine", "jaccard", "hamming", "cityblock", "canberra",
+                  "minkowski")
 
 
 def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
                              metric: str = "sqeuclidean",
                              ndigits: int = 9,
-                             n_cols: int | None = None) -> DataFrame:
+                             n_cols: int | None = None,
+                             minkowski_p: float = 3.0) -> DataFrame:
     """CSR × CSR distance matrix ``(i, j, distance)`` — the
     ``sparse_distance.cu:36`` metric dispatch over the inverted-index
     join.
@@ -112,6 +114,37 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
         dist = F.sqrt(F.greatest(sq, F.lit(0.0))) \
             if metric == "euclidean" else sq
         return allp.select("i", "j", dist.alias("distance"))
+    if metric in ("cityblock", "canberra", "minkowski"):
+        # the "unexpanded" lp family (reference lp_distance.cuh:73-178):
+        # every metric here is a sum over the dim UNION, which splits as
+        # per-row norm folds + a correction over colliding dims only —
+        # so the join still materializes nothing but collisions
+        va, vb = F.abs(F.col("va")), F.abs(F.col("vb"))
+        if metric == "cityblock":
+            term = F.abs(F.col("va") - F.col("vb")) - va - vb
+            nrm_expr = ("aggregate(values, CAST(0 AS DOUBLE), "
+                        "(acc, v) -> acc + abs(CAST(v AS DOUBLE)))")
+        elif metric == "minkowski":
+            p = float(minkowski_p)
+            term = (F.pow(F.abs(F.col("va") - F.col("vb")), p)
+                    - F.pow(va, p) - F.pow(vb, p))
+            nrm_expr = (f"aggregate(values, CAST(0 AS DOUBLE), "
+                        f"(acc, v) -> acc + power(abs(CAST(v AS DOUBLE)), "
+                        f"{p!r}))")
+        else:                       # canberra: non-colliding dims → 1 each
+            term = F.abs(F.col("va") - F.col("vb")) / (va + vb) - 2.0
+            nrm_expr = "CAST(size(values) AS DOUBLE)"
+        corr = (coll.groupBy("i", "j")
+                .agg(F.round(F.sum(term), ndigits).alias("corr")))
+        na = A.select(F.col("id").alias("i"), F.expr(nrm_expr).alias("na"))
+        nb = Bs.select(F.col("id").alias("j"), F.expr(nrm_expr).alias("nb"))
+        allp = (na.join(nb).join(corr, ["i", "j"], "left")
+                .withColumn("corr", F.coalesce("corr", F.lit(0.0))))
+        dist = F.col("na") + F.col("nb") + F.col("corr")
+        if metric == "minkowski":
+            dist = F.pow(F.greatest(dist, F.lit(0.0)),
+                         1.0 / float(minkowski_p))
+        return allp.select("i", "j", dist.alias("distance"))
     if metric not in ("jaccard", "hamming"):
         raise ValueError(f"sparse metric {metric!r} not supported")
     counts = (coll.groupBy("i", "j")
@@ -138,10 +171,12 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
 
 def sparse_knn(A: DataFrame, queries: DataFrame, k: int = 10, *,
                metric: str = "sqeuclidean",
-               n_cols: int | None = None) -> DataFrame:
+               n_cols: int | None = None,
+               minkowski_p: float = 3.0) -> DataFrame:
     """Sparse brute-force kNN (sparse_brute_force.cu:20) →
     ``(qid, nid, distance, rank)``."""
-    pd_ = sparse_pairwise_distance(queries, A, metric=metric, n_cols=n_cols)
+    pd_ = sparse_pairwise_distance(queries, A, metric=metric, n_cols=n_cols,
+                                   minkowski_p=minkowski_p)
     pairs = pd_.select(F.col("i").alias("qid"), F.col("j").alias("nid"),
                        "distance")
     select_min = metric not in ("inner_product", "dot")
@@ -209,6 +244,69 @@ pairs AS (
                    / (za.nz + zb.nz - COALESCE(c.ncoll, 0)) END AS distance
   FROM z za CROSS JOIN z zb
   LEFT JOIN coll c ON c.i = za.id AND c.j = zb.id)
+SELECT i, j, distance FROM pairs
+"""
+
+
+def sparse_knn_cityblock_sql(dense_dataset_sql: str, dense_queries_sql: str,
+                             k: int, threshold: float = 0.2,
+                             ndigits: int = 9) -> str:
+    """DuckDB oracle for l1 sparse kNN: per-row |·| norm folds + the
+    collision correction Σ(|a−b| − |a| − |b|), rounded like the dot."""
+    sp_i = SPARSIFY_IDX_DUCK.format(v="dv", thr=repr(threshold))
+    sp_v = SPARSIFY_VAL_DUCK.format(v="dv", thr=repr(threshold))
+    sq_i = SPARSIFY_IDX_DUCK.format(v="qv", thr=repr(threshold))
+    sq_v = SPARSIFY_VAL_DUCK.format(v="qv", thr=repr(threshold))
+    nrm = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+           "{vals}, v -> abs(CAST(v AS DOUBLE)))), (acc, v) -> acc + v)")
+    return f"""
+WITH d0 AS ({dense_dataset_sql}), q0 AS ({dense_queries_sql}),
+ds AS (SELECT nid, {sp_i} AS indices, {sp_v} AS vals FROM d0),
+qs AS (SELECT qid, {sq_i} AS indices, {sq_v} AS vals FROM q0),
+de AS (SELECT nid, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM ds),
+qe AS (SELECT qid, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM qs),
+corr AS (
+  SELECT qe.qid, de.nid,
+         ROUND(sum(abs(qe.val - de.val) - abs(qe.val) - abs(de.val)),
+               {ndigits}) AS corr
+  FROM qe JOIN de ON qe.dim = de.dim GROUP BY qe.qid, de.nid),
+na AS (SELECT qid, {nrm.format(vals='vals')} AS n FROM qs),
+nb AS (SELECT nid, {nrm.format(vals='vals')} AS n FROM ds),
+pairs AS (
+  SELECT na.qid AS qid, nb.nid AS nid,
+         na.n + nb.n + COALESCE(corr.corr, CAST(0 AS DOUBLE)) AS distance
+  FROM na CROSS JOIN nb
+  LEFT JOIN corr ON corr.qid = na.qid AND corr.nid = nb.nid),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+  FROM pairs)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def sparse_pairwise_canberra_sql(dense_x_sql: str,
+                                 threshold: float = 0.2,
+                                 ndigits: int = 9) -> str:
+    """DuckDB oracle for self canberra pairwise: nnz counts + the
+    collision correction Σ(|a−b|/(|a|+|b|) − 2)."""
+    sp_i = SPARSIFY_IDX_DUCK.format(v="v", thr=repr(threshold))
+    sp_v = SPARSIFY_VAL_DUCK.format(v="v", thr=repr(threshold))
+    return f"""
+WITH d0 AS ({dense_x_sql}),
+sp AS (SELECT id, {sp_i} AS indices, {sp_v} AS vals FROM d0),
+e AS (SELECT id, unnest(indices) AS dim, CAST(unnest(vals) AS DOUBLE) AS val FROM sp),
+corr AS (
+  SELECT a.id AS i, b.id AS j,
+         ROUND(sum(abs(a.val - b.val) / (abs(a.val) + abs(b.val))
+                   - CAST(2 AS DOUBLE)), {ndigits}) AS corr
+  FROM e a JOIN e b ON a.dim = b.dim GROUP BY a.id, b.id),
+z AS (SELECT id, CAST(len(vals) AS DOUBLE) AS nz FROM sp),
+pairs AS (
+  SELECT za.id AS i, zb.id AS j,
+         za.nz + zb.nz + COALESCE(c.corr, CAST(0 AS DOUBLE)) AS distance
+  FROM z za CROSS JOIN z zb
+  LEFT JOIN corr c ON c.i = za.id AND c.j = zb.id)
 SELECT i, j, distance FROM pairs
 """
 

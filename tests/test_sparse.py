@@ -70,3 +70,26 @@ def test_sparse_knn_jaccard_ranks(dense):
     got = sparse_knn(sp, q, 3, metric="jaccard")
     top = {r["qid"]: r["nid"] for r in got.collect() if r["rank"] == 1}
     assert all(qid == nid for qid, nid in top.items())
+
+
+def test_sparse_lp_family_matches_numpy(dense):
+    """Unexpanded l1/canberra/minkowski (lp_distance.cuh:73-178): the
+    norm + collision-correction decomposition must equal the densified
+    union sum."""
+    X, df = dense
+    sp = sparsify(df, THR)
+    got = _mat(sparse_pairwise_distance(sp, metric="cityblock"))
+    np.testing.assert_allclose(
+        got, np.abs(X[:, None, :] - X[None, :, :]).sum(-1), atol=1e-8)
+    p = 3.0
+    got = _mat(sparse_pairwise_distance(sp, metric="minkowski",
+                                        minkowski_p=p))
+    exp = (np.abs(X[:, None, :] - X[None, :, :]) ** p).sum(-1) ** (1 / p)
+    # the 9-dp corr rounding is amplified to ~1e-3 by the cube root
+    # near zero (same effect the euclidean test documents for sqrt)
+    np.testing.assert_allclose(got, exp, atol=2e-3)
+    got = _mat(sparse_pairwise_distance(sp, metric="canberra"))
+    den = np.abs(X[:, None, :]) + np.abs(X[None, :, :])
+    num = np.abs(X[:, None, :] - X[None, :, :])
+    exp = np.divide(num, den, out=np.zeros_like(num), where=den > 0).sum(-1)
+    np.testing.assert_allclose(got, exp, atol=1e-8)
