@@ -23,6 +23,7 @@ from cuvs_spark.sources.index_store import (  # noqa: F401
 )
 from cuvs_spark.sources.graph_export import (  # noqa: F401
     hnsw_build,
+    hnsw_extend,
     hnsw_from_cagra,
     hnsw_search,
     load_graph_index,

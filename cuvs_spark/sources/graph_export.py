@@ -66,6 +66,31 @@ def hnsw_search(layers: DataFrame, dataset: DataFrame, queries: DataFrame,
                         qid_col=qid_col, qvec_col=qvec_col)
 
 
+def hnsw_extend(layers: DataFrame, dataset: DataFrame,
+                new_rows: DataFrame, graph_degree: int = 16, *,
+                metric: str = "sqeuclidean", id_col: str = "id",
+                vec_col: str = "vec") -> tuple[DataFrame, DataFrame]:
+    """``hnsw.extend`` (``hnsw.pyx:561``) on the flat hierarchy:
+    splice the batch into the base layer via :func:`cagra_extend`,
+    re-key back to the layered view.  Returns (layers, dataset)."""
+    from cuvs_spark.operators.graph import cagra_extend
+    edges = (layers.filter(F.col("layer") == 0)
+             .select("src", F.explode("neighbors").alias("dst")))
+    d = dataset.select(F.col(id_col).cast("long").alias("nid"),
+                       F.col(vec_col).alias("_v"))
+    scored = (edges.join(d.withColumnRenamed("nid", "src")
+                         .withColumnRenamed("_v", "_sv"), "src")
+              .join(d.withColumnRenamed("nid", "dst")
+                    .withColumnRenamed("_v", "_dv"), "dst"))
+    from cuvs_spark.functions.distance import distance_sql_spark
+    g = scored.select("src", "dst",
+                      F.expr(distance_sql_spark(metric, "_sv", "_dv"))
+                      .alias("distance"))
+    g2, d2 = cagra_extend(g, dataset, new_rows, graph_degree,
+                          metric=metric, id_col=id_col, vec_col=vec_col)
+    return hnsw_from_cagra(g2), d2
+
+
 def save_graph_index(graph: DataFrame, path: str, *, fmt: str = "hnsw",
                      meta: dict | None = None) -> None:
     """Persist an adjacency table + metadata sidecar; a CPU-side

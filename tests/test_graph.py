@@ -180,3 +180,19 @@ def test_hnsw_build_search_recall(spark, emb):
     a = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
     e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
     assert len(a & e) / len(e) >= 0.8
+
+
+def test_hnsw_extend_matches_flat_semantics(spark, emb):
+    """hnsw.pyx:561 — extending the flat view splices new ids into the
+    base layer with bounded degree, and search still works."""
+    from cuvs_spark.sources.graph_export import hnsw_build, hnsw_extend
+
+    old = emb.filter(F.col("id") >= 50).cache()
+    new = emb.filter(F.col("id") < 50).cache()
+    layers = hnsw_build(old, graph_degree=8, n_clusters=4,
+                        overlap_factor=2, kmeans_n_iters=4)
+    l2, d2 = hnsw_extend(layers, old, new, 8)
+    assert d2.count() == emb.count()
+    got = l2.filter(F.col("src") < 50)
+    assert got.count() == 50
+    assert got.agg(F.max(F.size("neighbors"))).head()[0] <= 8
