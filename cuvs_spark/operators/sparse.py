@@ -74,7 +74,8 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
                              metric: str = "sqeuclidean",
                              ndigits: int = 9,
                              n_cols: int | None = None,
-                             minkowski_p: float = 3.0) -> DataFrame:
+                             minkowski_p: float = 3.0,
+                             pairs_scope: str = "all") -> DataFrame:
     """CSR × CSR distance matrix ``(i, j, distance)`` — the
     ``sparse_distance.cu:36`` metric dispatch over the inverted-index
     join.
@@ -100,8 +101,13 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
             return dots.select("i", "j", F.col("dot").alias("distance"))
         na = _norms(A, "i", "na")
         nb = _norms(Bs, "j", "nb")
-        allp = na.join(nb).join(dots, ["i", "j"], "left") \
-            .withColumn("dot", F.coalesce("dot", F.lit(0.0)))
+        if pairs_scope == "collisions":
+            # the 100 TB shape: norms join ONTO the collision pairs —
+            # the m×n cross relation never forms
+            allp = dots.join(na, "i").join(nb, "j")
+        else:
+            allp = na.join(nb).join(dots, ["i", "j"], "left") \
+                .withColumn("dot", F.coalesce("dot", F.lit(0.0)))
         if metric == "cosine":
             # zero-norm rows (everything pruned by the sparsify
             # threshold) get the max distance 1.0 — deterministic on
@@ -138,8 +144,11 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
                 .agg(F.round(F.sum(term), ndigits).alias("corr")))
         na = A.select(F.col("id").alias("i"), F.expr(nrm_expr).alias("na"))
         nb = Bs.select(F.col("id").alias("j"), F.expr(nrm_expr).alias("nb"))
-        allp = (na.join(nb).join(corr, ["i", "j"], "left")
-                .withColumn("corr", F.coalesce("corr", F.lit(0.0))))
+        if pairs_scope == "collisions":
+            allp = corr.join(na, "i").join(nb, "j")
+        else:
+            allp = (na.join(nb).join(corr, ["i", "j"], "left")
+                    .withColumn("corr", F.coalesce("corr", F.lit(0.0))))
         dist = F.col("na") + F.col("nb") + F.col("corr")
         if metric == "minkowski":
             dist = F.pow(F.greatest(dist, F.lit(0.0)),
@@ -153,9 +162,12 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
                          .otherwise(0.0)).alias("neq")))
     za = _nnz(A, "i", "za")
     zb = _nnz(Bs, "j", "zb")
-    allp = (za.join(zb).join(counts, ["i", "j"], "left")
-            .withColumn("ncoll", F.coalesce("ncoll", F.lit(0.0)))
-            .withColumn("neq", F.coalesce("neq", F.lit(0.0))))
+    if pairs_scope == "collisions":
+        allp = counts.join(za, "i").join(zb, "j")
+    else:
+        allp = (za.join(zb).join(counts, ["i", "j"], "left")
+                .withColumn("ncoll", F.coalesce("ncoll", F.lit(0.0)))
+                .withColumn("neq", F.coalesce("neq", F.lit(0.0))))
     if metric == "jaccard":
         uni = F.col("za") + F.col("zb") - F.col("ncoll")
         dist = F.when(uni == 0.0, F.lit(0.0)) \
@@ -172,11 +184,24 @@ def sparse_pairwise_distance(A: DataFrame, B: DataFrame | None = None, *,
 def sparse_knn(A: DataFrame, queries: DataFrame, k: int = 10, *,
                metric: str = "sqeuclidean",
                n_cols: int | None = None,
-               minkowski_p: float = 3.0) -> DataFrame:
+               minkowski_p: float = 3.0,
+               candidates: str = "exact") -> DataFrame:
     """Sparse brute-force kNN (sparse_brute_force.cu:20) →
-    ``(qid, nid, distance, rank)``."""
+    ``(qid, nid, distance, rank)``.
+
+    ``candidates="exact"`` scores every (query, row) pair — the
+    reference's tiled semantics, and what the oracle checks.  At tf-idf
+    corpus scale the all-pairs relation is infeasible even though only
+    collision pairs carry a dot: ``candidates="collisions"`` restricts
+    scoring to pairs sharing ≥1 nonzero dim (the classic inverted-index
+    kNN contract — a neighbor sharing NO term with the query is
+    unreachable, which for cosine/IP is also provably never a better
+    score than any colliding pair)."""
     pd_ = sparse_pairwise_distance(queries, A, metric=metric, n_cols=n_cols,
-                                   minkowski_p=minkowski_p)
+                                   minkowski_p=minkowski_p,
+                                   pairs_scope=("collisions"
+                                                if candidates == "collisions"
+                                                else "all"))
     pairs = pd_.select(F.col("i").alias("qid"), F.col("j").alias("nid"),
                        "distance")
     select_min = metric not in ("inner_product", "dot")

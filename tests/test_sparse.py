@@ -93,3 +93,20 @@ def test_sparse_lp_family_matches_numpy(dense):
     num = np.abs(X[:, None, :] - X[None, :, :])
     exp = np.divide(num, den, out=np.zeros_like(num), where=den > 0).sum(-1)
     np.testing.assert_allclose(got, exp, atol=1e-8)
+
+
+def test_sparse_knn_collision_candidates(dense):
+    """candidates='collisions' must agree with exact top-k whenever the
+    true neighbors collide (they do on this dense-ish fixture), and its
+    plan must not contain the m×n cross relation."""
+    X, df = dense
+    sp = sparsify(df, THR)
+    q = sp.limit(5)
+    exact = sparse_knn(sp, q, 3, metric="sqeuclidean")
+    coll = sparse_knn(sp, q, 3, metric="sqeuclidean",
+                      candidates="collisions")
+    assert (sorted(map(tuple, coll.select("qid", "nid").collect()))
+            == sorted(map(tuple, exact.select("qid", "nid").collect())))
+    plan = coll._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
