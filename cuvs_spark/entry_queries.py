@@ -2017,7 +2017,24 @@ def _pca_recon(spark, sf_dir):
     return _clamp_pass(ratio, "ratio", 0.85, "recon_pass", leq=True)
 
 
+def _near_dup_ann_recall(spark, sf_dir):
+    """IVF-bucketed embedding near-dup (the brief's ANN scale path)
+    must recover ≥85% of the exact eps-join pairs (measured 0.92 at
+    fixed centroids, deterministic)."""
+    from cuvs_spark.pipeline import dedup as DD
+    emb = T(spark, sf_dir, "embeddings")
+    exact = DD.embedding_near_dup(emb, tau=0.62) \
+        .select(F.col("doc_a").alias("qid"), F.col("doc_b").alias("nid"))
+    ann = DD.embedding_near_dup_ann(
+        emb, tau=0.62, n_probes=12, k=60,
+        centroids=_fixed_centroids(spark, sf_dir, 16)) \
+        .select(F.col("doc_a").alias("qid"), F.col("doc_b").alias("nid"))
+    return _clamp_pass(ST.recall_score(ann, exact), "recall", 0.85,
+                       "recall_pass")
+
+
 for _n, _f, _c in [
+        ("stats_recall_near_dup_ann", _near_dup_ann_recall, "recall_pass"),
         ("stats_recall_nn_descent", _nn_descent_recall, "recall_pass"),
         ("stats_recall_ivf_trained", _ivf_trained_recall, "recall_pass"),
         ("stats_recall_cagra_extend", _cagra_extend_recall, "recall_pass"),
@@ -2079,6 +2096,7 @@ _WINDOW_PRIORITY = [
     "stats_recall_ivf_trained",
     "stats_recall_cagra_extend",
     "stats_recall_cagra_ace",
+    "stats_recall_near_dup_ann",
     # rows whose implementation changed this round (re-gate)
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

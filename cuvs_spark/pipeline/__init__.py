@@ -1,6 +1,7 @@
 from cuvs_spark.pipeline.dedup import (  # noqa: F401
     connected_components,
     embedding_near_dup,
+    embedding_near_dup_ann,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,

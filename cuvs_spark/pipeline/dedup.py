@@ -464,6 +464,29 @@ def embedding_near_dup(emb: DataFrame, tau: float = 0.3, *,
                     "distance"))
 
 
+def embedding_near_dup_ann(emb: DataFrame, tau: float = 0.3, *,
+                           n_lists: int = 16, n_probes: int = 4,
+                           k: int = 20, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroids=None) -> DataFrame:
+    """The IVF-bucketed scale path for embedding near-dup: instead of
+    the all-pairs eps join, every doc retrieves its ``k`` approximate
+    neighbors from an IVF index (candidate cost n·k, partition-pruned
+    by coarse list) and pairs are kept at cosine distance ≤ ``tau``.
+    → ``(doc_a, doc_b, distance)`` with doc_a < doc_b.  Recall vs the
+    exact eps join is driver-gated as a quality scalar."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    X = emb.select(F.col(id_col).cast("long").alias("id"),
+                   F.col(vec_col).alias("vec"))
+    idx = ivf_flat_build(X, n_lists, metric="cosine", centroids=centroids)
+    q = X.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+    nn = ivf_flat_search(idx, q, k + 1, n_probes, qvec_col="qv")
+    return (nn.filter((F.col("distance") <= tau)
+                      & (F.col("qid") < F.col("nid")))
+            .select(F.col("qid").alias("doc_a"),
+                    F.col("nid").alias("doc_b"), "distance"))
+
+
 def embedding_near_dup_sql(tau: float = 0.3) -> str:
     from cuvs_spark.functions.distance import distance_sql_duckdb
     dist = distance_sql_duckdb("cosine", "a.embedding", "b.embedding")
