@@ -186,18 +186,21 @@ def doc_fingerprints(df: DataFrame, k: int = 8, w: int = 4, *,
     oracle shares it); ``'xxhash64'`` is the JVM-native throughput form
     (~10× cheaper per k-gram, same winnowing guarantees)."""
     d = _doc(df, id_col, text_col)
-    pos = (d.filter(F.length("text") >= k)
-           .select("doc_id",
-                   F.explode(F.expr(
-                       f"sequence(1, length(text) - {k} + 1)")).alias("pos"),
-                   "text"))
-    h_expr = (f"xxhash64(substr(text, pos, {k}))" if hash_fn == "xxhash64"
-              else H64_SPARK.format(s=f"substr(text, pos, {k})"))
-    kh = pos.select("doc_id", "pos", F.expr(h_expr).alias("h"))
+    # hash INSIDE the array transform, then posexplode only the hash
+    # array: the exploded relation is (doc_id, pos, h) — the document
+    # text is never replicated into per-k-gram rows. (An all-array
+    # winnowing variant — array_min over slices — was measured ~25%
+    # slower than the window pass; the per-position slice copies cost
+    # more than the partitionBy sort saves.)
+    h_lam = (f"xxhash64(substr(text, p, {k}))" if hash_fn == "xxhash64"
+             else H64_SPARK.format(s=f"substr(text, p, {k})"))
+    kh = (d.filter(F.length("text") >= k)
+          .select("doc_id", F.posexplode(F.expr(
+              f"transform(sequence(1, length(text) - {k} + 1), "
+              f"p -> {h_lam})")).alias("pos", "h")))
     win = (Window.partitionBy("doc_id").orderBy("pos")
            .rowsBetween(0, w - 1))
-    fps = kh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
-    return fps
+    return kh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
 
 
 def doc_fingerprints_sql(doc_sql: str, k: int = 8, w: int = 4) -> str:
