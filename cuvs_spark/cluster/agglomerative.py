@@ -127,6 +127,35 @@ def build_dendrogram(edges: DataFrame, ids: list[int]) -> Dendrogram:
                       n_leaves=len(ids))
 
 
+def mutual_reachability_graph(dataset: DataFrame, k: int = 5, *,
+                              metric: str = "sqeuclidean",
+                              id_col: str = "id",
+                              vec_col: str = "vec") -> DataFrame:
+    """HDBSCAN mutual-reachability kNN graph
+    (``agglomerative.hpp:133,191`` — ``mutual_reachability_graph`` /
+    the HDBSCAN linkage variant): edge weight
+    ``mr(a,b) = max(core_k(a), core_k(b), d(a,b))`` where ``core_k`` is
+    the distance to the k-th nearest neighbor.
+
+    → ``(src, dst, mr_dist)`` over the directed kNN graph. One kNN job
+    produces both the edges and the core distances (``rank == k`` rows);
+    the two core joins broadcast an n-row, 2-column table — no extra
+    distance pass. Oracle-exact: ``greatest`` over bit-equal doubles.
+    """
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    g = knn_self(d, k, metric)
+    core = (g.filter(F.col("rank") == k)
+            .select(F.col("qid").alias("id"),
+                    F.col("distance").alias("core")))
+    return (g.join(core.withColumnRenamed("id", "qid")
+                   .withColumnRenamed("core", "ca"), "qid")
+            .join(core.withColumnRenamed("id", "nid")
+                  .withColumnRenamed("core", "cb"), "nid")
+            .select(F.col("qid").alias("src"), F.col("nid").alias("dst"),
+                    F.greatest("distance", "ca", "cb").alias("mr_dist")))
+
+
 def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
                    metric: str = "sqeuclidean", id_col: str = "id",
                    vec_col: str = "vec", linkage: str = "knn_graph",

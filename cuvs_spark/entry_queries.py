@@ -486,6 +486,23 @@ register("text_fingerprints", _fingerprints,
          TX.doc_fingerprints_sql(_DOC_SQL))
 
 
+def _repetition(spark, sf_dir):
+    return TX.repetition_stats(doc_table(spark, sf_dir))
+
+
+register("text_repetition_stats", _repetition,
+         TX.repetition_stats_sql(_DOC_SQL))
+
+
+def _semantic_dedup(spark, sf_dir):
+    return DD.semantic_dedup(T(spark, sf_dir, "embeddings"),
+                             n_clusters=8, tau=0.15)
+
+
+register("dedup_semantic", _semantic_dedup,
+         DD.semantic_dedup_sql(8, 0.15))
+
+
 # --- preprocessing: quantizers, PQ, PCA (SURVEY §2.2) ----------------------
 from cuvs_spark.preprocessing import quantize as QZ
 from cuvs_spark.preprocessing import pq as PQ
@@ -1167,6 +1184,27 @@ def _single_linkage(spark, sf_dir):
 
 
 register("agglomerative_single_linkage", _single_linkage)  # rows-only
+
+
+def _mutual_reachability(spark, sf_dir):
+    from cuvs_spark.cluster.agglomerative import mutual_reachability_graph
+    d = emb_dataset(spark, sf_dir).filter(F.col("id") < 150)
+    return mutual_reachability_graph(d, k=5, metric="sqeuclidean")
+
+
+_MR_K = 5
+_MR_G = O.knn_sql(
+    "SELECT vec_id AS nid, embedding AS dv FROM embeddings WHERE vec_id < 150",
+    "SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 150",
+    _MR_K, "sqeuclidean", pair_where="q.qid <> d.nid")
+
+register("agglomerative_mutual_reachability", _mutual_reachability, f"""
+WITH g AS ({_MR_G}),
+core AS (SELECT qid AS id, distance AS core FROM g WHERE rank = {_MR_K})
+SELECT g.qid AS src, g.nid AS dst,
+       greatest(g.distance, ca.core, cb.core) AS mr_dist
+FROM g JOIN core ca ON g.qid = ca.id JOIN core cb ON g.nid = cb.id
+""")
 
 
 def _cagra_merge(spark, sf_dir):
@@ -2083,6 +2121,11 @@ _WINDOW_PRIORITY = [
     "preprocess_vpq_roundtrip",
     "bf_save_load_search",
     "ivf_pq_transform_codes",
+    # …round-5 additions (HDBSCAN mutual reachability, Gopher
+    # repetition filters, SemDeDup) — unverified, so inside the window
+    "agglomerative_mutual_reachability",
+    "text_repetition_stats",
+    "dedup_semantic",
     # …and the iterative operators, each as an oracle-backed QUALITY
     # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
     # the measured value) instead of a weak rows-only record — every

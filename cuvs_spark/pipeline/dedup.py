@@ -558,3 +558,81 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, prune within clusters
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(emb: DataFrame, *, n_clusters: int = 8,
+                   tau: float = 0.15, centroids: DataFrame | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then inside each cluster mark a document as a semantic
+    duplicate when a lower-id cluster-mate sits within cosine distance
+    ``tau``. → ``(id, cluster, is_dup)``.
+
+    ``centroids`` accepts a ``(label, cv)`` frame (e.g. from
+    ``cluster.kmeans.fit``); the default — the ``n_clusters``
+    smallest-id embeddings — is deterministic and oracle-reproducible.
+
+    Scale shape: assignment is a broadcast argmin join emitting one row
+    per doc (ties → lowest label, matching the kmeans oracle); the dup
+    check self-joins WITHIN a cluster bucket only — candidate cost
+    Σ|cluster|², the SemDeDup design point (at 100 TB raise
+    ``n_clusters`` to ~10⁵ so buckets stay small; the centroid table
+    stays broadcastable)."""
+    from cuvs_spark.functions.distance import distance_sql_spark
+
+    X = emb.select(F.col(id_col).cast("long").alias("id"),
+                   F.col(vec_col).alias("vec"))
+    if centroids is None:
+        centroids = (X.orderBy("id").limit(n_clusters)
+                     .select(F.col("id").alias("label"),
+                             F.col("vec").alias("cv")))
+    dist_c = F.expr(distance_sql_spark("cosine", "vec", "cv"))
+    assigned = (X.join(F.broadcast(centroids))
+                .select("id", "vec",
+                        F.struct(dist_c.alias("d"),
+                                 F.col("label").alias("l")).alias("_s"))
+                .groupBy("id", "vec").agg(F.min("_s").alias("_b"))
+                .select("id", "vec", F.col("_b.l").alias("cluster")))
+    a = assigned.alias("a")
+    b = (assigned.select(F.col("id").alias("bid"),
+                         F.col("vec").alias("bvec"),
+                         F.col("cluster").alias("bcluster")).alias("b"))
+    dist_ab = F.expr(distance_sql_spark("cosine", "a.vec", "bvec"))
+    dups = (a.join(b, (F.col("a.cluster") == F.col("bcluster"))
+                   & (F.col("bid") < F.col("a.id")))
+            .filter(dist_ab <= tau)
+            .select(F.col("a.id").alias("id")).distinct()
+            .withColumn("_dup", F.lit(True)))
+    return (assigned.join(dups, "id", "left")
+            .select("id", "cluster",
+                    F.coalesce("_dup", F.lit(False)).alias("is_dup")))
+
+
+def semantic_dedup_sql(n_clusters: int = 8, tau: float = 0.15) -> str:
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    d_assign = distance_sql_duckdb("cosine", "X.vec", "c.cv")
+    d_pair = distance_sql_duckdb("cosine", "x.vec", "y.vec")
+    return f"""
+WITH X AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+c AS (SELECT id AS label, vec AS cv FROM X ORDER BY id LIMIT {n_clusters}),
+scored AS (
+  SELECT X.id AS id, X.vec AS vec, c.label AS label,
+         row_number() OVER (PARTITION BY X.id
+                            ORDER BY {d_assign} ASC, c.label ASC) AS rn
+  FROM X CROSS JOIN c
+),
+a AS (SELECT id, vec, label AS cluster FROM scored WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT x.id FROM a x JOIN a y
+  ON x.cluster = y.cluster AND y.id < x.id
+  WHERE {d_pair} <= {tau}
+)
+SELECT a.id AS id, a.cluster AS cluster,
+       (d.id IS NOT NULL) AS is_dup
+FROM a LEFT JOIN dup d ON a.id = d.id
+"""

@@ -172,6 +172,100 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def _gram_expr_spark(n: int) -> str:
+    # guarded: Spark sequence(1, 0) would generate a DESCENDING range
+    return (f"CASE WHEN size(t) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> array_join(slice(t, i, {n}), ' ')) END")
+
+
+def _gram_expr_duck(n: int) -> str:
+    return (f"CASE WHEN len(t) < {n} THEN [] "
+            f"ELSE list_transform(range(1, len(t) - {n - 2}), "
+            f"i -> array_to_string(t[i:i + {n - 1}], ' ')) END")
+
+
+def repetition_stats(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    §A1.1 repetition filters): the fraction of duplicate words, the
+    share of the most frequent bigram, and the fraction of trigram
+    occurrences that are repeats. Degenerate/boilerplate documents score
+    high and get dropped before training.
+
+    → ``(doc_id, n_words, dup_word_frac, top_bigram_frac,
+    dup_trigram_frac)``. Scale shape: duplicate words are a map-only
+    array expression (``array_distinct``); the n-gram modes shuffle
+    ``(doc_id, gram)`` rows with map-side partial aggregation — no
+    cross-document traffic. All integer counts + one IEEE division each
+    → oracle-exact."""
+    d = _doc(df, id_col, text_col)
+    d2 = (d.select("doc_id",
+                   F.expr(TOKS_SPARK.format(s="text")).alias("t"))
+          .localCheckpoint())
+
+    def gram_frac(n, agg):
+        g = d2.select("doc_id",
+                      F.explode(F.expr(_gram_expr_spark(n))).alias("g"))
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return c.groupBy("doc_id").agg(agg)
+
+    base = d2.select(
+        "doc_id",
+        F.expr("CAST(size(t) AS BIGINT)").alias("n_words"),
+        F.expr("CASE WHEN size(t) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+               "CAST(size(t) - size(array_distinct(t)) AS DOUBLE) / size(t) "
+               "END").alias("dup_word_frac"))
+    bg = gram_frac(2, F.expr("CAST(max(c) AS DOUBLE) / sum(c)")
+                   .alias("top_bigram_frac"))
+    tg = gram_frac(3, F.expr(
+        "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c)")
+        .alias("dup_trigram_frac"))
+    return (base.join(bg, "doc_id", "left").join(tg, "doc_id", "left")
+            .select("doc_id", "n_words", "dup_word_frac",
+                    F.coalesce("top_bigram_frac", F.lit(0.0))
+                    .alias("top_bigram_frac"),
+                    F.coalesce("dup_trigram_frac", F.lit(0.0))
+                    .alias("dup_trigram_frac")))
+
+
+def repetition_stats_sql(doc_sql: str) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+d2 AS (SELECT doc_id, {toks} AS t FROM d),
+bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest({_gram_expr_duck(2)}) AS g FROM d2)
+  GROUP BY doc_id, g
+),
+bg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+       FROM bgc GROUP BY doc_id),
+tgc AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest({_gram_expr_duck(3)}) AS g FROM d2)
+  GROUP BY doc_id, g
+),
+tg AS (SELECT doc_id,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+              / sum(c) AS dup_trigram_frac
+       FROM tgc GROUP BY doc_id)
+SELECT d2.doc_id,
+       CAST(len(t) AS BIGINT) AS n_words,
+       CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE) ELSE
+         CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) END
+         AS dup_word_frac,
+       COALESCE(bg.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(tg.dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM d2 LEFT JOIN bg ON d2.doc_id = bg.doc_id
+        LEFT JOIN tg ON d2.doc_id = tg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,108 @@
+"""Round-5 operators: HDBSCAN mutual reachability, Gopher repetition
+stats, SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_mutual_reachability_matches_numpy(spark, tiny_vectors, vectors_df):
+    from cuvs_spark.cluster.agglomerative import mutual_reachability_graph
+
+    k = 4
+    out = mutual_reachability_graph(vectors_df, k=k).toPandas()
+    X = tiny_vectors.astype(np.float64)
+    D = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(D, np.inf)
+    order = np.argsort(D, axis=1, kind="stable")
+    core = D[np.arange(len(X)), order[:, k - 1]]
+    expected = {}
+    for i in range(len(X)):
+        for j in order[i, :k]:
+            expected[(i, int(j))] = max(D[i, j], core[i], core[int(j)])
+    got = {(int(r.src), int(r.dst)): r.mr_dist for r in out.itertuples()}
+    assert set(got) == set(expected)
+    for key, v in expected.items():
+        assert got[key] == pytest.approx(v, rel=1e-6)
+    # mr_dist >= raw distance and >= both cores, symmetric where both
+    # directions exist
+    for (i, j), v in got.items():
+        if (j, i) in got:
+            assert got[(j, i)] == pytest.approx(v, rel=1e-12)
+
+
+def test_repetition_stats_known_docs(spark):
+    from cuvs_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"),          # one bigram dominates
+         (1, "x y z w"),              # all unique
+         (2, "q q q q q"),            # single repeated word
+         (3, "t"),                    # too short for any bigram
+         (4, "")],                    # empty text
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    # doc 0: words [a b a b a b] → 6 words, 2 distinct → dup 4/6
+    assert out[0]["n_words"] == 6
+    assert out[0]["dup_word_frac"] == pytest.approx(4 / 6)
+    # bigrams: 'a b'×3, 'b a'×2 → top 3/5
+    assert out[0]["top_bigram_frac"] == pytest.approx(3 / 5)
+    # trigrams: 'a b a'×2, 'b a b'×2 → all 4 are repeats
+    assert out[0]["dup_trigram_frac"] == pytest.approx(1.0)
+
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == pytest.approx(1 / 3)
+    assert out[1]["dup_trigram_frac"] == 0.0
+
+    assert out[2]["dup_word_frac"] == pytest.approx(4 / 5)
+    assert out[2]["top_bigram_frac"] == pytest.approx(1.0)
+
+    assert out[3]["n_words"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_words"] == 0
+    assert out[4]["dup_word_frac"] == 0.0
+
+
+def test_semantic_dedup_flags_injected_near_dup(spark, rng):
+    from cuvs_spark.pipeline.dedup import semantic_dedup
+
+    X = rng.standard_normal((60, 16)).astype(np.float32)
+    # rows 50..54 are near-copies of rows 0..4 (tiny perturbation)
+    X[50:55] = X[0:5] + 1e-4 * rng.standard_normal((5, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, n_clusters=6, tau=0.05).toPandas()
+    assert len(out) == 60
+    flagged = set(out[out.is_dup].id)
+    # each injected copy shares a cluster with its (lower-id) source and
+    # sits within tau, so it must be flagged
+    assert {50, 51, 52, 53, 54} <= flagged
+    # sources themselves are not flagged by their copies (copy has the
+    # higher id); random vectors in 16-d are nowhere near tau=0.05
+    assert not (flagged & set(range(50)))
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark, rng):
+    from cuvs_spark.cluster.kmeans import kmeans_fit
+    from cuvs_spark.pipeline.dedup import semantic_dedup
+
+    X = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>")
+    model = kmeans_fit(
+        df.select(F.col("vec_id").alias("id"),
+                  F.col("embedding").alias("vec")),
+        4, max_iter=3, seed=7)
+    cents = spark.createDataFrame(
+        [(int(l), [float(v) for v in c])
+         for l, c in enumerate(model.centroids)],
+        "label long, cv array<float>")
+    out = semantic_dedup(df, centroids=cents, tau=0.05).toPandas()
+    assert len(out) == 40
+    assert set(out.columns) == {"id", "cluster", "is_dup"}
+    assert out.cluster.nunique() <= 4
