@@ -1452,7 +1452,7 @@ def _curate(spark, sf_dir):
                          langs=("en", "und"), near_dup_jaccard=0.8)
 
 
-def _curate_oracle():
+def _curate_oracle(gopher: bool = False):
     q_sql = TX.quality_score_sql(_DOC_DUP_SQL)
     bad_q = (f"SELECT doc_id, 'quality' AS stage FROM ({q_sql}) "
              f"WHERE n_tokens < 10 OR punct_ratio > 0.2")
@@ -1463,6 +1463,13 @@ def _curate_oracle():
              f"WHERE pred_lang NOT IN ('en', 'und')")
     s2 = (f"SELECT doc_id, text FROM ({s1}) "
           f"WHERE doc_id NOT IN (SELECT doc_id FROM ({bad_l}))")
+    bad_r = None
+    if gopher:
+        rep = TX.repetition_stats_sql(s2)
+        bad_r = (f"SELECT doc_id, 'repetition' AS stage FROM ({rep}) "
+                 f"WHERE dup_word_frac > 0.6 OR top_bigram_frac > 0.06")
+        s2 = (f"SELECT doc_id, text FROM ({s2}) "
+              f"WHERE doc_id NOT IN (SELECT doc_id FROM ({bad_r}))")
     grp = DD.exact_dedup_sql(s2)
     bad_e = (f"SELECT doc_id, 'exact_dup' AS stage FROM ({s2}) "
              f"WHERE doc_id NOT IN (SELECT canonical_id FROM ({grp}))")
@@ -1474,16 +1481,29 @@ def _curate_oracle():
              f"WHERE doc_id <> canonical_id")
     kept = (f"SELECT doc_id, 'kept' AS stage FROM ({s3}) "
             f"WHERE doc_id NOT IN (SELECT doc_id FROM ({bad_n}))")
+    rep_union = (f"UNION ALL SELECT doc_id, stage FROM ({bad_r})\n"
+                 if bad_r else "")
     return f"""
 SELECT doc_id, stage FROM ({bad_q})
 UNION ALL SELECT doc_id, stage FROM ({bad_l})
-UNION ALL SELECT doc_id, stage FROM ({bad_e})
+{rep_union}UNION ALL SELECT doc_id, stage FROM ({bad_e})
 UNION ALL SELECT doc_id, stage FROM ({bad_n})
 UNION ALL {kept}
 """
 
 
 register("pipeline_curate_corpus", _curate, _curate_oracle())
+
+
+def _curate_gopher(spark, sf_dir):
+    from cuvs_spark.pipeline.curate import curate_corpus
+    return curate_corpus(_docs_with_dups(spark, sf_dir),
+                         min_tokens=10, max_punct_ratio=0.2,
+                         langs=("en", "und"), near_dup_jaccard=0.8,
+                         max_dup_word_frac=0.6, max_top_bigram_frac=0.06)
+
+
+register("pipeline_curate_gopher", _curate_gopher, _curate_oracle(gopher=True))
 
 
 def _curate_stats(spark, sf_dir):
@@ -2126,6 +2146,7 @@ _WINDOW_PRIORITY = [
     "agglomerative_mutual_reachability",
     "text_repetition_stats",
     "dedup_semantic",
+    "pipeline_curate_gopher",
     # …and the iterative operators, each as an oracle-backed QUALITY
     # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
     # the measured value) instead of a weak rows-only record — every

@@ -19,17 +19,24 @@ from cuvs_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from cuvs_spark.pipeline.text import language_id, quality_score
+from cuvs_spark.pipeline.text import language_id, quality_score, repetition_stats
 
 
 def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
                   min_tokens: int = 10, max_punct_ratio: float = 0.2,
                   langs: tuple[str, ...] | None = None,
-                  near_dup_jaccard: float = 0.8) -> DataFrame:
+                  near_dup_jaccard: float = 0.8,
+                  max_dup_word_frac: float | None = None,
+                  max_top_bigram_frac: float | None = None,
+                  max_dup_trigram_frac: float | None = None) -> DataFrame:
     """Return the curated corpus ``(doc_id, text, stage)`` where
     ``stage`` records the first filter each *dropped* doc hit
-    ('quality', 'lang', 'exact_dup', 'near_dup') or 'kept'."""
+    ('quality', 'lang', 'repetition', 'exact_dup', 'near_dup') or
+    'kept'. The repetition stage (Gopher-style; off unless one of its
+    thresholds is set) joins per-doc n-gram repetition fractions into
+    the same marking pass — one extra (doc, gram) shuffle, no extra
+    anti-join."""
     # each stage feeds several consumers (the mark union AND the next
     # stage's anti-join); checkpoint stage outputs so Catalyst doesn't
     # re-derive the whole upstream chain per consumer. Quality and
@@ -41,16 +48,27 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     q = quality_score(d).select("doc_id", "n_tokens", "punct_ratio")
     bad_quality = ((F.col("n_tokens") < min_tokens)
                    | (F.col("punct_ratio") > max_punct_ratio))
+    marked = q
+    stage_case = F.when(bad_quality, "quality")
     if langs is not None:
         lid = language_id(d).select("doc_id", "pred_lang")
-        flags = (q.join(lid, "doc_id")
-                 .select("doc_id",
-                         F.when(bad_quality, "quality")
-                         .when(~F.col("pred_lang").isin(*langs), "lang")
-                         .alias("stage")))
-    else:
-        flags = q.select("doc_id",
-                         F.when(bad_quality, "quality").alias("stage"))
+        marked = marked.join(lid, "doc_id")
+        stage_case = stage_case.when(~F.col("pred_lang").isin(*langs), "lang")
+    rep_thresholds = [
+        ("dup_word_frac", max_dup_word_frac),
+        ("top_bigram_frac", max_top_bigram_frac),
+        ("dup_trigram_frac", max_dup_trigram_frac)]
+    if any(t is not None for _, t in rep_thresholds):
+        rep = repetition_stats(d).select(
+            "doc_id", "dup_word_frac", "top_bigram_frac",
+            "dup_trigram_frac")
+        marked = marked.join(rep, "doc_id")
+        bad_rep = F.lit(False)
+        for col, t in rep_thresholds:
+            if t is not None:
+                bad_rep = bad_rep | (F.col(col) > t)
+        stage_case = stage_case.when(bad_rep, "repetition")
+    flags = marked.select("doc_id", stage_case.alias("stage"))
     # cache, not localCheckpoint: the marking pass is a row-wise
     # projection over the already-checkpointed d, so a lazy cache lets
     # the first consumer materialize it without the extra eager job

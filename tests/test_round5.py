@@ -86,6 +86,27 @@ def test_semantic_dedup_flags_injected_near_dup(spark, rng):
     assert not (flagged & set(range(50)))
 
 
+def test_curate_repetition_stage(spark):
+    from cuvs_spark.pipeline.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten eleven"),
+         (1, "spam spam spam spam spam spam spam spam spam spam spam"),
+         (2, "shrt")],   # fails min_tokens → quality, not repetition
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["stage"]
+           for r in curate_corpus(docs, min_tokens=5,
+                                  max_dup_word_frac=0.5).collect()}
+    assert out[0] == "kept"
+    assert out[1] == "repetition"
+    assert out[2] == "quality"   # quality precedes repetition
+
+    # thresholds off → no repetition stage at all
+    out2 = {r["doc_id"]: r["stage"]
+            for r in curate_corpus(docs, min_tokens=5).collect()}
+    assert out2[1] == "kept"
+
+
 def test_semantic_dedup_accepts_trained_centroids(spark, rng):
     from cuvs_spark.cluster.kmeans import kmeans_fit
     from cuvs_spark.pipeline.dedup import semantic_dedup
