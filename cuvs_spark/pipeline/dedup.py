@@ -566,8 +566,8 @@ SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
 
 def semantic_dedup(emb: DataFrame, *, n_clusters: int = 8,
                    tau: float = 0.15, centroids: DataFrame | None = None,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   method: str = "expr") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     space, then inside each cluster mark a document as a semantic
     duplicate when a lower-id cluster-mate sits within cosine distance
@@ -582,7 +582,13 @@ def semantic_dedup(emb: DataFrame, *, n_clusters: int = 8,
     check self-joins WITHIN a cluster bucket only — candidate cost
     Σ|cluster|², the SemDeDup design point (at 100 TB raise
     ``n_clusters`` to ~10⁵ so buckets stay small; the centroid table
-    stays broadcastable)."""
+    stays broadcastable).
+
+    ``method="expr"`` is the oracle-exact declarative join;
+    ``method="blas"`` replaces the within-cluster join with one
+    ``applyInPandas`` GEMM per cluster bucket (cosine Gram matrix,
+    lower-id rule via a sorted mask) — no per-pair rows ever
+    materialize, throughput tracks BLAS."""
     from cuvs_spark.functions.distance import distance_sql_spark
 
     X = emb.select(F.col(id_col).cast("long").alias("id"),
@@ -591,6 +597,50 @@ def semantic_dedup(emb: DataFrame, *, n_clusters: int = 8,
         centroids = (X.orderBy("id").limit(n_clusters)
                      .select(F.col("id").alias("label"),
                              F.col("vec").alias("cv")))
+    if method == "blas":
+        import numpy as np
+        import pandas as pd
+
+        crows = sorted(centroids.collect(), key=lambda r: r["label"])
+        labels = np.array([r["label"] for r in crows], dtype=np.int64)
+        C = np.vstack([np.asarray(r["cv"], dtype=np.float64)
+                       for r in crows])
+        Cn = C / np.where((nc := np.sqrt((C * C).sum(1, keepdims=True)))
+                          == 0.0, 1.0, nc)
+        bc = X.sparkSession.sparkContext.broadcast((labels, Cn))
+
+        def assign_batches(batches):
+            labels, Cn = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Xb = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                nrm = np.sqrt((Xb * Xb).sum(1, keepdims=True))
+                nrm[nrm == 0.0] = 1.0
+                # cosine argmin == argmax similarity; first-max rule
+                # gives the lowest-label tie-break (labels sorted)
+                lab = labels[np.argmax((Xb / nrm) @ Cn.T, axis=1)]
+                pdf = pdf.assign(cluster=lab)
+                yield pdf[["id", "vec", "cluster"]]
+
+        assigned = X.mapInPandas(
+            assign_batches, "id long, vec array<float>, cluster long")
+
+        def find_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((X * X).sum(1, keepdims=True))
+            nrm[nrm == 0.0] = 1.0
+            S = (X / nrm) @ (X / nrm).T        # cosine similarity Gram
+            D = 1.0 - S
+            # dup iff any strictly-lower-id row within tau
+            mask = np.tril(D <= tau, k=-1).any(axis=1)
+            return pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                 "cluster": pdf["cluster"].to_numpy(),
+                                 "is_dup": mask})
+        return assigned.groupBy("cluster").applyInPandas(
+            lambda pdf: find_dups(pdf),
+            "id long, cluster long, is_dup boolean")
     dist_c = F.expr(distance_sql_spark("cosine", "vec", "cv"))
     assigned = (X.join(F.broadcast(centroids))
                 .select("id", "vec",

@@ -107,6 +107,22 @@ def test_curate_repetition_stage(spark):
     assert out2[1] == "kept"
 
 
+def test_semantic_dedup_blas_agrees_with_expr(spark, rng):
+    from cuvs_spark.pipeline.dedup import semantic_dedup
+
+    X = rng.standard_normal((80, 12)).astype(np.float32)
+    X[70:75] = X[10:15] + 1e-4 * rng.standard_normal((5, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>")
+    e = (semantic_dedup(df, n_clusters=5, tau=0.05)
+         .toPandas().sort_values("id").reset_index(drop=True))
+    b = (semantic_dedup(df, n_clusters=5, tau=0.05, method="blas")
+         .toPandas().sort_values("id").reset_index(drop=True))
+    assert (e["cluster"] == b["cluster"]).all()
+    assert (e["is_dup"] == b["is_dup"]).all()
+
+
 def test_semantic_dedup_accepts_trained_centroids(spark, rng):
     from cuvs_spark.cluster.kmeans import kmeans_fit
     from cuvs_spark.pipeline.dedup import semantic_dedup
