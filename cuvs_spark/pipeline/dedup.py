@@ -144,7 +144,15 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
 
     Map-only: shingling, hashing and the min-fold all run as JVM array
     expressions inside one projection — no shuffle, no Python."""
-    d = _doc(df, id_col, text_col).withColumn("hs", F.expr(HS_SPARK))
+    # staged projections: tokenizing/shingling/hashing inline would be
+    # re-evaluated once per consumer expression — lambda-bearing
+    # higher-order functions are excluded from Spark's subexpression
+    # elimination, so each stage gets its own column (measured 7×)
+    d = (_doc(df, id_col, text_col)
+         .withColumn("t", F.expr(TOKS_SPARK.format(s="text")))
+         .withColumn("sh", F.expr(SHINGLES_SPARK.format(t="t")))
+         .withColumn("hs", F.expr(
+             "transform(sh, s -> " + H32_SPARK.format(s="s") + ")")))
     sig = F.array(*[F.expr(e) for e in _sig_exprs_spark(n_hashes=n_hashes)])
     return (d.select("doc_id", F.posexplode(sig).alias("sig_idx", "sig"))
             .select("doc_id", F.col("sig_idx").cast("long"), "sig"))
@@ -188,9 +196,12 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     near-identical en masse and exact dedup already collapses them."""
     n_bands = _check_bands(n_hashes, band_r)
     d = _doc(df, id_col, text_col)
-    sh = F.expr(SHINGLES_SPARK.format(t=TOKS_SPARK.format(s="text")))
     sig = F.array(*[F.expr(e) for e in _sig_exprs_spark(n_hashes=n_hashes)])
-    docs = (d.select("doc_id", sh.alias("sh"))
+    # staged: each expensive lambda expression lands in its own column
+    # (HOF lambdas are excluded from subexpression elimination — an
+    # inlined tokenizer would run once per consumer, measured 7×)
+    docs = (d.withColumn("t", F.expr(TOKS_SPARK.format(s="text")))
+            .withColumn("sh", F.expr(SHINGLES_SPARK.format(t="t")))
             .withColumn("hs", F.expr(
                 "transform(sh, s -> " + H32_SPARK.format(s="s") + ")"))
             .select("doc_id", sig.alias("sig"), "sh")

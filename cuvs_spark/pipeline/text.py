@@ -98,15 +98,19 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id",
     """Heuristic quality features per doc: n_chars, n_tokens,
     mean_token_len, punct_ratio, digit_ratio, stopword_ratio — map-only,
     all integer counts + single divisions (oracle-exact)."""
-    d = _doc(df, id_col, text_col)
-    toks = TOKS_SPARK.format(s="text")
-    n_tok = f"size({toks})"
-    sum_len = (f"aggregate({toks}, CAST(0 AS BIGINT), "
-               f"(acc, t) -> acc + length(t))")
+    # tokens staged into columns: HOF lambdas are excluded from Spark's
+    # subexpression elimination, so an inlined tokenizer would re-split
+    # the text once per consuming expression
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="text")))
+         .withColumn("_tl", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    n_tok = "size(_t)"
+    sum_len = ("aggregate(_t, CAST(0 AS BIGINT), "
+               "(acc, t) -> acc + length(t))")
     punct = "length(regexp_replace(text, '[^.,!?;:]', ''))"
     digits = "length(regexp_replace(text, '[^0-9]', ''))"
     stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    n_stop = (f"size(filter({TOKS_SPARK.format(s='lower(text)')}, "
+    n_stop = (f"size(filter(_tl, "
               f"t -> array_contains(array({stop_en}), t)))")
     return d.select(
         "doc_id",
@@ -152,7 +156,7 @@ def token_counts(df: DataFrame, *, id_col: str = "doc_id",
     """Whitespace tokens + BPE-ish regex pieces per doc (the two counts
     every corpus-budget estimate needs)."""
     d = _doc(df, id_col, text_col)
-    ws = f"size({TOKS_SPARK.format(s='text')})"
+    ws = f"size({TOKS_SPARK.format(s='text')})"   # single consumer
     bpe = f"size(regexp_extract_all(text, '{BPE_REGEX_SPARK}', 0))"
     return d.select(
         "doc_id",
