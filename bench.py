@@ -151,6 +151,17 @@ def main() -> None:
     def bench_curate_corpus():
         return QUERIES["pipeline_curate_corpus"](spark, sf_dir)
 
+    def bench_repetition():
+        from cuvs_spark.pipeline.text import repetition_stats
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return repetition_stats(docs)
+
+    def bench_semantic_dedup():
+        from cuvs_spark.pipeline.dedup import semantic_dedup
+        return semantic_dedup(T(spark, sf_dir, "embeddings"),
+                              n_clusters=16, tau=0.15, method="blas")
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "cagra_build_optimize": bench_cagra_build,
@@ -166,6 +177,8 @@ def main() -> None:
         "dedup_simhash_near_dup": bench_entry("dedup_simhash_near_dup"),
         "text_fingerprints": bench_fingerprints,
         "text_quality_score": bench_entry("text_quality_score"),
+        "text_repetition_stats": bench_repetition,
+        "dedup_semantic_blas": bench_semantic_dedup,
         "eps_neighborhood_blas": bench_eps_blas,
     }
 

@@ -1,0 +1,106 @@
+"""Scale probe for the training-data pipeline operators — synthesizes a
+docs corpus 40× sf0.1 (plus a 200k embedding table) entirely
+executor-side and times the dedup/text/curation paths. Validates the
+"would this survive 100×?" claims for the pipeline family the same way
+tools/scale_probe.py does for the ANN family. Writes /tmp only.
+
+Usage: python tools/pipeline_scale_probe.py [n_docs] [n_emb]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_emb = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+
+    from pyspark.sql import functions as F
+
+    from cuvs_spark import get_spark
+
+    spark = get_spark("pipeline_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+
+    # --- synthetic docs: deterministic word streams from a 1k vocab,
+    # generated executor-side (no driver materialization); the last 5%
+    # of ids replay earlier texts → exact dups for the dedup stages
+    vocab = ", ".join(f"'w{i}'" for i in range(1000))
+    dup_start = int(n_docs * 0.95)
+    docs_path = f"/tmp/pipeline_probe_docs_{n_docs}.parquet"
+    if not os.path.exists(docs_path):
+        (spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"CASE WHEN id >= {dup_start} THEN id - {dup_start} "
+                f"ELSE id END").alias("src"))
+         .withColumn("text", F.expr(
+             f"array_join(transform(sequence(1, 80 + pmod(xxhash64(src), 70)), "
+             f"i -> element_at(array({vocab}), "
+             f"CAST(pmod(xxhash64(src * 1000 + i), 1000) + 1 AS INT))), ' ')"))
+         .select("doc_id", "text")
+         .write.mode("overwrite").parquet(docs_path))
+    docs = spark.read.parquet(docs_path).repartition(32).cache()
+    docs.count()
+
+    from cuvs_spark.pipeline.curate import curate_corpus
+    from cuvs_spark.pipeline.dedup import (exact_dedup, minhash_lsh_pairs,
+                                           semantic_dedup, simhash_near_dup)
+    from cuvs_spark.pipeline.text import doc_fingerprints, repetition_stats
+
+    def timed(key, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        out[key] = round(time.time() - t0, 2)
+
+    timed("exact_dedup_sec", exact_dedup(docs))
+    timed("minhash_lsh_sec",
+          minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                            max_bucket_size=1000))
+    timed("simhash_near_dup_sec", simhash_near_dup(docs, max_hamming=3))
+    timed("repetition_stats_sec", repetition_stats(docs))
+    timed("fingerprints_sec", doc_fingerprints(docs, hash_fn="xxhash64"))
+    timed("curate_gopher_sec",
+          curate_corpus(docs, min_tokens=10, max_punct_ratio=0.99,
+                        near_dup_jaccard=0.8,
+                        max_dup_word_frac=0.999,
+                        max_top_bigram_frac=0.2))
+
+    # --- embeddings: clustered gaussians (reuses scale_probe's layout)
+    emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
+    if not os.path.exists(emb_path):
+        import numpy as np
+        import pandas as pd
+        rng = np.random.default_rng(7)
+        centers = rng.normal(0, 1, (512, 64))
+        dfs = []
+        for s in range(0, n_emb, 50_000):
+            m = min(50_000, n_emb - s)
+            lab = rng.integers(0, 512, m)
+            X = (centers[lab] + rng.normal(0, 0.25, (m, 64))).astype("float32")
+            dfs.append(pd.DataFrame({
+                "vec_id": np.arange(s, s + m, dtype=np.int64),
+                "embedding": list(X)}))
+        spark.createDataFrame(pd.concat(dfs)) \
+            .write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path).repartition(32).cache()
+    emb.count()
+
+    t0 = time.time()
+    sd = semantic_dedup(emb, n_clusters=512, tau=0.05, method="blas")
+    n_dups = sd.filter("is_dup").count()
+    out["semantic_dedup_blas_sec"] = round(time.time() - t0, 2)
+    out["semantic_dedup_flagged"] = int(n_dups)
+
+    print(json.dumps({"n_docs": n_docs, "n_emb": n_emb, **out}))
+
+
+if __name__ == "__main__":
+    main()
