@@ -427,6 +427,17 @@ register("dedup_simhash_near_dup", _simhash_near,
          DD.simhash_near_dup_sql(_DOC_DUP_SQL, 3))
 
 
+def _simhash_wide(spark, sf_dir):
+    """60-bit sketch — the corpus-scale band-cardinality path (32-bit
+    band keys collide past ~1e5 docs; see simhash_near_dup docstring)."""
+    return DD.simhash_near_dup(_docs_with_dups(spark, sf_dir),
+                               max_hamming=3, bits=60)
+
+
+register("dedup_simhash_wide", _simhash_wide,
+         DD.simhash_near_dup_sql(_DOC_DUP_SQL, 3, 60))
+
+
 def _ngram_jac(spark, sf_dir):
     return DD.ngram_jaccard_pairs(doc_table(spark, sf_dir), 3,
                                   threshold=0.2, max_docs=40)
@@ -2147,6 +2158,7 @@ _WINDOW_PRIORITY = [
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",
+    "dedup_simhash_wide",
     # …and the iterative operators, each as an oracle-backed QUALITY
     # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
     # the measured value) instead of a weak rows-only record — every

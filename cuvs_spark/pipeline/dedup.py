@@ -277,38 +277,46 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, *, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc from token hashes — pure integer
-    expression pipeline.
+            text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-wide SimHash per doc from token hashes — pure integer
+    expression pipeline (``bits`` ≤ 60 so the packed sketch stays a
+    positive BIGINT; default 32).
 
-    One row per (doc, token) flows into 32 parallel signed-sum
+    One row per (doc, token) flows into ``bits`` parallel signed-sum
     aggregates (one per bit) with map-side combine, so the shuffle
-    carries one 32-column row per doc — no bit-explosion relation.
+    carries one ``bits``-column row per doc — no bit-explosion relation.
     """
+    assert bits <= 60, "packed sketch must fit a positive BIGINT"
     d = _doc(df, id_col, text_col)
     toks = TOKS_SPARK.format(s="text")
-    h = H32_SPARK.format(s="t")
+    # bits ≤ 32 → 32-bit md5 token hash (historical/oracle default);
+    # wider sketches draw from the 60-bit md5 template — still
+    # oracle-exact, and the point of `bits` is bucket cardinality:
+    # pigeonhole bands get bits/(h+1) key bits each, so a 60-bit sketch
+    # keeps band buckets sparse at corpus scales where 32 bits collide
+    h = (H32_SPARK if bits <= 32 else H64_SPARK).format(s="t")
     hs = (d.select("doc_id", F.explode(F.expr(toks)).alias("t"))
           .select("doc_id", F.expr(h).alias("h")))
     aggs = [F.sum(F.expr(
         f"CASE WHEN (h DIV {1 << j}) % 2 = 1 THEN 1 ELSE -1 END"))
-        .alias(f"s{j}") for j in range(SIMHASH_BITS)]
+        .alias(f"s{j}") for j in range(bits)]
     acc = hs.groupBy("doc_id").agg(*aggs)
     packed = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
-        f"ELSE CAST(0 AS BIGINT) END)" for j in range(SIMHASH_BITS))
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(bits))
     return acc.select("doc_id", F.expr(packed).alias("simhash"))
 
 
-def simhash_sql(doc_sql: str) -> str:
+def simhash_sql(doc_sql: str, bits: int = SIMHASH_BITS) -> str:
     toks = TOKS_DUCK.format(s="text")
-    h = H32_DUCK.format(s="t")
+    h = (H32_DUCK if bits <= 32 else H64_DUCK).format(s="t")
     sums = ", ".join(
         f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS))
+        for j in range(bits))
     packed = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
-        f"ELSE CAST(0 AS BIGINT) END)" for j in range(SIMHASH_BITS))
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(bits))
     return f"""
 WITH d AS ({doc_sql}),
 tok AS (SELECT doc_id, unnest({toks}) AS t FROM d),
@@ -320,21 +328,28 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM acc
 
 def simhash_near_dup(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text",
-                     max_hamming: int = 6) -> DataFrame:
+                     max_hamming: int = 6,
+                     bits: int = SIMHASH_BITS) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming`` →
     ``(doc_a, doc_b, hamming)``.
 
-    Pigeonhole band blocking, never an all-pairs self-join: the 32-bit
-    sketch is split into ``max_hamming + 1`` contiguous bit-bands, so
-    any pair within ``max_hamming`` differing bits agrees EXACTLY on at
-    least one band. Candidates come from an equi-join on
+    Pigeonhole band blocking, never an all-pairs self-join: the
+    ``bits``-wide sketch is split into ``max_hamming + 1`` contiguous
+    bit-bands, so any pair within ``max_hamming`` differing bits agrees
+    EXACTLY on at least one band. Candidates come from an equi-join on
     ``(band, band_bits)`` — the shuffle carries ``(max_hamming+1)·n``
     rows — and are verified with an exact popcount, giving output
     identical to the quadratic formulation at linear-ish cost.
-    """
-    s = simhash(df, id_col=id_col, text_col=text_col)
+
+    ``bits`` is the scale knob: band buckets have ``2^(bits/(h+1))``
+    possible keys, so the default 32-bit sketch collides past ~10⁵ docs
+    (measured: 200k docs × h=3 → 256-key bands → 5·10⁸ candidate
+    pairs) while ``bits=60`` keeps buckets sparse into the 10⁸-doc
+    range (15-bit bands; choose bits so band width ≥ log2(n_docs) - 10
+    or so). Verification cost tracks true near-dups either way."""
+    s = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
     nb = max_hamming + 1
-    bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
+    bounds = [round(i * bits / nb) for i in range(nb + 1)]
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
@@ -356,9 +371,10 @@ def simhash_near_dup(df: DataFrame, *, id_col: str = "doc_id",
             .filter(F.col("hamming") <= max_hamming))
 
 
-def simhash_near_dup_sql(doc_sql: str, max_hamming: int = 6) -> str:
+def simhash_near_dup_sql(doc_sql: str, max_hamming: int = 6,
+                         bits: int = SIMHASH_BITS) -> str:
     return f"""
-WITH s AS ({simhash_sql(doc_sql)})
+WITH s AS ({simhash_sql(doc_sql, bits)})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id

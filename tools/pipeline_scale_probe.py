@@ -55,23 +55,32 @@ def main() -> None:
                                            semantic_dedup, simhash_near_dup)
     from cuvs_spark.pipeline.text import doc_fingerprints, repetition_stats
 
-    def timed(key, df):
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        out[key] = round(time.time() - t0, 2)
+    def timed(key, make):
+        # thunk, not DataFrame: plan construction itself runs eager
+        # localCheckpoints for the composed pipelines and must be timed.
+        # Two passes, min kept — pass 0 absorbs codegen/JIT warmup of
+        # the very wide sketch expressions (measured 10× on minhash).
+        for _ in range(2):
+            t0 = time.time()
+            make().write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 2)
+            if key not in out or dt < out[key]:
+                out[key] = dt
 
-    timed("exact_dedup_sec", exact_dedup(docs))
+    timed("exact_dedup_sec", lambda: exact_dedup(docs))
     timed("minhash_lsh_sec",
-          minhash_lsh_pairs(docs, jaccard_threshold=0.5,
-                            max_bucket_size=1000))
-    timed("simhash_near_dup_sec", simhash_near_dup(docs, max_hamming=3))
-    timed("repetition_stats_sec", repetition_stats(docs))
-    timed("fingerprints_sec", doc_fingerprints(docs, hash_fn="xxhash64"))
+          lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                    max_bucket_size=1000))
+    timed("simhash_near_dup_sec",
+          lambda: simhash_near_dup(docs, max_hamming=3, bits=60))
+    timed("repetition_stats_sec", lambda: repetition_stats(docs))
+    timed("fingerprints_sec",
+          lambda: doc_fingerprints(docs, hash_fn="xxhash64"))
     timed("curate_gopher_sec",
-          curate_corpus(docs, min_tokens=10, max_punct_ratio=0.99,
-                        near_dup_jaccard=0.8,
-                        max_dup_word_frac=0.999,
-                        max_top_bigram_frac=0.2))
+          lambda: curate_corpus(docs, min_tokens=10, max_punct_ratio=0.99,
+                                near_dup_jaccard=0.8,
+                                max_dup_word_frac=0.999,
+                                max_top_bigram_frac=0.2))
 
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
