@@ -201,39 +201,53 @@ def repetition_stats(df: DataFrame, *, id_col: str = "doc_id",
     high and get dropped before training.
 
     → ``(doc_id, n_words, dup_word_frac, top_bigram_frac,
-    dup_trigram_frac)``. Scale shape: duplicate words are a map-only
-    array expression (``array_distinct``); the n-gram modes shuffle
-    ``(doc_id, gram)`` rows with map-side partial aggregation — no
-    cross-document traffic. All integer counts + one IEEE division each
-    → oracle-exact."""
+    dup_trigram_frac)``. Scale shape: MAP-ONLY — the n-gram mode and
+    duplicate counts come from a run-length fold over the per-doc
+    sorted gram array (``aggregate`` over ``array_sort``), so the whole
+    operator is one projection with zero shuffles; cross-doc traffic is
+    never needed because every statistic is per-document. All integer
+    counts + one IEEE division each → oracle-exact (the DuckDB twin
+    keeps the equivalent unnest+GROUP BY form)."""
     d = _doc(df, id_col, text_col)
-    d2 = (d.select("doc_id",
-                   F.expr(TOKS_SPARK.format(s="text")).alias("t"))
-          .localCheckpoint())
+    d2 = d.select("doc_id", F.expr(TOKS_SPARK.format(s="text")).alias("t"))
 
-    def gram_frac(n, agg):
-        g = d2.select("doc_id",
-                      F.explode(F.expr(_gram_expr_spark(n))).alias("g"))
-        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-        return c.groupBy("doc_id").agg(agg)
+    # run-length fold over the sorted gram array → (maxrun, dup_total):
+    # maxrun = occurrences of the most frequent gram, dup_total = total
+    # occurrences of grams appearing ≥ 2 times. Any total order groups
+    # equal grams adjacently, so sort semantics don't matter.
+    _ZERO = "CAST(0 AS BIGINT)"
 
-    base = d2.select(
+    def _runs(col):
+        step = (f"(a, g) -> CASE WHEN a.run > 0 AND g = a.prev THEN "
+                f"named_struct('prev', g, 'run', a.run + 1, "
+                f"'maxrun', a.maxrun, 'dup', a.dup) "
+                f"ELSE named_struct('prev', g, 'run', CAST(1 AS BIGINT), "
+                f"'maxrun', greatest(a.maxrun, a.run), "
+                f"'dup', a.dup + IF(a.run >= 2, a.run, {_ZERO})) END")
+        fin = (f"a -> named_struct("
+               f"'maxrun', greatest(a.maxrun, a.run), "
+               f"'dup', a.dup + IF(a.run >= 2, a.run, {_ZERO}))")
+        init = (f"named_struct('prev', CAST(NULL AS STRING), "
+                f"'run', {_ZERO}, 'maxrun', {_ZERO}, 'dup', {_ZERO})")
+        return f"aggregate(array_sort({col}), {init}, {step}, {fin})"
+
+    # gram arrays staged as columns (HOF lambdas get no subexpression
+    # elimination — inlining them into the 3 consumers would re-build
+    # each gram array 3×)
+    d3 = (d2.withColumn("bg", F.expr(_gram_expr_spark(2)))
+          .withColumn("tg", F.expr(_gram_expr_spark(3))))
+    return d3.select(
         "doc_id",
         F.expr("CAST(size(t) AS BIGINT)").alias("n_words"),
         F.expr("CASE WHEN size(t) = 0 THEN CAST(0 AS DOUBLE) ELSE "
                "CAST(size(t) - size(array_distinct(t)) AS DOUBLE) / size(t) "
-               "END").alias("dup_word_frac"))
-    bg = gram_frac(2, F.expr("CAST(max(c) AS DOUBLE) / sum(c)")
-                   .alias("top_bigram_frac"))
-    tg = gram_frac(3, F.expr(
-        "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c)")
+               "END").alias("dup_word_frac"),
+        F.expr(f"CASE WHEN size(bg) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+               f"CAST({_runs('bg')}.maxrun AS DOUBLE) / size(bg) END")
+        .alias("top_bigram_frac"),
+        F.expr(f"CASE WHEN size(tg) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+               f"CAST({_runs('tg')}.dup AS DOUBLE) / size(tg) END")
         .alias("dup_trigram_frac"))
-    return (base.join(bg, "doc_id", "left").join(tg, "doc_id", "left")
-            .select("doc_id", "n_words", "dup_word_frac",
-                    F.coalesce("top_bigram_frac", F.lit(0.0))
-                    .alias("top_bigram_frac"),
-                    F.coalesce("dup_trigram_frac", F.lit(0.0))
-                    .alias("dup_trigram_frac")))
 
 
 def repetition_stats_sql(doc_sql: str) -> str:
