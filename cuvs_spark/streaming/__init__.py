@@ -1,3 +1,7 @@
+from cuvs_spark.streaming.dedup_stream import (  # noqa: F401
+    dedup_batch_against_state,
+    start_streaming_dedup,
+)
 from cuvs_spark.streaming.dynamic_batching import (  # noqa: F401
     start_dynamic_batching,
 )

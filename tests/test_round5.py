@@ -123,6 +123,73 @@ def test_semantic_dedup_blas_agrees_with_expr(spark, rng):
     assert (e["is_dup"] == b["is_dup"]).all()
 
 
+def test_streaming_dedup_batch_vs_state(spark, tmp_path):
+    from cuvs_spark.streaming import dedup_batch_against_state
+
+    state = str(tmp_path / "state")
+    base = ("spark window merge sort table row filter key part batch "
+            "value line order data scan hash join group agg column")
+    b1 = spark.createDataFrame(
+        [(0, base),
+         (1, "totally different words about quick brown foxes jumping "
+             "over lazy dogs and rivers running deep under bridges"),
+         (2, base)],  # in-batch exact dup of 0
+        "doc_id long, text string")
+    ok1 = dedup_batch_against_state(b1, state).toPandas()
+    assert sorted(ok1.doc_id) == [0, 1]
+
+    b2 = spark.createDataFrame(
+        [(10, base),                       # exact dup of state doc 0
+         (11, base + " zq1"),              # near dup of state doc 0
+         (12, "entirely novel content with unique vocabulary nothing "
+              "shared with any earlier document in the corpus stream "
+              "fresh terms only here")],
+        "doc_id long, text string")
+    ok2 = dedup_batch_against_state(b2, state, jaccard_threshold=0.5) \
+        .toPandas()
+    assert sorted(ok2.doc_id) == [12]
+
+    # state now holds 0, 1, 12 — a replay of 12 is rejected
+    b3 = spark.createDataFrame([(20, "entirely novel content with unique "
+                                 "vocabulary nothing shared with any "
+                                 "earlier document in the corpus stream "
+                                 "fresh terms only here")],
+                               "doc_id long, text string")
+    ok3 = dedup_batch_against_state(b3, state).toPandas()
+    assert len(ok3) == 0
+
+
+def test_streaming_dedup_stream_smoke(spark, tmp_path):
+    import time
+
+    from cuvs_spark.streaming import start_streaming_dedup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+         (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")],
+        "doc_id long, text string").write.parquet(src)
+    q = start_streaming_dedup(
+        spark, src, str(tmp_path / "state2"), str(tmp_path / "ok"),
+        trigger_seconds=0.5)
+    try:
+        deadline = time.time() + 60
+        n = -1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(str(tmp_path / "ok")).count()
+                if n == 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert n == 1   # the exact in-batch dup was dropped
+
+
 def test_semantic_dedup_accepts_trained_centroids(spark, rng):
     from cuvs_spark.cluster.kmeans import kmeans_fit
     from cuvs_spark.pipeline.dedup import semantic_dedup
