@@ -506,12 +506,14 @@ register("text_repetition_stats", _repetition,
 
 
 def _semantic_dedup(spark, sf_dir):
+    # tau matches dedup_embedding_cosine's near-dup radius — this
+    # corpus's embeddings are well separated, so smaller taus flag 0
     return DD.semantic_dedup(T(spark, sf_dir, "embeddings"),
-                             n_clusters=8, tau=0.15)
+                             n_clusters=8, tau=0.62)
 
 
 register("dedup_semantic", _semantic_dedup,
-         DD.semantic_dedup_sql(8, 0.15))
+         DD.semantic_dedup_sql(8, 0.62))
 
 
 # --- preprocessing: quantizers, PQ, PCA (SURVEY §2.2) ----------------------
@@ -1526,6 +1528,35 @@ def _curate_gopher(spark, sf_dir):
 register("pipeline_curate_gopher", _curate_gopher, _curate_oracle(gopher=True))
 
 
+def _curate_semantic(spark, sf_dir):
+    from cuvs_spark.pipeline.curate import curate_with_semantic
+    return curate_with_semantic(
+        _docs_with_dups(spark, sf_dir), T(spark, sf_dir, "embeddings"),
+        n_clusters=8, tau=0.62,
+        min_tokens=10, max_punct_ratio=0.2,
+        langs=("en", "und"), near_dup_jaccard=0.8)
+
+
+def _curate_semantic_oracle():
+    sem = DD.semantic_dedup_sql(
+        8, 0.62,
+        emb_sql="SELECT vec_id AS id, embedding AS vec FROM embeddings "
+                "WHERE vec_id IN (SELECT doc_id FROM curk)")
+    return f"""
+WITH cur AS MATERIALIZED ({_curate_oracle()}),
+curk AS MATERIALIZED (SELECT doc_id FROM cur WHERE stage = 'kept'),
+sem AS MATERIALIZED ({sem})
+SELECT cur.doc_id,
+       CASE WHEN cur.stage = 'kept' AND s.is_dup THEN 'semantic_dup'
+            ELSE cur.stage END AS stage
+FROM cur LEFT JOIN sem s ON cur.doc_id = s.id
+"""
+
+
+register("pipeline_curate_semantic", _curate_semantic,
+         _curate_semantic_oracle())
+
+
 def _curate_stats(spark, sf_dir):
     from cuvs_spark.pipeline.curate import curate_stats
     return curate_stats(_curate(spark, sf_dir))
@@ -2168,6 +2199,7 @@ _WINDOW_PRIORITY = [
     "dedup_semantic",
     "pipeline_curate_gopher",
     "dedup_simhash_wide",
+    "pipeline_curate_semantic",
     # …and the iterative operators, each as an oracle-backed QUALITY
     # SCALAR (recall/purity/recon clamped to 1.0 above a bar well under
     # the measured value) instead of a weak rows-only record — every

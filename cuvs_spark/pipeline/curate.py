@@ -98,6 +98,37 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
             .select("doc_id", "stage"))
 
 
+def curate_with_semantic(docs: DataFrame, emb: DataFrame, *,
+                         n_clusters: int = 8, tau: float = 0.15,
+                         emb_id_col: str = "vec_id",
+                         emb_vec_col: str = "embedding",
+                         **curate_kw) -> DataFrame:
+    """Full text+embedding curation: ``curate_corpus`` stages first,
+    then SemDeDup over the *kept* docs' embeddings — survivors whose
+    embedding sits within cosine ``tau`` of a lower-id kept survivor
+    are re-staged as 'semantic_dup'. → ``(doc_id, stage)``.
+
+    The embedding table joins on ``doc_id``; docs without an embedding
+    pass through the semantic stage untouched (left join). Semantic
+    dedup runs on the kept subset only, so its cluster buckets shrink
+    with every earlier filter — the cheap textual stages prune before
+    the GEMM stage, the same cost ordering a 100 TB run wants."""
+    from cuvs_spark.pipeline.dedup import semantic_dedup
+
+    cur = curate_corpus(docs, **curate_kw).localCheckpoint()
+    kept = (cur.filter(F.col("stage") == "kept")
+            .select(F.col("doc_id").alias(emb_id_col)))
+    embk = emb.join(kept, emb_id_col, "left_semi")
+    sem = semantic_dedup(embk, n_clusters=n_clusters, tau=tau,
+                         id_col=emb_id_col, vec_col=emb_vec_col)
+    return (cur.join(sem.select(F.col("id").alias("doc_id"), "is_dup"),
+                     "doc_id", "left")
+            .select("doc_id",
+                    F.when((F.col("stage") == "kept")
+                           & F.col("is_dup"), "semantic_dup")
+                    .otherwise(F.col("stage")).alias("stage")))
+
+
 def curate_stats(curated: DataFrame) -> DataFrame:
     """Per-stage counts — the run report."""
     return (curated.groupBy("stage").agg(F.count("*").alias("n"))

@@ -690,12 +690,14 @@ def semantic_dedup(emb: DataFrame, *, n_clusters: int = 8,
                     F.coalesce("_dup", F.lit(False)).alias("is_dup")))
 
 
-def semantic_dedup_sql(n_clusters: int = 8, tau: float = 0.15) -> str:
+def semantic_dedup_sql(n_clusters: int = 8, tau: float = 0.15,
+                       emb_sql: str = "SELECT vec_id AS id, embedding "
+                                      "AS vec FROM embeddings") -> str:
     from cuvs_spark.functions.distance import distance_sql_duckdb
     d_assign = distance_sql_duckdb("cosine", "X.vec", "c.cv")
     d_pair = distance_sql_duckdb("cosine", "x.vec", "y.vec")
     return f"""
-WITH X AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+WITH X AS ({emb_sql}),
 c AS (SELECT id AS label, vec AS cv FROM X ORDER BY id LIMIT {n_clusters}),
 scored AS (
   SELECT X.id AS id, X.vec AS vec, c.label AS label,

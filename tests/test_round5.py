@@ -123,6 +123,17 @@ def test_semantic_dedup_blas_agrees_with_expr(spark, rng):
     assert (e["is_dup"] == b["is_dup"]).all()
 
 
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    """The 100 TB guarantee: per-doc repetition statistics are one
+    map-only projection — no Exchange anywhere in the plan."""
+    from cuvs_spark.pipeline.text import repetition_stats
+    from cuvs_spark.plans.layout import plan_string
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = plan_string(repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
 def test_streaming_dedup_batch_vs_state(spark, tmp_path):
     from cuvs_spark.streaming import dedup_batch_against_state
 
