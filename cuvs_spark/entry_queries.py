@@ -1882,6 +1882,45 @@ def _register_save_load_gates():
 _register_save_load_gates()
 
 
+# --- groundtruth file pipeline (cuvs_bench/generate_groundtruth) -----------
+def _groundtruth_files(spark, sf_dir):
+    """Gate the full big-ann file loop: export embeddings to .fbin, read
+    the file back as the dataset, generate exact-kNN groundtruth with the
+    first-20 queries, emit neighbors .ibin, parse it, and return
+    (qid, nid, rank) — each id must survive two binary roundtrips
+    (``cuvs_bench/generate_groundtruth/__main__.py``, ``_bin_format.py``).
+    Distances are float32-truncated on disk, so they are pytest-verified
+    (test_groundtruth.py) rather than hash-gated."""
+    import tempfile
+
+    import numpy as np
+
+    from cuvs_spark.sources.groundtruth import (generate_groundtruth,
+                                                read_bin_header,
+                                                write_bin_dataset)
+    from cuvs_spark.sources.index_store import read_bin_dataset
+    out = tempfile.mkdtemp(prefix="gate_gt_")
+    d = emb_dataset(spark, sf_dir).select("id", "vec")
+    write_bin_dataset(d, f"{out}/base.fbin")
+    base = read_bin_dataset(spark, f"{out}/base.fbin")
+    q = emb_queries(spark, sf_dir, 20).select(
+        "qid", F.col("qv").alias("vec"))
+    generate_groundtruth(spark, base, k=10, queries=q, output_dir=out)
+    path = f"{out}/groundtruth.neighbors.ibin"
+    n, k, hdr = read_bin_header(path, 4)
+    with open(path, "rb") as f:
+        f.seek(hdr)
+        N = np.frombuffer(f.read(), dtype=np.int32).reshape(n, k)
+    rows = [(int(qi), int(N[qi, r]), r + 1)
+            for qi in range(n) for r in range(k)]
+    return spark.createDataFrame(rows, "qid long, nid long, rank int")
+
+
+register("groundtruth_files_roundtrip", _groundtruth_files,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "sqeuclidean",
+                   with_distance=False))
+
+
 # --- CAGRA VPQ dataset compression (cagra.pyx:50-124; common.hpp:411) ------
 def _cagra_vpq_decode(spark, sf_dir):
     """Gate for the VPQ decode expression (fixed codebook): compress the
@@ -2192,6 +2231,7 @@ _WINDOW_PRIORITY = [
     "preprocess_vpq_roundtrip",
     "bf_save_load_search",
     "ivf_pq_transform_codes",
+    "groundtruth_files_roundtrip",
     # …round-5 additions (HDBSCAN mutual reachability, Gopher
     # repetition filters, SemDeDup) — unverified, so inside the window
     "agglomerative_mutual_reachability",

@@ -21,6 +21,12 @@ from cuvs_spark.sources.index_store import (  # noqa: F401
     load_brute_force,
     save_brute_force,
 )
+from cuvs_spark.sources.groundtruth import (  # noqa: F401
+    generate_groundtruth,
+    read_bin_header,
+    split_groundtruth,
+    write_bin_dataset,
+)
 from cuvs_spark.sources.graph_export import (  # noqa: F401
     hnsw_build,
     hnsw_extend,
