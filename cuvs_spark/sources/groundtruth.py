@@ -220,6 +220,33 @@ def split_groundtruth(path: str, out_prefix: str | None = None
     return nbr_path, dst_path
 
 
+def convert_bin(src: str, dst: str, *, normalize: bool = False,
+                chunk_rows: int = 65536) -> tuple[int, int]:
+    """Dtype-converting copy between big-ann binary files (reference
+    ``get_dataset/fbin_to_f16bin.py``; ``hdf5_to_fbin.py``'s ``-n``
+    L2-normalize option). Streams ``chunk_rows`` at a time — never
+    materializes the matrix — so billion-row files convert in constant
+    memory. Source/target dtypes come from the file extensions."""
+    src_dt = np.dtype(BIN_DTYPES[os.path.splitext(src)[1]])
+    dst_dt = np.dtype(BIN_DTYPES[os.path.splitext(dst)[1]])
+    n, d, hdr = read_bin_header(src, src_dt.itemsize)
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        fin.seek(hdr)
+        _write_header(fout, n, d)
+        left = n
+        while left:
+            rows = min(chunk_rows, left)
+            M = np.frombuffer(fin.read(rows * d * src_dt.itemsize),
+                              dtype=src_dt).reshape(rows, d)
+            if normalize:
+                M = M.astype(np.float64)
+                nrm = np.linalg.norm(M, axis=1, keepdims=True)
+                M = M / np.where(nrm == 0, 1.0, nrm)
+            fout.write(M.astype(dst_dt).tobytes())
+            left -= rows
+    return n, d
+
+
 def _copy_stream(src, dst, nbytes: int, chunk: int = 1 << 24) -> None:
     left = nbytes
     while left:

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from cuvs_spark.sources.groundtruth import (
+    convert_bin,
     generate_groundtruth,
     neighbor_index_dtype,
     read_bin_header,
@@ -92,6 +93,23 @@ def test_split_groundtruth(tmp_path):
     npath, dpath = split_groundtruth(combined)
     np.testing.assert_array_equal(_read_matrix(npath, np.int32), nbrs)
     np.testing.assert_array_equal(_read_matrix(dpath, np.float32), dists)
+
+
+def test_convert_bin(tmp_path):
+    rng = np.random.default_rng(1)
+    M = rng.random((7, 3)).astype(np.float32)
+    src = str(tmp_path / "a.fbin")
+    with open(src, "wb") as f:
+        f.write(struct.pack("<II", 7, 3))
+        f.write(M.tobytes())
+    # fbin -> hbin (f16) downcast, chunked
+    convert_bin(src, str(tmp_path / "a.hbin"), chunk_rows=2)
+    H = _read_matrix(str(tmp_path / "a.hbin"), np.float16)
+    np.testing.assert_array_equal(H, M.astype(np.float16))
+    # normalized copy: unit rows
+    convert_bin(src, str(tmp_path / "n.fbin"), normalize=True)
+    N = _read_matrix(str(tmp_path / "n.fbin"), np.float32)
+    np.testing.assert_allclose(np.linalg.norm(N, axis=1), 1.0, rtol=1e-6)
 
 
 def test_neighbor_index_dtype():
