@@ -505,6 +505,42 @@ register("text_repetition_stats", _repetition,
          TX.repetition_stats_sql(_DOC_SQL))
 
 
+# PII scrub + C4 line filter: the corpus has no natural PII or
+# multi-line docs, so both engines synthesize identical structure from
+# doc_id (emails/IPs/phones appended; text split into 4 lines, two of
+# which pass the C4 keep rule)
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', doc_id, '@mail.example.com or call "
+    "+1 555-01', doc_id % 100, '9 from 10.0.', doc_id % 256, '.7 end.')")
+_PII_AUG_SQL = (
+    "SELECT doc_id, text || ' contact user' || doc_id || "
+    "'@mail.example.com or call +1 555-01' || (doc_id % 100) || "
+    "'9 from 10.0.' || (doc_id % 256) || '.7 end.' AS text FROM documents")
+
+
+def _pii_scrub(spark, sf_dir):
+    aug = doc_table(spark, sf_dir).withColumn("text", F.expr(_PII_AUG_SPARK))
+    return TX.pii_scrub(aug)
+
+
+register("text_pii_scrub", _pii_scrub, TX.pii_scrub_sql(_PII_AUG_SQL))
+
+_C4_AUG_SPARK = ("concat(text, '.', '\\n', 'short line', '\\n', text, "
+                 "'\\n', 'Sign in now!')")
+_C4_AUG_SQL = ("SELECT doc_id, text || '.' || chr(10) || 'short line' || "
+               "chr(10) || text || chr(10) || 'Sign in now!' AS text "
+               "FROM documents")
+
+
+def _c4_filter(spark, sf_dir):
+    aug = doc_table(spark, sf_dir).withColumn("text", F.expr(_C4_AUG_SPARK))
+    return TX.c4_line_filter(aug)
+
+
+register("text_c4_line_filter", _c4_filter,
+         TX.c4_line_filter_sql(_C4_AUG_SQL))
+
+
 def _semantic_dedup(spark, sf_dir):
     # tau matches dedup_embedding_cosine's near-dup radius — this
     # corpus's embeddings are well separated, so smaller taus flag 0
@@ -2235,6 +2271,8 @@ _WINDOW_PRIORITY = [
     # …round-5 additions (HDBSCAN mutual reachability, Gopher
     # repetition filters, SemDeDup) — unverified, so inside the window
     "agglomerative_mutual_reachability",
+    "text_pii_scrub",
+    "text_c4_line_filter",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

@@ -329,3 +329,100 @@ SELECT DISTINCT doc_id,
                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
 FROM kh
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (standard pre-training redaction pass)
+# ---------------------------------------------------------------------------
+
+# Patterns kept alternation-free so Java (leftmost-first, backtracking)
+# and RE2/DuckDB (leftmost-longest) agree on every match. Applied in
+# order: emails first so their digit runs can't be re-matched as phones.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs →
+    ``(doc_id, clean_text, n_email, n_ipv4, n_phone)``.
+
+    Map-only JVM regex pass — no shuffle, no UDF; counts are taken on
+    the pre-redaction text, replacements chain in PII_PATTERNS order."""
+    d = _doc(df, id_col, text_col)
+    clean = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count("text", F.lit(pat))
+                      .cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return d.select("doc_id", clean.alias("clean_text"), *counts)
+
+
+def pii_scrub_sql(doc_sql: str) -> str:
+    clean = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) "
+            f"AS n_{name}")
+        clean = f"regexp_replace({clean}, '{p}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"""
+WITH d AS ({doc_sql})
+SELECT doc_id, {clean} AS clean_text,
+       {cols}
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (line-level boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_line_filter(df: DataFrame, *, min_words: int = 3,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """C4's line-level cleanup: keep only lines with >= ``min_words``
+    words that end in terminal punctuation; rejoin survivors →
+    ``(doc_id, clean_text, n_lines, n_kept)``.
+
+    Map-only higher-order-function pipeline (split → filter →
+    array_join) — boilerplate removal at corpus scale without a
+    shuffle."""
+    d = _doc(df, id_col, text_col)
+    words = TOKS_SPARK.format(s="l")
+    keep = (f"filter(split(text, '\\n'), l -> "
+            f"size({words}) >= {min_words} AND "
+            f"rtrim(l) RLIKE '{_TERMINAL_RE}')")
+    d = d.withColumn("_kept", F.expr(keep))
+    return d.select(
+        "doc_id",
+        F.expr("array_join(_kept, '\\n')").alias("clean_text"),
+        F.expr("CAST(size(split(text, '\\n')) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(size(_kept) AS BIGINT)").alias("n_kept"))
+
+
+def c4_line_filter_sql(doc_sql: str, min_words: int = 3) -> str:
+    words = TOKS_DUCK.format(s="l")
+    keep = (f"list_filter(string_split(text, chr(10)), l -> "
+            f"len({words}) >= {min_words} AND "
+            f"regexp_matches(rtrim(l), '{_TERMINAL_RE}'))")
+    return f"""
+WITH d AS ({doc_sql}),
+k AS (SELECT doc_id, text, {keep} AS kept FROM d)
+SELECT doc_id,
+       -- DuckDB array_to_string is NULL on an empty list; Spark
+       -- array_join is '' — coalesce for cross-engine parity
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept
+FROM k
+"""

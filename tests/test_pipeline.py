@@ -210,3 +210,42 @@ def test_minhash_skew_guard(spark, docs):
     guarded = minhash_lsh_pairs(corpus, jaccard_threshold=0.9,
                                 max_bucket_size=10).collect()
     assert sum(p["doc_a"] >= 9000 for p in guarded) == 0
+
+
+def test_pii_scrub(spark):
+    from cuvs_spark.pipeline.text import pii_scrub
+    df = spark.createDataFrame([
+        (1, "mail me at bob.smith+x@sub.example.org today"),
+        (2, "server at 192.168.0.1 and call +1 555-123-4567 now"),
+        (3, "clean text with no pii at all"),
+        (4, "two mails: a@b.co c@d.io"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> today"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["clean_text"] == "server at <IP> and call <PHONE> now"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 1
+    assert out[3]["clean_text"] == out[3]["clean_text"] == \
+        "clean text with no pii at all"
+    assert out[4]["n_email"] == 2
+    assert out[4]["clean_text"] == "two mails: <EMAIL> <EMAIL>"
+
+
+def test_c4_line_filter(spark):
+    from cuvs_spark.pipeline.text import c4_line_filter
+    text = "\n".join([
+        "This line is long enough and ends well.",
+        "too short.",                      # < 3 words
+        "no terminal punctuation here",    # no [.!?\"] ending
+        'A quoted keeper sentence."',
+        "",                                # empty
+    ])
+    df = spark.createDataFrame([(1, text), (2, "")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == (
+        "This line is long enough and ends well.\n"
+        'A quoted keeper sentence."')
+    # empty doc: one (empty) line, nothing kept, empty output
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
