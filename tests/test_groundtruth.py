@@ -128,3 +128,23 @@ def test_extended_header(tmp_path):
     n, d, hdr = read_bin_header(path, 4)
     assert (n, d, hdr) == (3, 4, 16)
     np.testing.assert_array_equal(_read_matrix(path, np.float32), M)
+
+
+def test_bin_header_property():
+    """Header detection must balance for every dtype/shape combo."""
+    import itertools
+    import tempfile
+
+    from cuvs_spark.sources.groundtruth import BIN_DTYPES
+    for ext, dt in BIN_DTYPES.items():
+        if ext == ".f16bin":
+            continue
+        for n, d in itertools.product([0, 1, 7, 64], [1, 3, 16]):
+            M = np.zeros((n, d), dtype=dt)
+            with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as f:
+                f.write(struct.pack("<II", n, d))
+                f.write(M.tobytes())
+                path = f.name
+            nn, dd, hdr = read_bin_header(path, np.dtype(dt).itemsize)
+            assert (nn, dd, hdr) == (n, d, 8), (ext, n, d)
+            os.unlink(path)
