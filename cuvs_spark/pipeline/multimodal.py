@@ -132,3 +132,75 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(
         run, schema="id long, frame_idx int, media binary, "
                     "media_type string, width int, height int")
+
+
+def decode_pcm(payload: bytes, n_samples: int) -> np.ndarray:
+    """Decode an audio payload to int16 PCM samples.
+
+    Real path requires soundfile/librosa (absent here) — deterministic
+    digest-stream fake keeps the distributed plumbing testable."""
+    need = n_samples * 2
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.int16)
+
+
+def audio_features(df: DataFrame, *, sample_rate: int = 16000,
+                   n_samples: int = 4096) -> DataFrame:
+    """Decode + waveform features → ``(id, rms, zcr, peak, duration_s)``:
+    root-mean-square level, zero-crossing rate, absolute peak, clip
+    duration. The standard audio-curation gate set (silence / clipping /
+    length filters), Arrow-batched like the image path."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                x = decode_pcm(bytes(row["media"]), n_samples)
+                xf = x.astype(np.float64) / 32768.0
+                rows.append((
+                    row["id"],
+                    float(np.sqrt((xf ** 2).mean())),
+                    float((np.signbit(xf[1:]) != np.signbit(xf[:-1])).mean()),
+                    float(np.abs(xf).max()),
+                    n_samples / sample_rate))
+            yield pd.DataFrame(rows, columns=[
+                "id", "rms", "zcr", "peak", "duration_s"])
+
+    return df.mapInPandas(
+        run, schema="id long, rms double, zcr double, peak double, "
+                    "duration_s double")
+
+
+def media_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Decode pixels → grid-pooled grayscale embedding → ``(id, vec)``,
+    L2-normalized float32 — the bridge from media columns into the ANN /
+    dedup stack (embed, then any ``knn``/near-dup operator applies).
+    Identical payloads embed identically, so embedding-cosine dedup
+    finds byte-duplicate media without byte comparison."""
+    g = int(np.ceil(np.sqrt(dim)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = decode_pixels(bytes(row["media"]), int(row["width"]),
+                                   int(row["height"]))
+                gray = px.astype(np.float64).mean(-1)
+                h, w = gray.shape
+                yi = np.minimum((np.arange(h) * g // h), g - 1)
+                xi = np.minimum((np.arange(w) * g // w), g - 1)
+                pooled = np.zeros((g, g))
+                cnt = np.zeros((g, g))
+                np.add.at(pooled, (yi[:, None], xi[None, :]), gray)
+                np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+                v = (pooled / np.maximum(cnt, 1.0)).ravel()[:dim]
+                nrm = np.linalg.norm(v)
+                v = v / (nrm if nrm > 0 else 1.0)
+                rows.append((row["id"], v.astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["id", "vec"])
+
+    return df.select("id", "media", "width", "height").mapInPandas(
+        run, schema="id long, vec array<float>")

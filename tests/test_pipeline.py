@@ -249,3 +249,37 @@ def test_c4_line_filter(spark):
         'A quoted keeper sentence."')
     # empty doc: one (empty) line, nothing kept, empty output
     assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+
+
+def test_multimodal_audio_features(spark, docs):
+    from cuvs_spark.pipeline.multimodal import audio_features
+    media = attach_fake_media(docs.limit(6))
+    feats = {r["id"]: r for r in
+             audio_features(media, n_samples=2048).collect()}
+    assert len(feats) == 6
+    for r in feats.values():
+        assert 0.0 < r["rms"] <= 1.0
+        assert 0.0 < r["zcr"] < 1.0
+        assert r["peak"] <= 1.0 and r["duration_s"] == 2048 / 16000
+    # deterministic across runs
+    again = {r["id"]: r for r in
+             audio_features(media, n_samples=2048).collect()}
+    assert all(feats[i]["rms"] == again[i]["rms"] for i in feats)
+
+
+def test_media_embedding_near_dup(spark, docs):
+    from cuvs_spark.pipeline.dedup import embedding_near_dup
+    from cuvs_spark.pipeline.multimodal import media_embedding
+    media = attach_fake_media(docs.limit(10))
+    # plant a byte-duplicate payload: id 100 copies id 0's media row
+    dup = media.filter(F.col("id") == 0).withColumn("id", F.lit(100))
+    emb = media_embedding(media.union(dup), dim=16)
+    rows = emb.collect()
+    assert all(len(r["vec"]) == 16 for r in rows)
+    vecs = {r["id"]: np.array(r["vec"]) for r in rows}
+    np.testing.assert_array_equal(vecs[0], vecs[100])
+    # embedding-cosine near-dup recovers exactly the planted pair
+    pairs = embedding_near_dup(emb, tau=1e-6, id_col="id",
+                               vec_col="vec").collect()
+    assert {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in pairs} == {(0, 100)}
