@@ -1223,6 +1223,61 @@ FROM g
 """)
 
 
+# --- temporal joins (events): as-of + bounded range ------------------------
+def _events_asof(spark, sf_dir):
+    """Each event attaches the latest same-user click at or before it
+    (tolerance 1 h); DuckDB's native ASOF JOIN is the oracle. Right
+    side pre-aggregates to unique (user_id, ts) so exact-tie winners
+    are engine-independent."""
+    from cuvs_spark.operators.temporal import asof_join
+    ev = events_table(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts", "value")
+    right = (ev.filter(F.col("event_type") == "click")
+               .groupBy("user_id", "ts")
+               .agg(F.max("value").alias("click_value")))
+    out = asof_join(left, right, on="ts", by="user_id", tolerance=3600.0)
+    # null-free projection: the harness float compare treats NaN != NaN,
+    # so unmatched rows surface as a -1 sentinel on both engines
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("r_ts").cast("double"), F.lit(-1.0))
+         .alias("asof_ts"),
+        F.coalesce("r_click_value", F.lit(-1.0)).alias("click_value"))
+
+
+def _register_temporal_gates():
+    from cuvs_spark.operators.temporal import (asof_join_sql,
+                                               range_self_join_sql)
+    register(
+        "events_asof_join", _events_asof,
+        "SELECT event_id, user_id, "
+        "COALESCE(epoch(r_ts), -1.0) AS asof_ts, "
+        "COALESCE(r_click_value, -1.0) AS click_value "
+        "FROM (" + asof_join_sql(
+            "SELECT event_id, user_id, ts, value FROM events",
+            "SELECT user_id, ts, max(value) AS click_value FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts",
+            on="ts", by="user_id", tolerance=3600.0,
+            left_cols=["event_id", "user_id", "ts", "value"],
+            right_cols=["click_value"]).strip() + ")")
+
+    register(
+        "events_range_join", _events_range,
+        range_self_join_sql("SELECT event_id, user_id, ts FROM events",
+                            by="user_id", max_dt=300.0))
+
+
+def _events_range(spark, sf_dir):
+    """Same-user event pairs within 5 minutes — bucketed band join
+    (3-bucket candidates, no per-key cartesian)."""
+    from cuvs_spark.operators.temporal import range_self_join
+    ev = events_table(spark, sf_dir).select("event_id", "user_id", "ts")
+    return range_self_join(ev, by="user_id", max_dt=300.0)
+
+
+_register_temporal_gates()
+
+
 # --- agglomerative clustering + CAGRA merge (SURVEY §2.6/2.8) -------------
 def _single_linkage(spark, sf_dir):
     """kNN-graph single-linkage (iterative MST) — rows-only; exactness
@@ -2273,6 +2328,8 @@ _WINDOW_PRIORITY = [
     "agglomerative_mutual_reachability",
     "text_pii_scrub",
     "text_c4_line_filter",
+    "events_asof_join",
+    "events_range_join",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

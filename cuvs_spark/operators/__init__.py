@@ -75,3 +75,7 @@ from cuvs_spark.operators.tiered import (  # noqa: F401
     tiered_extend,
     tiered_search,
 )
+from cuvs_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_self_join,
+)

@@ -1,0 +1,80 @@
+"""As-of and bounded range joins (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cuvs_spark.operators.temporal import asof_join, range_self_join
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, px): the "right" side of a classic trades/quotes as-of
+    rows = [("a", _t(0), 1.0), ("a", _t(10), 2.0), ("a", _t(20), 3.0),
+            ("b", _t(5), 10.0)]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [("a", _t(9), 1), ("a", _t(10), 2), ("a", _t(25), 3),
+            ("b", _t(4), 4), ("c", _t(7), 5)]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, tid int")
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = {r["tid"]: r for r in
+           asof_join(trades, quotes, on="ts", by="sym").collect()}
+    assert out[1]["r_px"] == 1.0          # t=9 -> quote at 0
+    assert out[2]["r_px"] == 2.0          # t=10 -> equal ts is inclusive
+    assert out[3]["r_px"] == 3.0          # t=25 -> quote at 20
+    assert out[4]["r_px"] is None         # b at t=4 precedes b's quote
+    assert out[5]["r_px"] is None         # key with no right rows
+
+
+def test_asof_forward(spark, trades, quotes):
+    out = {r["tid"]: r for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     direction="forward").collect()}
+    assert out[1]["r_px"] == 2.0          # t=9 -> next quote at 10
+    assert out[2]["r_px"] == 2.0          # equal ts inclusive
+    assert out[3]["r_px"] is None         # nothing after t=25
+    assert out[4]["r_px"] == 10.0         # b t=4 -> quote at 5
+
+
+def test_asof_tolerance(spark, trades, quotes):
+    out = {r["tid"]: r for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     tolerance=5.0).collect()}
+    assert out[1]["r_px"] is None         # gap 9 > 5
+    assert out[2]["r_px"] == 2.0          # gap 0
+    assert out[3]["r_px"] == 3.0          # gap 5 inclusive
+
+
+def test_range_self_join_matches_bruteforce(spark):
+    import itertools
+    # includes cross-bucket pairs (290 vs 310 straddles the 300 s bin)
+    rows = [(i, i % 2, _t(s)) for i, s in enumerate(
+        [0, 5, 290, 295, 310, 315, 900, 905])]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts timestamp")
+    got = {(r["a_id"], r["b_id"]) for r in
+           range_self_join(df, by="user_id", max_dt=300.0).collect()}
+    want = {(a[0], b[0]) for a, b in itertools.combinations(rows, 2)
+            if a[1] == b[1] and abs((a[2] - b[2]).total_seconds()) <= 300}
+    assert got == want and got  # non-empty
+
+
+def test_range_join_no_cartesian(spark):
+    from cuvs_spark.plans.layout import plan_string
+    rows = [(i, 0, _t(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts timestamp")
+    plan = plan_string(range_self_join(df, by="user_id", max_dt=10.0))
+    assert "CartesianProduct" not in plan
