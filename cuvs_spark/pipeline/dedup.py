@@ -547,6 +547,11 @@ def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
     und = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b"))).distinct() \
         .localCheckpoint()
+    if und.isEmpty():
+        # no dup pairs at all (common on clean corpora): skip the
+        # label-table checkpoint and the first propagation round
+        return und.select(F.col("a").alias("doc_id"),
+                          F.col("b").alias("canonical_id"))
     labels = (und.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("lbl", F.col("id"))).localCheckpoint()

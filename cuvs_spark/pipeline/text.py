@@ -43,25 +43,26 @@ def language_id(df: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Predict language by stopword hits → ``(doc_id, pred_lang, hits)``.
 
-    Ties break alphabetically; zero hits → 'und'. The wordlist join is a
-    broadcast; the argmax shuffles one row per (doc, lang)."""
-    spark = df.sparkSession
-    d = _doc(df, id_col, text_col)
-    wl = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
-        "lang string, w string")
-    toks = (d.select("doc_id", F.explode(
-        F.expr(TOKS_SPARK.format(s="lower(text)"))).alias("w")))
-    hits = (toks.join(F.broadcast(wl), "w")
-            .groupBy("doc_id", "lang").agg(F.count("*").alias("hits")))
-    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(),
-                                             F.col("lang").asc())
-    best = (hits.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
-    return (d.select("doc_id").join(best, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("lang", F.lit("und")).alias("pred_lang"),
-                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits")))
+    Ties break alphabetically; zero hits → 'und'. MAP-ONLY: one hit
+    count per language as a filter-over-tokens column, argmax as a
+    greatest + first-alphabetical-winner CASE — no token explode, no
+    (doc, lang) shuffle, no join-back. At corpus scale the old
+    explode+groupBy plan moved one row per token; this moves none.
+    (The DuckDB oracle keeps the independent join+window formulation,
+    so the gate cross-checks two different constructions.)"""
+    d = _doc(df, id_col, text_col).withColumn(
+        "_tl", F.expr(TOKS_SPARK.format(s="lower(text)")))
+    langs = sorted(STOPWORDS)          # alphabetical = tie-break order
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        d = d.withColumn(f"_h_{lang}", F.expr(
+            f"size(filter(_tl, t -> array_contains(array({words}), t)))"))
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
+    pred = F.when(best <= 0, "und")
+    for lang in langs:
+        pred = pred.when(F.col(f"_h_{lang}") == best, lang)
+    return d.select("doc_id", pred.alias("pred_lang"),
+                    F.greatest(best, F.lit(0)).cast("long").alias("hits"))
 
 
 def language_id_sql(doc_sql: str) -> str:
