@@ -93,7 +93,7 @@ def main() -> None:
     # likewise loads the dataset into memory before its timed phases);
     # Spark's CacheManager matches by logical plan, so every bench's
     # fresh spark.read.parquet of the same path hits the InMemoryRelation.
-    for _t in ("embeddings", "documents"):
+    for _t in ("embeddings", "documents", "events"):
         T(spark, sf_dir, _t).cache().count()
 
     # Search benches build their index ONCE, materialized outside the
@@ -157,6 +157,15 @@ def main() -> None:
                 .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
         return repetition_stats(docs)
 
+    def bench_asof_join():
+        return QUERIES["events_asof_join"](spark, sf_dir)
+
+    def bench_pii_scrub():
+        from cuvs_spark.pipeline.text import pii_scrub
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return pii_scrub(docs)
+
     def bench_semantic_dedup():
         from cuvs_spark.pipeline.dedup import semantic_dedup
         return semantic_dedup(T(spark, sf_dir, "embeddings"),
@@ -178,6 +187,8 @@ def main() -> None:
         "text_fingerprints": bench_fingerprints,
         "text_quality_score": bench_entry("text_quality_score"),
         "text_repetition_stats": bench_repetition,
+        "events_asof_join": bench_asof_join,
+        "text_pii_scrub": bench_pii_scrub,
         "dedup_semantic_blas": bench_semantic_dedup,
         "eps_neighborhood_blas": bench_eps_blas,
     }

@@ -243,3 +243,94 @@ def pareto_frontier(results: list[dict]) -> list[dict]:
             front.append(r)
             best_qps = r["qps"]
     return sorted(front, key=lambda r: r["recall"])
+
+
+# --------------------------------------------------------------------------
+# Tune mode (backends/search_spaces.py + run tune): random search over
+# typed parameter spaces instead of a discrete grid. The reference
+# explores with Optuna; a seeded random search over the same space
+# shapes (int ranges with optional log scale, categoricals, dependent
+# upper bounds like n_probes <= n_lists) keeps it dependency-free.
+# --------------------------------------------------------------------------
+
+SEARCH_SPACES = {
+    "ivf_flat": {
+        "build": {"n_lists": {"type": "int", "min": 4, "max": 256,
+                              "log": True}},
+        "search": {"n_probes": {"type": "int", "min": 1, "max": "n_lists"}},
+    },
+    "ivf_pq": {
+        "build": {"n_lists": {"type": "int", "min": 4, "max": 128,
+                              "log": True},
+                  "pq_dim": {"type": "int", "min": 2, "max": 16},
+                  "pq_bits": {"type": "int", "min": 4, "max": 8},
+                  "encode": {"type": "categorical",
+                             "choices": ["raw", "residual"]}},
+        "search": {"n_probes": {"type": "int", "min": 1, "max": "n_lists"}},
+    },
+    "ivf_rabitq": {
+        "build": {"n_lists": {"type": "int", "min": 4, "max": 128,
+                              "log": True},
+                  "bits_per_dim": {"type": "int", "min": 1, "max": 7}},
+        "search": {"n_probes": {"type": "int", "min": 1, "max": "n_lists"}},
+    },
+    "scann": {
+        "build": {"n_leaves": {"type": "int", "min": 4, "max": 128,
+                               "log": True},
+                  "soar_lambda": {"type": "float", "min": 0.5, "max": 2.0}},
+        "search": {"n_probes": {"type": "int", "min": 1, "max": "n_leaves"}},
+    },
+    "cagra": {
+        "build": {"graph_degree": {"type": "int", "min": 8, "max": 64}},
+        "search": {"itopk": {"type": "int", "min": 16, "max": 128},
+                   "max_iterations": {"type": "int", "min": 4, "max": 16}},
+    },
+    "hnsw": {
+        "build": {"graph_degree": {"type": "int", "min": 8, "max": 64}},
+        "search": {"ef": {"type": "int", "min": 10, "max": 200}},
+    },
+}
+
+
+def _sample_param(spec, rng, bound_env):
+    if spec["type"] == "categorical":
+        return spec["choices"][int(rng.integers(len(spec["choices"])))]
+    hi = spec["max"]
+    if isinstance(hi, str):               # dependent bound (e.g. n_lists)
+        hi = bound_env[hi]
+    lo = spec["min"]
+    if spec["type"] == "float":
+        return float(lo + (hi - lo) * rng.random())
+    if spec.get("log"):
+        import math
+        return int(round(math.exp(
+            math.log(lo) + (math.log(hi) - math.log(lo)) * rng.random())))
+    return int(rng.integers(lo, hi + 1))
+
+
+def sample_trial(algo: str, rng, space: dict | None = None) -> dict:
+    """One random (build, search) point from the algo's search space;
+    search-space bounds may reference build params by name."""
+    sp = (space or SEARCH_SPACES)[algo]
+    bp = {p: _sample_param(s, rng, {}) for p, s in sp["build"].items()}
+    spp = {p: _sample_param(s, rng, bp) for p, s in sp["search"].items()}
+    return {"algo": algo, "build": bp, "search": spp}
+
+
+def tune(spark, dataset, queries, algo: str, *, n_trials: int = 10,
+         k: int = 10, seed: int = 0, target_recall: float = 0.9,
+         space: dict | None = None,
+         groundtruth=None) -> dict:
+    """Random-search tuning: sample ``n_trials`` points, run each
+    through :func:`run_sweep`, and pick the best — highest QPS among
+    trials meeting ``target_recall``, else the highest recall.
+    Returns ``{"best": point, "trials": [...]}``."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    configs = [sample_trial(algo, rng, space) for _ in range(n_trials)]
+    trials = run_sweep(spark, dataset, queries, configs, k=k,
+                       groundtruth=groundtruth)
+    ok = [t for t in trials if t["recall"] >= target_recall]
+    best = (max(ok, key=lambda t: t["qps"]) if ok
+            else max(trials, key=lambda t: (t["recall"], t["qps"])))
+    return {"best": best, "trials": trials}

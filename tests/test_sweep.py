@@ -74,3 +74,32 @@ def test_pareto_frontier():
     front = pareto_frontier(res)
     assert [(r["recall"], r["qps"]) for r in front] == [
         (0.9, 100.0), (0.95, 50.0), (0.99, 10.0)]
+
+
+def test_sample_trial_respects_bounds():
+    import numpy as np
+
+    from cuvs_spark.bench.sweep import sample_trial
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        t = sample_trial("ivf_flat", rng)
+        assert 4 <= t["build"]["n_lists"] <= 256
+        # dependent bound: n_probes capped by the sampled n_lists
+        assert 1 <= t["search"]["n_probes"] <= t["build"]["n_lists"]
+    t = sample_trial("ivf_pq", rng)
+    assert t["build"]["encode"] in ("raw", "residual")
+
+
+def test_tune_random_search(spark, vectors_df, queries_df):
+    from cuvs_spark.bench.sweep import tune
+    out = tune(spark, vectors_df, queries_df, "ivf_flat", n_trials=3,
+               k=5, seed=1, target_recall=0.5)
+    assert len(out["trials"]) == 3
+    assert out["best"] in out["trials"]
+    assert out["best"]["recall"] >= max(
+        min(t["recall"] for t in out["trials"]), 0.0)
+    # determinism of the sampled space
+    out2 = tune(spark, vectors_df, queries_df, "ivf_flat", n_trials=3,
+                k=5, seed=1, target_recall=0.5)
+    assert [t["build_params"] for t in out2["trials"]] == \
+        [t["build_params"] for t in out["trials"]]
