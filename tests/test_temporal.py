@@ -78,3 +78,13 @@ def test_range_join_no_cartesian(spark):
                                      "ts timestamp")
     plan = plan_string(range_self_join(df, by="user_id", max_dt=10.0))
     assert "CartesianProduct" not in plan
+
+
+def test_asof_single_shuffle(spark, trades, quotes):
+    # ONE exchange (the key hash-partition for the window) — the plan
+    # must never degrade to a per-key theta-join / cartesian
+    from cuvs_spark.plans.layout import count_exchanges, plan_string
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    shuffles, _ = count_exchanges(out)
+    assert shuffles == 1
+    assert "CartesianProduct" not in plan_string(out)
