@@ -227,12 +227,21 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     the PQ-approximate sqeuclidean (sum of per-subspace code distances,
     folded in subspace order → deterministic).
 
-    ``method="blas"`` is the scale path (the reference's
+    ``method="blas"`` is the throughput path (the reference's
     ``compute_similarity`` kernel shape): cogroup the codes table with
     the probing queries per list, build each query's LUT once in NumPy,
     score the whole list's code matrix by fancy-indexed LUT gather, and
     keep a local top-k before the merge — no per-(row, subspace)
-    explosion, no LUT join relation."""
+    explosion, no LUT join relation.
+
+    ``method="broadcast"`` is the codes-dominant scale path: the
+    probing (qid, list, vector) set is broadcast (small-side-by-
+    contract, like the brute-force query matrix) and each codes
+    partition scores its own lists in place — the multi-TB codes table
+    never shuffles; only the ``n_parts × q × k`` local top-k merges.
+    Prefer it when codes ≫ queries; the cogroup wins when both sides
+    are small (its two shuffles are cheaper than the collect+broadcast
+    round-trip)."""
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
@@ -243,6 +252,68 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
         "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
         .select("qid", "list_id")
     residual = index.encode == "residual"
+    if method == "broadcast":
+        # The 100 TB shape: the codes table NEVER shuffles. Queries are
+        # small-side-by-contract (like the brute-force BLAS query
+        # matrix): probe assignment runs JVM-side, then the probing
+        # (qid, list_id, query-vector) set is collected + broadcast and
+        # each codes partition LUT-scores its own lists and emits a
+        # local top-k — the only exchange is the n_parts × q × k merge.
+        import pandas as pd
+
+        from cuvs_spark.operators.select_k import knn_merge_parts
+        cb_rows = index.codebook_df.collect()
+        S = index.pq_dim
+        n_codes = max(r["code"] for r in cb_rows) + 1
+        w = len(cb_rows[0]["centroid"])
+        CB = np.zeros((S, n_codes, w))
+        for r in cb_rows:
+            CB[r["sub"], r["code"]] = r["centroid"]
+        cent_np = index.centroids if residual else None
+        rot = index.rotation
+        qp_rows = (probes.join(q, "qid")
+                   .groupBy("list_id")
+                   .agg(F.collect_list(F.struct("qid", "_qv")).alias("qs"))
+                   .collect())
+        by_list = {}
+        for r in qp_rows:
+            qids = np.array([x["qid"] for x in r["qs"]], dtype=np.int64)
+            Q = np.array([x["_qv"] for x in r["qs"]], dtype=np.float64)
+            by_list[int(r["list_id"])] = (qids, Q)
+        bc = spark.sparkContext.broadcast(by_list)
+
+        def score_parts(batches):
+            for pdf in batches:
+                outs = []
+                for lid, rows in pdf.groupby("list_id"):
+                    hit = bc.value.get(int(lid))
+                    if hit is None:
+                        continue
+                    qids, Q = hit
+                    C = np.vstack(rows["codes"].to_numpy()).astype(np.int64)
+                    ids = rows["id"].to_numpy(np.int64)
+                    if cent_np is not None:
+                        Q = Q - cent_np[int(lid)][None, :]
+                        if rot is not None:
+                            Q = Q @ rot.T
+                    Q3 = Q[:, :S * w].reshape(len(Q), S, w)
+                    LUT = ((Q3[:, :, None, :] - CB[None]) ** 2).sum(-1)
+                    D = LUT[:, np.arange(S)[None, :], C].sum(-1)
+                    kk = min(k, D.shape[1])
+                    part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    outs.append(pd.DataFrame({
+                        "qid": np.repeat(qids, kk),
+                        "nid": np.take_along_axis(
+                            np.broadcast_to(ids, D.shape), part,
+                            axis=1).ravel(),
+                        "distance": np.take_along_axis(D, part,
+                                                       axis=1).ravel()}))
+                if outs:
+                    yield pd.concat(outs)
+
+        local = index.codes.select("list_id", "id", "codes").mapInPandas(
+            score_parts, "qid long, nid long, distance double")
+        return knn_merge_parts(local, k)
     if method == "blas":
         import pandas as pd
 
