@@ -125,6 +125,12 @@ def main() -> None:
     ivf_pq_search(pidx, q, 10, 8, qvec_col="qv", method="blas") \
         .write.format("noop").mode("overwrite").save()
     out["ivf_pq_search_sec"] = round(time.time() - t0, 2)
+    # broadcast path: codes never shuffle — should pull ahead of the
+    # cogroup exactly in this codes ≫ queries regime
+    t0 = time.time()
+    ivf_pq_search(pidx, q, 10, 8, qvec_col="qv", method="broadcast") \
+        .write.format("noop").mode("overwrite").save()
+    out["ivf_pq_search_broadcast_sec"] = round(time.time() - t0, 2)
 
     # Spectral (sparse driver eigensolve): 100k rows through the CSR +
     # Lanczos path — completes in driver memory (O(n·k) edges, no n×n)
