@@ -167,3 +167,17 @@ def test_kmeans_balanced_caps_list_sizes_larger_n(spark):
     # unbalanced k-means would put ~50% of rows in one list; balanced
     # must stay under 3× the even share
     assert max(sizes) <= 3.0 * len(X) / k, sizes
+
+
+def test_ivf_flat_broadcast_path_agrees(spark, vectors_df, queries_df):
+    """method='broadcast' (inverted file never shuffles) must rank-match
+    the expr and cogroup paths."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    idx = ivf_flat_build(vectors_df, 8, kmeans_n_iters=4)
+    outs = {}
+    for m in ("expr", "blas", "broadcast"):
+        outs[m] = sorted(
+            (r["qid"], r["rank"], r["nid"])
+            for r in ivf_flat_search(idx, queries_df, 5, 4,
+                                     method=m).collect())
+    assert outs["expr"] == outs["blas"] == outs["broadcast"]

@@ -72,6 +72,11 @@ def main() -> None:
     ivf_flat_search(idx, q, 10, n_probes=8, qvec_col="qv", method="blas") \
         .write.format("noop").mode("overwrite").save()
     out["ivf_search_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_flat_search(idx, q, 10, n_probes=8, qvec_col="qv",
+                    method="broadcast") \
+        .write.format("noop").mode("overwrite").save()
+    out["ivf_search_broadcast_sec"] = round(time.time() - t0, 2)
     scanned = 8 / 128
     out["ivf_vs_blas_speedup_expected"] = round(1 / scanned, 1)
 
