@@ -1796,6 +1796,24 @@ register("ivf_flat_search_blas", _ivf_blas,
                                  _IVF_CENT_SQL, 10, _IVF_PROBES) + ")")
 
 
+def _ivf_broadcast(spark, sf_dir):
+    """Broadcast-queries fine stage (inverted file never shuffles) —
+    hash-equal to the expr/cogroup plans on ids+rank."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv",
+                           method="broadcast").select("qid", "nid", "rank")
+
+
+register("ivf_flat_search_broadcast", _ivf_broadcast,
+         "SELECT qid, nid, rank FROM ("
+         + O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                                 _IVF_CENT_SQL, 10, _IVF_PROBES) + ")")
+
+
 def _scann_blas(spark, sf_dir):
     from cuvs_spark.operators.scann import scann_build, scann_search
     d = emb_dataset(spark, sf_dir)
@@ -2330,6 +2348,7 @@ _WINDOW_PRIORITY = [
     "text_c4_line_filter",
     "events_asof_join",
     "events_range_join",
+    "ivf_flat_search_broadcast",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",
