@@ -541,6 +541,17 @@ register("text_c4_line_filter", _c4_filter,
          TX.c4_line_filter_sql(_C4_AUG_SQL))
 
 
+def _lm_score(spark, sf_dir):
+    """CCNet-style LM quality stage: unigram LM trained on the corpus,
+    docs scored by mean in-vocab token probability + OOV fraction
+    (rational arithmetic only — libm-free, hash-exact)."""
+    d = doc_table(spark, sf_dir)
+    return TX.lm_score(d, TX.unigram_lm(d))
+
+
+register("text_lm_score", _lm_score, TX.lm_score_sql(_DOC_SQL))
+
+
 def _semantic_dedup(spark, sf_dir):
     # tau matches dedup_embedding_cosine's near-dup radius — this
     # corpus's embeddings are well separated, so smaller taus flag 0
@@ -2349,6 +2360,7 @@ _WINDOW_PRIORITY = [
     "events_asof_join",
     "events_range_join",
     "ivf_flat_search_broadcast",
+    "text_lm_score",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

@@ -427,3 +427,93 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_kept
 FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (CCNet-style perplexity filtering stage)
+# ---------------------------------------------------------------------------
+
+def unigram_lm(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Train a unigram LM over the corpus → ``(w, cnt)`` plus the
+    corpus total replicated per row (one groupBy over exploded tokens,
+    map-side combined; the vocab is the broadcastable side of every
+    downstream score join)."""
+    d = _doc(df, id_col, text_col)
+    toks = d.select(F.explode(
+        F.expr(TOKS_SPARK.format(s="lower(text)"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_t"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "w", "cnt", F.col("_t").alias("total"))
+
+
+def lm_score(df: DataFrame, vocab: DataFrame, *, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Score docs against a unigram LM → ``(doc_id, n_scored,
+    mean_tok_prob, oov_frac)``: mean in-vocab token probability and
+    out-of-vocabulary fraction — the rational-arithmetic core of a
+    perplexity filter (kept log-free so the cross-engine gate is
+    bit-exact; take ``-avg(ln p)`` downstream if you want nats).
+
+    Per-doc sums fold over an array_sort'd struct list, so the IEEE
+    accumulation order is engine-independent. Scale shape: token
+    explode (map) → broadcast vocab join (map) → one doc_id groupBy
+    with map-side combine."""
+    d = _doc(df, id_col, text_col)
+    toks = d.select("doc_id", F.explode(
+        F.expr(TOKS_SPARK.format(s="lower(text)"))).alias("w"))
+    joined = (toks.join(F.broadcast(vocab), "w", "left")
+              .select("doc_id",
+                      (F.col("cnt").isNull()).cast("int").alias("oov"),
+                      F.when(F.col("cnt").isNotNull(),
+                             F.col("cnt").cast("double")
+                             / F.col("total").cast("double"))
+                      .otherwise(F.lit(0.0)).alias("p")))
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").alias("_n"),
+                 F.sum("oov").alias("_oov"),
+                 F.array_sort(F.collect_list(
+                     F.struct("p", "oov"))).alias("_ps"))
+            .select(
+                "doc_id",
+                F.col("_n").cast("long").alias("n_scored"),
+                (F.expr("aggregate(_ps, CAST(0 AS DOUBLE), "
+                        "(acc, x) -> acc + x.p)")
+                 / F.greatest(F.col("_n") - F.col("_oov"), F.lit(1))
+                 .cast("double")).alias("mean_tok_prob"),
+                (F.col("_oov").cast("double") / F.col("_n"))
+                .alias("oov_frac")))
+
+
+def lm_score_sql(doc_sql: str, vocab_doc_sql: str | None = None) -> str:
+    """DuckDB twin: same vocab construction + sorted-fold sums."""
+    vsql = vocab_doc_sql or doc_sql
+    toks_v = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d AS ({doc_sql}),
+vd AS ({vsql}),
+vt AS (SELECT unnest({toks_v}) AS w FROM vd),
+vocab AS (SELECT w, count(*) AS cnt FROM vt GROUP BY w),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+t AS (SELECT doc_id, unnest({TOKS_DUCK.format(s='lower(text)')}) AS w FROM d),
+j AS (
+  SELECT t.doc_id,
+         CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+         CASE WHEN v.cnt IS NOT NULL
+              THEN CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)
+              ELSE 0.0 END AS p
+  FROM t LEFT JOIN vocab v ON t.w = v.w CROSS JOIN tot
+),
+g AS (
+  SELECT doc_id, count(*) AS _n, sum(oov) AS _oov,
+         list_sort(list({{'p': p, 'oov': oov}})) AS _ps
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, CAST(_n AS BIGINT) AS n_scored,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_ps, x -> x.p)), (acc, x) -> acc + x)
+         / CAST(greatest(_n - _oov, 1) AS DOUBLE) AS mean_tok_prob,
+       CAST(_oov AS DOUBLE) / _n AS oov_frac
+FROM g
+"""

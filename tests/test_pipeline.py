@@ -283,3 +283,25 @@ def test_media_embedding_near_dup(spark, docs):
                                vec_col="vec").collect()
     assert {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
             for r in pairs} == {(0, 100)}
+
+
+def test_unigram_lm_score(spark):
+    from cuvs_spark.pipeline.text import lm_score, unigram_lm
+    docs = spark.createDataFrame([
+        (1, "the the the cat"),
+        (2, "the cat"),
+        (3, "zyzzyva qwxzj"),          # all tokens unseen elsewhere
+    ], "doc_id long, text string")
+    vocab = unigram_lm(docs)
+    v = {r["w"]: r for r in vocab.collect()}
+    assert v["the"]["cnt"] == 4 and v["the"]["total"] == 8
+    out = {r["doc_id"]: r for r in lm_score(docs, vocab).collect()}
+    # doc 1 is dominated by the most frequent token -> higher mean prob
+    assert out[1]["mean_tok_prob"] > out[2]["mean_tok_prob"]
+    assert out[1]["oov_frac"] == 0.0
+    assert out[3]["n_scored"] == 2 and out[3]["oov_frac"] == 0.0
+    # score doc 3 against a vocab trained WITHOUT it: all OOV
+    held_out = lm_score(docs.filter("doc_id = 3"),
+                        unigram_lm(docs.filter("doc_id < 3")))
+    r3 = held_out.collect()[0]
+    assert r3["oov_frac"] == 1.0 and r3["mean_tok_prob"] == 0.0
