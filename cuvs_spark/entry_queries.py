@@ -552,6 +552,52 @@ def _lm_score(spark, sf_dir):
 register("text_lm_score", _lm_score, TX.lm_score_sql(_DOC_SQL))
 
 
+# --- deterministic sampling / splitting / packing --------------------------
+def _sample_det(spark, sf_dir):
+    from cuvs_spark.pipeline.sampling import deterministic_sample
+    return deterministic_sample(doc_table(spark, sf_dir), 0.25) \
+        .select("doc_id")
+
+
+def _hash_split(spark, sf_dir):
+    from cuvs_spark.pipeline.sampling import hash_split
+    return hash_split(doc_table(spark, sf_dir),
+                      {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
+def _pack_seqs(spark, sf_dir):
+    """Shard-parallel contiguous-fill packing over real token counts
+    (4 shards by doc_id — the per-shard window is the scale unit)."""
+    from cuvs_spark.pipeline.sampling import pack_sequences
+    counts = (TX.token_counts(doc_table(spark, sf_dir))
+              .select("doc_id", F.col("ws_tokens").alias("n_tokens"),
+                      (F.col("doc_id") % 4).alias("shard")))
+    return pack_sequences(counts, 512, key_col="shard")
+
+
+def _register_sampling_gates():
+    from cuvs_spark.pipeline.sampling import (deterministic_sample_sql,
+                                              hash_split_sql,
+                                              pack_sequences_sql)
+    register("sample_deterministic", _sample_det,
+             "SELECT doc_id FROM ("
+             + deterministic_sample_sql(_DOC_SQL, 0.25).strip() + ")")
+    register("sample_hash_split", _hash_split,
+             "SELECT doc_id, split FROM ("
+             + hash_split_sql(_DOC_SQL,
+                              {"train": 0.8, "val": 0.1,
+                               "test": 0.1}).strip() + ")")
+    counts_sql = ("SELECT doc_id, ws_tokens AS n_tokens, "
+                  "doc_id % 4 AS shard FROM ("
+                  + TX.token_counts_sql(_DOC_SQL).strip() + ")")
+    register("pipeline_pack_sequences", _pack_seqs,
+             pack_sequences_sql(counts_sql, 512, key_col="shard"))
+
+
+_register_sampling_gates()
+
+
 def _semantic_dedup(spark, sf_dir):
     # tau matches dedup_embedding_cosine's near-dup radius — this
     # corpus's embeddings are well separated, so smaller taus flag 0
@@ -2361,6 +2407,9 @@ _WINDOW_PRIORITY = [
     "events_range_join",
     "ivf_flat_search_broadcast",
     "text_lm_score",
+    "sample_deterministic",
+    "sample_hash_split",
+    "pipeline_pack_sequences",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

@@ -16,3 +16,14 @@ from cuvs_spark.pipeline.text import (  # noqa: F401
     quality_score,
     token_counts,
 )
+from cuvs_spark.pipeline.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+    pack_sequences,
+)
+from cuvs_spark.pipeline.text import (  # noqa: F401
+    c4_line_filter,
+    lm_score,
+    pii_scrub,
+    unigram_lm,
+)

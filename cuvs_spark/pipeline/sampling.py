@@ -1,0 +1,135 @@
+"""Deterministic sampling, splitting, and sequence packing.
+
+The reproducibility layer of a training-data pipeline: every operator
+here is a pure function of row identity (md5-derived 64-bit keys shared
+with the dedup stack), so a 100 TB run resampled on a different cluster
+topology, partition count, or Spark version produces byte-identical
+membership — unlike ``DataFrame.sample``, whose output depends on
+partitioning. All map-only except the packing cumsum (one window over
+the packing key).
+
+No reference-engine analog (cuVS is a vector-search library); these are
+the corpus-side operators the BASELINE.json north-star pipeline needs
+between curation and tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cuvs_spark.pipeline.dedup import H64_DUCK, H64_SPARK
+
+# md5-derived uniform key in [0, 2^60): the same expression family the
+# dedup/minhash stack uses, so both engines derive identical keys
+_MOD = 1_000_000
+
+
+def _bucket_spark(col: str, salt: str) -> str:
+    h = H64_SPARK.format(s=f"concat(CAST({col} AS STRING), '{salt}')")
+    return f"pmod({h}, {_MOD})"
+
+
+def _bucket_duck(col: str, salt: str) -> str:
+    h = H64_DUCK.format(s=f"CAST({col} AS VARCHAR) || '{salt}'")
+    # duckdb % can return negatives for negative operands; H64 here is
+    # always non-negative (15 hex digits), so plain % matches pmod
+    return f"({h} % {_MOD})"
+
+
+def deterministic_sample(df: DataFrame, rate: float, *,
+                         id_col: str = "doc_id",
+                         salt: str = "s0") -> DataFrame:
+    """Keep ~``rate`` of rows by hashing row identity — membership is a
+    pure function of (id, salt), independent of partitioning/order."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(rate)
+    thr = int(rate * _MOD)
+    return df.filter(F.expr(f"{_bucket_spark(id_col, salt)} < {thr}"))
+
+
+def deterministic_sample_sql(src_sql: str, rate: float, *,
+                             id_col: str = "doc_id",
+                             salt: str = "s0") -> str:
+    thr = int(rate * _MOD)
+    return f"""
+WITH d AS ({src_sql})
+SELECT * FROM d WHERE {_bucket_duck(id_col, salt)} < {thr}
+"""
+
+
+def hash_split(df: DataFrame, weights: dict[str, float], *,
+               id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Assign every row to a named split by hash bucket →
+    input columns + ``split``. Weights must sum to 1; boundaries are
+    cumulative, so adding rows never reassigns existing ones."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights sum to {total}, expected 1")
+    expr = F.expr(_bucket_spark(id_col, salt))
+    acc = 0.0
+    col = None
+    for name, wgt in weights.items():
+        acc += wgt
+        cond = expr < int(round(acc * _MOD))
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    return df.withColumn("split", col)
+
+
+def hash_split_sql(src_sql: str, weights: dict[str, float], *,
+                   id_col: str = "doc_id", salt: str = "split") -> str:
+    b = _bucket_duck(id_col, salt)
+    acc = 0.0
+    whens = []
+    for name, wgt in weights.items():
+        acc += wgt
+        whens.append(f"WHEN {b} < {int(round(acc * _MOD))} THEN '{name}'")
+    return f"""
+WITH d AS ({src_sql})
+SELECT *, CASE {' '.join(whens)} END AS split FROM d
+"""
+
+
+def pack_sequences(df: DataFrame, max_tokens: int, *,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens",
+                   key_col: str | None = None) -> DataFrame:
+    """Contiguous-fill sequence packing: order docs by id (within
+    ``key_col`` when given — e.g. a shard or domain), take the running
+    token count, and cut a new sequence whenever the budget would
+    overflow → ``(doc_id, seq_id, seq_offset)``.
+
+    ``seq_id = floor((cumsum - n_tokens) / max_tokens)`` — the
+    deterministic streaming-fill rule (docs longer than the budget get
+    their own overflowing sequence, like sample packing with
+    truncation downstream). One window over the packing key; with a
+    ``key_col`` per shard this is embarrassingly parallel."""
+    keys = [key_col] if key_col else []
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(tokens_col).over(w)
+    start = cum - F.col(tokens_col)
+    return df.select(
+        *keys, F.col(id_col),
+        F.floor(start / max_tokens).cast("long").alias("seq_id"),
+        (start % max_tokens).cast("long").alias("seq_offset"))
+
+
+def pack_sequences_sql(src_sql: str, max_tokens: int, *,
+                       id_col: str = "doc_id",
+                       tokens_col: str = "n_tokens",
+                       key_col: str | None = None) -> str:
+    part = f"PARTITION BY {key_col} " if key_col else ""
+    keys = f"{key_col}, " if key_col else ""
+    return f"""
+WITH d AS ({src_sql}),
+c AS (
+  SELECT {keys}{id_col},
+         sum({tokens_col}) OVER ({part}ORDER BY {id_col}
+             ROWS UNBOUNDED PRECEDING) - {tokens_col} AS start
+  FROM d
+)
+SELECT {keys}{id_col},
+       CAST(floor(start / {max_tokens}) AS BIGINT) AS seq_id,
+       CAST(start % {max_tokens} AS BIGINT) AS seq_offset
+FROM c
+"""
