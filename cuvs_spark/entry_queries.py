@@ -1871,6 +1871,25 @@ register("ivf_flat_search_broadcast", _ivf_broadcast,
                                  _IVF_CENT_SQL, 10, _IVF_PROBES) + ")")
 
 
+def _ivf_prefilter(spark, sf_dir):
+    """Bitset prefilter on an IVF index (filters.pyx applies to every
+    index type): id-predicate filters the inverted file before any
+    distance math."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv",
+                           prefilter=F.col("id") % 5 != 3)
+
+
+register("ivf_flat_search_prefilter", _ivf_prefilter,
+         O.ivf_flat_search_sql(
+             _DA_SQL + " WHERE vec_id % 5 <> 3",
+             _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES))
+
+
 def _scann_blas(spark, sf_dir):
     from cuvs_spark.operators.scann import scann_build, scann_search
     d = emb_dataset(spark, sf_dir)
@@ -2406,6 +2425,7 @@ _WINDOW_PRIORITY = [
     "events_asof_join",
     "events_range_join",
     "ivf_flat_search_broadcast",
+    "ivf_flat_search_prefilter",
     "text_lm_score",
     "sample_deterministic",
     "sample_hash_split",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cuvs_spark.cluster.kmeans import KMeansModel, assign, kmeans_fit
@@ -108,7 +108,8 @@ def _assign_with_vec(d: DataFrame, C: np.ndarray) -> DataFrame:
 def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
                     n_probes: int = 8, *, qid_col: str = "qid",
                     qvec_col: str = "vec", metric: str | None = None,
-                    method: str = "expr") -> DataFrame:
+                    method: str = "expr",
+                    prefilter: Column | None = None) -> DataFrame:
     """Partition-pruned ANN search → ``(qid, nid, distance, rank)``.
 
     ``method="expr"`` scores the probed rows with the JVM distance
@@ -123,6 +124,11 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
     the dataset never shuffles (2.6× the cogroup at the 200k probe)."""
     metric = metric or index.metric
     spark = queries.sparkSession
+    # bitset-filter analog (filters.pyx works across index types): a
+    # boolean Column over the inverted file (id / list_id / vec),
+    # applied BEFORE any distance math, shared by all three methods —
+    # Catalyst pushes id-predicates into the (partition-pruned) scan
+    lists = index.lists if prefilter is None else index.lists.filter(prefilter)
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
     cent = index.lists.sparkSession.createDataFrame(
@@ -136,12 +142,12 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
         "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None)
     probes = probes.select("qid", "list_id")
     if method == "blas":
-        return _fine_blas(index.lists, q, probes, k, metric)
+        return _fine_blas(lists, q, probes, k, metric)
     if method == "broadcast":
-        return _fine_broadcast(index.lists, q, probes, k, metric)
+        return _fine_broadcast(lists, q, probes, k, metric)
     # fine: broadcast the (qid, list_id) probe set against the inverted
     # file — only probed lists are scanned, dataset side never shuffles.
-    fine = (index.lists.join(F.broadcast(probes), "list_id")
+    fine = (lists.join(F.broadcast(probes), "list_id")
             .join(F.broadcast(q), "qid"))
     fdist = F.expr(distance_sql_spark(metric, "_qv", "vec"))
     pairs = fine.select("qid", F.col("id").alias("nid"),

@@ -222,7 +222,8 @@ def ivf_pq_transform(index: IVFPQIndex, dataset: DataFrame, *,
 
 def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                   n_probes: int = 8, *, qid_col: str = "qid",
-                  qvec_col: str = "vec", method: str = "expr") -> DataFrame:
+                  qvec_col: str = "vec", method: str = "expr",
+                  prefilter=None) -> DataFrame:
     """LUT-join search → ``(qid, nid, distance, rank)``; distance is
     the PQ-approximate sqeuclidean (sum of per-subspace code distances,
     folded in subspace order → deterministic).
@@ -243,6 +244,10 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     are small (its two shuffles are cheaper than the collect+broadcast
     round-trip)."""
     spark = queries.sparkSession
+    # bitset-filter analog (filters.pyx applies to every index type):
+    # boolean Column over the codes table, applied before scoring
+    codes_t = (index.codes if prefilter is None
+               else index.codes.filter(prefilter))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
     cent = _cent_df(spark, index.centroids)
@@ -311,7 +316,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                 if outs:
                     yield pd.concat(outs)
 
-        local = index.codes.select("list_id", "id", "codes").mapInPandas(
+        local = codes_t.select("list_id", "id", "codes").mapInPandas(
             score_parts, "qid long, nid long, distance double")
         return knn_merge_parts(local, k)
     if method == "blas":
@@ -355,7 +360,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                     np.broadcast_to(ids, D.shape), part, axis=1).ravel(),
                 "distance": np.take_along_axis(D, part, axis=1).ravel()})
 
-        local = (index.codes.groupBy("list_id")
+        local = (codes_t.groupBy("list_id")
                  .cogroup(qside.groupBy("list_id"))
                  .applyInPandas(score,
                                 "qid long, nid long, distance double"))
@@ -383,7 +388,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                .join(qres.select("_key", "qid", "list_id"), "_key")
                .select("qid", "list_id", "sub", "code",
                        sdist.alias("subdist")))
-        probed = (index.codes.join(F.broadcast(probes), "list_id")
+        probed = (codes_t.join(F.broadcast(probes), "list_id")
                   .select("qid", "list_id", "id",
                           F.posexplode("codes").alias("sub", "code")))
         scored = (probed.join(F.broadcast(lut),
@@ -404,7 +409,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
            .select("qid", "sub", "code", sdist.alias("subdist")))
     # probed codes, exploded per subspace
-    probed = (index.codes.join(F.broadcast(probes), "list_id")
+    probed = (codes_t.join(F.broadcast(probes), "list_id")
               .select("qid", "id", F.posexplode("codes").alias("sub", "code")))
     # LUT lookup accumulation: deterministic subspace-ordered fold
     scored = (probed.join(F.broadcast(lut), ["qid", "sub", "code"])

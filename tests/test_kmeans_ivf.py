@@ -181,3 +181,27 @@ def test_ivf_flat_broadcast_path_agrees(spark, vectors_df, queries_df):
             for r in ivf_flat_search(idx, queries_df, 5, 4,
                                      method=m).collect())
     assert outs["expr"] == outs["blas"] == outs["broadcast"]
+
+
+def test_ivf_prefilter_all_methods(spark, vectors_df, queries_df):
+    """The bitset-analog prefilter must exclude filtered ids on every
+    physical path, for both IVF-Flat and IVF-PQ."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    pred = F.col("id") % 3 != 0
+    idx = ivf_flat_build(vectors_df, 8, kmeans_n_iters=4)
+    outs = {}
+    for m in ("expr", "blas", "broadcast"):
+        rows = ivf_flat_search(idx, queries_df, 5, 8, method=m,
+                               prefilter=pred).collect()
+        assert rows and all(r["nid"] % 3 != 0 for r in rows)
+        outs[m] = sorted((r["qid"], r["rank"], r["nid"]) for r in rows)
+    assert outs["expr"] == outs["blas"] == outs["broadcast"]
+
+    pq = ivf_pq_build(vectors_df, 8, pq_dim=4, pq_bits=4)
+    for m in ("expr", "blas", "broadcast"):
+        rows = ivf_pq_search(pq, queries_df, 5, 8, method=m,
+                             prefilter=pred).collect()
+        assert rows and all(r["nid"] % 3 != 0 for r in rows)
