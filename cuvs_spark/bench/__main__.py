@@ -25,14 +25,24 @@ def main() -> None:
     ap = argparse.ArgumentParser(prog="cuvs_spark.bench")
     ap.add_argument("--dataset", required=True,
                     help="sf dir with embeddings.parquet, or a .fbin file")
-    ap.add_argument("--config", required=True, help="JSON sweep config")
+    ap.add_argument("--config", default=None, help="JSON sweep config")
     ap.add_argument("--out", default=None, help="export dir (CSV+JSON)")
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--n-queries", type=int, default=None)
+    ap.add_argument("--tune", default=None, metavar="ALGO",
+                    help="random-search tune this algorithm instead of "
+                         "running a grid config")
+    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--target-recall", type=float, default=0.9)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    with open(args.config) as f:
-        conf = json.load(f)
+    conf = {}
+    if args.config:
+        with open(args.config) as f:
+            conf = json.load(f)
+    elif not args.tune:
+        ap.error("one of --config or --tune is required")
     k = args.k or conf.get("k", 10)
     nq = args.n_queries or conf.get("n_queries", 100)
 
@@ -56,7 +66,16 @@ def main() -> None:
     q = (d.filter(F.col("id") < nq)
           .select(F.col("id").alias("qid"), "vec"))
 
-    results = run_sweep(spark, d, q, conf["configs"], k=k)
+    if args.tune:
+        from cuvs_spark.bench.sweep import tune
+        out = tune(spark, d, q, args.tune, n_trials=args.trials, k=k,
+                   seed=args.seed, target_recall=args.target_recall)
+        results = out["trials"]
+        b = out["best"]
+        print(f"best: {b['build_params']} {b['search_params']} "
+              f"recall={b['recall']:.3f} qps={b['qps']}")
+    else:
+        results = run_sweep(spark, d, q, conf["configs"], k=k)
     if args.out:
         csv_path, json_path = export_results(results, args.out)
         print(f"wrote {csv_path} and {json_path}")

@@ -598,6 +598,27 @@ def _register_sampling_gates():
 _register_sampling_gates()
 
 
+def _para_dedup(spark, sf_dir):
+    """Paragraph-level dedup on synthesized multi-paragraph docs: every
+    doc carries one shared boilerplate line — dedup must keep it only
+    in the lowest doc_id."""
+    from cuvs_spark.pipeline.dedup import paragraph_dedup
+    aug = doc_table(spark, sf_dir).withColumn(
+        "text", F.expr("concat('SHARED NAV HEADER', '\\n', text, '\\n', "
+                       "'footer for doc ', doc_id)"))
+    return paragraph_dedup(aug)
+
+
+def _register_para_gate():
+    from cuvs_spark.pipeline.dedup import paragraph_dedup_sql
+    register("dedup_paragraphs", _para_dedup, paragraph_dedup_sql(
+        "SELECT doc_id, 'SHARED NAV HEADER' || chr(10) || text || chr(10) "
+        "|| 'footer for doc ' || doc_id AS text FROM documents"))
+
+
+_register_para_gate()
+
+
 def _semantic_dedup(spark, sf_dir):
     # tau matches dedup_embedding_cosine's near-dup radius — this
     # corpus's embeddings are well separated, so smaller taus flag 0
@@ -2430,6 +2451,7 @@ _WINDOW_PRIORITY = [
     "sample_deterministic",
     "sample_hash_split",
     "pipeline_pack_sequences",
+    "dedup_paragraphs",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

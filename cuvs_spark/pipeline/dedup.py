@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -719,4 +719,81 @@ dup AS (
 SELECT a.id AS id, a.cluster AS cluster,
        (d.id IS NOT NULL) AS is_dup
 FROM a LEFT JOIN dup d ON a.id = d.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph dedup: split docs on ``sep``, hash each
+    non-empty paragraph, keep only its FIRST occurrence (lowest
+    (doc_id, position)), reassemble → ``(doc_id, clean_text,
+    n_paragraphs, n_removed)``.
+
+    The repeated-boilerplate remover (headers, footers, nav blocks
+    shared across pages) that doc-level dedup can't touch. Scale shape:
+    one shuffle on the 64-bit paragraph hash (first-occurrence window),
+    one on doc_id (reassembly); paragraphs travel as hashes + text
+    once each, never all-pairs."""
+    d = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"))
+    paras = (d.select("doc_id", F.posexplode(
+                 F.split("text", sep)).alias("pos", "p"))
+             .filter(F.col("p") != ""))
+    h = F.expr(H64_SPARK.format(s="p"))
+    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
+    ranked = (paras.withColumn("_h", h)
+              .withColumn("_rn", F.row_number().over(w)))
+    kept = ranked.filter(F.col("_rn") == 1)
+    out = (ranked.groupBy("doc_id")
+           .agg(F.count("*").alias("n_paragraphs"),
+                F.sum((F.col("_rn") > 1).cast("long")).alias("n_removed"),
+                F.array_sort(F.collect_list(F.when(
+                    F.col("_rn") == 1,
+                    F.struct("pos", "p")))).alias("_ks")))
+    return (d.join(out, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.expr(
+                        "array_join(transform(filter(_ks, "
+                        "x -> x IS NOT NULL), x -> x.p), '\n')"),
+                        F.lit("")).alias("clean_text"),
+                    F.coalesce("n_paragraphs", F.lit(0)).cast("long")
+                    .alias("n_paragraphs"),
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed")))
+
+
+def paragraph_dedup_sql(doc_sql: str) -> str:
+    h = H64_DUCK.format(s="p")
+    return f"""
+WITH d AS ({doc_sql}),
+paras0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ps, 1) AS BIGINT) - 1 AS pos,
+         unnest(ps) AS p
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d)
+),
+paras AS (SELECT * FROM paras0 WHERE p <> ''),
+ranked AS (
+  SELECT doc_id, pos, p,
+         row_number() OVER (PARTITION BY {h}
+                            ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_paragraphs,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+         array_to_string(list(p ORDER BY pos)
+                         FILTER (WHERE rn = 1), chr(10)) AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """

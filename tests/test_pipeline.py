@@ -305,3 +305,22 @@ def test_unigram_lm_score(spark):
                         unigram_lm(docs.filter("doc_id < 3")))
     r3 = held_out.collect()[0]
     assert r3["oov_frac"] == 1.0 and r3["mean_tok_prob"] == 0.0
+
+
+def test_paragraph_dedup(spark):
+    from cuvs_spark.pipeline.dedup import paragraph_dedup
+    docs = spark.createDataFrame([
+        (1, "HEADER\nunique one\nFOOTER"),
+        (2, "HEADER\nunique two\nFOOTER"),
+        (3, "HEADER\nunique three"),
+        (4, ""),                           # empty doc
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # first doc keeps everything
+    assert out[1]["clean_text"] == "HEADER\nunique one\nFOOTER"
+    assert out[1]["n_removed"] == 0
+    # later docs lose the shared header/footer but keep their own line
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_removed"] == 2 and out[2]["n_paragraphs"] == 3
+    assert out[3]["clean_text"] == "unique three"
+    assert out[4]["clean_text"] == "" and out[4]["n_paragraphs"] == 0
