@@ -298,13 +298,20 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                  max_iterations: int = 8, metric: str = "sqeuclidean",
                  id_col: str = "id", vec_col: str = "vec",
                  qid_col: str = "qid", qvec_col: str = "vec",
-                 n_seeds: int = 16, score_method: str = "expr") -> DataFrame:
+                 n_seeds: int = 16, score_method: str = "expr",
+                 prefilter: DataFrame | None = None) -> DataFrame:
     """Batched beam search over the graph (``cagra_search.cuh:137``):
     per query keep an ``itopk`` candidate pool; each round expands the
     best ``search_width`` unexpanded nodes through the edge table,
     scores new candidates, re-selects the pool. All rounds are bounded
     joins on (n_queries × width) frontiers — batch analytics, not a
-    serving path."""
+    serving path.
+
+    ``prefilter``: an allowed-ids DataFrame (one ``id`` column — the
+    bitset analog). Reference semantics (filtered CAGRA search): the
+    graph is traversed UNFILTERED so connectivity through removed nodes
+    survives; only the result pool is filtered. Size ``itopk`` above
+    ``k / keep-fraction`` to hold recall."""
     d = (dataset.select(F.col(id_col).cast("long").alias("nid"),
                         F.col(vec_col).alias("_dv")).persist())
     q = (queries.select(F.col(qid_col).cast("long").alias("qid"),
@@ -357,8 +364,11 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                   .unionByName(scored))
         pool = select_k(merged, "qid", "distance", itopk,
                         tie_cols=["nid"], rank_col=None).localCheckpoint()
-    out = select_k(pool.select("qid", "nid", "distance"),
-                   "qid", "distance", k, tie_cols=["nid"])
+    results = pool.select("qid", "nid", "distance")
+    if prefilter is not None:
+        allowed = prefilter.select(F.col("id").cast("long").alias("nid"))
+        results = results.join(F.broadcast(allowed), "nid", "left_semi")
+    out = select_k(results, "qid", "distance", k, tie_cols=["nid"])
     d.unpersist(); q.unpersist(); edges.unpersist()
     return out
 

@@ -196,3 +196,25 @@ def test_hnsw_extend_matches_flat_semantics(spark, emb):
     got = l2.filter(F.col("src") < 50)
     assert got.count() == 50
     assert got.agg(F.max(F.size("neighbors"))).head()[0] <= 8
+
+
+def test_cagra_filtered_search(spark, vectors_df, queries_df):
+    """Filtered CAGRA search: traversal unfiltered, results filtered —
+    every returned id satisfies the filter, and recall vs the filtered
+    exact answer stays high with a deepened pool."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.operators.graph import cagra_build, cagra_search
+    g = cagra_build(vectors_df, 16)
+    allowed = vectors_df.filter(F.col("id") % 3 != 0).select("id")
+    res = cagra_search(g, vectors_df, queries_df, 5, itopk=48,
+                       max_iterations=8, prefilter=allowed)
+    rows = res.collect()
+    assert rows and all(r["nid"] % 3 != 0 for r in rows)
+    exact = knn(vectors_df.filter(F.col("id") % 3 != 0), queries_df, 5,
+                "sqeuclidean")
+    hits = (res.select("qid", "nid")
+            .join(exact.select("qid", "nid"), ["qid", "nid"], "left_semi")
+            .count())
+    assert hits / exact.count() >= 0.8
