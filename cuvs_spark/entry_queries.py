@@ -2465,7 +2465,9 @@ _WINDOW_PRIORITY = [
     "stats_pca_recon",
     "stats_recall_nn_descent",
     "stats_recall_cagra_vs_exact",
-    "agglomerative_single_linkage",
+    # (agglomerative_single_linkage is rows-only — it gets its hard
+    # verdict from the Kruskal-exact pytest + the mutual-reachability
+    # gate, so it doesn't spend a window slot)
     "stats_purity_spectral",
     "stats_recall_ivf_trained",
     "stats_recall_cagra_extend",
