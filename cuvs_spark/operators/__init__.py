@@ -10,6 +10,7 @@ from cuvs_spark.operators.brute_force import (  # noqa: F401
 from cuvs_spark.operators.graph import (  # noqa: F401
     all_neighbors_build,
     cagra_build,
+    cagra_from_graph,
     cagra_build_ace,
     cagra_compress,
     cagra_extend,

@@ -293,6 +293,16 @@ def cagra_build(dataset: DataFrame, graph_degree: int = 16, *,
     return cagra_optimize(g.drop("rank"), graph_degree)
 
 
+def cagra_from_graph(graph: DataFrame, *, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """``cagra.from_graph`` (``cagra.pyx``): adopt a pre-built adjacency
+    as a CAGRA index. Our index IS the ``(src, dst)`` edge table, so
+    this just normalizes column names — any kNN graph (NN-Descent,
+    all_neighbors, an imported HNSW base layer) becomes searchable."""
+    return graph.select(F.col(src_col).cast("long").alias("src"),
+                        F.col(dst_col).cast("long").alias("dst"))
+
+
 def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                  k: int = 10, *, itopk: int = 32, search_width: int = 8,
                  max_iterations: int = 8, metric: str = "sqeuclidean",
