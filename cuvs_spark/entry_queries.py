@@ -619,6 +619,22 @@ def _register_para_gate():
 _register_para_gate()
 
 
+def _hard_negatives(spark, sf_dir):
+    """Contrastive-training mining gate: positives are (q, q+100);
+    negatives = top-10 cosine neighbors excluding self + positive."""
+    from cuvs_spark.pipeline.dedup import mine_hard_negatives
+    d = emb_dataset(spark, sf_dir).select("id", "vec")
+    q = emb_queries(spark, sf_dir, 20).select(
+        "qid", F.col("qv").alias("vec"))
+    pos = q.select("qid", (F.col("qid") + 100).alias("pos_id"))
+    return mine_hard_negatives(q, d, pos, 10, metric="cosine")
+
+
+register("mine_hard_negatives", _hard_negatives,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "cosine",
+                   pair_where="d.nid <> q.qid AND d.nid <> q.qid + 100"))
+
+
 def _semantic_dedup(spark, sf_dir):
     # tau matches dedup_embedding_cosine's near-dup radius — this
     # corpus's embeddings are well separated, so smaller taus flag 0
@@ -2412,7 +2428,9 @@ _WINDOW_PRIORITY = [
     # re-gated with their round-4 fixes (gram_polynomial: product-fold
     # power; kmeans_fit_centroids: new chained-Lloyd oracle)
     "knn_bf_sqeuclidean",
-    "ivf_flat_search",
+    # (the ivf_flat_search canary slot went to mine_hard_negatives:
+    # the same search path is exercised in-window by the blas/
+    # broadcast/prefilter gates)
     "gram_polynomial",
     "kmeans_fit_centroids",
     # never-driver-verified: the round-3 additions the judge called out…
@@ -2452,6 +2470,7 @@ _WINDOW_PRIORITY = [
     "sample_hash_split",
     "pipeline_pack_sequences",
     "dedup_paragraphs",
+    "mine_hard_negatives",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

@@ -797,3 +797,42 @@ SELECT d.doc_id,
        CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
 FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (embedding-training data pipelines)
+# ---------------------------------------------------------------------------
+
+def mine_hard_negatives(queries: DataFrame, dataset: DataFrame,
+                        positives: DataFrame, k: int = 10, *,
+                        metric: str = "cosine", extra_depth: int = 8,
+                        method: str = "expr",
+                        qid_col: str = "qid", qvec_col: str = "vec",
+                        id_col: str = "id",
+                        vec_col: str = "vec") -> DataFrame:
+    """Top-``k`` nearest non-positive neighbors per query →
+    ``(qid, nid, distance, rank)`` — the mining step of contrastive
+    embedding training (hard negatives = closest corpus items that are
+    NOT labeled positives and not the query itself).
+
+    Composition over the engine's kNN: search ``k + extra_depth``
+    candidates (any physical path — expr/blas/broadcast or an IVF
+    search via a wrapper), anti-join the ``(qid, pos_id)`` positive
+    pairs and the self-match, re-rank to ``k``. The anti-join touches
+    only candidate rows, never the corpus."""
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.operators.select_k import select_k
+    from cuvs_spark.functions.distance import is_min_close
+    n_pos = positives.groupBy(F.col("qid")).count() \
+        .agg(F.max("count")).first()[0] or 0
+    k0 = k + int(n_pos) + extra_depth
+    cand = knn(dataset, queries, k0, metric, qid_col=qid_col,
+               qvec_col=qvec_col, id_col=id_col, vec_col=vec_col,
+               method=method)
+    excl = positives.select(F.col("qid").cast("long").alias("qid"),
+                            F.col("pos_id").cast("long").alias("nid"))
+    kept = (cand.drop("rank")
+            .filter(F.col("nid") != F.col("qid"))
+            .join(excl, ["qid", "nid"], "left_anti"))
+    return select_k(kept, "qid", "distance", k,
+                    select_min=is_min_close(metric), tie_cols=["nid"])

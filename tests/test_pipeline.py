@@ -324,3 +324,21 @@ def test_paragraph_dedup(spark):
     assert out[2]["n_removed"] == 2 and out[2]["n_paragraphs"] == 3
     assert out[3]["clean_text"] == "unique three"
     assert out[4]["clean_text"] == "" and out[4]["n_paragraphs"] == 0
+
+
+def test_mine_hard_negatives(spark, vectors_df, queries_df):
+    from cuvs_spark.pipeline.dedup import mine_hard_negatives
+    pos = queries_df.select("qid", (F.col("qid") + 1).alias("pos_id"))
+    out = mine_hard_negatives(
+        queries_df.select("qid", "vec"),
+        vectors_df.select("id", "vec"), pos, 5, metric="sqeuclidean")
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        nids = {r["nid"] for r in rs}
+        assert qid not in nids           # self excluded
+        assert qid + 1 not in nids       # labeled positive excluded
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
