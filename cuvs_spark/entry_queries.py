@@ -635,6 +635,26 @@ register("mine_hard_negatives", _hard_negatives,
                    pair_where="d.nid <> q.qid AND d.nid <> q.qid + 100"))
 
 
+def _decontaminate(spark, sf_dir):
+    """Eval-set n-gram decontamination: benchmark = docs 0-4, so those
+    five fully self-contaminate and the rest must count 0 unless they
+    genuinely share an 8-gram."""
+    from cuvs_spark.pipeline.text import decontaminate
+    docs = doc_table(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    return decontaminate(docs, bench, n=8)
+
+
+def _register_decontaminate_gate():
+    from cuvs_spark.pipeline.text import decontaminate_sql
+    register("text_decontaminate", _decontaminate, decontaminate_sql(
+        _DOC_SQL, "SELECT doc_id, text FROM documents WHERE doc_id < 5",
+        n=8))
+
+
+_register_decontaminate_gate()
+
+
 def _semantic_dedup(spark, sf_dir):
     # tau matches dedup_embedding_cosine's near-dup radius — this
     # corpus's embeddings are well separated, so smaller taus flag 0
@@ -2427,10 +2447,11 @@ _WINDOW_PRIORITY = [
     # canaries: two long-green rows, plus the two round-3 non-green rows
     # re-gated with their round-4 fixes (gram_polynomial: product-fold
     # power; kmeans_fit_centroids: new chained-Lloyd oracle)
-    "knn_bf_sqeuclidean",
-    # (the ivf_flat_search canary slot went to mine_hard_negatives:
-    # the same search path is exercised in-window by the blas/
-    # broadcast/prefilter gates)
+    # (the knn_bf_sqeuclidean / ivf_flat_search canary slots went to
+    # mine_hard_negatives / text_decontaminate: both code paths are
+    # exercised in-window anyway — exact kNN by the mining/groundtruth
+    # gates, IVF search by the blas/broadcast/prefilter gates — and
+    # every slot must hold a driver-unverified oracle-backed query)
     "gram_polynomial",
     "kmeans_fit_centroids",
     # never-driver-verified: the round-3 additions the judge called out…
@@ -2471,6 +2492,7 @@ _WINDOW_PRIORITY = [
     "pipeline_pack_sequences",
     "dedup_paragraphs",
     "mine_hard_negatives",
+    "text_decontaminate",
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",

@@ -517,3 +517,74 @@ SELECT doc_id, CAST(_n AS BIGINT) AS n_scored,
        CAST(_oov AS DOUBLE) / _n AS oov_frac
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _ngram_hashes_expr(n: int) -> str:
+    """Distinct hashed word n-grams of the staged token column ``_t``."""
+    gram = f"concat_ws(' ', slice(_t, i, {n}))"
+    return (f"array_distinct(CASE WHEN size(_t) >= {n} THEN "
+            f"transform(sequence(1, size(_t) - {n} + 1), "
+            f"i -> {H64_SPARK.format(s=gram)}) ELSE array() END)")
+
+
+def _ngram_hashes_duck(n: int, toks: str) -> str:
+    gram = f"array_to_string({toks}[i:i+{n - 1}], ' ')"
+    return (f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(range(1, len({toks}) - {n} + 2), "
+            f"i -> {H64_DUCK.format(s=gram)}) ELSE [] END)")
+
+
+def decontaminate(docs: DataFrame, benchmarks: DataFrame, *, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Flag training docs that share word ``n``-grams with an eval set →
+    ``(doc_id, n_grams, n_contaminated)`` (drop rows with
+    ``n_contaminated > 0`` downstream, the GPT-3/Llama-style rule).
+
+    Scale shape: the eval side is small by nature, so its distinct
+    n-gram hash set is collected and BROADCAST as a literal array —
+    contamination is then a map-only membership count per doc; the
+    corpus never shuffles. (For giant eval suites, swap the literal for
+    a broadcast join on the hash — same plan shape.)"""
+    bench = (benchmarks.select(F.expr(TOKS_SPARK.format(s=f"lower({bench_text_col})"))
+                               .alias("_t"))
+             .select(F.explode(F.expr(_ngram_hashes_expr(n))).alias("h"))
+             .distinct())
+    bench_hashes = sorted(r["h"] for r in bench.collect())
+    d = (_doc(docs, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)")))
+         .withColumn("_g", F.expr(_ngram_hashes_expr(n))))
+    if bench_hashes:
+        arr = ", ".join(str(h) for h in bench_hashes)
+        contaminated = f"size(filter(_g, h -> array_contains(array({arr}), h)))"
+    else:
+        contaminated = "0"
+    return d.select(
+        "doc_id",
+        F.expr("CAST(size(_g) AS BIGINT)").alias("n_grams"),
+        F.expr(f"CAST({contaminated} AS BIGINT)").alias("n_contaminated"))
+
+
+def decontaminate_sql(doc_sql: str, bench_sql: str, n: int = 8) -> str:
+    toks = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d0 AS ({doc_sql}),
+b0 AS ({bench_sql}),
+bh AS (
+  SELECT DISTINCT unnest({_ngram_hashes_duck(n, toks)}) AS h FROM b0
+),
+dg AS (SELECT doc_id, {_ngram_hashes_duck(n, toks)} AS g FROM d0),
+un AS (SELECT doc_id, unnest(g) AS h FROM dg),
+hits AS (
+  SELECT un.doc_id, count(*) AS c FROM un JOIN bh USING (h)
+  GROUP BY un.doc_id
+)
+SELECT dg.doc_id,
+       CAST(len(dg.g) AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_contaminated
+FROM dg LEFT JOIN hits ON dg.doc_id = hits.doc_id
+"""

@@ -342,3 +342,20 @@ def test_mine_hard_negatives(spark, vectors_df, queries_df):
         assert qid not in nids           # self excluded
         assert qid + 1 not in nids       # labeled positive excluded
         assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+
+
+def test_decontaminate(spark):
+    from cuvs_spark.pipeline.text import decontaminate
+    eval_text = "the quick brown fox jumps over the lazy sleeping dog today"
+    docs = spark.createDataFrame([
+        (1, "prefix words " + eval_text + " suffix words"),   # contains it
+        (2, "totally unrelated content with no overlapping eight gram "
+            "sequence anywhere in this training document at all"),
+        (3, eval_text),                                        # exact copy
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(eval_text,)], "text string")
+    out = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, n=8).collect()}
+    assert out[1]["n_contaminated"] > 0
+    assert out[2]["n_contaminated"] == 0
+    assert out[3]["n_contaminated"] == out[3]["n_grams"] > 0
