@@ -82,6 +82,23 @@ def main() -> None:
                                 max_dup_word_frac=0.999,
                                 max_top_bigram_frac=0.2))
 
+    # round-4 additions: map-only regex/LM/packing family
+    from cuvs_spark.pipeline.dedup import paragraph_dedup
+    from cuvs_spark.pipeline.sampling import hash_split, pack_sequences
+    from cuvs_spark.pipeline.text import (lm_score, pii_scrub, token_counts,
+                                          unigram_lm)
+    timed("pii_scrub_sec", lambda: pii_scrub(docs))
+    timed("paragraph_dedup_sec", lambda: paragraph_dedup(docs))
+    timed("hash_split_sec",
+          lambda: hash_split(docs, {"train": 0.9, "val": 0.1}))
+    timed("pack_sequences_sec", lambda: pack_sequences(
+        token_counts(docs).select(
+            "doc_id", F.col("ws_tokens").alias("n_tokens"),
+            (F.col("doc_id") % 64).alias("shard")),
+        4096, key_col="shard"))
+    vocab_df = unigram_lm(docs).localCheckpoint()
+    timed("lm_score_sec", lambda: lm_score(docs, vocab_df))
+
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
     if not os.path.exists(emb_path):
