@@ -211,3 +211,41 @@ def test_dynamic_batching_dispatch(spark, emb, tmp_path):
             for r in ivf_flat_search(idx, queries.withColumnRenamed(
                 "vec", "qv"), 5, 8, qvec_col="qv").collect()}
     assert got == want
+
+
+def test_curation_ops_run_in_streams(spark, tmp_path):
+    """The stateless curation family (PII scrub, C4 line filter,
+    deterministic sampling, hash split) must run unchanged under
+    Structured Streaming — map-only plans are streamable as-is."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.pipeline.sampling import deterministic_sample, hash_split
+    from cuvs_spark.pipeline.text import c4_line_filter, pii_scrub
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(i, f"Doc {i} writes to a@b.co daily.\nshort\nKeep this line ok.")
+         for i in range(40)],
+        "doc_id long, text string")
+    docs.write.parquet(src)
+
+    def pipe(d):
+        scrubbed = pii_scrub(d).select(
+            "doc_id", F.col("clean_text").alias("text"))
+        sampled = hash_split(deterministic_sample(scrubbed, 0.9),
+                             {"train": 0.5, "test": 0.5})
+        return c4_line_filter(sampled)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (pipe(stream).writeStream.outputMode("append").format("memory")
+         .queryName("curate_stream_out").start())
+    q.processAllAvailable(); q.stop()
+    got = spark.sql("SELECT * FROM curate_stream_out").collect()
+    assert got
+    # emails were redacted upstream, C4 kept the punctuated lines
+    assert all("a@b.co" not in r["clean_text"] for r in got)
+    assert all("<EMAIL>" in r["clean_text"] for r in got)
+    assert all("short" not in r["clean_text"] for r in got)
+
+    # batch run over the same input must agree row-for-row
+    want = {r["doc_id"]: r["clean_text"] for r in pipe(docs).collect()}
+    assert {r["doc_id"]: r["clean_text"] for r in got} == want
