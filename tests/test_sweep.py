@@ -103,3 +103,17 @@ def test_tune_random_search(spark, vectors_df, queries_df):
                 k=5, seed=1, target_recall=0.5)
     assert [t["build_params"] for t in out2["trials"]] == \
         [t["build_params"] for t in out["trials"]]
+
+
+def test_every_backend_runs(spark, vectors_df, queries_df):
+    """Each registry backend must build and search with its default
+    params — catches signature drift between the sweep harness and the
+    underlying operators."""
+    from cuvs_spark.bench.sweep import BACKENDS, run_sweep
+    configs = [{"algo": name, "build": {}, "search": {}}
+               for name in BACKENDS]
+    res = run_sweep(spark, vectors_df, queries_df, configs, k=3)
+    assert len(res) == len(BACKENDS)
+    for r in res:
+        assert 0.0 <= r["recall"] <= 1.0, r["algo"]
+        assert r["qps"] > 0, r["algo"]
