@@ -598,6 +598,73 @@ def _register_sampling_gates():
 _register_sampling_gates()
 
 
+_DOC_SRC_SQL = "SELECT doc_id, text, source FROM documents"
+_DOC_LANG_SQL = "SELECT doc_id, text, lang FROM documents"
+
+
+def _mixture_sample(spark, sf_dir):
+    """Domain-mixing gate: three explicit per-source rates + a default,
+    so both the CASE ladder and the fallback arm are exercised."""
+    from cuvs_spark.pipeline.sampling import mixture_sample
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "text", "source"))
+    return mixture_sample(
+        d, {"src0": 0.9, "src1": 0.5, "src2": 0.1},
+        default_rate=0.3).select("doc_id", "source")
+
+
+def _classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier inference over hashed
+    unigram+bigram buckets; synthetic fixed-point model (the weight
+    table a real exported classifier arrives as)."""
+    from cuvs_spark.pipeline.classify import (classifier_score,
+                                              synthetic_weights)
+    return classifier_score(doc_table(spark, sf_dir),
+                            synthetic_weights(spark, 4096),
+                            n_buckets=4096, bias_fp=-250000)
+
+
+def _dsir_importance(spark, sf_dir):
+    """DSIR importance weights vs the lang='en' target slice (rational
+    mean-likelihood-ratio form — libm-free)."""
+    from cuvs_spark.pipeline.classify import dsir_importance
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "text", "lang"))
+    return dsir_importance(d, "lang = 'en'", n_buckets=4096)
+
+
+def _substring_dedup(spark, sf_dir):
+    """Duplicated-substring removal over the injected-dup corpus: exact
+    copies lose every window, near copies all shared ones."""
+    from cuvs_spark.pipeline.dedup import substring_dedup
+    return substring_dedup(_docs_with_dups(spark, sf_dir), window=8)
+
+
+def _register_classify_gates():
+    from cuvs_spark.pipeline.classify import (classifier_score_sql,
+                                              dsir_importance_sql)
+    from cuvs_spark.pipeline.dedup import substring_dedup_sql
+    from cuvs_spark.pipeline.sampling import mixture_sample_sql
+    register("sample_mixture", _mixture_sample,
+             "SELECT doc_id, source FROM ("
+             + mixture_sample_sql(_DOC_SRC_SQL,
+                                  {"src0": 0.9, "src1": 0.5, "src2": 0.1},
+                                  default_rate=0.3).strip() + ")")
+    register("text_classifier_score", _classifier_score,
+             classifier_score_sql(_DOC_SQL, n_buckets=4096,
+                                  bias_fp=-250000))
+    register("text_dsir_importance", _dsir_importance,
+             dsir_importance_sql(_DOC_LANG_SQL, "lang = 'en'",
+                                 n_buckets=4096))
+    register("dedup_substrings", _substring_dedup,
+             substring_dedup_sql(_DOC_DUP_SQL, 8))
+
+
+_register_classify_gates()
+
+
 def _para_dedup(spark, sf_dir):
     """Paragraph-level dedup on synthesized multi-paragraph docs: every
     doc carries one shared boilerplate line — dedup must keep it only

@@ -1,0 +1,225 @@
+"""Model-based quality filtering: hashed-n-gram linear classifier
+inference and DSIR-style importance weighting.
+
+Two standard corpus-curation stages the heuristic filters in
+``pipeline/text.py`` don't cover:
+
+* :func:`classifier_score` — fastText-style linear classifier inference
+  over hashed unigram+bigram features (the GPT-3 / CCNet "quality
+  classifier" stage). The model is a ``(bucket, weight)`` table; weights
+  are fixed-point BIGINT so scoring is pure integer arithmetic —
+  hash-exact across engines and overflow-safe in int64.
+* :func:`dsir_importance` — Data Selection via Importance Resampling
+  (Xie et al., 2023) re-expressed with rational arithmetic: per-token
+  likelihood ratio between a target-domain and raw hashed-unigram model
+  (Laplace-smoothed), folded to a per-doc mean. The published method
+  sums log-ratios; the gate-able variant here averages the ratios
+  themselves, which needs no libm (log is not correctly rounded — see
+  the verify skill's gate rules) and preserves the ordering signal the
+  resampling step consumes.
+
+Scale shape: both operators are token-explode (map) → broadcast join
+against an ``n_buckets``-row table (tiny by construction: 2^12–2^22
+rows regardless of corpus size) → one ``doc_id`` groupBy with map-side
+combine. Nothing shuffles the corpus except the final per-doc
+aggregation, and feature hashing keeps state O(n_buckets), not
+O(vocab), which is what makes the design hold at 100 TB.
+
+No reference-engine analog (cuVS is a vector-search library); these are
+north-star pipeline extensions per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_spark.pipeline.dedup import H64_DUCK, H64_SPARK, TOKS_DUCK, TOKS_SPARK
+
+__all__ = [
+    "classifier_score",
+    "classifier_score_sql",
+    "dsir_importance",
+    "dsir_importance_sql",
+    "synthetic_weights",
+]
+
+# integer LCG-style weight in [-1000, 1000] for the synthetic gate
+# model: pure integer arithmetic, reproducible inline on both engines
+_W_A = 2654435761
+_W_B = 40503
+_W_P = 1000003
+_W_R = 2001
+
+
+def _w_expr(b: str) -> str:
+    """Weight formula (Spark and DuckDB share int semantics here)."""
+    return f"((({b}) * {_W_A} + {_W_B}) % {_W_P}) % {_W_R} - 1000"
+
+
+def synthetic_weights(spark: SparkSession, n_buckets: int) -> DataFrame:
+    """Deterministic stand-in model ``(bucket, weight)`` — the shape a
+    real exported linear model arrives in (fastText / sklearn coef_
+    quantized to 1e-6 fixed point)."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        F.expr(_w_expr("id")).cast("long").alias("weight"))
+
+
+def _features_spark(n_buckets: int) -> str:
+    """Hashed unigram+bigram buckets of the staged token column ``_t``."""
+    uni = f"transform(_t, t -> {H64_SPARK.format(s='t')} % {n_buckets})"
+    gram = "concat(element_at(_t, i), ' ', element_at(_t, i + 1))"
+    bi = (f"CASE WHEN size(_t) >= 2 THEN "
+          f"transform(sequence(1, size(_t) - 1), "
+          f"i -> {H64_SPARK.format(s=gram)} % {n_buckets}) "
+          f"ELSE array() END")
+    return f"concat({uni}, {bi})"
+
+
+def _features_duck(n_buckets: int, toks: str) -> str:
+    uni = f"list_transform({toks}, t -> {H64_DUCK.format(s='t')} % {n_buckets})"
+    gram = f"{toks}[i] || ' ' || {toks}[i + 1]"
+    bi = (f"CASE WHEN len({toks}) >= 2 THEN "
+          f"list_transform(range(1, len({toks})), "
+          f"i -> {H64_DUCK.format(s=gram)} % {n_buckets}) "
+          f"ELSE [] END")
+    return f"list_concat({uni}, {bi})"
+
+
+def classifier_score(df: DataFrame, weights: DataFrame, *,
+                     n_buckets: int = 4096, bias_fp: int = 0,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Linear classifier inference → ``(doc_id, n_feats, score_fp,
+    label)``.
+
+    ``weights`` is ``(bucket: long, weight: long)`` with weights in
+    1e-6 fixed point; ``score_fp = bias + Σ weight[bucket(f)]`` over
+    hashed unigram+bigram features (sum of BIGINTs — order-free, exact).
+    ``label = 1`` iff ``score_fp > 0``. Overflow headroom: |weight| ≤
+    ~2^31 fixed-point leaves 2^32 features per doc before int64 wraps.
+    """
+    d = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                   F.col(text_col).alias("text"))
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    feats = d.select("doc_id", F.explode_outer(
+        F.expr(_features_spark(n_buckets))).alias("bucket"))
+    scored = (feats.join(F.broadcast(weights), "bucket", "left")
+              .groupBy("doc_id")
+              .agg(F.count("bucket").alias("n_feats"),
+                   F.coalesce(F.sum("weight"), F.lit(0)).alias("_s")))
+    return scored.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        (F.col("_s") + F.lit(bias_fp)).cast("long").alias("score_fp"),
+        ((F.col("_s") + F.lit(bias_fp)) > 0).cast("int").alias("label"))
+
+
+def classifier_score_sql(doc_sql: str, *, n_buckets: int = 4096,
+                         bias_fp: int = 0) -> str:
+    """DuckDB twin against the synthetic model (weights recomputed
+    inline from the same integer formula)."""
+    toks = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d AS ({doc_sql}),
+f AS (
+  SELECT doc_id, unnest({_features_duck(n_buckets, toks)}) AS bucket
+  FROM d
+),
+s AS (
+  SELECT f.doc_id, count(*) AS n_feats,
+         sum({_w_expr('f.bucket')}) AS _s
+  FROM f GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(s._s, 0) + {bias_fp} AS BIGINT) AS score_fp,
+       CAST(CASE WHEN COALESCE(s._s, 0) + {bias_fp} > 0
+            THEN 1 ELSE 0 END AS INT) AS label
+FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+def dsir_importance(df: DataFrame, target_filter: str, *,
+                    n_buckets: int = 4096, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DSIR importance weight per doc → ``(doc_id, n_toks,
+    mean_ratio)``.
+
+    ``target_filter`` is a boolean SQL expression naming the target
+    domain (e.g. ``"source = 'wiki'"``). Hashed-unigram bucket counts
+    are taken over the target slice and the full corpus; each token's
+    Laplace-smoothed likelihood ratio is
+
+        r = ((ct+1) · (Traw + NB)) / ((cr+1) · (Ttgt + NB))
+
+    and ``mean_ratio`` is the per-doc mean of ``r`` (sorted fold →
+    engine-independent IEEE accumulation). Rows with ``mean_ratio``
+    above a chosen quantile are the DSIR keep-set; thresholding
+    composes with :func:`cuvs_spark.pipeline.sampling.deterministic_sample`
+    for the stochastic variant."""
+    d = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                   F.col(text_col).alias("text"),
+                   F.expr(target_filter).alias("_tgt"))
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    toks = d.select(
+        "doc_id", "_tgt",
+        F.explode(F.expr(
+            f"transform(_t, t -> {H64_SPARK.format(s='t')} % {n_buckets})"
+        )).alias("b"))
+    counts = (toks.groupBy("b")
+              .agg(F.count("*").alias("cr"),
+                   F.sum(F.col("_tgt").cast("long")).alias("ct")))
+    totals = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lut = counts.crossJoin(F.broadcast(totals))
+    nb = float(n_buckets)
+    ratio = (
+        (F.col("ct").cast("double") + F.lit(1.0))
+        * (F.col("tr").cast("double") + F.lit(nb))
+        / ((F.col("cr").cast("double") + F.lit(1.0))
+           * (F.col("tt").cast("double") + F.lit(nb)))).alias("r")
+    per_tok = toks.join(F.broadcast(lut.select("b", ratio)), "b")
+    return (per_tok.groupBy("doc_id")
+            .agg(F.count("*").alias("_n"),
+                 F.array_sort(F.collect_list(F.struct("r"))).alias("_rs"))
+            .select(
+                "doc_id",
+                F.col("_n").cast("long").alias("n_toks"),
+                (F.expr("aggregate(_rs, CAST(0 AS DOUBLE), "
+                        "(acc, x) -> acc + x.r)")
+                 / F.col("_n").cast("double")).alias("mean_ratio")))
+
+
+def dsir_importance_sql(doc_sql: str, target_filter: str, *,
+                        n_buckets: int = 4096) -> str:
+    toks = TOKS_DUCK.format(s="lower(text)")
+    nb = float(n_buckets)
+    return f"""
+WITH d AS ({doc_sql}),
+t AS (
+  SELECT doc_id,
+         CASE WHEN {target_filter} THEN 1 ELSE 0 END AS _tgt,
+         unnest(list_transform({toks},
+                t -> {H64_DUCK.format(s='t')} % {n_buckets})) AS b
+  FROM d
+),
+c AS (SELECT b, count(*) AS cr, sum(_tgt) AS ct FROM t GROUP BY b),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
+lut AS (
+  SELECT b,
+         (CAST(ct AS DOUBLE) + 1.0) * (CAST(tr AS DOUBLE) + {nb})
+         / ((CAST(cr AS DOUBLE) + 1.0) * (CAST(tt AS DOUBLE) + {nb})) AS r
+  FROM c CROSS JOIN tot
+),
+g AS (
+  SELECT t.doc_id, count(*) AS _n,
+         list_sort(list({{'r': lut.r}})) AS _rs
+  FROM t JOIN lut ON t.b = lut.b GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(_n AS BIGINT) AS n_toks,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_rs, x -> x.r)), (acc, x) -> acc + x)
+         / CAST(_n AS DOUBLE) AS mean_ratio
+FROM g
+"""

@@ -799,6 +799,101 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def substring_dedup(df: DataFrame, *, window: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Duplicated-substring removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): hash every ``window``-
+    token sliding window corpus-wide, keep each window's FIRST
+    occurrence (lowest (doc_id, position)), and drop every token
+    covered by a repeated occurrence → ``(doc_id, clean_text,
+    n_tokens, n_removed)``. ``clean_text`` is token-rejoined
+    (whitespace-normalized) for all docs, deduplicated or not.
+
+    The published method builds a corpus suffix array; the
+    fixed-window formulation here finds the same ≥window-token repeats
+    (any longer repeat is a run of repeated windows, so its positions
+    are covered) and is shuffle-friendly: one shuffle on the 64-bit
+    window hash (first-occurrence ranking), one on doc_id (position-set
+    assembly + reassembly join). Tokens travel once as hashes — never
+    all-pairs, no suffix array."""
+    L = int(window)
+    if L < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    d = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                   F.col(text_col).alias("text"))
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="text"))))
+    gram = f"concat_ws(' ', slice(_t, i, {L}))"
+    wins_expr = (f"CASE WHEN size(_t) >= {L} THEN "
+                 f"transform(sequence(1, size(_t) - {L} + 1), "
+                 f"i -> struct(i AS pos, "
+                 f"{H64_SPARK.format(s=gram)} AS h)) "
+                 f"ELSE array() END")
+    wins = (d.select("doc_id", F.explode(F.expr(wins_expr)).alias("w"))
+            .select("doc_id", F.col("w.pos").alias("pos"),
+                    F.col("w.h").alias("_h")))
+    rn = F.row_number().over(
+        Window.partitionBy("_h").orderBy("doc_id", "pos"))
+    dup = wins.withColumn("_rn", rn).filter(F.col("_rn") > 1)
+    removed = (dup.select("doc_id", F.explode(F.expr(
+                   f"sequence(pos, pos + {L} - 1)")).alias("rp"))
+               .select("doc_id", F.col("rp").cast("long").alias("rp"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("rp")).alias("_rm")))
+    out = d.join(removed, "doc_id", "left")
+    keep = (f"filter(transform(sequence(1, size(_t)), "
+            f"i -> CASE WHEN _rm IS NULL OR NOT array_contains(_rm, "
+            f"CAST(i AS BIGINT)) THEN element_at(_t, i) END), "
+            f"x -> x IS NOT NULL)")
+    return out.select(
+        "doc_id",
+        F.when(F.size("_t") == 0, F.lit(""))
+        .otherwise(F.expr(f"array_join({keep}, ' ')")).alias("clean_text"),
+        F.expr("CAST(size(_t) AS BIGINT)").alias("n_tokens"),
+        F.coalesce(F.expr("CAST(size(_rm) AS BIGINT)"), F.lit(0))
+        .cast("long").alias("n_removed"))
+
+
+def substring_dedup_sql(doc_sql: str, window: int = 8) -> str:
+    L = int(window)
+    toks = TOKS_DUCK.format(s="text")
+    gram = f"array_to_string(_t[i:i + {L - 1}], ' ')"
+    return f"""
+WITH d AS (SELECT doc_id, text, {toks} AS _t FROM ({doc_sql})),
+wins AS (
+  SELECT doc_id, unnest(CASE WHEN len(_t) >= {L} THEN
+           list_transform(range(1, len(_t) - {L} + 2),
+             i -> {{'pos': i, 'h': {H64_DUCK.format(s=gram)}}})
+         ELSE [] END) AS w
+  FROM d
+),
+ranked AS (
+  SELECT doc_id, w.pos AS pos,
+         row_number() OVER (PARTITION BY w.h
+                            ORDER BY doc_id, w.pos) AS rn
+  FROM wins
+),
+rp AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {L})) AS rp
+  FROM ranked WHERE rn > 1
+),
+rm AS (
+  SELECT doc_id, list_sort(list(rp)) AS _rm FROM rp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+       COALESCE(array_to_string(
+           list_filter(list_transform(range(1, len(d._t) + 1),
+             i -> CASE WHEN r._rm IS NULL OR NOT list_contains(r._rm, i)
+                  THEN d._t[i] END),
+           x -> x IS NOT NULL), ' '), '') AS clean_text,
+       CAST(len(d._t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r._rm), 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN rm r ON d.doc_id = r.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hard-negative mining (embedding-training data pipelines)
 # ---------------------------------------------------------------------------

@@ -58,6 +58,45 @@ SELECT * FROM d WHERE {_bucket_duck(id_col, salt)} < {thr}
 """
 
 
+def mixture_sample(df: DataFrame, rates: dict[str, float], *,
+                   group_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "mix",
+                   default_rate: float = 0.0) -> DataFrame:
+    """Domain-mixture sampling: keep ~``rates[g]`` of rows in each
+    ``group_col`` domain (the per-domain knob a data-mixing recipe —
+    e.g. up-weighting wiki vs common-crawl — turns into membership).
+    Same md5-keyed rule as :func:`deterministic_sample`, so membership
+    is a pure function of (id, salt) and nesting holds per domain:
+    lowering one domain's rate keeps a subset. Map-only — the rate
+    table is a CASE expression, never a join."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r}: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(default_rate)
+    thr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        t = F.lit(int(r * _MOD))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (thr.otherwise(F.lit(int(default_rate * _MOD)))
+           if thr is not None else F.lit(int(default_rate * _MOD)))
+    return df.filter(F.expr(_bucket_spark(id_col, salt)) < thr)
+
+
+def mixture_sample_sql(src_sql: str, rates: dict[str, float], *,
+                       group_col: str = "source", id_col: str = "doc_id",
+                       salt: str = "mix", default_rate: float = 0.0) -> str:
+    whens = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(r * _MOD)}"
+        for g, r in rates.items())
+    case = f"CASE {whens} ELSE {int(default_rate * _MOD)} END"
+    return f"""
+WITH d AS ({src_sql})
+SELECT * FROM d WHERE {_bucket_duck(id_col, salt)} < {case}
+"""
+
+
 def hash_split(df: DataFrame, weights: dict[str, float], *,
                id_col: str = "doc_id", salt: str = "split") -> DataFrame:
     """Assign every row to a named split by hash bucket →
