@@ -163,15 +163,20 @@ register("knn_merge_parts", _knn_merge,
 
 
 # --- pairwise distance matrices (§2.3) ------------------------------------
-def _pairwise(metric, n=30):
-    def fn(spark, sf_dir, metric=metric, n=n):
+def _pairwise(metric, n=30, xform=None):
+    spark_x, duck_x = _XFORMS.get(xform, (None, None))
+
+    def fn(spark, sf_dir, metric=metric, n=n, spark_x=spark_x):
         e = T(spark, sf_dir, "embeddings")
         X = (e.filter(F.col("vec_id") < n)
              .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")))
+        if spark_x:
+            X = X.withColumn("vec", F.expr(spark_x.format(col="vec")))
         return pairwise_distance(X, None, metric)
-    sub = ("SELECT vec_id AS i, embedding AS xa FROM embeddings "
+    col = duck_x.format(col="embedding") if duck_x else "embedding"
+    sub = (f"SELECT vec_id AS i, {col} AS xa FROM embeddings "
            f"WHERE vec_id < {n}")
-    sub2 = ("SELECT vec_id AS j, embedding AS xb FROM embeddings "
+    sub2 = (f"SELECT vec_id AS j, {col} AS xb FROM embeddings "
             f"WHERE vec_id < {n}")
     return fn, O.pairwise_sql(sub, sub2, metric)
 
@@ -181,6 +186,15 @@ for _metric in ["sqeuclidean", "cosine", "chebyshev", "canberra",
                 "inner_product"]:  # minkowski: engines' pow() differ 1 ulp
     _fn, _sql = _pairwise(_metric)
     register(f"pairwise_{_metric}", _fn, _sql)
+
+# set-family metrics over binarized vectors (same transforms as the
+# knn_bf gates); hellinger over probability vectors (sqrt is IEEE-exact)
+for _metric in ["jaccard", "dice", "russellrao", "hamming"]:
+    _fn, _sql = _pairwise(_metric, xform="bin")
+    register(f"pairwise_{_metric}", _fn, _sql)
+
+_fn, _sql = _pairwise("hellinger", xform="prob")
+register("pairwise_hellinger", _fn, _sql)
 
 
 # --- epsilon neighborhood range join (§2.5) -------------------------------
