@@ -171,6 +171,23 @@ def main() -> None:
         return semantic_dedup(T(spark, sf_dir, "embeddings"),
                               n_clusters=16, tau=0.15, method="blas")
 
+    def bench_classifier():
+        from cuvs_spark.pipeline.classify import (classifier_score,
+                                                  synthetic_weights)
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        if "clf_w" not in _built:
+            w = synthetic_weights(spark, 1 << 16).localCheckpoint()
+            w.count()
+            _built["clf_w"] = w
+        return classifier_score(docs, _built["clf_w"], n_buckets=1 << 16)
+
+    def bench_substring_dedup():
+        from cuvs_spark.pipeline.dedup import substring_dedup
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return substring_dedup(docs, window=8)
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "cagra_build_optimize": bench_cagra_build,
@@ -191,6 +208,8 @@ def main() -> None:
         "text_pii_scrub": bench_pii_scrub,
         "dedup_semantic_blas": bench_semantic_dedup,
         "eps_neighborhood_blas": bench_eps_blas,
+        "text_classifier_score": bench_classifier,
+        "dedup_substrings": bench_substring_dedup,
     }
 
     # Two full timed passes with a per-entry min. The passes are

@@ -123,3 +123,37 @@ def test_ivf_search_plan_broadcasts_probes(spark):
     plan = plan_string(ivf_flat_search(idx, q, 5, 4, qvec_col="qv"))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan, "probe set must broadcast"
+
+
+def test_classifier_plan_broadcasts_weights(spark):
+    """classifier_score's 100 TB shape: the model table reaches the
+    exploded feature stream via broadcast (the corpus never shuffles
+    for the join; the only exchange is the doc_id aggregation)."""
+    from cuvs_spark.pipeline.classify import classifier_score, synthetic_weights
+    from cuvs_spark.plans.layout import plan_string
+
+    docs = spark.createDataFrame(
+        [(i, f"some words {i}") for i in range(50)],
+        "doc_id long, text string")
+    out = classifier_score(docs, synthetic_weights(spark, 1024),
+                           n_buckets=1024)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, "weights must broadcast"
+
+
+def test_substring_dedup_plan_shuffle_bound(spark):
+    """substring_dedup must stay at its designed shuffle budget: window
+    hash ranking + removed-set distinct/regroup + reassembly join — and
+    never go cartesian."""
+    from cuvs_spark.pipeline.dedup import substring_dedup
+    from cuvs_spark.plans.layout import count_exchanges, plan_string
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)],
+        "doc_id long, text string")
+    out = substring_dedup(docs, window=8)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    shuffles, _ = count_exchanges(out)
+    assert shuffles <= 5, plan

@@ -229,9 +229,12 @@ def test_curation_ops_run_in_streams(spark, tmp_path):
     docs.write.parquet(src)
 
     def pipe(d):
+        from cuvs_spark.pipeline.sampling import mixture_sample
         scrubbed = pii_scrub(d).select(
-            "doc_id", F.col("clean_text").alias("text"))
-        sampled = hash_split(deterministic_sample(scrubbed, 0.9),
+            "doc_id", F.col("clean_text").alias("text"),
+            F.expr("concat('s', doc_id % 2)").alias("source"))
+        mixed = mixture_sample(scrubbed, {"s0": 1.0, "s1": 0.8})
+        sampled = hash_split(deterministic_sample(mixed, 0.9),
                              {"train": 0.5, "test": 0.5})
         return c4_line_filter(sampled)
 

@@ -99,6 +99,25 @@ def main() -> None:
     vocab_df = unigram_lm(docs).localCheckpoint()
     timed("lm_score_sec", lambda: lm_score(docs, vocab_df))
 
+    # round-5 additions: classifier / DSIR / mixture / substring dedup
+    from cuvs_spark.pipeline.classify import (classifier_score,
+                                              dsir_importance,
+                                              synthetic_weights)
+    from cuvs_spark.pipeline.dedup import substring_dedup
+    from cuvs_spark.pipeline.sampling import mixture_sample
+    wts = synthetic_weights(spark, 1 << 20).localCheckpoint()
+    timed("classifier_score_sec",
+          lambda: classifier_score(docs, wts, n_buckets=1 << 20))
+    timed("dsir_importance_sec",
+          lambda: dsir_importance(
+              docs.withColumn("is_tgt", F.col("doc_id") % 10 < 3),
+              "is_tgt", n_buckets=1 << 20))
+    timed("mixture_sample_sec",
+          lambda: mixture_sample(
+              docs.withColumn("source", F.expr("concat('s', doc_id % 8)")),
+              {f"s{i}": 0.1 * (i + 1) for i in range(8)}))
+    timed("substring_dedup_sec", lambda: substring_dedup(docs, window=8))
+
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
     if not os.path.exists(emb_path):
