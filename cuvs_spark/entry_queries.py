@@ -566,6 +566,17 @@ def _lm_score(spark, sf_dir):
 register("text_lm_score", _lm_score, TX.lm_score_sql(_DOC_SQL))
 
 
+def _gopher_quality(spark, sf_dir):
+    """Full Gopher §A1.1 rule set (beyond the repetition filters):
+    symbol ratios, bullet/ellipsis line fractions, alpha-word fraction,
+    stopword requirement + the composed keep verdict."""
+    return TX.gopher_quality(doc_table(spark, sf_dir))
+
+
+register("text_gopher_quality", _gopher_quality,
+         TX.gopher_quality_sql(_DOC_SQL))
+
+
 # --- deterministic sampling / splitting / packing --------------------------
 def _sample_det(spark, sf_dir):
     from cuvs_spark.pipeline.sampling import deterministic_sample

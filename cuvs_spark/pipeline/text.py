@@ -284,6 +284,153 @@ FROM d2 LEFT JOIN bg ON d2.doc_id = bg.doc_id
 """
 
 
+def gopher_quality(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_frac: float = 0.9,
+                   max_ellipsis_line_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    §A1.1) beyond the repetition filters in :func:`repetition_stats`:
+    word-count bounds, mean word length bounds, hash/ellipsis
+    symbol-to-word ratios, bullet-start and ellipsis-end line
+    fractions, alphabetic-word fraction, and the ≥2-distinct-stopwords
+    requirement — plus the composed ``gopher_keep`` verdict.
+
+    → ``(doc_id, n_words, mean_word_len, hash_word_ratio,
+    ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stop_distinct, gopher_keep)``.
+
+    MAP-ONLY (zero shuffles; every statistic is per-document), integer
+    counts + one IEEE division each → oracle-exact. String scans use
+    replace-and-measure or startswith/endswith — no regex alternation
+    (Java vs RE2 agree only on alternation-free patterns), and the one
+    regex is a single ASCII char class."""
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="text")))
+         .withColumn("_lines", F.expr(
+             "filter(transform(split(text, '\\n'), l -> trim(l)), "
+             "l -> l <> '')")))
+    n_words = "size(_t)"
+    sum_len = ("aggregate(_t, CAST(0 AS BIGINT), "
+               "(acc, w) -> acc + length(w))")
+    n_hash = "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)"
+    n_ellipsis = ("CAST((length(text) - length(replace(text, '...', ''))) "
+                  "DIV 3 + length(text) - length(replace(text, '…', '')) "
+                  "AS BIGINT)")
+    n_lines = "size(_lines)"
+    n_bullet = ("size(filter(_lines, l -> startswith(l, '-') OR "
+                "startswith(l, '*') OR startswith(l, '•')))")
+    n_ell_line = ("size(filter(_lines, l -> endswith(l, '...') OR "
+                  "endswith(l, '…')))")
+    n_alpha = "size(filter(_t, w -> w RLIKE '[A-Za-z]'))"
+    stops = ", ".join(f"'{w}'" for w in
+                      ["the", "be", "to", "of", "and", "that",
+                       "have", "with"])
+    n_stop = (f"size(array_intersect("
+              f"{TOKS_SPARK.format(s='lower(text)')}, array({stops})))")
+
+    def frac(num, den):
+        return (f"CASE WHEN {den} = 0 THEN CAST(0 AS DOUBLE) "
+                f"ELSE CAST({num} AS DOUBLE) / {den} END")
+
+    out = d.select(
+        "doc_id",
+        F.expr(f"CAST({n_words} AS BIGINT)").alias("n_words"),
+        F.expr(frac(sum_len, n_words)).alias("mean_word_len"),
+        F.expr(frac(n_hash, n_words)).alias("hash_word_ratio"),
+        F.expr(frac(n_ellipsis, n_words)).alias("ellipsis_word_ratio"),
+        F.expr(frac(n_bullet, n_lines)).alias("bullet_line_frac"),
+        F.expr(frac(n_ell_line, n_lines)).alias("ellipsis_line_frac"),
+        F.expr(frac(n_alpha, n_words)).alias("alpha_word_frac"),
+        F.expr(f"CAST({n_stop} AS BIGINT)").alias("n_stop_distinct"))
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("hash_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_distinct") >= min_stop_hits))
+    return out.withColumn("gopher_keep", keep.cast("int"))
+
+
+def gopher_quality_sql(doc_sql: str, *, min_words: int = 50,
+                       max_words: int = 100_000,
+                       min_mean_word_len: float = 3.0,
+                       max_mean_word_len: float = 10.0,
+                       max_symbol_word_ratio: float = 0.1,
+                       max_bullet_line_frac: float = 0.9,
+                       max_ellipsis_line_frac: float = 0.3,
+                       min_alpha_word_frac: float = 0.8,
+                       min_stop_hits: int = 2) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    stops = ", ".join(f"'{w}'" for w in
+                      ["the", "be", "to", "of", "and", "that",
+                       "have", "with"])
+    n_words = "len(_t)"
+    sum_len = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+               "list_transform(_t, w -> CAST(length(w) AS BIGINT))), "
+               "(acc, x) -> acc + x)")
+    n_hash = "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)"
+    n_ellipsis = ("CAST((length(text) - length(replace(text, '...', ''))) "
+                  "// 3 + length(text) - length(replace(text, '…', '')) "
+                  "AS BIGINT)")
+    n_lines = "len(_lines)"
+    n_bullet = ("len(list_filter(_lines, l -> starts_with(l, '-') OR "
+                "starts_with(l, '*') OR starts_with(l, '•')))")
+    n_ell_line = ("len(list_filter(_lines, l -> ends_with(l, '...') OR "
+                  "ends_with(l, '…')))")
+    n_alpha = "len(list_filter(_t, w -> regexp_matches(w, '[A-Za-z]')))"
+    n_stop = (f"len(list_intersect("
+              f"{TOKS_DUCK.format(s='lower(text)')}, [{stops}]))")
+
+    def frac(num, den):
+        return (f"CASE WHEN {den} = 0 THEN CAST(0 AS DOUBLE) "
+                f"ELSE CAST({num} AS DOUBLE) / {den} END")
+
+    return f"""
+WITH d AS ({doc_sql}),
+d2 AS (
+  SELECT doc_id, text, {toks} AS _t,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     l -> trim(l)), l -> l <> '') AS _lines
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+         CAST({n_words} AS BIGINT) AS n_words,
+         {frac(sum_len, n_words)} AS mean_word_len,
+         {frac(n_hash, n_words)} AS hash_word_ratio,
+         {frac(n_ellipsis, n_words)} AS ellipsis_word_ratio,
+         {frac(n_bullet, n_lines)} AS bullet_line_frac,
+         {frac(n_ell_line, n_lines)} AS ellipsis_line_frac,
+         {frac(n_alpha, n_words)} AS alpha_word_frac,
+         CAST({n_stop} AS BIGINT) AS n_stop_distinct
+  FROM d2
+)
+SELECT *,
+       CAST(CASE WHEN n_words >= {min_words} AND n_words <= {max_words}
+         AND mean_word_len >= {min_mean_word_len}
+         AND mean_word_len <= {max_mean_word_len}
+         AND hash_word_ratio <= {max_symbol_word_ratio}
+         AND ellipsis_word_ratio <= {max_symbol_word_ratio}
+         AND bullet_line_frac <= {max_bullet_line_frac}
+         AND ellipsis_line_frac <= {max_ellipsis_line_frac}
+         AND alpha_word_frac >= {min_alpha_word_frac}
+         AND n_stop_distinct >= {min_stop_hits}
+       THEN 1 ELSE 0 END AS INT) AS gopher_keep
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints
 # ---------------------------------------------------------------------------

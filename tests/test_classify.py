@@ -146,3 +146,29 @@ def test_substring_dedup_exact_copy_fully_removed(spark):
     assert out[0]["n_removed"] == 0
     assert out[1]["n_removed"] == 20          # every token covered
     assert out[1]["clean_text"] == ""
+
+
+def test_gopher_quality_rules(spark):
+    from cuvs_spark.pipeline.text import gopher_quality
+
+    good = " ".join(["the quick brown fox jumps over lazy dogs and"
+                     " that have with more words here now"] * 5)
+    docs = spark.createDataFrame(
+        [(0, good),                                   # passes everything
+         (1, "# # # " + good),                        # hash symbols
+         (2, "- one\n- two\n- three"),                # bullet lines
+         (3, "a b c"),                                # too short
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+
+    assert out[0]["gopher_keep"] == 1
+    assert out[0]["n_stop_distinct"] >= 2
+    assert out[0]["alpha_word_frac"] == 1.0
+
+    assert out[1]["hash_word_ratio"] > 0
+    assert out[2]["bullet_line_frac"] == 1.0
+    assert out[2]["gopher_keep"] == 0
+    assert out[3]["gopher_keep"] == 0
+    assert out[4]["n_words"] == 0
+    assert out[4]["gopher_keep"] == 0
