@@ -690,6 +690,33 @@ def _register_classify_gates():
 _register_classify_gates()
 
 
+def _bpe_roundtrip(spark, sf_dir):
+    """BPE tokenization gate: merges trained on a deterministic sample,
+    every doc encoded distributively, and the lossless-roundtrip
+    invariant (concat(tokens) == concat(words)) must hold for EVERY
+    doc — a hard 1.0-or-red scalar for the iterative op (encoding has
+    no SQL twin; exact token parity is pytest-checked in
+    tests/test_bpe.py)."""
+    from cuvs_spark.pipeline.bpe import bpe_encode, bpe_train_sample
+    d = doc_table(spark, sf_dir)
+    merges = bpe_train_sample(d, n_merges=60, max_docs=100)
+    toks = bpe_encode(d, merges, output="tokens")
+    rebuilt = toks.groupBy("doc_id").agg(F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "struct(pos, token))), x -> x.token), '')").alias("_cat"))
+    chk = (d.join(rebuilt, "doc_id", "left")
+           .select(F.expr(
+               "CASE WHEN coalesce(_cat, '') = "
+               "regexp_replace(lower(text), '\\\\s+', '') "
+               "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")
+               .alias("ok")))
+    return chk.agg(F.min("ok").alias("roundtrip_pass"))
+
+
+register("stats_bpe_roundtrip", _bpe_roundtrip,
+         "SELECT CAST(1.0 AS DOUBLE) AS roundtrip_pass")
+
+
 def _para_dedup(spark, sf_dir):
     """Paragraph-level dedup on synthesized multi-paragraph docs: every
     doc carries one shared boilerplate line — dedup must keep it only
