@@ -1789,7 +1789,7 @@ def _curate(spark, sf_dir):
                          langs=("en", "und"), near_dup_jaccard=0.8)
 
 
-def _curate_oracle(gopher: bool = False):
+def _curate_oracle(gopher: bool = False, rules: bool = False):
     # flat CTE chain: every stage is a NAMED cte referenced by name, not
     # re-nested text — textual nesting made the query tree (and DuckDB's
     # runtime) exponential in pipeline stages (measured 330 s vs 3 s)
@@ -1818,11 +1818,22 @@ s2f AS MATERIALIZED (SELECT doc_id, text FROM s2
         rep_union = "UNION ALL SELECT doc_id, stage FROM badr\n"
     else:
         head += "s2f AS MATERIALIZED (SELECT doc_id, text FROM s2),\n"
+    if rules:
+        head += f"""gq AS MATERIALIZED ({TX.gopher_quality_sql(
+            "SELECT doc_id, text FROM s2f")}),
+badg AS MATERIALIZED (SELECT doc_id, 'gopher_rules' AS stage FROM gq
+         WHERE gopher_keep = 0),
+s2g AS MATERIALIZED (SELECT doc_id, text FROM s2f
+        WHERE doc_id NOT IN (SELECT doc_id FROM badg)),
+"""
+        rep_union += "UNION ALL SELECT doc_id, stage FROM badg\n"
+    else:
+        head += "s2g AS MATERIALIZED (SELECT doc_id, text FROM s2f),\n"
     return head + f"""grp AS MATERIALIZED ({DD.exact_dedup_sql(
-        "SELECT doc_id, text FROM s2f")}),
-bade AS MATERIALIZED (SELECT doc_id, 'exact_dup' AS stage FROM s2f
+        "SELECT doc_id, text FROM s2g")}),
+bade AS MATERIALIZED (SELECT doc_id, 'exact_dup' AS stage FROM s2g
          WHERE doc_id NOT IN (SELECT canonical_id FROM grp)),
-s3 AS MATERIALIZED (SELECT doc_id, text FROM s2f
+s3 AS MATERIALIZED (SELECT doc_id, text FROM s2g
        WHERE doc_id IN (SELECT canonical_id FROM grp)),
 mh AS MATERIALIZED ({DD.minhash_lsh_pairs_sql("SELECT doc_id, text FROM s3", 0.8)}),
 comp AS MATERIALIZED ({DD.connected_components_sql("SELECT doc_a, doc_b FROM mh")}),
@@ -1850,6 +1861,20 @@ def _curate_gopher(spark, sf_dir):
 
 
 register("pipeline_curate_gopher", _curate_gopher, _curate_oracle(gopher=True))
+
+
+def _curate_gopher_rules(spark, sf_dir):
+    """curate_corpus with the full Gopher quality-rule stage (published
+    default thresholds) between the lang filter and dedup."""
+    from cuvs_spark.pipeline.curate import curate_corpus
+    return curate_corpus(_docs_with_dups(spark, sf_dir),
+                         min_tokens=10, max_punct_ratio=0.2,
+                         langs=("en", "und"), near_dup_jaccard=0.8,
+                         gopher_rules={})
+
+
+register("pipeline_curate_gopher_rules", _curate_gopher_rules,
+         _curate_oracle(rules=True))
 
 
 def _curate_semantic(spark, sf_dir):

@@ -19,7 +19,8 @@ from cuvs_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from cuvs_spark.pipeline.text import language_id, quality_score, repetition_stats
+from cuvs_spark.pipeline.text import (gopher_quality, language_id,
+                                      quality_score, repetition_stats)
 
 
 def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
@@ -29,14 +30,18 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
                   near_dup_jaccard: float = 0.8,
                   max_dup_word_frac: float | None = None,
                   max_top_bigram_frac: float | None = None,
-                  max_dup_trigram_frac: float | None = None) -> DataFrame:
+                  max_dup_trigram_frac: float | None = None,
+                  gopher_rules: dict | None = None) -> DataFrame:
     """Return the curated corpus ``(doc_id, text, stage)`` where
     ``stage`` records the first filter each *dropped* doc hit
-    ('quality', 'lang', 'repetition', 'exact_dup', 'near_dup') or
-    'kept'. The repetition stage (Gopher-style; off unless one of its
-    thresholds is set) joins per-doc n-gram repetition fractions into
-    the same marking pass — one extra (doc, gram) shuffle, no extra
-    anti-join."""
+    ('quality', 'lang', 'repetition', 'gopher_rules', 'exact_dup',
+    'near_dup') or 'kept'. The repetition stage (Gopher-style; off
+    unless one of its thresholds is set) joins per-doc n-gram
+    repetition fractions into the same marking pass — one extra
+    (doc, gram) shuffle, no extra anti-join. ``gopher_rules`` (a dict
+    of :func:`gopher_quality` thresholds, ``{}`` for the published
+    defaults) adds the full document-quality rule set the same way —
+    the stage is map-only, so it fuses into the marking projection."""
     # each stage feeds several consumers (the mark union AND the next
     # stage's anti-join); checkpoint stage outputs so Catalyst doesn't
     # re-derive the whole upstream chain per consumer. Quality and
@@ -68,6 +73,12 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
             if t is not None:
                 bad_rep = bad_rep | (F.col(col) > t)
         stage_case = stage_case.when(bad_rep, "repetition")
+    if gopher_rules is not None:
+        gq = gopher_quality(d, **gopher_rules).select(
+            "doc_id", "gopher_keep")
+        marked = marked.join(gq, "doc_id")
+        stage_case = stage_case.when(F.col("gopher_keep") == 0,
+                                     "gopher_rules")
     flags = marked.select("doc_id", stage_case.alias("stage"))
     # cache, not localCheckpoint: the marking pass is a row-wise
     # projection over the already-checkpointed d, so a lazy cache lets

@@ -117,6 +117,10 @@ def main() -> None:
               docs.withColumn("source", F.expr("concat('s', doc_id % 8)")),
               {f"s{i}": 0.1 * (i + 1) for i in range(8)}))
     timed("substring_dedup_sec", lambda: substring_dedup(docs, window=8))
+    from cuvs_spark.pipeline.bpe import bpe_encode, bpe_train_sample
+    merges = bpe_train_sample(docs, n_merges=120, max_docs=2000)
+    timed("bpe_encode_counts_sec",
+          lambda: bpe_encode(docs, merges, output="counts"))
 
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
