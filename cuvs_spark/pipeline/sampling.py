@@ -97,6 +97,27 @@ SELECT * FROM d WHERE {_bucket_duck(id_col, salt)} < {case}
 """
 
 
+def temperature_rates(counts: dict[str, int], budget: int, *,
+                      alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture rates (the mT5/multilingual-sampling
+    rule): target share of domain ``g`` ∝ ``counts[g]^alpha``, scaled
+    to a total ``budget`` of rows, capped at keeping a domain whole.
+    Driver-side pure function of the per-domain counts (a tiny groupBy
+    output) — feed the result straight into :func:`mixture_sample`.
+
+    ``alpha=1`` reproduces natural proportions, ``alpha=0`` is uniform;
+    the cap redistributes nothing (simple one-pass rule) so the
+    realized total can undershoot when small domains saturate."""
+    if budget <= 0:
+        raise ValueError(budget)
+    if not counts:
+        return {}
+    shares = {g: float(c) ** alpha for g, c in counts.items() if c > 0}
+    z = sum(shares.values())
+    return {g: min(1.0, budget * s / z / counts[g])
+            for g, s in shares.items()}
+
+
 def hash_split(df: DataFrame, weights: dict[str, float], *,
                id_col: str = "doc_id", salt: str = "split") -> DataFrame:
     """Assign every row to a named split by hash bucket →

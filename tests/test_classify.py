@@ -172,3 +172,26 @@ def test_gopher_quality_rules(spark):
     assert out[3]["gopher_keep"] == 0
     assert out[4]["n_words"] == 0
     assert out[4]["gopher_keep"] == 0
+
+
+def test_temperature_rates_properties():
+    from cuvs_spark.pipeline.sampling import temperature_rates
+
+    counts = {"big": 90_000, "mid": 9_000, "small": 1_000}
+    nat = temperature_rates(counts, 10_000, alpha=1.0)
+    # alpha=1 -> natural proportions: every domain sampled at the same
+    # rate (budget / total)
+    assert all(abs(r - 0.1) < 1e-12 for r in nat.values())
+
+    temp = temperature_rates(counts, 10_000, alpha=0.5)
+    # temperature scaling up-weights small domains relative to big ones
+    assert temp["small"] > nat["small"]
+    assert temp["big"] < nat["big"]
+    # rates are valid probabilities and expected totals near budget
+    assert all(0.0 <= r <= 1.0 for r in temp.values())
+    expected = sum(temp[g] * counts[g] for g in counts)
+    assert expected <= 10_000 + 1e-6
+
+    # tiny domain saturates at 1.0 under aggressive uniformity
+    uni = temperature_rates(counts, 60_000, alpha=0.0)
+    assert uni["small"] == 1.0
