@@ -667,6 +667,16 @@ def _substring_dedup(spark, sf_dir):
     return substring_dedup(_docs_with_dups(spark, sf_dir), window=8)
 
 
+def _dsir_topk(spark, sf_dir):
+    """DSIR selection step: exact top-150 docs by importance weight
+    (rank path; the threshold path is the 100 TB shape)."""
+    from cuvs_spark.pipeline.classify import dsir_select
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "text", "lang"))
+    return dsir_select(d, "lang = 'en'", n_keep=150, n_buckets=4096)
+
+
 def _register_classify_gates():
     from cuvs_spark.pipeline.classify import (classifier_score_sql,
                                               dsir_importance_sql)
@@ -683,6 +693,10 @@ def _register_classify_gates():
     register("text_dsir_importance", _dsir_importance,
              dsir_importance_sql(_DOC_LANG_SQL, "lang = 'en'",
                                  n_buckets=4096))
+    from cuvs_spark.pipeline.classify import dsir_select_sql
+    register("sample_dsir_topk", _dsir_topk,
+             dsir_select_sql(_DOC_LANG_SQL, "lang = 'en'", n_keep=150,
+                             n_buckets=4096))
     register("dedup_substrings", _substring_dedup,
              substring_dedup_sql(_DOC_DUP_SQL, 8))
 

@@ -41,6 +41,8 @@ __all__ = [
     "classifier_score_sql",
     "dsir_importance",
     "dsir_importance_sql",
+    "dsir_select",
+    "dsir_select_sql",
     "synthetic_weights",
 ]
 
@@ -189,6 +191,55 @@ def dsir_importance(df: DataFrame, target_filter: str, *,
                 (F.expr("aggregate(_rs, CAST(0 AS DOUBLE), "
                         "(acc, x) -> acc + x.r)")
                  / F.col("_n").cast("double")).alias("mean_ratio")))
+
+
+def dsir_select(df: DataFrame, target_filter: str, *, n_keep: int,
+                n_buckets: int = 4096, id_col: str = "doc_id",
+                text_col: str = "text",
+                method: str = "rank") -> DataFrame:
+    """DSIR selection: the ``n_keep`` highest-importance docs →
+    ``(doc_id, mean_ratio, rk)``.
+
+    ``method='rank'`` is the exact form (one global row_number window —
+    fine up to the ~10⁸-row scores table, which is tiny next to the
+    corpus it ranks). At 100 TB use ``method='threshold'``: an
+    approximate quantile of ``mean_ratio`` (one percentile_approx agg)
+    becomes a plain filter, so nothing ever funnels through a single
+    partition; the keep-count is then approximate, which resampling
+    tolerates."""
+    w = dsir_importance(df, target_filter, n_buckets=n_buckets,
+                        id_col=id_col, text_col=text_col)
+    if method == "threshold":
+        frac = None  # resolved against the corpus row count
+        total = w.count()
+        frac = max(0.0, 1.0 - float(n_keep) / max(total, 1))
+        thr = w.agg(F.percentile_approx("mean_ratio", frac).alias("t"))
+        return (w.crossJoin(F.broadcast(thr))
+                .filter(F.col("mean_ratio") >= F.col("t"))
+                .select("doc_id", "mean_ratio",
+                        F.lit(None).cast("long").alias("rk")))
+    if method != "rank":
+        raise ValueError(method)
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.orderBy(F.col("mean_ratio").desc(), F.col("doc_id")))
+    return (w.withColumn("rk", rk.cast("long"))
+            .filter(F.col("rk") <= n_keep)
+            .select("doc_id", "mean_ratio", "rk"))
+
+
+def dsir_select_sql(doc_sql: str, target_filter: str, *, n_keep: int,
+                    n_buckets: int = 4096) -> str:
+    inner = dsir_importance_sql(doc_sql, target_filter,
+                                n_buckets=n_buckets)
+    return f"""
+WITH w AS ({inner}),
+r AS (SELECT doc_id, mean_ratio,
+             row_number() OVER (ORDER BY mean_ratio DESC, doc_id) AS rk
+      FROM w)
+SELECT doc_id, mean_ratio, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {n_keep}
+"""
 
 
 def dsir_importance_sql(doc_sql: str, target_filter: str, *,

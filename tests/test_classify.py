@@ -195,3 +195,24 @@ def test_temperature_rates_properties():
     # tiny domain saturates at 1.0 under aggressive uniformity
     uni = temperature_rates(counts, 60_000, alpha=0.0)
     assert uni["small"] == 1.0
+
+
+def test_dsir_select_rank_vs_threshold(spark):
+    from cuvs_spark.pipeline.classify import dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 11}", "en" if i % 3 else "zh")
+         for i in range(120)],
+        "doc_id long, text string, lang string")
+    ranked = dsir_select(docs, "lang = 'en'", n_keep=40, n_buckets=256)
+    rows = ranked.collect()
+    assert len(rows) == 40
+    ratios = [r["mean_ratio"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert ratios == sorted(ratios, reverse=True)
+
+    thr = dsir_select(docs, "lang = 'en'", n_keep=40, n_buckets=256,
+                      method="threshold")
+    thr_ids = {r["doc_id"] for r in thr.collect()}
+    rank_ids = {r["doc_id"] for r in rows}
+    # approximate-threshold keep-set must largely agree with exact rank
+    assert len(thr_ids & rank_ids) >= 30
