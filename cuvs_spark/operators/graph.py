@@ -284,6 +284,10 @@ def cagra_build(dataset: DataFrame, graph_degree: int = 16, *,
     ``build_algo``: ivf_pq/nn_descent/ace → here all_neighbors or
     nn_descent)."""
     inter = 2 * graph_degree
+    if build_algo in ("iterative", "iterative_cagra_search"):
+        return cagra_build_iterative(dataset, graph_degree, metric=metric,
+                                     id_col=id_col, vec_col=vec_col,
+                                     **builder_kw)
     if build_algo == "nn_descent":
         g = nn_descent_build(dataset, inter, metric=metric, id_col=id_col,
                              vec_col=vec_col, **builder_kw)
@@ -291,6 +295,60 @@ def cagra_build(dataset: DataFrame, graph_degree: int = 16, *,
         g = all_neighbors_build(dataset, inter, metric=metric, id_col=id_col,
                                 vec_col=vec_col, **builder_kw)
     return cagra_optimize(g.drop("rank"), graph_degree)
+
+
+def cagra_build_iterative(dataset: DataFrame, graph_degree: int = 16, *,
+                          n_iters: int = 2, metric: str = "sqeuclidean",
+                          id_col: str = "id", vec_col: str = "vec",
+                          itopk: int | None = None,
+                          search_width: int = 8,
+                          search_iterations: int = 6) -> DataFrame:
+    """``build_algo='iterative_cagra_search'`` (``cagra.pyx:261-272``):
+    build the graph by self-search instead of an all-neighbors stage —
+    the reference's memory-lean build, which is also the Spark shape
+    that avoids any per-cluster quadratic work.
+
+    Seed: a deterministic bucketed pseudo-random graph — hash every id
+    into buckets of ~2·degree nodes, within-bucket exact kNN (a plain
+    equi-join on the bucket key; never cartesian). Refine: each round,
+    every point beam-searches the CURRENT graph for its own neighbors
+    (one :func:`cagra_search` over the full point set — bounded
+    frontier joins) and the found edges fold back through
+    :func:`cagra_optimize` (reverse edges + degree bound). Lineage is
+    cut per round. NN-Descent-style convergence, but the candidate
+    generator is the searchable index itself."""
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec")).persist()
+    n = d.count()
+    bucket_sz = max(2 * graph_degree + 1, 8)
+    n_buckets = max(1, int(n) // bucket_sz)
+    left = d.select(F.col("id").alias("src"), F.col("vec").alias("_sv"),
+                    F.expr(f"pmod(xxhash64(id), {n_buckets})").alias("_b"))
+    right = d.select(F.col("id").alias("dst"), F.col("vec").alias("_dv"),
+                     F.expr(f"pmod(xxhash64(id), {n_buckets})").alias("_b"))
+    pairs = (left.join(right, "_b")
+             .filter(F.col("src") != F.col("dst"))
+             .select("src", "dst",
+                     F.expr(distance_sql_spark(metric, "_sv", "_dv"))
+                     .alias("distance")))
+    seed = select_k(pairs, "src", "distance", 2 * graph_degree,
+                    tie_cols=["dst"], rank_col=None)
+    g = cagra_optimize(seed, graph_degree).localCheckpoint()
+    q = d.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+    for _ in range(max(0, n_iters)):
+        found = cagra_search(
+            g, d, q, graph_degree + 1,
+            itopk=itopk or max(32, 2 * graph_degree),
+            search_width=search_width,
+            max_iterations=search_iterations, metric=metric,
+            qvec_col="qv")
+        new_edges = (found.filter(F.col("qid") != F.col("nid"))
+                     .select(F.col("qid").alias("src"),
+                             F.col("nid").alias("dst"), "distance"))
+        merged = g.select("src", "dst", "distance").unionByName(new_edges)
+        g = cagra_optimize(merged, graph_degree).localCheckpoint()
+    d.unpersist()
+    return g
 
 
 def cagra_from_graph(graph: DataFrame, *, src_col: str = "src",

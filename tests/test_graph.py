@@ -218,3 +218,29 @@ def test_cagra_filtered_search(spark, vectors_df, queries_df):
             .join(exact.select("qid", "nid"), ["qid", "nid"], "left_semi")
             .count())
     assert hits / exact.count() >= 0.8
+
+
+def test_cagra_iterative_build_improves_recall(spark, vectors_df):
+    """build_algo='iterative_cagra_search' analog: self-search refinement
+    must raise edge recall over the bucketed pseudo-random seed."""
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.operators.graph import cagra_build_iterative
+    from pyspark.sql import functions as F
+
+    deg = 8
+    q = vectors_df.select(F.col("id").alias("qid"),
+                          F.col("vec").alias("qv"))
+    exact = (knn(vectors_df, q, deg + 1, "sqeuclidean", qvec_col="qv")
+             .filter(F.col("qid") != F.col("nid"))
+             .select(F.col("qid").alias("src"), F.col("nid").alias("dst")))
+    truth = {(r["src"], r["dst"]) for r in exact.collect()}
+
+    def edge_recall(g):
+        got = {(r["src"], r["dst"]) for r in g.select("src", "dst").collect()}
+        return len(got & truth) / len(truth)
+
+    seed = cagra_build_iterative(vectors_df, deg, n_iters=0)
+    refined = cagra_build_iterative(vectors_df, deg, n_iters=2)
+    r0, r2 = edge_recall(seed), edge_recall(refined)
+    assert r2 > r0
+    assert r2 >= 0.55, (r0, r2)
