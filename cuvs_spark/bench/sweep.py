@@ -110,9 +110,11 @@ def _be_scann(spark, dataset, *, n_leaves=32, soar_lambda=1.5, pq_dim=None):
     return search
 
 
-def _be_cagra(spark, dataset, *, graph_degree=16):
+def _be_cagra(spark, dataset, *, graph_degree=16,
+              build_algo="all_neighbors"):
     from cuvs_spark.operators.graph import cagra_build, cagra_search
-    graph = _force(cagra_build(dataset, graph_degree))
+    graph = _force(cagra_build(dataset, graph_degree,
+                               build_algo=build_algo))
     data = _force(dataset)
 
     def search(queries, k, *, itopk=32, max_iterations=8):
@@ -281,7 +283,10 @@ SEARCH_SPACES = {
         "search": {"n_probes": {"type": "int", "min": 1, "max": "n_leaves"}},
     },
     "cagra": {
-        "build": {"graph_degree": {"type": "int", "min": 8, "max": 64}},
+        "build": {"graph_degree": {"type": "int", "min": 8, "max": 64},
+                  "build_algo": {"type": "categorical",
+                                 "choices": ["all_neighbors", "nn_descent",
+                                             "iterative_cagra_search"]}},
         "search": {"itopk": {"type": "int", "min": 16, "max": 128},
                    "max_iterations": {"type": "int", "min": 4, "max": 16}},
     },
