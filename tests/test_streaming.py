@@ -252,3 +252,36 @@ def test_curation_ops_run_in_streams(spark, tmp_path):
     # batch run over the same input must agree row-for-row
     want = {r["doc_id"]: r["clean_text"] for r in pipe(docs).collect()}
     assert {r["doc_id"]: r["clean_text"] for r in got} == want
+
+
+def test_streaming_classifier_on_ingest(spark, tmp_path):
+    """Quality-classifier scoring on ingest: a doc stream scored per
+    micro-batch against a broadcast fixed-point model via foreachBatch,
+    stream output row-for-row equal to the batch run."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.pipeline.classify import classifier_score, synthetic_weights
+
+    src = str(tmp_path / "clf_src")
+    sink = str(tmp_path / "clf_sink")
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with the and that words w{i % 5}")
+         for i in range(60)],
+        "doc_id long, text string")
+    docs.write.parquet(src)
+    weights = synthetic_weights(spark, 512).localCheckpoint()
+
+    def score_batch(batch_df, _bid):
+        (classifier_score(batch_df, weights, n_buckets=512)
+         .write.mode("append").parquet(sink))
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(score_batch) \
+        .option("checkpointLocation", str(tmp_path / "clf_ckpt")).start()
+    q.processAllAvailable(); q.stop()
+
+    got = {r["doc_id"]: (r["n_feats"], r["score_fp"], r["label"])
+           for r in spark.read.parquet(sink).collect()}
+    want = {r["doc_id"]: (r["n_feats"], r["score_fp"], r["label"])
+            for r in classifier_score(docs, weights, n_buckets=512).collect()}
+    assert got == want

@@ -147,6 +147,17 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     out["spectral_100k_sec"] = round(time.time() - t0, 2)
 
+    # Iterative CAGRA build (self-search refinement): probe at 50k —
+    # the expensive stage is a full-point-set beam search per round, so
+    # the probe bounds one round's cost at scale
+    from cuvs_spark.operators.graph import cagra_build_iterative
+    nit = min(n, 50_000)
+    t0 = time.time()
+    cagra_build_iterative(d.filter(F.col("id") < nit), 16, n_iters=1,
+                          search_width=4, search_iterations=4) \
+        .write.format("noop").mode("overwrite").save()
+    out["cagra_iterative_50k_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_rows": n, "dim": dim, "n_queries": nq, **out}))
 
 
