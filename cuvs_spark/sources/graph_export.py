@@ -4,12 +4,17 @@ Reference: ``hnsw.from_cagra`` (``hnsw.pyx:410``,
 ``cpp/include/cuvs/neighbors/hnsw.hpp:474`` — build on GPU, serve on
 CPU) and ``vamana.save`` DiskANN format (``vamana.pyx:228``).
 
-The binary hnswlib/DiskANN file formats are CPU-serving concerns out of
-scope for a Spark engine (per BASELINE.json); what we preserve is the
-*conversion semantics*: a CAGRA graph re-keyed into an HNSW-style
+Conversion semantics: a CAGRA graph re-keyed into an HNSW-style
 layer-0 adjacency (``from_cagra`` is exactly a re-keying — the
 reference reuses the CAGRA graph as HNSW's base layer) plus a JSON/
-Parquet layout any exporter can serialize from.
+Parquet layout any exporter can serialize from. The DiskANN binary
+formats (mem-index + sector-aligned disk index) are emitted for real
+by :func:`vamana_save_diskann`, byte-layout per the reference's
+``vamana_serialize.cuh``, with round-trip readers; the hnswlib file
+format stays out of scope (it is hnswlib's own third-party
+serialization — the reference links the library rather than writing
+the format, and hnswlib is not in this container to validate
+against).
 """
 
 from __future__ import annotations
@@ -105,3 +110,204 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return spark.read.parquet(os.path.join(path, "adjacency")), meta
+
+
+# ---------------------------------------------------------------------------
+# DiskANN binary emit (vamana.save — MSFT DiskANN OSS file formats)
+# ---------------------------------------------------------------------------
+
+def _adjacency_arrays(graph: DataFrame, dataset: DataFrame, *,
+                      id_col: str = "id", vec_col: str = "vec"):
+    """Collect (ids→0..n-1 remap, row-major float32 data, per-node
+    uint32 neighbor lists) — the driver-side staging every DiskANN
+    emitter needs. Export is a driver-side emit by design (the file
+    targets a CPU serving host); a 100 TB corpus would shard into one
+    file per partition upstream."""
+    import numpy as np
+
+    rows = (dataset.select(F.col(id_col).cast("long").alias("id"), vec_col)
+            .orderBy("id").collect())
+    ids = [r["id"] for r in rows]
+    pos = {v: i for i, v in enumerate(ids)}
+    data = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    adj = (graph.groupBy("src")
+           .agg(F.array_sort(F.collect_list(F.struct("distance", "dst")))
+                .alias("_n"))
+           .select("src", F.expr("transform(_n, x -> x.dst)").alias("nbrs"))
+           .collect())
+    nbrs = [np.array([], dtype=np.uint32)] * len(ids)
+    for r in adj:
+        nbrs[pos[r["src"]]] = np.array([pos[d] for d in r["nbrs"]],
+                                       dtype=np.uint32)
+    return ids, data, nbrs
+
+
+def _medoid_pos(data) -> int:
+    import numpy as np
+    mu = data.mean(axis=0)
+    return int(np.argmin(((data - mu) ** 2).sum(axis=1)))
+
+
+def vamana_save_diskann(graph: DataFrame, dataset: DataFrame, path: str, *,
+                        include_dataset: bool = True,
+                        sector_aligned: bool = False,
+                        id_col: str = "id", vec_col: str = "vec") -> dict:
+    """``vamana.save`` binary emit (``vamana.pyx:228``;
+    ``vamana_serialize.cuh:313`` mem-index / ``:124`` sector-aligned):
+
+    * mem-index (MSFT DiskANN OSS): ``uint64 index_size, uint32
+      max_degree, uint32 start, uint64 num_frozen`` then per node
+      ``uint32 nnbrs + nnbrs×uint32 ids``; dataset sidecar ``.data`` =
+      ``int32 n, int32 dim`` + row-major float32 (``to_file``,
+      ``vamana_serialize.cuh:32``).
+    * ``sector_aligned=True`` → ``<path>_disk.index``: 4096-byte
+      sectors; sector 0 = ``int32 9, int32 1`` + 9×uint64 metadata
+      (npts, ndims, medoid, max_node_len, nnodes_per_sector, 0, 0, 0,
+      file_size); nodes packed ``coords + uint32 nnbrs + ids`` at
+      ``max_node_len`` strides (``serialize_sector_aligned``).
+
+    ``start`` is the medoid (closest point to the centroid). Returns
+    the metadata dict for inspection."""
+    import struct
+
+    import numpy as np
+
+    ids, data, nbrs = _adjacency_arrays(graph, dataset, id_col=id_col,
+                                        vec_col=vec_col)
+    npts, ndims = data.shape
+    medoid = _medoid_pos(data)
+    max_degree = max((len(x) for x in nbrs), default=0)
+    meta = {"npts": npts, "ndims": ndims, "medoid": medoid,
+            "max_degree": int(max_degree)}
+
+    if sector_aligned:
+        sector_len = 4096
+        max_node_len = (max_degree + 1) * 4 + ndims * 4
+        nnodes_per_sector = sector_len // max_node_len
+        if nnodes_per_sector > 0:
+            n_sectors = -(-npts // nnodes_per_sector)
+        else:
+            n_sectors = npts * (-(-max_node_len // sector_len))
+        file_size = (n_sectors + 1) * sector_len
+        out = path + "_disk.index"
+        with open(out, "wb") as f:
+            head = struct.pack("<ii", 9, 1) + struct.pack(
+                "<9Q", npts, ndims, medoid, max_node_len,
+                nnodes_per_sector, 0, 0, 0, file_size)
+            f.write(head.ljust(sector_len, b"\0"))
+            if nnodes_per_sector > 0:
+                cur = 0
+                for _s in range(n_sectors):
+                    buf = bytearray(sector_len)
+                    for slot in range(nnodes_per_sector):
+                        if cur >= npts:
+                            break
+                        node = (data[cur].tobytes()
+                                + struct.pack("<I", len(nbrs[cur]))
+                                + nbrs[cur].tobytes())
+                        off = slot * max_node_len
+                        buf[off:off + len(node)] = node
+                        cur += 1
+                    f.write(bytes(buf))
+            else:
+                per = -(-max_node_len // sector_len)
+                for cur in range(npts):
+                    buf = bytearray(per * sector_len)
+                    node = (data[cur].tobytes()
+                            + struct.pack("<I", len(nbrs[cur]))
+                            + nbrs[cur].tobytes())
+                    buf[:len(node)] = node
+                    f.write(bytes(buf))
+        meta["max_node_len"] = max_node_len
+        meta["nnodes_per_sector"] = nnodes_per_sector
+        meta["file_size"] = file_size
+    else:
+        index_size = 24 + sum(4 * (len(x) + 1) for x in nbrs)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<QIIQ", index_size, max_degree,
+                                medoid, 0))
+            for x in nbrs:
+                f.write(struct.pack("<I", len(x)))
+                f.write(x.tobytes())
+        meta["index_size"] = index_size
+
+    if include_dataset:
+        import struct as _s
+        with open(path + ".data", "wb") as f:
+            f.write(_s.pack("<ii", npts, ndims))
+            f.write(data.tobytes())
+    return meta
+
+
+def read_diskann_index(path: str):
+    """Round-trip reader for the mem-index format (+ ``.data``
+    sidecar when present) → (meta dict, list[np.uint32 array],
+    data|None)."""
+    import os
+    import struct
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        index_size, max_degree, start, frozen = struct.unpack(
+            "<QIIQ", f.read(24))
+        nbrs = []
+        while f.tell() < index_size:
+            (n,) = struct.unpack("<I", f.read(4))
+            nbrs.append(np.frombuffer(f.read(4 * n), dtype=np.uint32))
+    data = None
+    if os.path.exists(path + ".data"):
+        with open(path + ".data", "rb") as f:
+            n, dim = struct.unpack("<ii", f.read(8))
+            data = np.frombuffer(f.read(4 * n * dim),
+                                 dtype=np.float32).reshape(n, dim)
+    return ({"index_size": index_size, "max_degree": max_degree,
+             "start": start, "num_frozen": frozen}, nbrs, data)
+
+
+def read_diskann_disk_index(path: str):
+    """Round-trip reader for the sector-aligned ``_disk.index``
+    format → (meta dict, list[np.uint32 array], np.float32 data)."""
+    import struct
+
+    import numpy as np
+
+    sector_len = 4096
+    with open(path, "rb") as f:
+        msize, mndims = struct.unpack("<ii", f.read(8))
+        meta_vals = struct.unpack(f"<{msize}Q", f.read(8 * msize))
+        (npts, ndims, medoid, max_node_len, nnodes_per_sector,
+         _fn, _fl, _ar, file_size) = meta_vals
+        nbrs, rows = [], []
+        f.seek(sector_len)
+        if nnodes_per_sector > 0:
+            cur = 0
+            while cur < npts:
+                sector = f.read(sector_len)
+                for slot in range(nnodes_per_sector):
+                    if cur >= npts:
+                        break
+                    node = sector[slot * max_node_len:
+                                  (slot + 1) * max_node_len]
+                    rows.append(np.frombuffer(
+                        node[:ndims * 4], dtype=np.float32))
+                    (n,) = struct.unpack(
+                        "<I", node[ndims * 4:ndims * 4 + 4])
+                    nbrs.append(np.frombuffer(
+                        node[ndims * 4 + 4:ndims * 4 + 4 + 4 * n],
+                        dtype=np.uint32))
+                    cur += 1
+        else:
+            per = -(-max_node_len // sector_len)
+            for _ in range(npts):
+                node = f.read(per * sector_len)
+                rows.append(np.frombuffer(node[:ndims * 4],
+                                          dtype=np.float32))
+                (n,) = struct.unpack("<I", node[ndims * 4:ndims * 4 + 4])
+                nbrs.append(np.frombuffer(
+                    node[ndims * 4 + 4:ndims * 4 + 4 + 4 * n],
+                    dtype=np.uint32))
+    return ({"npts": npts, "ndims": ndims, "medoid": medoid,
+             "max_node_len": max_node_len,
+             "nnodes_per_sector": nnodes_per_sector,
+             "file_size": file_size}, nbrs, np.vstack(rows))

@@ -69,3 +69,47 @@ def test_vamana_graph_navigable(spark, emb):
     a = {(r["qid"], r["nid"]) for r in ann.select("qid", "nid").collect()}
     e = {(r["qid"], r["nid"]) for r in exact.select("qid", "nid").collect()}
     assert len(a & e) / len(e) >= 0.7
+
+
+def test_vamana_diskann_binary_roundtrip(spark, vectors_df, tmp_path):
+    """vamana.save binary emit (vamana_serialize.cuh formats): both the
+    MSFT DiskANN OSS mem-index and the 4096-byte sector-aligned disk
+    index must round-trip adjacency, coords, and metadata exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.operators.graph import all_neighbors_build
+    from cuvs_spark.sources.graph_export import (read_diskann_disk_index,
+                                                 read_diskann_index,
+                                                 vamana_save_diskann)
+
+    g = all_neighbors_build(vectors_df, 6, n_clusters=2, overlap_factor=2,
+                            kmeans_n_iters=2).drop("rank")
+    base = str(tmp_path / "vamana_idx")
+    meta = vamana_save_diskann(g, vectors_df, base)
+    rmeta, nbrs, data = read_diskann_index(base)
+    n = vectors_df.count()
+    assert len(nbrs) == n
+    assert rmeta["max_degree"] == meta["max_degree"] == 6
+    assert rmeta["start"] == meta["medoid"]
+    assert rmeta["index_size"] == meta["index_size"]
+    assert data.shape == (n, 8)
+
+    # adjacency content: node 0's neighbors = its 6 nearest by the graph
+    want = {r["src"]: [d for d in r["nbrs"]] for r in
+            g.groupBy("src").agg(
+                F.expr("transform(array_sort(collect_list("
+                       "struct(distance, dst))), x -> x.dst)").alias("nbrs"))
+            .collect()}
+    for src, lst in want.items():
+        assert list(nbrs[src]) == lst  # ids are already 0..n-1 here
+
+    smeta = vamana_save_diskann(g, vectors_df, base, sector_aligned=True)
+    dmeta, dnbrs, ddata = read_diskann_disk_index(base + "_disk.index")
+    assert dmeta["npts"] == n and dmeta["ndims"] == 8
+    assert dmeta["medoid"] == meta["medoid"]
+    assert dmeta["max_node_len"] == (6 + 1) * 4 + 8 * 4
+    assert dmeta["file_size"] % 4096 == 0
+    for src, lst in want.items():
+        assert list(dnbrs[src]) == lst
+    assert np.allclose(ddata, data)
