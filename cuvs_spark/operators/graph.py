@@ -367,7 +367,8 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                  id_col: str = "id", vec_col: str = "vec",
                  qid_col: str = "qid", qvec_col: str = "vec",
                  n_seeds: int = 16, score_method: str = "expr",
-                 prefilter: DataFrame | None = None) -> DataFrame:
+                 prefilter: DataFrame | None = None,
+                 seeds: DataFrame | None = None) -> DataFrame:
     """Batched beam search over the graph (``cagra_search.cuh:137``):
     per query keep an ``itopk`` candidate pool; each round expands the
     best ``search_width`` unexpanded nodes through the edge table,
@@ -402,13 +403,19 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
         return (cand.join(d, "nid").join(F.broadcast(q), "qid")
                 .select("qid", "nid", dist.alias("distance")))
 
-    # seeds: one deterministic pseudo-random sample of the dataset is
-    # shared by every query (n_seeds rows crossed with the query set —
-    # never the full n × n_queries relation)
-    seed_ids = (d.select("nid")
-                .orderBy(F.xxhash64("nid"), "nid").limit(n_seeds))
-    seeds = q.select("qid").join(F.broadcast(seed_ids))
-    pool = (score(seeds).withColumn("expanded", F.lit(False))
+    # seeds: caller-provided per-query (qid, nid) entry points (the
+    # hierarchical-HNSW descent hands its layer-(l+1) winners down), or
+    # one deterministic pseudo-random sample of the dataset shared by
+    # every query (n_seeds rows crossed with the query set — never the
+    # full n × n_queries relation)
+    if seeds is not None:
+        seed_pairs = seeds.select(F.col("qid").cast("long").alias("qid"),
+                                  F.col("nid").cast("long").alias("nid"))
+    else:
+        seed_ids = (d.select("nid")
+                    .orderBy(F.xxhash64("nid"), "nid").limit(n_seeds))
+        seed_pairs = q.select("qid").join(F.broadcast(seed_ids))
+    pool = (score(seed_pairs).withColumn("expanded", F.lit(False))
             .localCheckpoint())
     for _ in range(max_iterations):
         frontier = select_k(pool.filter(~F.col("expanded")),

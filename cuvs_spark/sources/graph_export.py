@@ -41,34 +41,107 @@ def hnsw_from_cagra(graph: DataFrame, *, ef_construction: int = 200,
     return out
 
 
+def _hnsw_level_expr(id_col: str, m: int, max_level: int) -> str:
+    """Deterministic HNSW level: ``level = max L: h mod m^L == 0`` for
+    a uniform 64-bit hash — exactly geometric(p=1/m) (the classic
+    ``floor(-ln(U)·mL)`` draw, integer-exact and reproducible across
+    any partitioning), capped at ``max_level``."""
+    h = f"abs(xxhash64({id_col}))"
+    lvl = "0"
+    for level in range(max_level, 0, -1):
+        lvl = f"CASE WHEN {h} % {m ** level} = 0 THEN {level} ELSE {lvl} END"
+    return lvl
+
+
 def hnsw_build(dataset: DataFrame, *, graph_degree: int = 16,
                ef_construction: int = 200, metric: str = "sqeuclidean",
+               hierarchy: str = "none", M: int | None = None,
                id_col: str = "id", vec_col: str = "vec",
                **builder_kw) -> DataFrame:
-    """``hnsw.build`` (``hnsw.pyx:472``): the reference builds via
-    CAGRA and re-keys the graph as the HNSW base layer (hierarchy
-    'none'); same composition here — :func:`cagra_build` then
-    :func:`hnsw_from_cagra`.  Returns the layered adjacency view."""
+    """``hnsw.build`` (``hnsw.pyx:472``): the reference builds the base
+    layer via CAGRA; ``hierarchy='none'`` re-keys it as a single-layer
+    index, ``hierarchy='cpu'``/``'gpu'``/``'multi'`` adds the standard
+    HNSW upper layers on top (``hnsw.pyx:126-139``).
+
+    Upper layers: each node's level is an integer-exact geometric(1/M)
+    draw from its id hash (no RNG state, partition-independent), so
+    layer ℓ holds ~n/Mℓ nodes and the layer subsets are nested by
+    construction. Layer ℓ≥1 adjacency is the exact M-NN graph within
+    the subset — those subsets shrink geometrically, so the exact
+    builds cost a vanishing fraction of the base CAGRA build.
+    Returns the layered adjacency ``(layer, src, neighbors)``."""
+    from cuvs_spark.operators.brute_force import knn
     from cuvs_spark.operators.graph import cagra_build
     g = cagra_build(dataset, graph_degree, metric=metric, id_col=id_col,
                     vec_col=vec_col, **builder_kw)
-    return hnsw_from_cagra(g)
+    layers = hnsw_from_cagra(g)
+    if hierarchy in ("none", None):
+        return layers
+    m = M or max(2, graph_degree // 2)
+    d = dataset.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+    n = d.count()
+    import math
+    max_level = max(1, int(math.log(max(n, 2)) / math.log(m)))
+    lv = d.withColumn("_lvl", F.expr(_hnsw_level_expr("id", m, max_level)))
+    for level in range(1, max_level + 1):
+        sub = lv.filter(F.col("_lvl") >= level).select("id", "vec")
+        cnt = sub.count()
+        if cnt < 2:
+            break
+        q = sub.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+        nn = (knn(sub, q, min(m + 1, cnt), metric, qvec_col="qv")
+              .filter(F.col("qid") != F.col("nid")))
+        lay = (nn.groupBy("qid")
+               .agg(F.expr("transform(array_sort(collect_list("
+                           "struct(rank, nid))), x -> x.nid)")
+                    .alias("neighbors"))
+               .select(F.lit(level).alias("layer"),
+                       F.col("qid").alias("src"),
+                       F.expr(f"slice(neighbors, 1, {m})")
+                       .alias("neighbors")))
+        layers = layers.unionByName(lay)
+    return layers
 
 
 def hnsw_search(layers: DataFrame, dataset: DataFrame, queries: DataFrame,
                 k: int = 10, *, ef: int = 40, metric: str = "sqeuclidean",
                 id_col: str = "id", vec_col: str = "vec",
                 qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
-    """``hnsw.search`` (``hnsw.pyx:648``) over a flat-hierarchy view:
-    with hierarchy 'none' the HNSW search IS a base-layer beam search
-    with pool size ``ef`` — delegate to the CAGRA batched beam over the
-    un-keyed layer-0 adjacency."""
+    """``hnsw.search`` (``hnsw.pyx:648``). Flat view: the base-layer
+    beam with pool size ``ef``. With upper layers present, the
+    standard HNSW descent: per layer from the top, a 1-NN greedy walk
+    (a width-1 beam over that layer's edges, seeded by the layer
+    above's winner) hands its entry point down; the base layer runs
+    the ``ef`` beam from the descended entries instead of random
+    seeds."""
     from cuvs_spark.operators.graph import cagra_search
+    levels = [r["layer"] for r in
+              layers.select("layer").distinct().collect()]
+    top = max(levels)
+    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("qv"))
+    seeds = None
+    if top > 0:
+        # deterministic global entry: smallest id in the top layer
+        entry = (layers.filter(F.col("layer") == top)
+                 .agg(F.min("src").alias("nid")).head()["nid"])
+        seeds = q.select("qid").withColumn("nid", F.lit(int(entry)))
+        for level in range(top, 0, -1):
+            edges = (layers.filter(F.col("layer") == level)
+                     .select("src", F.explode("neighbors").alias("dst")))
+            won = cagra_search(edges, dataset, q, 1, itopk=2,
+                               search_width=1, max_iterations=3,
+                               metric=metric, id_col=id_col,
+                               vec_col=vec_col, qvec_col="qv",
+                               seeds=seeds)
+            seeds = won.filter(F.col("rank") == 1).select("qid", "nid") \
+                .localCheckpoint()
     edges = (layers.filter(F.col("layer") == 0)
              .select("src", F.explode("neighbors").alias("dst")))
-    return cagra_search(edges, dataset, queries, k, itopk=max(ef, k),
+    return cagra_search(edges, dataset, q, k, itopk=max(ef, k),
                         metric=metric, id_col=id_col, vec_col=vec_col,
-                        qid_col=qid_col, qvec_col=qvec_col)
+                        qvec_col="qv", seeds=seeds)
 
 
 def hnsw_extend(layers: DataFrame, dataset: DataFrame,

@@ -244,3 +244,33 @@ def test_cagra_iterative_build_improves_recall(spark, vectors_df):
     r0, r2 = edge_recall(seed), edge_recall(refined)
     assert r2 > r0
     assert r2 >= 0.55, (r0, r2)
+
+
+def test_hnsw_hierarchy_layers_and_search(spark, vectors_df):
+    """hierarchy='cpu' analog: geometric layer sizes, nested subsets,
+    and the layer-descent search must match flat-search quality."""
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.sources.graph_export import hnsw_build, hnsw_search
+    from pyspark.sql import functions as F
+
+    layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
+                        M=4).cache()
+    sizes = {r["layer"]: r["n"] for r in
+             layers.groupBy("layer").agg(F.count("*").alias("n")).collect()}
+    assert sizes[0] == 100
+    assert 1 in sizes and sizes[1] < sizes[0]
+    # nested: every node at layer l is present at every lower layer
+    for lvl in sorted(sizes)[1:]:
+        above = {r["src"] for r in
+                 layers.filter(F.col("layer") == lvl).collect()}
+        below = {r["src"] for r in
+                 layers.filter(F.col("layer") == lvl - 1).collect()}
+        assert above <= below
+
+    q = (vectors_df.filter(F.col("id") < 10)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got = hnsw_search(layers, vectors_df, q, 5, ef=24, qvec_col="qv")
+    exact = knn(vectors_df, q, 5, "sqeuclidean", qvec_col="qv")
+    g = {(r["qid"], r["nid"]) for r in got.collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    assert len(g & e) / len(e) >= 0.8
