@@ -731,6 +731,34 @@ register("stats_bpe_roundtrip", _bpe_roundtrip,
          "SELECT CAST(1.0 AS DOUBLE) AS roundtrip_pass")
 
 
+def _decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination: eval set = first 10 embedding
+    rows; those contaminate themselves at distance 0 and any corpus
+    doc within cosine tau of an eval vector is flagged."""
+    emb = T(spark, sf_dir, "embeddings")
+    return TX.decontaminate_semantic(
+        emb, emb.filter(F.col("vec_id") < 10), tau=0.05)
+
+
+register(
+    "text_decontaminate_semantic", _decontaminate_semantic,
+    TX.decontaminate_semantic_sql(
+        "SELECT vec_id AS i, embedding AS xa FROM embeddings",
+        "SELECT vec_id AS j, embedding AS xb FROM embeddings "
+        "WHERE vec_id < 10",
+        0.05))
+
+
+def _nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization — both engines implement the same
+    normal form, so norm_text hashes must match exactly."""
+    return TX.nfc_normalize(doc_table(spark, sf_dir))
+
+
+register("text_nfc_normalize", _nfc_normalize,
+         TX.nfc_normalize_sql(_DOC_SQL))
+
+
 def _para_dedup(spark, sf_dir):
     """Paragraph-level dedup on synthesized multi-paragraph docs: every
     doc carries one shared boilerplate line — dedup must keep it only
@@ -2623,6 +2651,11 @@ _WINDOW_PRIORITY = [
     "text_gopher_quality",
     "stats_bpe_roundtrip",
     "pipeline_curate_gopher_rules",
+    # NFC normalization is the one round-5 gate whose parity rests on a
+    # NEW engine pair (Python unicodedata vs DuckDB nfc_normalize), so
+    # it takes the slot of dedup_simhash_wide — a width-parameter
+    # variant of the r2-verified simhash_near_dup template
+    "text_nfc_normalize",
     # never-driver-verified: the round-3 additions the judge called out…
     "mg_sharded_search",
     "mg_replicated_search",
@@ -2665,7 +2698,6 @@ _WINDOW_PRIORITY = [
     "text_repetition_stats",
     "dedup_semantic",
     "pipeline_curate_gopher",
-    "dedup_simhash_wide",
     "pipeline_curate_semantic",
     # …and the beam-search quality scalar the round-3 verdict asked for
     # by name (item 9). The other six stats_* clamp-scalars moved just

@@ -735,3 +735,91 @@ SELECT dg.doc_id,
        CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_contaminated
 FROM dg LEFT JOIN hits ON dg.doc_id = hits.doc_id
 """
+
+
+def decontaminate_semantic(corpus_emb: DataFrame, eval_emb: DataFrame, *,
+                           tau: float = 0.1, metric: str = "cosine",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_id_col: str = "vec_id",
+                           eval_vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus docs
+    whose embedding sits within ``tau`` (cosine distance) of ANY
+    eval-set embedding — the semantic complement of the n-gram
+    :func:`decontaminate` (paraphrased eval leakage that shares no
+    8-gram). → ``(doc_id, n_close_eval, contaminated)``.
+
+    Delegates to the epsilon range join (corpus × eval, filter at the
+    join — never a materialized m×n), count per corpus id, left-join
+    back so clean docs report 0. The eval side is small by nature →
+    broadcast; at 100 TB the corpus side streams through one scan."""
+    from cuvs_spark.operators import epsilon_neighborhood
+
+    X = corpus_emb.select(F.col(id_col).cast("long").alias("id"),
+                          F.col(vec_col).alias("vec"))
+    Y = eval_emb.select(F.col(eval_id_col).cast("long").alias("id"),
+                        F.col(eval_vec_col).alias("vec"))
+    close = epsilon_neighborhood(X, Y, tau, metric)
+    hits = close.groupBy("i").agg(F.count("*").alias("n_close_eval"))
+    return (X.select(F.col("id").alias("doc_id"))
+            .join(hits.withColumnRenamed("i", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_close_eval", F.lit(0)).cast("long")
+                    .alias("n_close_eval"),
+                    (F.coalesce("n_close_eval", F.lit(0)) > 0).cast("int")
+                    .alias("contaminated")))
+
+
+def decontaminate_semantic_sql(corpus_sql: str, eval_sql: str,
+                               tau: float, metric: str = "cosine") -> str:
+    from cuvs_spark.plans.oracle import eps_sql
+    eps = eps_sql(corpus_sql, eval_sql, tau, metric)
+    return f"""
+WITH close AS ({eps}),
+hits AS (SELECT i, count(*) AS c FROM close GROUP BY i),
+corpus AS ({corpus_sql})
+SELECT corpus.i AS doc_id,
+       CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_close_eval,
+       CAST(CASE WHEN COALESCE(hits.c, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM corpus LEFT JOIN hits ON corpus.i = hits.i
+"""
+
+
+def nfc_normalize(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization (the ftfy-lite cleanup stage every
+    multilingual corpus needs before hashing/dedup — composed vs
+    decomposed accents hash differently). Arrow-batched ``mapInPandas``
+    over Python's unicodedata (both engines implement the same Unicode
+    normal form, so the DuckDB ``nfc_normalize`` twin is exact).
+    → ``(doc_id, norm_text, changed)``. Map-only."""
+    d = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"))
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+        for pdf in batches:
+            norm = [unicodedata.normalize("NFC", t or "")
+                    for t in pdf["text"]]
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "norm_text": norm,
+                "changed": [int(a != (b or ""))
+                            for a, b in zip(norm, pdf["text"])]})
+            out["changed"] = out["changed"].astype("int32")
+            yield out
+
+    return d.mapInPandas(run, "doc_id long, norm_text string, changed int")
+
+
+def nfc_normalize_sql(doc_sql: str) -> str:
+    return f"""
+WITH d AS ({doc_sql})
+SELECT doc_id, nfc_normalize(text) AS norm_text,
+       CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END AS INT)
+         AS changed
+FROM d
+"""

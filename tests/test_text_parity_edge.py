@@ -96,3 +96,30 @@ def test_mixture_sample_edge_parity(engines):
          + mixture_sample_sql(
              "SELECT doc_id, text, source FROM documents", rates,
              default_rate=0.5).strip() + ")")
+
+
+def test_nfc_normalize_edge_parity(engines, spark):
+    """Composed vs decomposed accents, compatibility chars, empty —
+    Python unicodedata NFC and DuckDB nfc_normalize must agree."""
+    import duckdb
+
+    from cuvs_spark.pipeline.text import nfc_normalize, nfc_normalize_sql
+    rows = [
+        (0, "café"),                # composed é
+        (1, "café"),               # decomposed e + combining acute
+        (2, "Å"),                  # A + ring -> Å
+        (3, "ﬁle"),                 # fi ligature (NFC keeps it)
+        (4, ""),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO docs VALUES (?, ?)", list(r))
+    _cmp(nfc_normalize(df), con,
+         nfc_normalize_sql("SELECT doc_id, text FROM docs"))
+    out = {r["doc_id"]: r for r in nfc_normalize(df).collect()}
+    assert out[1]["norm_text"] == "café" and out[1]["changed"] == 1
+    assert out[2]["norm_text"] == "Å" and out[2]["changed"] == 1
+    assert out[3]["changed"] == 0 and out[5]["changed"] == 0
