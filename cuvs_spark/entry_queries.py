@@ -246,6 +246,21 @@ register("refine_sqeuclidean", _refine,
                    pair_where="(d.nid % 5) = (q.qid % 5)"))
 
 
+def _refine_cosine(spark, sf_dir):
+    """refine with a non-default metric (refine.pyx metric= arg): the
+    re-rank must order by exact cosine over the candidate set."""
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    cand = (q.select("qid").crossJoin(d.select("id"))
+            .filter(F.col("id") % 5 == F.col("qid") % 5))
+    return refine(d, q, cand, 10, "cosine", qvec_col="qv")
+
+
+register("refine_cosine", _refine_cosine,
+         O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "cosine",
+                   pair_where="(d.nid % 5) = (q.qid % 5)"))
+
+
 # --- k-means family (SURVEY §2.6) -----------------------------------------
 # Fixed deterministic centroids (= first K embedding vectors) make
 # predict / cost / one-Lloyd-step fully SQL-expressible → exact oracles.

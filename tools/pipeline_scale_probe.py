@@ -121,6 +121,8 @@ def main() -> None:
     merges = bpe_train_sample(docs, n_merges=120, max_docs=2000)
     timed("bpe_encode_counts_sec",
           lambda: bpe_encode(docs, merges, output="counts"))
+    from cuvs_spark.pipeline.text import nfc_normalize
+    timed("nfc_normalize_sec", lambda: nfc_normalize(docs))
 
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
