@@ -70,7 +70,6 @@ def hnsw_build(dataset: DataFrame, *, graph_degree: int = 16,
     the subset — those subsets shrink geometrically, so the exact
     builds cost a vanishing fraction of the base CAGRA build.
     Returns the layered adjacency ``(layer, src, neighbors)``."""
-    from cuvs_spark.operators.brute_force import knn
     from cuvs_spark.operators.graph import cagra_build
     g = cagra_build(dataset, graph_degree, metric=metric, id_col=id_col,
                     vec_col=vec_col, **builder_kw)
@@ -80,10 +79,23 @@ def hnsw_build(dataset: DataFrame, *, graph_degree: int = 16,
     m = M or max(2, graph_degree // 2)
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
-    n = d.count()
+    return layers.unionByName(_build_upper_layers(d, m, metric))
+
+
+def _build_upper_layers(d: DataFrame, m: int,
+                        metric: str) -> DataFrame:
+    """Exact M-NN graphs for every level ≥ 1 (subsets shrink
+    geometrically via the integer-exact level hash). ``d`` must be
+    ``(id, vec)``."""
     import math
+
+    from cuvs_spark.operators.brute_force import knn
+    spark = d.sparkSession
+    n = d.count()
     max_level = max(1, int(math.log(max(n, 2)) / math.log(m)))
     lv = d.withColumn("_lvl", F.expr(_hnsw_level_expr("id", m, max_level)))
+    layers = spark.createDataFrame(
+        [], "layer int, src long, neighbors array<bigint>")
     for level in range(1, max_level + 1):
         sub = lv.filter(F.col("_lvl") >= level).select("id", "vec")
         cnt = sub.count()
@@ -137,6 +149,14 @@ def hnsw_search(layers: DataFrame, dataset: DataFrame, queries: DataFrame,
                                seeds=seeds)
             seeds = won.filter(F.col("rank") == 1).select("qid", "nid") \
                 .localCheckpoint()
+        # the descended entry improves the start, the shared random
+        # seed set keeps the basin coverage a single entry can't give
+        # (greedy descent can stall in a local basin on hard data)
+        rand = (dataset.select(F.col(id_col).cast("long").alias("nid"))
+                .orderBy(F.xxhash64("nid"), "nid").limit(8))
+        seeds = (seeds.unionByName(q.select("qid")
+                                   .join(F.broadcast(rand)))
+                 .distinct())
     edges = (layers.filter(F.col("layer") == 0)
              .select("src", F.explode("neighbors").alias("dst")))
     return cagra_search(edges, dataset, q, k, itopk=max(ef, k),
@@ -148,9 +168,13 @@ def hnsw_extend(layers: DataFrame, dataset: DataFrame,
                 new_rows: DataFrame, graph_degree: int = 16, *,
                 metric: str = "sqeuclidean", id_col: str = "id",
                 vec_col: str = "vec") -> tuple[DataFrame, DataFrame]:
-    """``hnsw.extend`` (``hnsw.pyx:561``) on the flat hierarchy:
-    splice the batch into the base layer via :func:`cagra_extend`,
-    re-key back to the layered view.  Returns (layers, dataset)."""
+    """``hnsw.extend`` (``hnsw.pyx:561``): splice the batch into the
+    base layer via :func:`cagra_extend`, re-key back to the layered
+    view. If the input index carries upper layers, they are rebuilt
+    over the extended dataset (the level hash is a pure function of
+    id, so existing nodes keep their levels and only the new ids draw
+    fresh ones; the upper subsets are geometrically small, so the
+    rebuild is a vanishing cost). Returns (layers, dataset)."""
     from cuvs_spark.operators.graph import cagra_extend
     edges = (layers.filter(F.col("layer") == 0)
              .select("src", F.explode("neighbors").alias("dst")))
@@ -166,7 +190,15 @@ def hnsw_extend(layers: DataFrame, dataset: DataFrame,
                       .alias("distance"))
     g2, d2 = cagra_extend(g, dataset, new_rows, graph_degree,
                           metric=metric, id_col=id_col, vec_col=vec_col)
-    return hnsw_from_cagra(g2), d2
+    out = hnsw_from_cagra(g2)
+    upper = layers.filter(F.col("layer") > 0)
+    if not upper.isEmpty():
+        # infer M from the widest upper-layer adjacency
+        m = upper.agg(F.max(F.size("neighbors"))).head()[0] or 2
+        dd = d2.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("vec"))
+        out = out.unionByName(_build_upper_layers(dd, int(m), metric))
+    return out, d2
 
 
 def save_graph_index(graph: DataFrame, path: str, *, fmt: str = "hnsw",

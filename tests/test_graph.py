@@ -274,3 +274,28 @@ def test_hnsw_hierarchy_layers_and_search(spark, vectors_df):
     g = {(r["qid"], r["nid"]) for r in got.collect()}
     e = {(r["qid"], r["nid"]) for r in exact.collect()}
     assert len(g & e) / len(e) >= 0.8
+
+
+def test_hnsw_extend_preserves_hierarchy(spark, vectors_df):
+    from cuvs_spark.sources.graph_export import (hnsw_build, hnsw_extend,
+                                                 hnsw_search)
+    from pyspark.sql import functions as F
+
+    old = vectors_df.filter(F.col("id") < 80)
+    new = vectors_df.filter(F.col("id") >= 80)
+    layers = hnsw_build(old, graph_degree=8, hierarchy="multi", M=4)
+    layers2, d2 = hnsw_extend(layers, old, new, 8)
+    assert d2.count() == 100
+    lv = {r["layer"] for r in layers2.select("layer").distinct().collect()}
+    assert max(lv) >= 1, "upper layers must survive extend"
+    # new-node queries must find themselves via the hierarchical
+    # search (cagra_extend's degree re-bound can leave an occasional
+    # in-degree-1 node that even flat search misses — same contract as
+    # the flat extend recall tests: most, not all)
+    q = (vectors_df.filter(F.col("id") >= 90)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got = hnsw_search(layers2, d2, q, 3, ef=24, qvec_col="qv")
+    top1 = {r["qid"]: r["nid"] for r in
+            got.filter(F.col("rank") == 1).collect()}
+    self_found = sum(1 for qid in top1 if top1[qid] == qid)
+    assert self_found >= 8, top1
