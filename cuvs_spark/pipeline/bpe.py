@@ -25,12 +25,20 @@ exact-equality pytest vs an independent pure-Python reference.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bpe_train", "bpe_train_sample", "bpe_encode", "encode_word"]
+
+# Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+# additionally splits on Unicode whitespace (U+00A0, U+2028, U+3000, …).
+# Every Spark/DuckDB word split in this repo uses \s+, so the Python
+# encode path must use the same class or token counts diverge on any
+# doc containing a non-breaking space.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
 
 def bpe_train(word_freqs: dict[str, int], n_merges: int = 200,
@@ -143,7 +151,8 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]], *,
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").lower().split() if w]
+                words = [w for w in _ASCII_WS.split((text or "").lower())
+                         if w]
                 if output == "counts":
                     rows.append((doc_id, len(words),
                                  sum(len(enc(w)) for w in words)))

@@ -816,10 +816,12 @@ def nfc_normalize(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def nfc_normalize_sql(doc_sql: str) -> str:
+    # COALESCE both sides: the Spark path maps NULL text to '' with
+    # changed=0, and gate outputs must be null-free.
     return f"""
 WITH d AS ({doc_sql})
-SELECT doc_id, nfc_normalize(text) AS norm_text,
-       CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END AS INT)
-         AS changed
+SELECT doc_id, nfc_normalize(COALESCE(text, '')) AS norm_text,
+       CAST(CASE WHEN nfc_normalize(COALESCE(text, '')) <> COALESCE(text, '')
+            THEN 1 ELSE 0 END AS INT) AS changed
 FROM d
 """

@@ -69,7 +69,11 @@ def hnsw_build(dataset: DataFrame, *, graph_degree: int = 16,
     construction. Layer ℓ≥1 adjacency is the exact M-NN graph within
     the subset — those subsets shrink geometrically, so the exact
     builds cost a vanishing fraction of the base CAGRA build.
-    Returns the layered adjacency ``(layer, src, neighbors)``."""
+    Returns the layered adjacency ``(layer, src, neighbors)`` plus one
+    ``layer = -1`` metadata row carrying the build-time ``M``
+    (``src = M``), so ``extend`` never has to re-infer the level-hash
+    modulus from adjacency widths (which undershoots on sparse upper
+    layers and would re-level existing nodes)."""
     from cuvs_spark.operators.graph import cagra_build
     g = cagra_build(dataset, graph_degree, metric=metric, id_col=id_col,
                     vec_col=vec_col, **builder_kw)
@@ -79,7 +83,16 @@ def hnsw_build(dataset: DataFrame, *, graph_degree: int = 16,
     m = M or max(2, graph_degree // 2)
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
-    return layers.unionByName(_build_upper_layers(d, m, metric))
+    return (layers.unionByName(_build_upper_layers(d, m, metric))
+            .unionByName(_m_meta_row(d.sparkSession, m)))
+
+
+def _m_meta_row(spark: SparkSession, m: int) -> DataFrame:
+    """One ``(layer=-1, src=M, neighbors=[])`` row — the index's M
+    parameter carried in-band so it survives Parquet save/load."""
+    return spark.range(1).select(
+        F.lit(-1).alias("layer"), F.lit(int(m)).cast("long").alias("src"),
+        F.expr("array()").cast("array<bigint>").alias("neighbors"))
 
 
 def _build_upper_layers(d: DataFrame, m: int,
@@ -172,9 +185,12 @@ def hnsw_extend(layers: DataFrame, dataset: DataFrame,
     base layer via :func:`cagra_extend`, re-key back to the layered
     view. If the input index carries upper layers, they are rebuilt
     over the extended dataset (the level hash is a pure function of
-    id, so existing nodes keep their levels and only the new ids draw
-    fresh ones; the upper subsets are geometrically small, so the
-    rebuild is a vanishing cost). Returns (layers, dataset)."""
+    (id, M): M comes from the index's ``layer=-1`` metadata row, so
+    existing nodes keep their levels and only the new ids draw fresh
+    ones; the upper subsets are geometrically small, so the rebuild is
+    a vanishing cost). Indexes saved before the metadata row existed
+    fall back to inferring M from the widest upper adjacency. Returns
+    (layers, dataset)."""
     from cuvs_spark.operators.graph import cagra_extend
     edges = (layers.filter(F.col("layer") == 0)
              .select("src", F.explode("neighbors").alias("dst")))
@@ -193,11 +209,15 @@ def hnsw_extend(layers: DataFrame, dataset: DataFrame,
     out = hnsw_from_cagra(g2)
     upper = layers.filter(F.col("layer") > 0)
     if not upper.isEmpty():
-        # infer M from the widest upper-layer adjacency
-        m = upper.agg(F.max(F.size("neighbors"))).head()[0] or 2
+        meta = layers.filter(F.col("layer") == -1) \
+                     .agg(F.max("src")).head()[0]
+        if meta is None:  # legacy index: infer from adjacency widths
+            meta = upper.agg(F.max(F.size("neighbors"))).head()[0] or 2
+        m = int(meta)
         dd = d2.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
-        out = out.unionByName(_build_upper_layers(dd, int(m), metric))
+        out = (out.unionByName(_build_upper_layers(dd, m, metric))
+               .unionByName(_m_meta_row(layers.sparkSession, m)))
     return out, d2
 
 
@@ -242,6 +262,14 @@ def _adjacency_arrays(graph: DataFrame, dataset: DataFrame, *,
            .collect())
     nbrs = [np.array([], dtype=np.uint32)] * len(ids)
     for r in adj:
+        if r["src"] not in pos:
+            raise ValueError(
+                f"graph src id {r['src']} not present in the dataset")
+        missing = [d for d in r["nbrs"] if d not in pos]
+        if missing:
+            raise ValueError(
+                f"graph node {r['src']} references dst ids absent from "
+                f"the dataset: {missing[:5]}")
         nbrs[pos[r["src"]]] = np.array([pos[d] for d in r["nbrs"]],
                                        dtype=np.uint32)
     return ids, data, nbrs
@@ -279,6 +307,14 @@ def vamana_save_diskann(graph: DataFrame, dataset: DataFrame, path: str, *,
 
     ids, data, nbrs = _adjacency_arrays(graph, dataset, id_col=id_col,
                                         vec_col=vec_col)
+    isolated = [ids[i] for i, x in enumerate(nbrs) if len(x) == 0]
+    if isolated:
+        # the reference format asserts nnbrs > 0 per node
+        # (vamana_serialize.cuh); DiskANN readers may reject such files
+        raise ValueError(
+            f"{len(isolated)} dataset node(s) have no out-edges in the "
+            f"graph (first few ids: {isolated[:5]}); DiskANN requires "
+            "every node to have at least one neighbor")
     npts, ndims = data.shape
     medoid = _medoid_pos(data)
     max_degree = max((len(x) for x in nbrs), default=0)
@@ -342,6 +378,148 @@ def vamana_save_diskann(graph: DataFrame, dataset: DataFrame, path: str, *,
             f.write(_s.pack("<ii", npts, ndims))
             f.write(data.tobytes())
     return meta
+
+
+# ---------------------------------------------------------------------------
+# hnswlib binary emit (hnsw.save — the file format hnsw.pyx:317 loads)
+# ---------------------------------------------------------------------------
+
+def hnsw_save_hnswlib(layers: DataFrame, dataset: DataFrame, path: str, *,
+                      ef_construction: int = 200, id_col: str = "id",
+                      vec_col: str = "vec") -> dict:
+    """Emit our layered HNSW adjacency in hnswlib's own serialization
+    (the format ``hnsw.pyx:317`` / ``cpp/src/neighbors/detail/hnsw.hpp``
+    load for CPU serving; layout per hnswlib's public
+    ``HierarchicalNSW::saveIndex``):
+
+    * header (little-endian): ``size_t offsetLevel0(=0), max_elements,
+      cur_element_count, size_data_per_element, label_offset,
+      offsetData; int32 maxlevel; uint32 enterpoint; size_t maxM,
+      maxM0, M; double mult(=1/ln M); size_t ef_construction``.
+    * level-0 blob: per element ``uint32 nlinks + maxM0×uint32 link
+      slots`` then ``dim×float32`` data then ``size_t label``
+      (label = our original row id).
+    * per element: ``uint32 linkListSize`` (bytes; 0 when level 0),
+      then for levels 1..level one ``(uint32 nlinks + maxM×uint32)``
+      block each.
+
+    Node levels and the entry point follow our index exactly (level =
+    highest layer the node appears in; entry = smallest id in the top
+    layer, matching :func:`hnsw_search`). Driver-side emit by design —
+    the file targets a single CPU serving host. Returns the header
+    metadata for inspection."""
+    import struct
+
+    import numpy as np
+
+    drows = (dataset.select(F.col(id_col).cast("long").alias("id"),
+                            vec_col)
+             .orderBy("id").collect())
+    ids = [r["id"] for r in drows]
+    pos = {v: i for i, v in enumerate(ids)}
+    data = np.array([r[vec_col] for r in drows], dtype=np.float32)
+    npts, ndims = data.shape
+
+    rows = (layers.filter(F.col("layer") >= 0)
+            .select("layer", "src", "neighbors").collect())
+    per_level: dict[int, dict[int, list[int]]] = {}
+    for r in rows:
+        missing = [d for d in r["neighbors"] if d not in pos]
+        if missing or r["src"] not in pos:
+            bad = missing[:5] if missing else [r["src"]]
+            raise ValueError(
+                f"layer {r['layer']} references ids absent from the "
+                f"dataset: {bad}")
+        per_level.setdefault(r["layer"], {})[pos[r["src"]]] = \
+            [pos[d] for d in r["neighbors"]]
+    level0 = per_level.get(0, {})
+    node_level = np.zeros(npts, dtype=np.int64)
+    for lvl, adj in per_level.items():
+        if lvl > 0:
+            for p in adj:
+                node_level[p] = max(node_level[p], lvl)
+    maxlevel = int(node_level.max()) if npts else 0
+
+    meta_m = (layers.filter(F.col("layer") == -1)
+              .agg(F.max("src")).head()[0])
+    max_m0 = max((len(v) for v in level0.values()), default=1)
+    upper_deg = max((len(v) for lvl, adj in per_level.items() if lvl > 0
+                     for v in adj.values()), default=0)
+    m = int(meta_m) if meta_m is not None else \
+        max(upper_deg, max(2, max_m0 // 2))
+    max_m = max(m, upper_deg, 1)
+
+    if maxlevel > 0:
+        tops = [p for p in range(npts) if node_level[p] == maxlevel]
+        enterpoint = min(tops, key=lambda p: ids[p])
+    else:
+        enterpoint = 0
+
+    size_links0 = 4 + max_m0 * 4
+    size_links_per = 4 + max_m * 4
+    size_data_per = size_links0 + ndims * 4 + 8
+    header = struct.pack(
+        "<6QiI3Qd1Q", 0, npts, npts, size_data_per,
+        size_links0 + ndims * 4, size_links0, maxlevel, enterpoint,
+        max_m, max_m0, m, 1.0 / np.log(max(m, 2)), ef_construction)
+    with open(path, "wb") as f:
+        f.write(header)
+        for p in range(npts):
+            links = level0.get(p, [])
+            buf = struct.pack("<I", len(links)) + np.array(
+                links, dtype=np.uint32).tobytes()
+            f.write(buf.ljust(size_links0, b"\0"))
+            f.write(data[p].tobytes())
+            f.write(struct.pack("<Q", ids[p]))
+        for p in range(npts):
+            lvl = int(node_level[p])
+            f.write(struct.pack("<I", size_links_per * lvl))
+            for level in range(1, lvl + 1):
+                links = per_level.get(level, {}).get(p, [])
+                buf = struct.pack("<I", len(links)) + np.array(
+                    links, dtype=np.uint32).tobytes()
+                f.write(buf.ljust(size_links_per, b"\0"))
+    return {"npts": npts, "ndims": ndims, "maxlevel": maxlevel,
+            "enterpoint": enterpoint, "M": m, "maxM": max_m,
+            "maxM0": max_m0, "ef_construction": ef_construction}
+
+
+def read_hnswlib_index(path: str):
+    """Round-trip reader for :func:`hnsw_save_hnswlib`'s format →
+    ``(meta dict, level0 links list, {level: {pos: links}}, data,
+    labels)``."""
+    import struct
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        (off0, max_el, n, size_data_per, label_off, off_data, maxlevel,
+         enterpoint, max_m, max_m0, m, mult, efc) = struct.unpack(
+            "<6QiI3Qd1Q", f.read(6 * 8 + 4 + 4 + 3 * 8 + 8 + 8))
+        ndims = (label_off - off_data) // 4
+        level0, rows, labels = [], [], []
+        for _ in range(n):
+            blob = f.read(size_data_per)
+            (cnt,) = struct.unpack("<I", blob[:4])
+            level0.append(np.frombuffer(
+                blob[4:4 + 4 * cnt], dtype=np.uint32))
+            rows.append(np.frombuffer(
+                blob[off_data:off_data + 4 * ndims], dtype=np.float32))
+            labels.append(struct.unpack("<Q", blob[label_off:])[0])
+        size_links_per = 4 + max_m * 4
+        upper: dict[int, dict[int, list[int]]] = {}
+        for p in range(n):
+            (nbytes,) = struct.unpack("<I", f.read(4))
+            blob = f.read(nbytes)
+            for li in range(nbytes // size_links_per):
+                block = blob[li * size_links_per:(li + 1) * size_links_per]
+                (cnt,) = struct.unpack("<I", block[:4])
+                upper.setdefault(li + 1, {})[p] = list(np.frombuffer(
+                    block[4:4 + 4 * cnt], dtype=np.uint32))
+    return ({"npts": n, "ndims": ndims, "maxlevel": maxlevel,
+             "enterpoint": enterpoint, "M": m, "maxM": max_m,
+             "maxM0": max_m0, "mult": mult, "ef_construction": efc},
+            level0, upper, np.vstack(rows) if rows else None, labels)
 
 
 def read_diskann_index(path: str):

@@ -255,8 +255,12 @@ def test_hnsw_hierarchy_layers_and_search(spark, vectors_df):
 
     layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
                         M=4).cache()
+    # the index carries its M parameter in-band (layer = -1 row)
+    meta = layers.filter(F.col("layer") == -1).collect()
+    assert len(meta) == 1 and meta[0]["src"] == 4
     sizes = {r["layer"]: r["n"] for r in
-             layers.groupBy("layer").agg(F.count("*").alias("n")).collect()}
+             layers.filter(F.col("layer") >= 0).groupBy("layer")
+             .agg(F.count("*").alias("n")).collect()}
     assert sizes[0] == 100
     assert 1 in sizes and sizes[1] < sizes[0]
     # nested: every node at layer l is present at every lower layer
@@ -299,3 +303,62 @@ def test_hnsw_extend_preserves_hierarchy(spark, vectors_df):
             got.filter(F.col("rank") == 1).collect()}
     self_found = sum(1 for qid in top1 if top1[qid] == qid)
     assert self_found >= 8, top1
+
+
+def test_hnswlib_binary_roundtrip(spark, vectors_df, tmp_path):
+    """hnsw.save binary emit in hnswlib's own serialization
+    (hnsw.pyx:317 / hnswlib HierarchicalNSW::saveIndex layout): header,
+    level-0 links+data+labels, and upper-level link lists must all
+    round-trip exactly, and node levels/entry point must match the
+    layered index."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.sources.graph_export import (hnsw_build,
+                                                 hnsw_save_hnswlib,
+                                                 read_hnswlib_index)
+
+    layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
+                        M=4).cache()
+    path = str(tmp_path / "idx.hnswlib")
+    meta = hnsw_save_hnswlib(layers, vectors_df, path, ef_construction=120)
+    rmeta, level0, upper, data, labels = read_hnswlib_index(path)
+
+    n = vectors_df.count()
+    assert rmeta["npts"] == meta["npts"] == n
+    assert rmeta["ndims"] == 8
+    assert rmeta["M"] == 4  # from the layer=-1 metadata row
+    assert rmeta["maxlevel"] == meta["maxlevel"] >= 1
+    assert rmeta["enterpoint"] == meta["enterpoint"]
+    assert rmeta["ef_construction"] == 120
+    assert abs(rmeta["mult"] - 1.0 / np.log(4)) < 1e-12
+
+    # labels are the original row ids, data rows are the vectors
+    rows = vectors_df.select(F.col("id").cast("long"), "vec") \
+        .orderBy("id").collect()
+    assert labels == [r["id"] for r in rows]
+    assert np.allclose(data, np.array([r["vec"] for r in rows],
+                                      dtype=np.float32))
+
+    # level-0 adjacency matches the layered index exactly
+    want0 = {r["src"]: list(r["neighbors"]) for r in
+             layers.filter(F.col("layer") == 0).collect()}
+    pos = {r["id"]: i for i, r in enumerate(rows)}
+    for src, nbrs in want0.items():
+        assert list(level0[pos[src]]) == [pos[d] for d in nbrs]
+
+    # upper layers: every stored link list matches, and each node's
+    # level (count of link blocks) equals its highest layer
+    want_lvl = {}
+    for r in layers.filter(F.col("layer") > 0).collect():
+        p = pos[r["src"]]
+        want_lvl[p] = max(want_lvl.get(p, 0), r["layer"])
+        assert upper[r["layer"]][p] == [pos[d] for d in r["neighbors"]]
+    for p, lvl in want_lvl.items():
+        assert all(p in upper[li] for li in range(1, lvl + 1))
+
+    # entry point = smallest id in the top layer (hnsw_search contract)
+    top = max(want_lvl.values())
+    entry_id = min(r["src"] for r in
+                   layers.filter(F.col("layer") == top).collect())
+    assert rmeta["enterpoint"] == pos[entry_id]
