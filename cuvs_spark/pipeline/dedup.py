@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -736,24 +736,32 @@ def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
 
     The repeated-boilerplate remover (headers, footers, nav blocks
     shared across pages) that doc-level dedup can't touch. Scale shape:
-    one shuffle on the 64-bit paragraph hash (first-occurrence window),
-    one on doc_id (reassembly); paragraphs travel as hashes + text
-    once each, never all-pairs."""
+    the first occurrence per hash is ``min(struct(doc_id, pos))`` — a
+    partial-aggregating groupBy (map-side combine), NOT a per-hash
+    ``row_number`` window, so a boilerplate paragraph repeated across
+    billions of pages partially aggregates on every mapper instead of
+    sorting in one reducer; the keeper join back is 1 row per distinct
+    hash (AQE skew-split-able) and reuses the groupBy exchange. One
+    more shuffle on doc_id (reassembly); paragraphs travel as hashes +
+    text once each, never all-pairs."""
     d = df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.col(text_col).alias("text"))
     paras = (d.select("doc_id", F.posexplode(
                  F.split("text", sep)).alias("pos", "p"))
              .filter(F.col("p") != ""))
     h = F.expr(H64_SPARK.format(s="p"))
-    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
-    ranked = (paras.withColumn("_h", h)
-              .withColumn("_rn", F.row_number().over(w)))
-    kept = ranked.filter(F.col("_rn") == 1)
-    out = (ranked.groupBy("doc_id")
+    paras_h = paras.withColumn("_h", h)
+    keeper = (paras_h.groupBy("_h")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("_k1")))
+    marked = (paras_h.join(keeper, "_h")
+              .withColumn("_keep",
+                          (F.col("doc_id") == F.col("_k1.doc_id")) &
+                          (F.col("pos") == F.col("_k1.pos"))))
+    out = (marked.groupBy("doc_id")
            .agg(F.count("*").alias("n_paragraphs"),
-                F.sum((F.col("_rn") > 1).cast("long")).alias("n_removed"),
+                F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
                 F.array_sort(F.collect_list(F.when(
-                    F.col("_rn") == 1,
+                    F.col("_keep"),
                     F.struct("pos", "p")))).alias("_ks")))
     return (d.join(out, "doc_id", "left")
             .select("doc_id",
@@ -813,10 +821,17 @@ def substring_dedup(df: DataFrame, *, window: int = 8,
     The published method builds a corpus suffix array; the
     fixed-window formulation here finds the same ≥window-token repeats
     (any longer repeat is a run of repeated windows, so its positions
-    are covered) and is shuffle-friendly: one shuffle on the 64-bit
-    window hash (first-occurrence ranking), one on doc_id (position-set
+    are covered) and is shuffle-friendly: the first occurrence per
+    window hash is ``min(struct(doc_id, pos))`` — a partial-aggregating
+    groupBy (map-side combine), NOT a per-hash ``row_number`` window,
+    so a ubiquitous 8-gram (boilerplate headers) partially aggregates
+    on every mapper instead of sorting its billions of occurrences in
+    one reducer. The duplicate-marking join back prunes to hashes with
+    count > 1 first (the vast majority of grams are unique) and reuses
+    the groupBy exchange; one more shuffle on doc_id (position-set
     assembly + reassembly join). Tokens travel once as hashes — never
-    all-pairs, no suffix array."""
+    all-pairs, no suffix array. Reassembly is linear per doc
+    (``array_except`` hash lookup, not per-token array_contains)."""
     L = int(window)
     if L < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -832,9 +847,13 @@ def substring_dedup(df: DataFrame, *, window: int = 8,
     wins = (d.select("doc_id", F.explode(F.expr(wins_expr)).alias("w"))
             .select("doc_id", F.col("w.pos").alias("pos"),
                     F.col("w.h").alias("_h")))
-    rn = F.row_number().over(
-        Window.partitionBy("_h").orderBy("doc_id", "pos"))
-    dup = wins.withColumn("_rn", rn).filter(F.col("_rn") > 1)
+    keeper = (wins.groupBy("_h")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("_k1"),
+                   F.count("*").alias("_cnt")))
+    dup = (wins.join(keeper.filter(F.col("_cnt") > 1)
+                     .select("_h", "_k1"), "_h")
+           .filter((F.col("doc_id") != F.col("_k1.doc_id")) |
+                   (F.col("pos") != F.col("_k1.pos"))))
     removed = (dup.select("doc_id", F.explode(F.expr(
                    f"sequence(pos, pos + {L} - 1)")).alias("rp"))
                .select("doc_id", F.col("rp").cast("long").alias("rp"))
@@ -842,10 +861,13 @@ def substring_dedup(df: DataFrame, *, window: int = 8,
                .groupBy("doc_id")
                .agg(F.array_sort(F.collect_list("rp")).alias("_rm")))
     out = d.join(removed, "doc_id", "left")
-    keep = (f"filter(transform(sequence(1, size(_t)), "
-            f"i -> CASE WHEN _rm IS NULL OR NOT array_contains(_rm, "
-            f"CAST(i AS BIGINT)) THEN element_at(_t, i) END), "
-            f"x -> x IS NOT NULL)")
+    # complement of the removed set, order-preserving and linear:
+    # array_except builds one hash set per row instead of an
+    # array_contains scan per token (O(tokens + removed))
+    keep = (f"transform(array_except(sequence(CAST(1 AS BIGINT), "
+            f"CAST(size(_t) AS BIGINT)), "
+            f"coalesce(_rm, CAST(array() AS ARRAY<BIGINT>))), "
+            f"i -> element_at(_t, CAST(i AS INT)))")
     return out.select(
         "doc_id",
         F.when(F.size("_t") == 0, F.lit(""))

@@ -157,3 +157,24 @@ def test_substring_dedup_plan_shuffle_bound(spark):
     assert "CartesianProduct" not in plan
     shuffles, _ = count_exchanges(out)
     assert shuffles <= 5, plan
+    # first-occurrence = min(struct(doc_id,pos)) groupBy, which MUST
+    # partially aggregate map-side before the hash exchange (a per-hash
+    # row_number window has no partial step and melts on hot keys)
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_paragraph_dedup_plan_partial_agg(spark):
+    """paragraph_dedup's first-occurrence keeper must be a map-side
+    partial aggregation, never a per-hash sort window (hot boilerplate
+    paragraphs put billions of rows in one hash partition at 100 TB)."""
+    from cuvs_spark.pipeline.dedup import paragraph_dedup
+    from cuvs_spark.plans.layout import plan_string
+
+    docs = spark.createDataFrame(
+        [(i, f"header\npara {i}\nfooter") for i in range(40)],
+        "doc_id long, text string")
+    plan = plan_string(paragraph_dedup(docs))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
