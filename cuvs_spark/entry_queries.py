@@ -616,10 +616,47 @@ def _pack_seqs(spark, sf_dir):
     return pack_sequences(counts, 512, key_col="shard")
 
 
+def _cap_per_source(spark, sf_dir):
+    """Per-domain cap (at most 100 docs per source, md5-key order) via
+    the salted two-level select_k — the skew-proof exact path; the
+    rate-threshold variant is the 100 TB shape (pytest-covered)."""
+    from cuvs_spark.pipeline.sampling import cap_per_group
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "source"))
+    return cap_per_group(d, 100, group_col="source")
+
+
+def _keep_best(spark, sf_dir):
+    """Quality-aware dedup keeper: within each exact-text cluster of
+    the injected-dup corpus keep the highest-priority copy (originals
+    outrank the +100000 mirror ids), not the first occurrence."""
+    from cuvs_spark.pipeline.dedup import (H64_SPARK,
+                                           keep_best_representative)
+    d = _docs_with_dups(spark, sf_dir)
+    memb = d.select("doc_id",
+                    F.expr(H64_SPARK.format(s="text")).alias("cluster"))
+    sc = d.select("doc_id", F.expr(
+        "CAST(CASE WHEN doc_id < 100000 THEN 2 ELSE 1 END AS BIGINT)"
+    ).alias("score"))
+    return keep_best_representative(memb, sc)
+
+
 def _register_sampling_gates():
-    from cuvs_spark.pipeline.sampling import (deterministic_sample_sql,
+    from cuvs_spark.pipeline.dedup import (H64_DUCK,
+                                           keep_best_representative_sql)
+    from cuvs_spark.pipeline.sampling import (cap_per_group_sql,
+                                              deterministic_sample_sql,
                                               hash_split_sql,
                                               pack_sequences_sql)
+    register("sample_cap_per_source", _cap_per_source,
+             cap_per_group_sql("SELECT doc_id, source FROM documents",
+                               100))
+    _memb_sql = (f"SELECT doc_id, {H64_DUCK.format(s='text')} AS cluster "
+                 f"FROM ({_DOC_DUP_SQL})")
+    _score_sql = ("SELECT doc_id, CAST(CASE WHEN doc_id < 100000 THEN 2 "
+                  f"ELSE 1 END AS BIGINT) AS score FROM ({_DOC_DUP_SQL})")
+    register("dedup_keep_best", _keep_best,
+             keep_best_representative_sql(_memb_sql, _score_sql))
     register("sample_deterministic", _sample_det,
              "SELECT doc_id FROM ("
              + deterministic_sample_sql(_DOC_SQL, 0.25).strip() + ")")
@@ -2723,6 +2760,8 @@ _WINDOW_PRIORITY = [
     # multi-layer HNSW descent recall scalar (r5 verdict items 5–6).
     "sample_dsir_threshold",
     "stats_recall_hnsw_vs_exact",
+    "sample_cap_per_source",
+    "dedup_keep_best",
     # Re-gates: implementations changed this round — substring/
     # paragraph dedup (min-struct keeper agg replaced the row_number
     # window + array_except reassembly), BPE (ASCII whitespace class),

@@ -12,6 +12,13 @@ Two physical strategies, mirroring the reference's algo auto-selection:
 * ``agg`` — ``groupBy(key).agg(slice(array_sort(collect_list(…)),1,k))``
   then explode. Same shuffle volume but no sort-based window exchange;
   often faster when keys are many and rows-per-key modest.
+* ``partial`` — salted two-level top-k: stage 1 groups by
+  ``(key, hash-salt)`` so a hot key's rows split across ``n_buckets``
+  reducers, each capping its bucket to k; stage 2 merges the ≤
+  ``k·n_buckets`` survivors per key. Shuffle bytes match ``agg`` but
+  no single reducer ever holds or sorts more than its bucket — the
+  strategy for skewed keys (per-domain caps, hot hash groups), exact
+  for any ``n_buckets``.
 
 For the *huge* case (brute-force scans where rows-per-key ≈ dataset
 size) neither is right — the kNN operators avoid materializing the m×n
@@ -37,11 +44,13 @@ def select_k(df: DataFrame,
              select_min: bool = True,
              tie_cols: Sequence[str] = (),
              rank_col: str | None = "rank",
-             strategy: str = "window") -> DataFrame:
+             strategy: str = "window",
+             n_buckets: int = 32) -> DataFrame:
     """Keep the k best rows per key, ranked 1..k, deterministic ties.
 
     ``select_min=False`` keeps the k largest (inner_product ordering,
-    ``distance.hpp:72-85``).
+    ``distance.hpp:72-85``). ``n_buckets`` is the salt fan-out of the
+    ``partial`` strategy (ignored otherwise).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     order = [F.col(order_col).asc() if select_min else F.col(order_col).desc()]
@@ -52,6 +61,31 @@ def select_k(df: DataFrame,
         # small k → hash-agg with bounded sorted slices (no sort-based
         # window exchange); large k → the window (full sort pays off)
         strategy = "agg" if k <= 64 else "window"
+
+    if strategy == "partial":
+        # salted two-level exact top-k (knn_merge_parts' partial/final
+        # shape applied per key): the salt is a pure function of the
+        # row's non-key columns, so the split is deterministic and
+        # partition-independent; each (key, salt) reducer caps its
+        # bucket to k, then the ≤ k·n_buckets survivors merge per key
+        other = [c for c in df.columns if c not in keys]
+        salt = F.pmod(F.xxhash64(F.col(order_col),
+                                 *[F.col(c) for c in tie_cols]),
+                      F.lit(int(n_buckets)))
+        sort_struct = F.struct(
+            (F.col(order_col) if select_min else -F.col(order_col)).alias("_o"),
+            *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tie_cols)],
+            F.struct(*other).alias("_row"))
+        local = (df.withColumn("_salt", salt)
+                 .groupBy(*keys, "_salt")
+                 .agg(F.slice(F.array_sort(F.collect_list(sort_struct)),
+                              1, k).alias("_top"))
+                 .select(*keys, F.explode("_top").alias("_e"))
+                 .select(*keys,
+                         *[F.col(f"_e._row.{c}").alias(c) for c in other]))
+        return select_k(local, keys, order_col, k, select_min=select_min,
+                        tie_cols=tie_cols, rank_col=rank_col,
+                        strategy="agg")
 
     if strategy == "agg":
         other = [c for c in df.columns if c not in keys]

@@ -102,6 +102,52 @@ FROM d GROUP BY 1
 """
 
 
+def keep_best_representative(membership: DataFrame, scores: DataFrame, *,
+                             id_col: str = "doc_id",
+                             cluster_col: str = "cluster",
+                             score_col: str = "score") -> DataFrame:
+    """Quality-aware keeper selection: within each duplicate cluster
+    keep the highest-``score`` member (ties → lowest id) instead of the
+    first occurrence — the "keep best, not first" curation variant
+    (e.g. prefer the wiki copy of boilerplate over the crawl copy).
+
+    ``membership`` is any (id, cluster) relation — exact-hash groups,
+    LSH components, SemDeDup clusters; ``scores`` any (id, score).
+    The argmax is ``max(struct(score, -id))`` — one partial-aggregating
+    groupBy (map-side combine, skew-safe like the first-occurrence
+    keeper in :func:`substring_dedup`) plus a keeper join of one row
+    per cluster. Returns ``(doc_id, cluster, score, is_kept)``."""
+    j = (membership.select(F.col(id_col).cast("long").alias("doc_id"),
+                           F.col(cluster_col).alias("cluster"))
+         .join(scores.select(F.col(id_col).cast("long").alias("doc_id"),
+                             F.col(score_col).alias("score")), "doc_id"))
+    best = (j.groupBy("cluster")
+            .agg(F.max(F.struct(F.col("score").alias("s"),
+                                (-F.col("doc_id")).alias("n"))).alias("_b")))
+    return (j.join(best, "cluster")
+            .select("doc_id", "cluster", "score",
+                    (F.col("doc_id") == -F.col("_b.n"))
+                    .cast("int").alias("is_kept")))
+
+
+def keep_best_representative_sql(membership_sql: str,
+                                 scores_sql: str) -> str:
+    """DuckDB twin: ``membership_sql`` → (doc_id, cluster),
+    ``scores_sql`` → (doc_id, score)."""
+    return f"""
+WITH m AS ({membership_sql}),
+s AS ({scores_sql}),
+j AS (SELECT m.doc_id, m.cluster, s.score
+      FROM m JOIN s ON m.doc_id = s.doc_id),
+b AS (SELECT cluster, max(struct_pack(s := score, n := -doc_id)) AS _b
+      FROM j GROUP BY cluster)
+SELECT j.doc_id, j.cluster, j.score,
+       CAST(CASE WHEN j.doc_id = -(b._b.n) THEN 1 ELSE 0 END AS INT)
+         AS is_kept
+FROM j JOIN b ON j.cluster = b.cluster
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

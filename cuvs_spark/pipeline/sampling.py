@@ -150,6 +150,61 @@ SELECT *, CASE {' '.join(whens)} END AS split FROM d
 """
 
 
+def cap_per_group(df: DataFrame, n_cap: int, *,
+                  group_col: str = "source", id_col: str = "doc_id",
+                  salt: str = "cap", method: str = "exact") -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "no host dominates"
+    rule): keep at most ``n_cap`` rows per ``group_col``, chosen by
+    md5-key order so membership is a pure function of (id, salt) —
+    reproducible across cluster topology and partitioning. Returns the
+    input columns + ``rk`` (1-based keep rank within the group).
+
+    ``method='exact'`` ranks with :func:`select_k`'s salted two-level
+    ``partial`` strategy: a hot domain's rows split across salt buckets,
+    each reducer caps its bucket to ``n_cap``, then ≤ ``n_cap·buckets``
+    survivors merge — no per-domain sort window, no single-reducer
+    melt. ``method='threshold'`` is the rate-based 100 TB shape: the
+    tiny per-group count table broadcasts back as a keep-rate
+    (``n_cap/count``) over the same md5 membership rule
+    (map-only filter; kept count ≈ ``n_cap``, ``rk`` = -1)."""
+    if n_cap <= 0:
+        raise ValueError(f"n_cap must be positive, got {n_cap}")
+    key = F.expr(_bucket_spark(id_col, salt))
+    if method == "threshold":
+        counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+        thr = counts.select(
+            group_col,
+            F.least(F.lit(_MOD),
+                    (F.lit(int(n_cap)) * _MOD / F.col("_n"))
+                    .cast("long")).alias("_thr"))
+        return (df.join(F.broadcast(thr), group_col)
+                .filter(key < F.col("_thr"))
+                .withColumn("rk", F.lit(-1).cast("long"))
+                .drop("_thr"))
+    if method != "exact":
+        raise ValueError(method)
+    from cuvs_spark.operators.select_k import select_k
+    d = df.withColumn("_k", key)
+    return select_k(d, group_col, "_k", n_cap, tie_cols=[id_col],
+                    rank_col="rk", strategy="partial").drop("_k")
+
+
+def cap_per_group_sql(src_sql: str, n_cap: int, *,
+                      group_col: str = "source", id_col: str = "doc_id",
+                      salt: str = "cap") -> str:
+    b = _bucket_duck(id_col, salt)
+    return f"""
+WITH d AS ({src_sql}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}
+                               ORDER BY {b}, {id_col}) AS rk
+  FROM d
+)
+SELECT * EXCLUDE (rk), CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {n_cap}
+"""
+
+
 def pack_sequences(df: DataFrame, max_tokens: int, *,
                    id_col: str = "doc_id", tokens_col: str = "n_tokens",
                    key_col: str | None = None) -> DataFrame:

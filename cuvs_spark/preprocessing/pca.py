@@ -80,37 +80,47 @@ def pca_fit(df: DataFrame, n_components: int, *, vec_col: str = "vec",
                     explained_variance=vals[order], whiten=whiten)
 
 
-def _proj_expr(vec_col: str, w: np.ndarray, mean: np.ndarray,
-               scale: float) -> str:
-    terms = " + ".join(
-        f"(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) - {repr(float(mean[i]))})"
-        f" * {repr(float(w[i]))}"
-        for i in range(len(w)))
-    return f"({terms}) * {repr(float(scale))}"
+def _lit_arr(v) -> str:
+    return f"array({', '.join(repr(float(x)) for x in v)})"
+
+
+def _lit_mat(m) -> str:
+    return f"array({', '.join(_lit_arr(row) for row in m)})"
 
 
 def pca_transform(df: DataFrame, model: PCAModel, *, vec_col: str = "vec",
                   out_col: str = "pc") -> DataFrame:
-    """Project onto the components: k dot-product expressions (JVM)."""
+    """Project onto the components: per-component HOF dot products over
+    the literal weight matrix (constant-folds to one array literal —
+    O(1) generated code per component, never a 512-term unrolled sum
+    that blows janino's 64 KB method limit)."""
+    cen = (f"zip_with({vec_col}, {_lit_arr(model.mean)}, "
+           f"(x, m) -> CAST(x AS DOUBLE) - m)")
     cols = []
     for i, w in enumerate(model.components):
         scale = (1.0 / float(np.sqrt(model.explained_variance[i]))
                  if model.whiten else 1.0)
-        cols.append(F.expr(_proj_expr(vec_col, w, model.mean, scale)))
-    return df.withColumn(out_col, F.array(*cols))
+        dot = (f"aggregate(zip_with(_cen, {_lit_arr(w)}, "
+               f"(c, w) -> c * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        cols.append(F.expr(f"{dot} * {repr(float(scale))}"))
+    return (df.withColumn("_cen", F.expr(cen))
+            .withColumn(out_col, F.array(*cols)).drop("_cen"))
 
 
 def pca_inverse_transform(df: DataFrame, model: PCAModel, *,
                           pc_col: str = "pc",
                           out_col: str = "vec") -> DataFrame:
-    """Reconstruct: x ≈ mean + pcᵀ·W (pca.pyx:353)."""
-    k, dim = model.components.shape
-    exprs = []
-    for j in range(dim):
-        terms = " + ".join(
-            f"CAST(element_at({pc_col}, {i + 1}) AS DOUBLE)"
-            f" * {repr(float(model.components[i, j] * (np.sqrt(model.explained_variance[i]) if model.whiten else 1.0)))}"
-            for i in range(k))
-        exprs.append(F.expr(
-            f"CAST(({terms}) + {repr(float(model.mean[j]))} AS FLOAT)"))
-    return df.withColumn(out_col, F.array(*exprs))
+    """Reconstruct: x ≈ mean + pcᵀ·W (pca.pyx:353). One HOF expression
+    over the literal transposed (and variance-scaled, when whitened)
+    weight matrix — code size independent of dim."""
+    scaled = model.components * (
+        np.sqrt(model.explained_variance)[:, None] if model.whiten
+        else 1.0)
+    wt = scaled.T  # dim × k
+    expr = (
+        f"transform(sequence(1, {wt.shape[0]}), j -> CAST("
+        f"aggregate(zip_with({pc_col}, element_at({_lit_mat(wt)}, j), "
+        f"(p, w) -> CAST(p AS DOUBLE) * w), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) "
+        f"+ element_at({_lit_arr(model.mean)}, j) AS FLOAT))")
+    return df.withColumn(out_col, F.expr(expr))

@@ -34,6 +34,14 @@ def get_spark(app_name: str = "cuvs_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("CUVS_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Aggressive generated-method splitting: long-lived sessions
+        # occasionally produced a whole-stage span whose processNext()
+        # exceeded janino's 64 KB method limit ("Code grows beyond
+        # 64 KB" → silent interpreted fallback, several× slower on
+        # wide per-dim distance folds). Splitting at 256 bytes of
+        # estimated code keeps every method compilable; the extra
+        # call overhead is negligible next to an interpreted fallback.
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -79,3 +79,90 @@ def test_pack_sequences_sharded(spark):
         rs.sort(key=lambda r: r["doc_id"])
         assert [(r["seq_id"], r["seq_offset"]) for r in rs] == [
             (0, 0), (0, 100), (0, 200), (1, 50), (1, 150)]
+
+
+def test_cap_per_group_exact(spark):
+    """Exact cap: ≤ n_cap per group, ranks 1..n, membership = the
+    n_cap smallest md5 keys per group (Python re-check), and the kept
+    set is invariant under repartitioning."""
+    from cuvs_spark.pipeline.sampling import _MOD, _bucket_spark, cap_per_group
+
+    df = (spark.range(0, 900)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("g"), (F.col("id") % 3)).alias("source")))
+    out = cap_per_group(df, 50, group_col="source").cache()
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {50}
+    assert out.agg(F.max("rk")).head()[0] == 50
+
+    # python oracle over the same md5 bucket expression
+    keys = {r["doc_id"]: r["_k"] for r in
+            df.withColumn("_k", F.expr(_bucket_spark("doc_id", "cap")))
+            .collect()}
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    for g in ("g0", "g1", "g2"):
+        members = sorted((keys[i], i) for i in range(900)
+                         if f"g{i % 3}" == g)[:50]
+        assert {(g, i) for _, i in members} == {t for t in got if t[0] == g}
+
+    shuffled = cap_per_group(df.repartition(13), 50, group_col="source")
+    assert {(r["source"], r["doc_id"], r["rk"]) for r in shuffled.collect()} \
+        == {(r["source"], r["doc_id"], r["rk"]) for r in out.collect()}
+
+
+def test_cap_per_group_threshold(spark):
+    """Rate-threshold cap (the 100 TB shape): kept counts track n_cap
+    approximately, groups under the cap keep everything, and membership
+    is a subset-stable pure function of id."""
+    from cuvs_spark.pipeline.sampling import cap_per_group
+
+    df = (spark.range(0, 1100)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") < 1000, "big").otherwise("small")
+                  .alias("source")))
+    out = cap_per_group(df, 100, group_col="source", method="threshold")
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["small"] == 100  # under the cap: rate clamps to 1.0
+    assert 60 <= per["big"] <= 140  # ~100 expected, md5-uniform
+    assert out.agg(F.max("rk")).head()[0] == -1
+
+
+def test_select_k_partial_matches_window(spark):
+    """The salted two-level 'partial' strategy is exact: same rows and
+    ranks as the window strategy on skewed per-key counts."""
+    from cuvs_spark.operators.select_k import select_k
+
+    df = (spark.range(0, 3000)
+          .select((F.col("id") % 7).alias("key"),
+                  F.pmod(F.xxhash64("id"), F.lit(1000)).alias("score"),
+                  F.col("id").alias("rid")))
+    w = select_k(df, "key", "score", 9, tie_cols=["rid"],
+                 strategy="window")
+    p = select_k(df, "key", "score", 9, tie_cols=["rid"],
+                 strategy="partial", n_buckets=8)
+    assert (sorted(map(tuple, w.select("key", "rid", "rank").collect()))
+            == sorted(map(tuple, p.select("key", "rid", "rank").collect())))
+    pm = select_k(df, "key", "score", 9, tie_cols=["rid"],
+                  strategy="partial", select_min=False, n_buckets=8)
+    wm = select_k(df, "key", "score", 9, tie_cols=["rid"],
+                  strategy="window", select_min=False)
+    assert (sorted(map(tuple, pm.select("key", "rid", "rank").collect()))
+            == sorted(map(tuple, wm.select("key", "rid", "rank").collect())))
+
+
+def test_keep_best_representative(spark):
+    """Argmax-by-(score, -id) per cluster: highest score wins, ties go
+    to the lowest id, exactly one keeper per cluster."""
+    from cuvs_spark.pipeline.dedup import keep_best_representative
+
+    memb = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "doc_id long, cluster long")
+    sc = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (5, 1.0), (6, 2.0)],
+        "doc_id long, score double")
+    out = {r["doc_id"]: r["is_kept"] for r in
+           keep_best_representative(memb, sc).collect()}
+    assert out == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
