@@ -796,7 +796,9 @@ def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
                  F.split("text", sep)).alias("pos", "p"))
              .filter(F.col("p") != ""))
     h = F.expr(H64_SPARK.format(s="p"))
-    paras_h = paras.withColumn("_h", h)
+    # materialized once — consumed by both the keeper aggregation and
+    # the marking join (exchange reuse can't apply across them)
+    paras_h = paras.withColumn("_h", h).localCheckpoint()
     keeper = (paras_h.groupBy("_h")
               .agg(F.min(F.struct("doc_id", "pos")).alias("_k1")))
     marked = (paras_h.join(keeper, "_h")
@@ -892,7 +894,13 @@ def substring_dedup(df: DataFrame, *, window: int = 8,
                  f"ELSE array() END")
     wins = (d.select("doc_id", F.explode(F.expr(wins_expr)).alias("w"))
             .select("doc_id", F.col("w.pos").alias("pos"),
-                    F.col("w.h").alias("_h")))
+                    F.col("w.h").alias("_h"))
+            # materialized once: both the keeper aggregation and the
+            # duplicate-marking join consume it, and exchange reuse
+            # can't apply (the partial agg sits under the groupBy
+            # exchange) — without this the tokenize+hash map work runs
+            # twice
+            .localCheckpoint())
     keeper = (wins.groupBy("_h")
               .agg(F.min(F.struct("doc_id", "pos")).alias("_k1"),
                    F.count("*").alias("_cnt")))
