@@ -446,21 +446,33 @@ def doc_fingerprints(df: DataFrame, k: int = 8, w: int = 4, *,
     oracle shares it); ``'xxhash64'`` is the JVM-native throughput form
     (~10× cheaper per k-gram, same winnowing guarantees)."""
     d = _doc(df, id_col, text_col)
-    # hash INSIDE the array transform, then posexplode only the hash
-    # array: the exploded relation is (doc_id, pos, h) — the document
-    # text is never replicated into per-k-gram rows. (An all-array
-    # winnowing variant — array_min over slices — was measured ~25%
-    # slower than the window pass; the per-position slice copies cost
-    # more than the partitionBy sort saves.)
+    # fully map-only: the sliding-window minimum is a sparse table of
+    # zip_with/least steps over the per-doc hash array (log2(w)
+    # doubling zips + one final offset zip — O(n·log w) per doc, no
+    # per-position slice copies), and the per-doc distinct is
+    # array_distinct. ZERO shuffles — the former window-pass form
+    # shuffled every k-gram hash by doc_id and the global distinct
+    # shuffled again; Spark's `least` skips the NULLs zip_with pads
+    # with, which reproduces the window's clipped tail semantics
+    # exactly.
     h_lam = (f"xxhash64(substr(text, p, {k}))" if hash_fn == "xxhash64"
              else H64_SPARK.format(s=f"substr(text, p, {k})"))
-    kh = (d.filter(F.length("text") >= k)
-          .select("doc_id", F.posexplode(F.expr(
-              f"transform(sequence(1, length(text) - {k} + 1), "
-              f"p -> {h_lam})")).alias("pos", "h")))
-    win = (Window.partitionBy("doc_id").orderBy("pos")
-           .rowsBetween(0, w - 1))
-    return kh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    out = (d.filter(F.length("text") >= k)
+           .withColumn("_m", F.expr(
+               f"transform(sequence(1, length(text) - {k} + 1), "
+               f"p -> {h_lam})")))
+    span = 1
+    while span * 2 <= w:
+        out = out.withColumn("_m", F.expr(
+            f"zip_with(_m, slice(_m, {span + 1}, size(_m)), "
+            f"(a, b) -> least(a, b))"))
+        span *= 2
+    if span < w:
+        out = out.withColumn("_m", F.expr(
+            f"zip_with(_m, slice(_m, {w - span + 1}, size(_m)), "
+            f"(a, b) -> least(a, b))"))
+    return out.select("doc_id",
+                      F.explode(F.expr("array_distinct(_m)")).alias("fp"))
 
 
 def doc_fingerprints_sql(doc_sql: str, k: int = 8, w: int = 4) -> str:
