@@ -174,9 +174,9 @@ def cap_per_group(df: DataFrame, n_cap: int, *,
         counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
         thr = counts.select(
             group_col,
-            F.least(F.lit(_MOD),
-                    (F.lit(int(n_cap)) * _MOD / F.col("_n"))
-                    .cast("long")).alias("_thr"))
+            F.least(F.lit(_MOD).cast("long"),
+                    (F.lit(int(n_cap)).cast("long") * F.lit(_MOD)
+                     / F.col("_n")).cast("long")).alias("_thr"))
         return (df.join(F.broadcast(thr), group_col)
                 .filter(key < F.col("_thr"))
                 .withColumn("rk", F.lit(-1).cast("long"))

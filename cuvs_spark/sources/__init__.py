@@ -31,7 +31,10 @@ from cuvs_spark.sources.graph_export import (  # noqa: F401
     hnsw_build,
     hnsw_extend,
     hnsw_from_cagra,
+    hnsw_load_hnswlib,
+    hnsw_save_hnswlib,
     hnsw_search,
     load_graph_index,
+    read_hnswlib_index,
     save_graph_index,
 )

@@ -522,6 +522,30 @@ def read_hnswlib_index(path: str):
             level0, upper, np.vstack(rows) if rows else None, labels)
 
 
+def hnsw_load_hnswlib(spark: SparkSession, path: str):
+    """``hnsw.load`` (``hnsw.pyx:317``): read an hnswlib-serialized
+    index into the engine's layered view → ``(layers, dataset)`` with
+    original labels as ids, ready for :func:`hnsw_search` /
+    :func:`hnsw_extend`. The file's ``M`` is carried into the
+    ``layer = -1`` metadata row. Driver-side parse (the file targets a
+    single serving host); the returned DataFrames distribute."""
+    meta, level0, upper, data, labels = read_hnswlib_index(path)
+    rows = [(0, int(labels[p]),
+             [int(labels[int(d)]) for d in level0[p]])
+            for p in range(meta["npts"])]
+    for lvl, adj in upper.items():
+        rows += [(int(lvl), int(labels[p]),
+                  [int(labels[int(d)]) for d in nbrs])
+                 for p, nbrs in adj.items()]
+    layers = spark.createDataFrame(
+        rows, "layer int, src long, neighbors array<bigint>") \
+        .unionByName(_m_meta_row(spark, meta["M"]))
+    dataset = spark.createDataFrame(
+        [(int(labels[p]), [float(x) for x in data[p]])
+         for p in range(meta["npts"])], "id long, vec array<float>")
+    return layers, dataset
+
+
 def read_diskann_index(path: str):
     """Round-trip reader for the mem-index format (+ ``.data``
     sidecar when present) → (meta dict, list[np.uint32 array],

@@ -362,3 +362,39 @@ def test_hnswlib_binary_roundtrip(spark, vectors_df, tmp_path):
     entry_id = min(r["src"] for r in
                    layers.filter(F.col("layer") == top).collect())
     assert rmeta["enterpoint"] == pos[entry_id]
+
+
+def test_hnswlib_load_back_to_layers(spark, vectors_df, tmp_path):
+    """hnsw.load direction: an hnswlib file parsed back into the
+    layered view must search identically to the index it was saved
+    from (hnsw.pyx:317 save→load→serve contract)."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.sources.graph_export import (hnsw_build,
+                                                 hnsw_load_hnswlib,
+                                                 hnsw_save_hnswlib,
+                                                 hnsw_search)
+
+    layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
+                        M=4).cache()
+    path = str(tmp_path / "idx.hnswlib")
+    hnsw_save_hnswlib(layers, vectors_df, path)
+    l2, d2 = hnsw_load_hnswlib(spark, path)
+
+    # adjacency identical per (layer, src), M metadata preserved
+    a = {(r["layer"], r["src"]): list(r["neighbors"])
+         for r in layers.filter(F.col("layer") >= 0).collect()}
+    b = {(r["layer"], r["src"]): list(r["neighbors"])
+         for r in l2.filter(F.col("layer") >= 0).collect()}
+    assert a == b
+    assert l2.filter(F.col("layer") == -1).head()["src"] == 4
+
+    q = (vectors_df.filter(F.col("id") < 10)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    got1 = sorted(map(tuple, hnsw_search(layers, vectors_df, q, 5, ef=24,
+                                         qvec_col="qv")
+                      .select("qid", "nid", "rank").collect()))
+    got2 = sorted(map(tuple, hnsw_search(l2, d2, q, 5, ef=24,
+                                         qvec_col="qv")
+                      .select("qid", "nid", "rank").collect()))
+    assert got1 == got2

@@ -124,6 +124,24 @@ def main() -> None:
     from cuvs_spark.pipeline.text import nfc_normalize
     timed("nfc_normalize_sec", lambda: nfc_normalize(docs))
 
+    # round-6 additions: per-domain caps (exact salted select_k vs
+    # rate-threshold) and quality-aware keeper selection
+    from cuvs_spark.pipeline.dedup import (H64_SPARK,
+                                           keep_best_representative)
+    from cuvs_spark.pipeline.sampling import cap_per_group
+    srcd = docs.withColumn("source", F.expr("concat('s', doc_id % 8)"))
+    timed("cap_per_group_exact_sec",
+          lambda: cap_per_group(srcd, 5000, group_col="source"))
+    timed("cap_per_group_threshold_sec",
+          lambda: cap_per_group(srcd, 5000, group_col="source",
+                                method="threshold"))
+    memb = docs.select(
+        "doc_id", F.expr(H64_SPARK.format(s="text")).alias("cluster"))
+    scores = docs.select(
+        "doc_id", F.length("text").cast("double").alias("score"))
+    timed("keep_best_representative_sec",
+          lambda: keep_best_representative(memb, scores))
+
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
     if not os.path.exists(emb_path):
