@@ -581,6 +581,30 @@ def _lm_score(spark, sf_dir):
 register("text_lm_score", _lm_score, TX.lm_score_sql(_DOC_SQL))
 
 
+def _lm_score_bigram(spark, sf_dir):
+    """Bigram LM perplexity-filter stage: add-one-smoothed conditional
+    pair probabilities, corpus-trained, rational arithmetic only."""
+    d = doc_table(spark, sf_dir)
+    big, ctx, v = TX.bigram_lm(d)
+    return TX.lm_score_bigram(d, big, ctx, v)
+
+
+register("text_lm_score_bigram", _lm_score_bigram,
+         TX.lm_score_bigram_sql(_DOC_SQL))
+
+
+def _chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (64-token chunks, 16-token overlap) —
+    the embedding/RAG ingestion splitter; map-only, boundaries are
+    pure integer functions of the token count."""
+    return TX.chunk_documents(doc_table(spark, sf_dir),
+                              chunk_tokens=64, overlap=16)
+
+
+register("text_chunk_documents", _chunk_docs,
+         TX.chunk_documents_sql(_DOC_SQL, 64, 16))
+
+
 def _gopher_quality(spark, sf_dir):
     """Full Gopher §A1.1 rule set (beyond the repetition filters):
     symbol ratios, bullet/ellipsis line fractions, alpha-word fraction,
@@ -2762,6 +2786,8 @@ _WINDOW_PRIORITY = [
     "stats_recall_hnsw_vs_exact",
     "sample_cap_per_source",
     "dedup_keep_best",
+    "text_chunk_documents",
+    "text_lm_score_bigram",
     # Re-gates: implementations changed this round — substring/
     # paragraph dedup (min-struct keeper agg replaced the row_number
     # window + array_except reassembly), BPE (ASCII whitespace class),

@@ -176,6 +176,64 @@ FROM d
 """
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 256,
+                    overlap: int = 32, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window chunking (the embedding/RAG ingestion splitter):
+    each doc's whitespace tokens become chunks of ``chunk_tokens`` with
+    ``overlap`` tokens carried between consecutive chunks →
+    ``(doc_id, chunk_id, chunk_text, n_tokens)``.
+
+    Map-only — one HOF over the per-doc token array; chunk boundaries
+    are pure integer functions of the token count, so re-chunking any
+    subset reproduces identical chunk ids. The tail chunk keeps the
+    remainder (may be shorter); token-less docs yield no rows."""
+    C, V = int(chunk_tokens), int(overlap)
+    if C <= 0 or V < 0 or V >= C:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"({chunk_tokens}, {overlap})")
+    S = C - V  # stride
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="text"))))
+    # n_chunks = 1 + ceil((n - C) / S) for n > 0, clamped at 1
+    nc = (f"CASE WHEN size(_t) = 0 THEN 0 ELSE "
+          f"1 + greatest(0, CAST((size(_t) - {C} + {S} - 1) AS INT) "
+          f"DIV {S}) END")
+    chunks = (f"transform(sequence(0, {nc} - 1), i -> struct("
+              f"CAST(i AS BIGINT) AS chunk_id, "
+              f"array_join(slice(_t, i * {S} + 1, {C}), ' ') "
+              f"AS chunk_text, "
+              f"CAST(least({C}, size(_t) - i * {S}) AS BIGINT) "
+              f"AS n_tokens))")
+    return (d.filter(F.expr("size(_t) > 0"))
+            .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.chunk_text",
+                    "c.n_tokens"))
+
+
+def chunk_documents_sql(doc_sql: str, chunk_tokens: int = 256,
+                        overlap: int = 32) -> str:
+    C, V = int(chunk_tokens), int(overlap)
+    S = C - V
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+t AS (SELECT doc_id, {toks} AS _t, len({toks}) AS n FROM d),
+c AS (
+  SELECT doc_id, _t, n,
+         unnest(range(0, CASE WHEN n = 0 THEN 0 ELSE
+                  1 + greatest(0, (n - {C} + {S} - 1) // {S}) END))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(_t[chunk_id * {S} + 1 : chunk_id * {S} + {C}],
+                       ' ') AS chunk_text,
+       CAST(least({C}, n - chunk_id * {S}) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition filters (Gopher-style)
 # ---------------------------------------------------------------------------
@@ -675,6 +733,123 @@ SELECT doc_id, CAST(_n AS BIGINT) AS n_scored,
          / CAST(greatest(_n - _oov, 1) AS DOUBLE) AS mean_tok_prob,
        CAST(_oov AS DOUBLE) / _n AS oov_frac
 FROM g
+"""
+
+
+def bigram_lm(df: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Train an add-one-smoothed bigram LM over the corpus →
+    ``(bigrams, contexts, vocab_size)``: the (w1, w2, cnt) pair counts,
+    the per-``w1`` context totals, and the unigram vocabulary size (the
+    smoothing denominator). Two map-side-combined groupBys over the
+    exploded pair stream; both model tables are the broadcastable side
+    of every downstream score join (the CCNet-style perplexity filter
+    one order up from :func:`unigram_lm`)."""
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    pairs = (d.filter(F.expr("size(_t) >= 2"))
+             .select(F.explode(F.expr(
+                 "zip_with(slice(_t, 1, size(_t) - 1), "
+                 "slice(_t, 2, size(_t) - 1), "
+                 "(a, b) -> struct(a AS w1, b AS w2))")).alias("p"))
+             .select("p.w1", "p.w2"))
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    vsize = (d.select(F.explode("_t").alias("w"))
+             .agg(F.countDistinct("w")).head()[0])
+    return bigrams, contexts, int(vsize)
+
+
+def lm_score_bigram(df: DataFrame, bigrams: DataFrame,
+                    contexts: DataFrame, vocab_size: int, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Score docs against a bigram LM → ``(doc_id, n_pairs,
+    mean_pair_prob)``: mean add-one-smoothed conditional probability
+    ``(c(w1,w2)+1) / (c(w1·)+V)`` over the doc's consecutive token
+    pairs. Rational arithmetic (one exact-operand division per pair,
+    no logs) + a sorted fold, so the cross-engine gate is bit-exact;
+    docs with fewer than two tokens score (0, 0.0).
+
+    Scale shape: pair explode (map) → two broadcast model joins (map)
+    → one doc_id groupBy with map-side combine."""
+    V = int(vocab_size)
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    pairs = (d.filter(F.expr("size(_t) >= 2"))
+             .select("doc_id", F.explode(F.expr(
+                 "zip_with(slice(_t, 1, size(_t) - 1), "
+                 "slice(_t, 2, size(_t) - 1), "
+                 "(a, b) -> struct(a AS w1, b AS w2))")).alias("p"))
+             .select("doc_id", "p.w1", "p.w2"))
+    scored = (pairs
+              .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+              .join(F.broadcast(contexts), "w1", "left")
+              .select("doc_id",
+                      ((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                       .cast("double")
+                       / (F.coalesce(F.col("ctx"), F.lit(0)) + F.lit(V))
+                       .cast("double")).alias("p")))
+    g = (scored.groupBy("doc_id")
+         .agg(F.count("*").alias("_n"),
+              F.array_sort(F.collect_list(F.struct("p"))).alias("_ps"))
+         .select("doc_id",
+                 F.col("_n").cast("long").alias("n_pairs"),
+                 (F.expr("aggregate(_ps, CAST(0 AS DOUBLE), "
+                         "(acc, x) -> acc + x.p)")
+                  / F.col("_n").cast("double")).alias("mean_pair_prob")))
+    return (d.select("doc_id").join(g, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("mean_pair_prob", F.lit(0.0))
+                    .alias("mean_pair_prob")))
+
+
+def lm_score_bigram_sql(doc_sql: str,
+                        vocab_doc_sql: str | None = None) -> str:
+    """DuckDB twin: same pair stream, model tables, and sorted fold."""
+    vsql = vocab_doc_sql or doc_sql
+    toks = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d AS ({doc_sql}),
+vd AS ({vsql}),
+vt AS (SELECT doc_id, {toks} AS _t, len({toks}) AS n FROM vd),
+vp AS (
+  SELECT unnest(list_transform(range(1, n),
+           i -> {{'w1': _t[i], 'w2': _t[i + 1]}})) AS pp
+  FROM vt WHERE n >= 2
+),
+big AS (SELECT pp.w1 AS w1, pp.w2 AS w2, count(*) AS cnt
+        FROM vp GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(cnt) AS ctx FROM big GROUP BY 1),
+vs AS (SELECT count(DISTINCT w) AS v
+       FROM (SELECT unnest(_t) AS w FROM vt)),
+dt AS (SELECT doc_id, {toks} AS _t, len({toks}) AS n FROM d),
+dp AS (
+  SELECT doc_id, unnest(list_transform(range(1, n),
+           i -> {{'w1': _t[i], 'w2': _t[i + 1]}})) AS pp
+  FROM dt WHERE n >= 2
+),
+j AS (
+  SELECT dp.doc_id,
+         CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE)
+         / CAST(COALESCE(c.ctx, 0) + vs.v AS DOUBLE) AS p
+  FROM dp
+  LEFT JOIN big b ON dp.pp.w1 = b.w1 AND dp.pp.w2 = b.w2
+  LEFT JOIN ctx c ON dp.pp.w1 = c.w1
+  CROSS JOIN vs
+),
+g AS (
+  SELECT doc_id, count(*) AS _n,
+         list_sort(list({{'p': p}})) AS _ps
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(g._n, 0) AS BIGINT) AS n_pairs,
+       COALESCE(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(g._ps, x -> x.p)), (acc, x) -> acc + x)
+         / CAST(g._n AS DOUBLE), 0.0) AS mean_pair_prob
+FROM d LEFT JOIN g ON d.doc_id = g.doc_id
 """
 
 

@@ -359,3 +359,68 @@ def test_decontaminate(spark):
     assert out[1]["n_contaminated"] > 0
     assert out[2]["n_contaminated"] == 0
     assert out[3]["n_contaminated"] == out[3]["n_grams"] > 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk windows tile the token stream: stride = chunk - overlap,
+    tail kept, consecutive chunks share exactly `overlap` tokens,
+    short docs give one chunk, empty docs none."""
+    from cuvs_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),
+         (2, "a b c"),
+         (3, "")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> chunks at 0,3,6,9 => 1+ceil(6/3)=3
+    d1 = sorted(k for k in rows if k[0] == 1)
+    assert d1 == [(1, 0), (1, 1), (1, 2)]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert [rows[k]["n_tokens"] for k in d1] == [4, 4, 4]
+    # doc 2: 3 tokens < chunk -> one short chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert len([k for k in rows if k[0] == 2]) == 1
+    # doc 3: no tokens -> no rows
+    assert not [k for k in rows if k[0] == 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_lm_score_matches_python(spark):
+    """Bigram LM: add-one-smoothed conditional pair probabilities vs an
+    exact Python reference; unseen pairs and unseen contexts fall back
+    to 1/(ctx+V) and 1/V."""
+    from collections import Counter
+
+    from cuvs_spark.pipeline.text import bigram_lm, lm_score_bigram
+
+    texts = {1: "the cat sat", 2: "the cat ran", 3: "a dog sat", 4: "x"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    big, ctx, v = bigram_lm(docs)
+    out = {r["doc_id"]: r for r in
+           lm_score_bigram(docs, big, ctx, v).collect()}
+
+    toks = {k: t.split() for k, t in texts.items()}
+    pairs = [(w[i], w[i + 1]) for w in toks.values()
+             for i in range(len(w) - 1)]
+    cb, cc = Counter(pairs), Counter(p[0] for p in pairs)
+    vocab = {t for w in toks.values() for t in w}
+    assert v == len(vocab)
+    for k, w in toks.items():
+        ps = [(cb[(w[i], w[i + 1])] + 1) / (cc[w[i]] + v)
+              for i in range(len(w) - 1)]
+        assert out[k]["n_pairs"] == len(ps)
+        want = sum(ps) / len(ps) if ps else 0.0
+        assert abs(out[k]["mean_pair_prob"] - want) < 1e-12
+    # held-out doc with an unseen context scores 1/V per pair
+    held = spark.createDataFrame([(9, "qq zz")], "doc_id long, text string")
+    got = lm_score_bigram(held, big, ctx, v).head()
+    assert abs(got["mean_pair_prob"] - 1.0 / v) < 1e-12
