@@ -285,3 +285,51 @@ def test_streaming_classifier_on_ingest(spark, tmp_path):
     want = {r["doc_id"]: (r["n_feats"], r["score_fp"], r["label"])
             for r in classifier_score(docs, weights, n_buckets=512).collect()}
     assert got == want
+
+def test_chunk_and_lm_score_run_in_streams(spark, tmp_path):
+    """Round-6 ops under Structured Streaming: sliding-window chunking
+    is map-only and streams in append mode as-is; bigram-LM scoring
+    (per-doc aggregation) runs per-microbatch via foreachBatch against
+    the pre-trained broadcast model — stream == batch row-for-row."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.pipeline.text import (bigram_lm, chunk_documents,
+                                          lm_score_bigram)
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 7}" for j in range(10)))
+         for i in range(30)],
+        "doc_id long, text string")
+    docs.write.parquet(src)
+    big, ctx, v = bigram_lm(docs)
+    big, ctx = big.localCheckpoint(), ctx.localCheckpoint()
+
+    def chunked(d):
+        return chunk_documents(d, chunk_tokens=4, overlap=1).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"))
+
+    # stateless chunking: append-mode stream
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (chunked(stream).writeStream.outputMode("append").format("memory")
+         .queryName("chunk_stream_out").start())
+    q.processAllAvailable(); q.stop()
+    got_chunks = {(r["doc_id"], r["text"]) for r in
+                  spark.sql("SELECT * FROM chunk_stream_out").collect()}
+    assert got_chunks == {(r["doc_id"], r["text"])
+                          for r in chunked(docs).collect()}
+
+    # agg-bearing scoring: foreachBatch (the dedup_stream pattern)
+    acc = []
+
+    def score_batch(bdf, _bid):
+        acc.extend(lm_score_bigram(bdf, big, ctx, v).collect())
+
+    q2 = (chunked(spark.readStream.schema(docs.schema).parquet(src))
+          .writeStream.foreachBatch(score_batch).start())
+    q2.processAllAvailable(); q2.stop()
+    got = {r["doc_id"]: (r["n_pairs"], r["mean_pair_prob"]) for r in acc}
+    want = {r["doc_id"]: (r["n_pairs"], r["mean_pair_prob"])
+            for r in lm_score_bigram(chunked(docs), big, ctx, v).collect()}
+    assert got == want and got
