@@ -605,6 +605,16 @@ register("text_chunk_documents", _chunk_docs,
          TX.chunk_documents_sql(_DOC_SQL, 64, 16))
 
 
+def _tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF terms per doc (log-free rational IDF (N+1)/(df+1)
+    — same ranking as log IDF, bit-exact across engines)."""
+    return TX.tfidf_keywords(doc_table(spark, sf_dir), 5)
+
+
+register("text_tfidf_keywords", _tfidf_keywords,
+         TX.tfidf_keywords_sql(_DOC_SQL, 5))
+
+
 def _gopher_quality(spark, sf_dir):
     """Full Gopher §A1.1 rule set (beyond the repetition filters):
     symbol ratios, bullet/ellipsis line fractions, alpha-word fraction,
@@ -2788,6 +2798,7 @@ _WINDOW_PRIORITY = [
     "dedup_keep_best",
     "text_chunk_documents",
     "text_lm_score_bigram",
+    "text_tfidf_keywords",
     # Re-gates: implementations changed this round — substring/
     # paragraph dedup (min-struct keeper agg replaced the row_number
     # window + array_except reassembly), BPE (ASCII whitespace class),

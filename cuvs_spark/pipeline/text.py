@@ -736,6 +736,62 @@ FROM g
 """
 
 
+def tfidf_keywords(df: DataFrame, k: int = 5, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF terms per doc → ``(doc_id, term, tfidf, rank)``
+    — the keyword-extraction / doc-signature stage of corpus analytics.
+
+    IDF is the log-free rational form ``(N + 1) / (df + 1)`` (a
+    monotone transform of the standard log IDF, so rankings are
+    identical and the cross-engine gate stays bit-exact; apply ``ln``
+    downstream if you want the classical scale). Scale shape: token
+    explode → one (doc, term) tf groupBy (map-side combined) → one
+    term df groupBy whose output joins back on term (never collected
+    or broadcast — the vocabulary can be billions of terms) → per-doc
+    top-k via the bounded-slice ``agg`` strategy."""
+    from cuvs_spark.operators.select_k import select_k
+    d = _doc(df, id_col, text_col)
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(
+        F.expr(TOKS_SPARK.format(s="lower(text)"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (tf.join(dfreq, "term")
+              .select("doc_id", "term",
+                      (F.col("_tf").cast("double")
+                       * (F.lit(float(n_docs + 1))
+                          / (F.col("_df") + F.lit(1)).cast("double")))
+                      .alias("tfidf")))
+    return select_k(scored, "doc_id", "tfidf", k, select_min=False,
+                    tie_cols=["term"], strategy="agg")
+
+
+def tfidf_keywords_sql(doc_sql: str, k: int = 5) -> str:
+    toks = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d AS ({doc_sql}),
+n AS (SELECT count(*) AS nd FROM d),
+t AS (SELECT doc_id, unnest({toks}) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS _tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS _df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf._tf AS DOUBLE)
+         * (CAST(n.nd + 1 AS DOUBLE) / CAST(dfq._df + 1 AS DOUBLE))
+           AS tfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def bigram_lm(df: DataFrame, *, id_col: str = "doc_id",
               text_col: str = "text"):
     """Train an add-one-smoothed bigram LM over the corpus →

@@ -424,3 +424,27 @@ def test_bigram_lm_score_matches_python(spark):
     held = spark.createDataFrame([(9, "qq zz")], "doc_id long, text string")
     got = lm_score_bigram(held, big, ctx, v).head()
     assert abs(got["mean_pair_prob"] - 1.0 / v) < 1e-12
+
+
+def test_tfidf_keywords_matches_python(spark):
+    """Rational-IDF TF-IDF top-k vs an exact Python reference,
+    including the (score DESC, term ASC) tie order."""
+    from collections import Counter
+
+    from cuvs_spark.pipeline.text import tfidf_keywords
+
+    texts = {1: "cat cat dog", 2: "dog fish", 3: "cat fish fish zebra"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = {}
+    for r in tfidf_keywords(docs, 2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"]))
+    n = len(texts)
+    dfreq = Counter(t for txt in texts.values() for t in set(txt.split()))
+    for k, txt in texts.items():
+        tf = Counter(txt.split())
+        scored = sorted(
+            ((-tf[t] * ((n + 1) / (dfreq[t] + 1))), t) for t in tf)[:2]
+        want = [(i + 1, t, -s) for i, (s, t) in enumerate(scored)]
+        assert sorted(out[k]) == want, (k, out[k], want)
