@@ -78,6 +78,17 @@ def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def _eager_persist(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK persist, materialized now: the eager count
+    guarantees single computation even when two downstream stages of
+    one job would otherwise race to materialize the cache
+    concurrently (each computing every partition)."""
+    from pyspark import StorageLevel
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def exact_dedup(df: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Group by content digest → ``(text_hash, n_docs, canonical_id)``.
@@ -113,14 +124,32 @@ def keep_best_representative(membership: DataFrame, scores: DataFrame, *,
 
     ``membership`` is any (id, cluster) relation — exact-hash groups,
     LSH components, SemDeDup clusters; ``scores`` any (id, score).
+    Members with no score row keep their place with score = -inf (a
+    scorer that skips docs must not silently delete them from the
+    corpus — they can still be the keeper of an all-unscored cluster,
+    lowest id winning); rows whose cluster is NULL are rejected (a
+    null key would be dropped by the keeper join — cluster unassigned
+    docs should not pass through a dedup keeper at all).
     The argmax is ``max(struct(score, -id))`` — one partial-aggregating
     groupBy (map-side combine, skew-safe like the first-occurrence
     keeper in :func:`substring_dedup`) plus a keeper join of one row
     per cluster. Returns ``(doc_id, cluster, score, is_kept)``."""
-    j = (membership.select(F.col(id_col).cast("long").alias("doc_id"),
-                           F.col(cluster_col).alias("cluster"))
+    memb = membership.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        # the check rides the cluster column itself so column pruning
+        # can't optimize it away
+        F.when(F.col(cluster_col).isNull(),
+               F.raise_error(F.lit(
+                   "keep_best_representative: NULL cluster key in "
+                   "membership")))
+        .otherwise(F.col(cluster_col)).alias("cluster"))
+    j = (memb
          .join(scores.select(F.col(id_col).cast("long").alias("doc_id"),
-                             F.col(score_col).alias("score")), "doc_id"))
+                             F.col(score_col).alias("score")),
+               "doc_id", "left")
+         .select("doc_id", "cluster",
+                 F.coalesce(F.col("score").cast("double"),
+                            F.lit(float("-inf"))).alias("score")))
     best = (j.groupBy("cluster")
             .agg(F.max(F.struct(F.col("score").alias("s"),
                                 (-F.col("doc_id")).alias("n"))).alias("_b")))
@@ -137,7 +166,7 @@ def keep_best_representative_sql(membership_sql: str,
     return f"""
 WITH m AS ({membership_sql}),
 s AS ({scores_sql}),
-j AS (SELECT m.doc_id, m.cluster, s.score
+j AS (SELECT m.doc_id, m.cluster, CAST(s.score AS DOUBLE) AS score
       FROM m JOIN s ON m.doc_id = s.doc_id),
 b AS (SELECT cluster, max(struct_pack(s := score, n := -doc_id)) AS _b
       FROM j GROUP BY cluster)
@@ -797,8 +826,9 @@ def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
              .filter(F.col("p") != ""))
     h = F.expr(H64_SPARK.format(s="p"))
     # materialized once — consumed by both the keeper aggregation and
-    # the marking join (exchange reuse can't apply across them)
-    paras_h = paras.withColumn("_h", h).localCheckpoint()
+    # the marking join (exchange reuse can't apply across them);
+    # persist keeps lineage, unlike localCheckpoint
+    paras_h = _eager_persist(paras.withColumn("_h", h))
     keeper = (paras_h.groupBy("_h")
               .agg(F.min(F.struct("doc_id", "pos")).alias("_k1")))
     marked = (paras_h.join(keeper, "_h")
@@ -894,13 +924,16 @@ def substring_dedup(df: DataFrame, *, window: int = 8,
                  f"ELSE array() END")
     wins = (d.select("doc_id", F.explode(F.expr(wins_expr)).alias("w"))
             .select("doc_id", F.col("w.pos").alias("pos"),
-                    F.col("w.h").alias("_h"))
-            # materialized once: both the keeper aggregation and the
-            # duplicate-marking join consume it, and exchange reuse
-            # can't apply (the partial agg sits under the groupBy
-            # exchange) — without this the tokenize+hash map work runs
-            # twice
-            .localCheckpoint())
+                    F.col("w.h").alias("_h")))
+    # materialized once: both the keeper aggregation and the
+    # duplicate-marking join consume it, and exchange reuse can't
+    # apply (the partial agg sits under the groupBy exchange) — an
+    # unpersisted plan runs the tokenize+hash map work twice.
+    # persist + eager count rather than localCheckpoint: lineage
+    # survives, so an executor loss recomputes the lost blocks
+    # instead of aborting the job (checkpointed blocks are
+    # non-replicated executor-local state)
+    wins = _eager_persist(wins)
     keeper = (wins.groupBy("_h")
               .agg(F.min(F.struct("doc_id", "pos")).alias("_k1"),
                    F.count("*").alias("_cnt")))

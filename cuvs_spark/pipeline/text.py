@@ -751,15 +751,17 @@ def tfidf_keywords(df: DataFrame, k: int = 5, *, id_col: str = "doc_id",
     top-k via the bounded-slice ``agg`` strategy."""
     from cuvs_spark.operators.select_k import select_k
     d = _doc(df, id_col, text_col)
-    n_docs = d.count()
+    # N rides along as a 1-row broadcast (the SQL twin's CROSS JOIN n)
+    # so the operator stays lazy — no count() job at plan construction
+    n = d.agg(F.count("*").alias("_nd"))
     toks = d.select("doc_id", F.explode(
         F.expr(TOKS_SPARK.format(s="lower(text)"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = (tf.join(dfreq, "term")
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
               .select("doc_id", "term",
                       (F.col("_tf").cast("double")
-                       * (F.lit(float(n_docs + 1))
+                       * ((F.col("_nd") + F.lit(1)).cast("double")
                           / (F.col("_df") + F.lit(1)).cast("double")))
                       .alias("tfidf")))
     return select_k(scored, "doc_id", "tfidf", k, select_min=False,

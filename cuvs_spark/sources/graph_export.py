@@ -10,11 +10,13 @@ reference reuses the CAGRA graph as HNSW's base layer) plus a JSON/
 Parquet layout any exporter can serialize from. The DiskANN binary
 formats (mem-index + sector-aligned disk index) are emitted for real
 by :func:`vamana_save_diskann`, byte-layout per the reference's
-``vamana_serialize.cuh``, with round-trip readers; the hnswlib file
-format stays out of scope (it is hnswlib's own third-party
-serialization — the reference links the library rather than writing
-the format, and hnswlib is not in this container to validate
-against).
+``vamana_serialize.cuh``, with round-trip readers. The hnswlib file
+format (``HierarchicalNSW::saveIndex`` layout, what ``hnsw.pyx:317``
+loads) is emitted by :func:`hnsw_save_hnswlib` and parsed back by
+:func:`read_hnswlib_index` / :func:`hnsw_load_hnswlib` — validated by
+exact self-round-trip only (hnswlib itself is not in this container,
+so a byte-layout divergence from the real library would not be caught
+here; field order/widths follow hnswlib's public source).
 """
 
 from __future__ import annotations
@@ -207,10 +209,14 @@ def hnsw_extend(layers: DataFrame, dataset: DataFrame,
     g2, d2 = cagra_extend(g, dataset, new_rows, graph_degree,
                           metric=metric, id_col=id_col, vec_col=vec_col)
     out = hnsw_from_cagra(g2)
+    # hierarchical iff the index carries the M metadata row OR any
+    # upper-layer rows: a multi-layer build whose (small) seed set drew
+    # no level>=1 nodes still has the meta row, and extend must rebuild
+    # upper layers over the now-larger dataset instead of silently
+    # degrading the index to flat (and dropping the meta row with it)
+    meta = layers.filter(F.col("layer") == -1).agg(F.max("src")).head()[0]
     upper = layers.filter(F.col("layer") > 0)
-    if not upper.isEmpty():
-        meta = layers.filter(F.col("layer") == -1) \
-                     .agg(F.max("src")).head()[0]
+    if meta is not None or not upper.isEmpty():
         if meta is None:  # legacy index: infer from adjacency widths
             meta = upper.agg(F.max(F.size("neighbors"))).head()[0] or 2
         m = int(meta)
@@ -416,6 +422,13 @@ def hnsw_save_hnswlib(layers: DataFrame, dataset: DataFrame, path: str, *,
                             vec_col)
              .orderBy("id").collect())
     ids = [r["id"] for r in drows]
+    neg = [v for v in ids if v < 0]
+    if neg:
+        # labels serialize as unsigned size_t ("<Q"); fail loudly
+        # instead of struct.error after a partially-written file
+        raise ValueError(
+            f"hnswlib labels are unsigned; {len(neg)} negative id(s) "
+            f"in the dataset (first few: {neg[:5]})")
     pos = {v: i for i, v in enumerate(ids)}
     data = np.array([r[vec_col] for r in drows], dtype=np.float32)
     npts, ndims = data.shape

@@ -398,3 +398,42 @@ def test_hnswlib_load_back_to_layers(spark, vectors_df, tmp_path):
                                          qvec_col="qv")
                       .select("qid", "nid", "rank").collect()))
     assert got1 == got2
+
+
+def test_hnsw_extend_rebuilds_hierarchy_from_meta_row(spark):
+    """A multi-layer build whose small seed set drew no level>=1 nodes
+    still carries the M metadata row; extend must use it to (re)build
+    upper layers over the larger dataset instead of degrading flat."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.sources.graph_export import hnsw_build, hnsw_extend
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(120)]
+    all_df = spark.createDataFrame(rows, "id long, vec array<float>")
+    # seed ids chosen so the (id, M=4) level hash gives all level-0:
+    # scan for a 6-id window with no level>=1 draw
+    from cuvs_spark.sources.graph_export import _hnsw_level_expr
+    lv = spark.range(0, 120).select(
+        F.col("id"), F.expr(_hnsw_level_expr("id", 4, 6)).alias("lvl")) \
+        .collect()
+    lvl = {r["id"]: r["lvl"] for r in lv}
+    seed_ids = None
+    for s in range(0, 114):
+        win = list(range(s, s + 6))
+        if all(lvl[i] == 0 for i in win):
+            seed_ids = win
+            break
+    assert seed_ids is not None, "need a flat 6-id window for the test"
+    seed = all_df.filter(F.col("id").isin(seed_ids))
+    layers = hnsw_build(seed, graph_degree=4, hierarchy="multi", M=4)
+    assert layers.filter(F.col("layer") > 0).isEmpty()
+    assert layers.filter(F.col("layer") == -1).head()["src"] == 4
+
+    new = all_df.filter(~F.col("id").isin(seed_ids))
+    l2, d2 = hnsw_extend(layers, seed, new, 4)
+    assert l2.filter(F.col("layer") == -1).head()["src"] == 4
+    assert not l2.filter(F.col("layer") > 0).isEmpty(), \
+        "120-node extend must have upper layers"

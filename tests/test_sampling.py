@@ -166,3 +166,26 @@ def test_keep_best_representative(spark):
     out = {r["doc_id"]: r["is_kept"] for r in
            keep_best_representative(memb, sc).collect()}
     assert out == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
+
+
+def test_keep_best_unscored_members_survive(spark):
+    """Members with no score row stay in the output (score -inf, kept
+    only if the whole cluster is unscored — lowest id then wins); a
+    NULL cluster key raises instead of silently vanishing."""
+    import pytest as _pytest
+    from cuvs_spark.pipeline.dedup import keep_best_representative
+
+    memb = spark.createDataFrame(
+        [(1, 10), (2, 10), (5, 20), (6, 20)], "doc_id long, cluster long")
+    sc = spark.createDataFrame([(2, 4.0)], "doc_id long, score double")
+    out = {r["doc_id"]: (r["is_kept"], r["score"]) for r in
+           keep_best_representative(memb, sc).collect()}
+    assert set(out) == {1, 2, 5, 6}
+    assert out[2][0] == 1 and out[1][0] == 0      # scored member wins
+    assert out[5][0] == 1 and out[6][0] == 0      # all-unscored: min id
+    assert out[1][1] == float("-inf")
+
+    bad = spark.createDataFrame([(1, None)], "doc_id long, cluster string")
+    with _pytest.raises(Exception, match="NULL cluster"):
+        keep_best_representative(
+            bad, sc.select("doc_id", "score")).collect()
