@@ -198,6 +198,25 @@ def main() -> None:
                 .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
         return substring_dedup(docs, window=8)
 
+    def bench_chunk_documents():
+        from cuvs_spark.pipeline.text import chunk_documents
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return chunk_documents(docs, chunk_tokens=128, overlap=16)
+
+    def bench_tfidf_keywords():
+        from cuvs_spark.pipeline.text import tfidf_keywords
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return tfidf_keywords(docs, 5)
+
+    def bench_cap_per_source():
+        from cuvs_spark.pipeline.sampling import cap_per_group
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "source"))
+        return cap_per_group(docs, 500, group_col="source")
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "all_neighbors_base": bench_all_neighbors,
@@ -221,6 +240,9 @@ def main() -> None:
         "eps_neighborhood_blas": bench_eps_blas,
         "text_classifier_score": bench_classifier,
         "dedup_substrings": bench_substring_dedup,
+        "text_chunk_documents": bench_chunk_documents,
+        "text_tfidf_keywords": bench_tfidf_keywords,
+        "sample_cap_per_source": bench_cap_per_source,
     }
 
     # Two full timed passes with a per-entry min. The passes are

@@ -48,8 +48,12 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     # language are both row-wise projections, so they fuse into ONE
     # marking pass (quality precedence preserved by the CASE order) —
     # one checkpoint and one anti-join instead of two of each.
+    # d itself is NOT checkpointed: it is a plain projection of the
+    # source (at 100 TB, materializing the whole corpus to executor
+    # disk costs far more than re-scanning columnar storage with
+    # pushdown per consumer).
     d = df.select(F.col(id_col).cast("long").alias("doc_id"),
-                  F.col(text_col).alias("text")).localCheckpoint()
+                  F.col(text_col).alias("text"))
     q = quality_score(d).select("doc_id", "n_tokens", "punct_ratio")
     bad_quality = ((F.col("n_tokens") < min_tokens)
                    | (F.col("punct_ratio") > max_punct_ratio))
