@@ -88,21 +88,29 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     # projection over the already-checkpointed d, so a lazy cache lets
     # the first consumer materialize it without the extra eager job
     bad_ql = flags.filter(F.col("stage").isNotNull()).cache()
-    survivors = d.join(bad_ql.select("doc_id"), "doc_id", "left_anti") \
-        .localCheckpoint()
+    # stage boundaries checkpoint the surviving doc-ID SET only (tiny
+    # — ids, never text); each stage re-derives its text by a semi-join
+    # against the source scan. At 100 TB this replaces materializing
+    # the surviving corpus to executor disk per stage with columnar
+    # re-scans, and the checkpointed state that must survive is bytes
+    # per doc instead of the doc itself.
+    ids1 = (d.select("doc_id")
+            .join(bad_ql.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint())
+    survivors = d.join(ids1, "doc_id", "left_semi")
     marks = [bad_ql]
     groups = exact_dedup(survivors)
     canon = groups.select(F.col("canonical_id").alias("doc_id"))
-    bad_e = (survivors.join(canon, "doc_id", "left_anti")
+    bad_e = (ids1.join(canon, "doc_id", "left_anti")
              .select("doc_id", F.lit("exact_dup").alias("stage")))
-    survivors = survivors.join(canon, "doc_id", "left_semi") \
-        .localCheckpoint()
+    ids2 = ids1.join(canon, "doc_id", "left_semi").localCheckpoint()
+    survivors = d.join(ids2, "doc_id", "left_semi")
     marks.append(bad_e)
     pairs = minhash_lsh_pairs(survivors, jaccard_threshold=near_dup_jaccard)
     comp = connected_components(pairs)
     bad_n = (comp.filter(F.col("doc_id") != F.col("canonical_id"))
              .select("doc_id", F.lit("near_dup").alias("stage")))
-    survivors = survivors.join(bad_n.select("doc_id"), "doc_id", "left_anti")
+    survivors = ids2.join(bad_n.select("doc_id"), "doc_id", "left_anti")
     marks.append(bad_n)
     dropped = marks[0]
     for m in marks[1:]:
