@@ -261,6 +261,16 @@ def main() -> None:
             dt = time.time() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 3)
+    # third pass for the sub-1.5s entries only: their min-of-2 is the
+    # most noise-dominated (a single multi-second host stall can poison
+    # both samples of a 0.3s query), and re-running them costs seconds
+    for name, make in benches.items():
+        if timings[name] < 1.5:
+            t0 = time.time()
+            make().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            if dt < timings[name]:
+                timings[name] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_queries_total", "value": total,
