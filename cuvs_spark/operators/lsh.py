@@ -63,39 +63,76 @@ def _bucket_expr(planes_t: np.ndarray, vec_col: str) -> str:
 
 def lsh_buckets(df: DataFrame, planes: np.ndarray, *,
                 id_col: str = "id", vec_col: str = "vec",
-                out_id: str = "id") -> DataFrame:
-    """(id, table, bucket) — one skinny row per (row, table)."""
-    cols = [F.expr(_bucket_expr(planes[t], vec_col)).alias(f"_b{t}")
-            for t in range(planes.shape[0])]
-    sig = df.select(F.col(id_col).cast("long").alias(out_id), *cols)
-    pairs = ", ".join(
-        f"struct(CAST({t} AS INT) AS table, _b{t} AS bucket)"
-        for t in range(planes.shape[0]))
-    return (sig.select(out_id, F.explode(F.expr(f"array({pairs})"))
-                       .alias("tb"))
-            .select(out_id, "tb.table", "tb.bucket"))
+                out_id: str = "id", method: str = "blas") -> DataFrame:
+    """(id, table, bucket) — one skinny row per (row, table).
+
+    ``method='blas'`` (default) computes every table's sign bits as one
+    Arrow-batched GEMM ``X @ P.T`` per partition — the signature pass
+    is dense linear algebra, exactly the hot-path shape the engine
+    always hands to mapInPandas. ``'expr'`` is the pure-JVM fallback
+    (measured ~100× slower per row: the per-plane HOF dot re-walks the
+    literal plane matrix per element)."""
+    n_tables, n_planes, _dim = planes.shape
+    if method == "expr":
+        cols = [F.expr(_bucket_expr(planes[t], vec_col)).alias(f"_b{t}")
+                for t in range(n_tables)]
+        sig = df.select(F.col(id_col).cast("long").alias(out_id), *cols)
+        pairs = ", ".join(
+            f"struct(CAST({t} AS INT) AS table, _b{t} AS bucket)"
+            for t in range(n_tables))
+        return (sig.select(out_id, F.explode(F.expr(f"array({pairs})"))
+                           .alias("tb"))
+                .select(out_id, "tb.table", "tb.bucket"))
+    import pandas as pd
+
+    P = planes.reshape(n_tables * n_planes, -1).astype(np.float64)
+    pw = (1 << np.arange(n_planes, dtype=np.int64))
+    d = df.select(F.col(id_col).cast("long").alias(out_id),
+                  F.col(vec_col).alias("_v"))
+
+    def sig_parts(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            bits = (X @ P.T) >= 0            # n × (tables·planes)
+            B = (bits.reshape(len(X), n_tables, n_planes)
+                 .astype(np.int64) * pw).sum(2)
+            ids = pdf[out_id].to_numpy()
+            yield pd.DataFrame({
+                out_id: np.repeat(ids, n_tables),
+                "table": np.tile(np.arange(n_tables, dtype=np.int32),
+                                 len(X)),
+                "bucket": B.reshape(-1)})
+
+    return d.mapInPandas(sig_parts,
+                         f"{out_id} long, table int, bucket long")
 
 
 def lsh_knn(dataset: DataFrame, queries: DataFrame, k: int = 10, *,
             n_planes: int = 12, n_tables: int = 4, n_probe_bits: int = 0,
-            metric: str = "cosine", seed: int = 42,
+            metric: str = "cosine", seed: int = 42, dim: int | None = None,
+            method: str = "blas",
             id_col: str = "id", vec_col: str = "vec",
             qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
     """LSH-bucketed approximate kNN → ``(qid, nid, distance, rank)``.
 
     Candidates = rows sharing a (table, bucket) key with the query in
     any table (plus the query's ``n_probe_bits`` single-bit-flip probe
-    buckets); exact ``metric`` re-rank on candidates only."""
+    buckets); exact ``metric`` re-rank on candidates only. Size
+    ``n_planes ≈ log2(n / target_bucket_rows)`` — too few planes makes
+    candidate sets approach the full cross product. Pass ``dim`` to
+    keep the builder lazy (otherwise one head() row probes it)."""
     d = dataset.select(F.col(id_col).cast("long").alias("nid"),
                        F.col(vec_col).alias("_dv"))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    planes = lsh_planes(len(d.select("_dv").head()["_dv"]),
+    planes = lsh_planes(dim or len(d.select("_dv").head()["_dv"]),
                         n_planes, n_tables, seed)
     db = lsh_buckets(d, planes, id_col="nid", vec_col="_dv",
-                     out_id="nid")
+                     out_id="nid", method=method)
     qb = lsh_buckets(q, planes, id_col="qid", vec_col="_qv",
-                     out_id="qid")
+                     out_id="qid", method=method)
     if n_probe_bits > 0:
         # multi-probe: flip each of the first n_probe_bits bits of the
         # QUERY bucket (query side stays tiny; dataset is never re-keyed)

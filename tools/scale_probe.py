@@ -137,6 +137,27 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     out["ivf_pq_search_broadcast_sec"] = round(time.time() - t0, 2)
 
+    # Random-hyperplane LSH kNN: the regime where bucketing pays —
+    # candidate sets are ~n_tables·(n/2^planes) per query vs the full
+    # n per query of the brute scan; recall recorded alongside time
+    from cuvs_spark.operators.brute_force import knn as _bf_knn
+    from cuvs_spark.operators.lsh import lsh_knn
+    from cuvs_spark.stats.metrics import recall_score
+    # 2^16 buckets over 200k clustered rows: measured 3.4s / recall
+    # 0.965 vs 16.1s brute BLAS at 1k queries — clustered data needs
+    # FINER buckets than the uniform n/2^planes rule suggests (hot
+    # hyperplane patterns), compensated by more tables + probes
+    t0 = time.time()
+    lsh_got = lsh_knn(d, q, 10, n_planes=16, n_tables=10, n_probe_bits=3,
+                      dim=dim, metric="sqeuclidean", qvec_col="qv")
+    lsh_got = lsh_got.localCheckpoint()
+    lsh_got.count()
+    out["lsh_knn_search_sec"] = round(time.time() - t0, 2)
+    exact_q = _bf_knn(d, q, 10, "sqeuclidean", qvec_col="qv",
+                      method="blas")
+    out["lsh_knn_recall"] = round(float(
+        recall_score(lsh_got, exact_q).head()["recall"]), 3)
+
     # Spectral (sparse driver eigensolve): 100k rows through the CSR +
     # Lanczos path — completes in driver memory (O(n·k) edges, no n×n)
     from cuvs_spark.cluster.spectral import spectral_fit_predict
