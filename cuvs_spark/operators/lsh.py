@@ -127,8 +127,14 @@ def lsh_knn(dataset: DataFrame, queries: DataFrame, k: int = 10, *,
                        F.col(vec_col).alias("_dv"))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    planes = lsh_planes(dim or len(d.select("_dv").head()["_dv"]),
-                        n_planes, n_tables, seed)
+    if dim is None:
+        first = d.select("_dv").head()
+        if first is None:
+            raise ValueError(
+                "lsh_knn: empty dataset and no dim= given — pass dim "
+                "explicitly to search a possibly-empty table")
+        dim = len(first["_dv"])
+    planes = lsh_planes(dim, n_planes, n_tables, seed)
     db = lsh_buckets(d, planes, id_col="nid", vec_col="_dv",
                      out_id="nid", method=method)
     qb = lsh_buckets(q, planes, id_col="qid", vec_col="_qv",

@@ -69,11 +69,17 @@ def select_k(df: DataFrame,
         # partition-independent; each (key, salt) reducer caps its
         # bucket to k, then the ≤ k·n_buckets survivors merge per key
         other = [c for c in df.columns if c not in keys]
-        # salt over ALL non-key columns: hashing only the order value
-        # would collapse a hot key's rows into a handful of buckets
-        # whenever scores are quantized/duplicated, silently restoring
-        # the single-reducer melt this strategy exists to prevent
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in other]),
+        # salt over every HASHABLE non-key column: hashing only the
+        # order value would collapse a hot key's rows into a handful of
+        # buckets whenever scores are quantized/duplicated, silently
+        # restoring the single-reducer melt this strategy exists to
+        # prevent. MapType columns are excluded (xxhash64 rejects maps
+        # at plan time); order_col/tie_cols always participate.
+        from pyspark.sql.types import MapType
+        hashable = [f.name for f in df.schema.fields
+                    if f.name not in keys
+                    and not isinstance(f.dataType, MapType)]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]),
                       F.lit(int(n_buckets)))
         sort_struct = F.struct(
             (F.col(order_col) if select_min else -F.col(order_col)).alias("_o"),

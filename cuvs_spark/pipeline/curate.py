@@ -85,7 +85,7 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
                                      "gopher_rules")
     flags = marked.select("doc_id", stage_case.alias("stage"))
     # cache, not localCheckpoint: the marking pass is a row-wise
-    # projection over the already-checkpointed d, so a lazy cache lets
+    # projection straight off the source scan, so a lazy cache lets
     # the first consumer materialize it without the extra eager job
     bad_ql = flags.filter(F.col("stage").isNotNull()).cache()
     # stage boundaries checkpoint the surviving doc-ID SET only (tiny

@@ -78,14 +78,32 @@ def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+_PERSISTED: list = []
+_PERSIST_CAP = 4
+
+
 def _eager_persist(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK persist, materialized now: the eager count
     guarantees single computation even when two downstream stages of
     one job would otherwise race to materialize the cache
-    concurrently (each computing every partition)."""
+    concurrently (each computing every partition).
+
+    Persisted tables are tracked in a small FIFO; older ones are
+    unpersisted once more than ``_PERSIST_CAP`` accumulate, so a
+    long-lived session running many dedup calls doesn't pin every
+    window-hash table (the pipeline's largest intermediates) in
+    executor storage for the session's lifetime. An evicted table that
+    a still-lazy consumer reads again simply recomputes — correctness
+    is unaffected."""
     from pyspark import StorageLevel
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_CAP:
+        try:
+            _PERSISTED.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 
@@ -166,8 +184,13 @@ def keep_best_representative_sql(membership_sql: str,
     return f"""
 WITH m AS ({membership_sql}),
 s AS ({scores_sql}),
-j AS (SELECT m.doc_id, m.cluster, CAST(s.score AS DOUBLE) AS score
-      FROM m JOIN s ON m.doc_id = s.doc_id),
+-- left join + -inf default mirrors the Spark side: unscored cluster
+-- members keep their place (kept only if the whole cluster is
+-- unscored, lowest id winning)
+j AS (SELECT m.doc_id, m.cluster,
+             COALESCE(CAST(s.score AS DOUBLE),
+                      CAST('-infinity' AS DOUBLE)) AS score
+      FROM m LEFT JOIN s ON m.doc_id = s.doc_id),
 b AS (SELECT cluster, max(struct_pack(s := score, n := -doc_id)) AS _b
       FROM j GROUP BY cluster)
 SELECT j.doc_id, j.cluster, j.score,

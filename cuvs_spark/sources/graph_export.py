@@ -213,13 +213,18 @@ def hnsw_extend(layers: DataFrame, dataset: DataFrame,
     # upper-layer rows: a multi-layer build whose (small) seed set drew
     # no level>=1 nodes still has the meta row, and extend must rebuild
     # upper layers over the now-larger dataset instead of silently
-    # degrading the index to flat (and dropping the meta row with it)
-    meta = layers.filter(F.col("layer") == -1).agg(F.max("src")).head()[0]
-    upper = layers.filter(F.col("layer") > 0)
-    if meta is not None or not upper.isEmpty():
-        if meta is None:  # legacy index: infer from adjacency widths
-            meta = upper.agg(F.max(F.size("neighbors"))).head()[0] or 2
-        m = int(meta)
+    # degrading the index to flat (and dropping the meta row with it).
+    # One aggregation job reads meta-M, upper presence, and the legacy
+    # width fallback together (a flat index pays a single scan, not
+    # isEmpty + meta head).
+    probe = layers.select(
+        F.max(F.when(F.col("layer") == -1, F.col("src"))).alias("m"),
+        F.max(F.when(F.col("layer") > 0, F.lit(1))).alias("has_upper"),
+        F.max(F.when(F.col("layer") > 0, F.size("neighbors")))
+        .alias("maxw")).head()
+    if probe["m"] is not None or probe["has_upper"] is not None:
+        m = int(probe["m"] if probe["m"] is not None
+                else (probe["maxw"] or 2))  # legacy: widest adjacency
         dd = d2.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
         out = (out.unionByName(_build_upper_layers(dd, m, metric))
