@@ -660,6 +660,17 @@ def _cap_per_source(spark, sf_dir):
     return cap_per_group(d, 100, group_col="source")
 
 
+def _cap_per_source_threshold(spark, sf_dir):
+    """The rate-threshold cap — the 100 TB shape (per-group counts →
+    broadcast keep-rate → map-only md5 filter). Exactly
+    SQL-expressible: both engines derive the identical rate from the
+    same exact integer operands."""
+    from cuvs_spark.pipeline.sampling import cap_per_group
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "source"))
+    return cap_per_group(d, 100, group_col="source", method="threshold")
+
+
 def _keep_best(spark, sf_dir):
     """Quality-aware dedup keeper: within each exact-text cluster of
     the injected-dup corpus keep the highest-priority copy (originals
@@ -679,12 +690,16 @@ def _register_sampling_gates():
     from cuvs_spark.pipeline.dedup import (H64_DUCK,
                                            keep_best_representative_sql)
     from cuvs_spark.pipeline.sampling import (cap_per_group_sql,
+                                              cap_per_group_threshold_sql,
                                               deterministic_sample_sql,
                                               hash_split_sql,
                                               pack_sequences_sql)
     register("sample_cap_per_source", _cap_per_source,
              cap_per_group_sql("SELECT doc_id, source FROM documents",
                                100))
+    register("sample_cap_per_source_threshold", _cap_per_source_threshold,
+             cap_per_group_threshold_sql(
+                 "SELECT doc_id, source FROM documents", 100))
     _memb_sql = (f"SELECT doc_id, {H64_DUCK.format(s='text')} AS cluster "
                  f"FROM ({_DOC_DUP_SQL})")
     _score_sql = ("SELECT doc_id, CAST(CASE WHEN doc_id < 100000 THEN 2 "
@@ -2818,6 +2833,7 @@ _WINDOW_PRIORITY = [
     "text_lm_score_bigram",
     "text_tfidf_keywords",
     "stats_recall_lsh_vs_exact",
+    "sample_cap_per_source_threshold",
     # Re-gates: implementations changed this round — substring/
     # paragraph dedup (min-struct keeper agg replaced the row_number
     # window + array_except reassembly), BPE (ASCII whitespace class),

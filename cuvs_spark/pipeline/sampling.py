@@ -189,6 +189,28 @@ def cap_per_group(df: DataFrame, n_cap: int, *,
                     rank_col="rk", strategy="partial").drop("_k")
 
 
+def cap_per_group_threshold_sql(src_sql: str, n_cap: int, *,
+                                group_col: str = "source",
+                                id_col: str = "doc_id",
+                                salt: str = "cap") -> str:
+    """DuckDB twin of the rate-threshold path: identical md5 bucket,
+    identical per-group rate (IEEE double division of the same exact
+    integer operands, truncated — floor == Spark's positive cast)."""
+    b = _bucket_duck(id_col, salt)
+    return f"""
+WITH d AS ({src_sql}),
+c AS (SELECT {group_col}, count(*) AS _n FROM d GROUP BY 1),
+t AS (SELECT {group_col},
+             least(CAST({_MOD} AS BIGINT),
+                   CAST(floor(CAST({int(n_cap)} AS BIGINT) * {_MOD}
+                        / CAST(_n AS DOUBLE)) AS BIGINT)) AS _thr
+      FROM c)
+SELECT d.*, CAST(-1 AS BIGINT) AS rk
+FROM d JOIN t USING ({group_col})
+WHERE {b} < t._thr
+"""
+
+
 def cap_per_group_sql(src_sql: str, n_cap: int, *,
                       group_col: str = "source", id_col: str = "doc_id",
                       salt: str = "cap") -> str:
