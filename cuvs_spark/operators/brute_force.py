@@ -59,39 +59,65 @@ def knn(dataset: DataFrame,
         allow_pairs: DataFrame | None = None,
         method: str = "expr",
         minkowski_p: float = 2.0,
-        with_distance: bool = True) -> DataFrame:
+        with_distance: bool = True,
+        broadcast_queries: bool | None = None,
+        broadcast_query_limit: int = 500_000) -> DataFrame:
     """Exact k nearest neighbors of every query row against the dataset.
 
     Returns ``(qid, nid, distance, rank)`` sorted best-first per qid,
     ties broken by nid (matching the tie-tolerant comparison of
     ``cpp/tests/neighbors/ann_utils.cuh:257``).
+
+    **Query-side bound.** Both physical paths assume the query set is
+    the small side (the reference's batch-search shape — ~10k queries
+    against millions of rows): ``blas`` collects the query matrix to
+    the driver and broadcasts it to every executor; ``expr`` broadcasts
+    the query table into a nested-loop join. The blas collect is
+    self-guarding: it fetches at most ``broadcast_query_limit + 1``
+    rows (so an unexpectedly huge query table can't OOM the driver)
+    and auto-falls back to the non-broadcast expr plan when the limit
+    trips — a partition-pair cartesian where each task streams one
+    (dataset-partition × query-partition) block, so memory stays
+    bounded; the n×m *compute* is inherent to exact brute force. Pass
+    ``broadcast_queries=False`` to force that plan on the expr path
+    too. For a genuinely huge query side prefer the bucketed paths
+    (``ivf_flat_search`` / ``lsh_knn``), which avoid the n×m work
+    entirely.
     """
     if prefilter is not None:
         dataset = dataset.filter(prefilter)
+    if broadcast_queries is False and method == "blas":
+        method = "expr"   # the tiled kernel requires the collected matrix
     if method == "blas":
         out = _knn_blas(dataset, queries, k, metric,
                         id_col=id_col, vec_col=vec_col,
                         qid_col=qid_col, qvec_col=qvec_col,
-                        allow_pairs=allow_pairs)
+                        allow_pairs=allow_pairs,
+                        query_limit=broadcast_query_limit)
     else:
         out = _knn_expr(dataset, queries, k, metric,
                         id_col=id_col, vec_col=vec_col,
                         qid_col=qid_col, qvec_col=qvec_col,
-                        allow_pairs=allow_pairs, p=minkowski_p)
+                        allow_pairs=allow_pairs, p=minkowski_p,
+                        broadcast_queries=broadcast_queries is not False)
     if not with_distance:
         out = out.drop("distance")
     return out
 
 
 def _knn_expr(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
-              qvec_col, allow_pairs, p=2.0) -> DataFrame:
+              qvec_col, allow_pairs, p=2.0,
+              broadcast_queries=True) -> DataFrame:
     d = dataset.select(F.col(id_col).cast("long").alias("nid"),
                        F.col(vec_col).alias("_dv"))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
     # Query side is the small side by contract (n_queries << n_rows):
-    # broadcast it so the dataset scan streams with no shuffle.
-    joined = d.join(F.broadcast(q))
+    # broadcast it so the dataset scan streams with no shuffle. With
+    # broadcast_queries=False (huge query sets) the same logical plan
+    # runs as a partition-pair cartesian instead — memory-bounded,
+    # no driver collect, inherent n×m compute.
+    joined = d.join(F.broadcast(q)) if broadcast_queries else d.crossJoin(q)
     if allow_pairs is not None:
         ap = allow_pairs.select(F.col("qid").cast("long").alias("qid"),
                                 F.col("id").cast("long").alias("nid"))
@@ -149,15 +175,28 @@ def _pairwise_np(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
 
 
 def _knn_blas(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
-              qvec_col, allow_pairs) -> DataFrame:
+              qvec_col, allow_pairs, query_limit=500_000) -> DataFrame:
+    """Tiled-GEMM exact kNN. The query matrix is collected to the
+    driver and broadcast — the reference's batch-search design point
+    (``tiled_brute_force_knn``'s host-resident query batch). The
+    collect is bounded to ``query_limit + 1`` rows so a huge query
+    table can't OOM the driver; past the limit the call falls back to
+    the non-broadcast expr plan (partition-pair cartesian), and truly
+    huge query sides belong on the bucketed paths (IVF / LSH)."""
     if allow_pairs is not None:
         # bitmap-filtered search stays on the declarative path
         return _knn_expr(dataset, queries, k, metric, id_col=id_col,
                          vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
                          allow_pairs=allow_pairs)
     spark = dataset.sparkSession
-    qp = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                        F.col(qvec_col).alias("v")).toPandas()
+    qp = (queries.select(F.col(qid_col).cast("long").alias("qid"),
+                         F.col(qvec_col).alias("v"))
+          .limit(query_limit + 1).toPandas())
+    if len(qp) > query_limit:
+        return _knn_expr(dataset, queries, k, metric, id_col=id_col,
+                         vec_col=vec_col, qid_col=qid_col,
+                         qvec_col=qvec_col, allow_pairs=None,
+                         broadcast_queries=False)
     q_ids = qp["qid"].to_numpy()
     Q = np.vstack(qp["v"].to_numpy()).astype(np.float64)
     minimize = is_min_close(metric)

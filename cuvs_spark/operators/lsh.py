@@ -114,7 +114,9 @@ def lsh_knn(dataset: DataFrame, queries: DataFrame, k: int = 10, *,
             metric: str = "cosine", seed: int = 42, dim: int | None = None,
             method: str = "blas",
             id_col: str = "id", vec_col: str = "vec",
-            qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+            qid_col: str = "qid", qvec_col: str = "vec",
+            broadcast_queries: bool | None = None,
+            broadcast_query_limit: int = 500_000) -> DataFrame:
     """LSH-bucketed approximate kNN → ``(qid, nid, distance, rank)``.
 
     Candidates = rows sharing a (table, bucket) key with the query in
@@ -122,7 +124,16 @@ def lsh_knn(dataset: DataFrame, queries: DataFrame, k: int = 10, *,
     buckets); exact ``metric`` re-rank on candidates only. Size
     ``n_planes ≈ log2(n / target_bucket_rows)`` — too few planes makes
     candidate sets approach the full cross product. Pass ``dim`` to
-    keep the builder lazy (otherwise one head() row probes it)."""
+    keep the builder lazy (otherwise one head() row probes it).
+
+    **Query-side bound.** The re-rank joins the query vectors back by
+    ``qid`` — an equi-join, so unlike brute force there is no inherent
+    small-side assumption: the broadcast hint is just the fast plan for
+    the reference's 10k-query batch shape. ``broadcast_queries=None``
+    (default) probes the query count with a cheap bounded id-only scan
+    and drops the hint past ``broadcast_query_limit`` rows, letting a
+    million-query join side run as an ordinary shuffle hash join (the
+    100 TB-safe plan). Pass ``True``/``False`` to skip the probe."""
     d = dataset.select(F.col(id_col).cast("long").alias("nid"),
                        F.col(vec_col).alias("_dv"))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
@@ -150,7 +161,12 @@ def lsh_knn(dataset: DataFrame, queries: DataFrame, k: int = 10, *,
     cand = (qb.join(db, ["table", "bucket"])
             .select("qid", "nid").distinct())
     dist = F.expr(distance_sql_spark(metric, "_qv", "_dv"))
-    scored = (cand.join(d, "nid").join(F.broadcast(q), "qid")
+    if broadcast_queries is None:
+        broadcast_queries = (q.select("qid")
+                             .limit(broadcast_query_limit + 1)
+                             .count() <= broadcast_query_limit)
+    qj = F.broadcast(q) if broadcast_queries else q
+    scored = (cand.join(d, "nid").join(qj, "qid")
               .select("qid", "nid", dist.alias("distance")))
     return select_k(scored, "qid", "distance", k,
                     select_min=is_min_close(metric), tie_cols=["nid"])

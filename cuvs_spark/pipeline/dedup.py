@@ -78,30 +78,49 @@ def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-_PERSISTED: list = []
+import threading
+
+# FIFO of persisted tables, keyed per SparkSession (not one module
+# global — two concurrent sessions must not evict each other's caches)
+_PERSISTED: dict = {}
 _PERSIST_CAP = 4
+_PERSIST_LOCK = threading.Lock()
+
+# Flip to False to keep substring/paragraph dedup fully lazy (no Spark
+# job at plan-construction time). The shared hash table may then be
+# computed more than once if two downstream stages race to materialize
+# the cache concurrently — correct, just slower on first action.
+EAGER_PERSIST = True
 
 
 def _eager_persist(df: DataFrame) -> DataFrame:
-    """MEMORY_AND_DISK persist, materialized now: the eager count
-    guarantees single computation even when two downstream stages of
-    one job would otherwise race to materialize the cache
-    concurrently (each computing every partition).
+    """MEMORY_AND_DISK persist, materialized now (when
+    :data:`EAGER_PERSIST`): the eager count guarantees single
+    computation even when two downstream stages of one job would
+    otherwise race to materialize the cache concurrently (each
+    computing every partition). Callers that build plans they may
+    never execute can set ``EAGER_PERSIST = False`` to defer the job
+    to the first action.
 
-    Persisted tables are tracked in a small FIFO; older ones are
-    unpersisted once more than ``_PERSIST_CAP`` accumulate, so a
-    long-lived session running many dedup calls doesn't pin every
-    window-hash table (the pipeline's largest intermediates) in
-    executor storage for the session's lifetime. An evicted table that
-    a still-lazy consumer reads again simply recomputes — correctness
-    is unaffected."""
+    Persisted tables are tracked in a small per-SparkSession FIFO
+    (lock-guarded); older ones are unpersisted once more than
+    ``_PERSIST_CAP`` accumulate, so a long-lived session running many
+    dedup calls doesn't pin every window-hash table (the pipeline's
+    largest intermediates) in executor storage for the session's
+    lifetime. An evicted table that a still-lazy consumer reads again
+    simply recomputes — correctness is unaffected."""
     from pyspark import StorageLevel
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _PERSIST_CAP:
+    if EAGER_PERSIST:
+        df.count()
+    with _PERSIST_LOCK:
+        fifo = _PERSISTED.setdefault(id(df.sparkSession), [])
+        fifo.append(df)
+        evict = fifo[:-_PERSIST_CAP]
+        del fifo[:-_PERSIST_CAP]
+    for old in evict:
         try:
-            _PERSISTED.pop(0).unpersist(blocking=False)
+            old.unpersist(blocking=False)
         except Exception:
             pass
     return df

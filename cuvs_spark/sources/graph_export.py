@@ -426,6 +426,10 @@ def hnsw_save_hnswlib(layers: DataFrame, dataset: DataFrame, path: str, *,
     drows = (dataset.select(F.col(id_col).cast("long").alias("id"),
                             vec_col)
              .orderBy("id").collect())
+    if not drows:
+        raise ValueError(
+            "hnsw_save_hnswlib: empty dataset — hnswlib has no "
+            "zero-element serialization; nothing to write")
     ids = [r["id"] for r in drows]
     neg = [v for v in ids if v < 0]
     if neg:
@@ -484,6 +488,15 @@ def hnsw_save_hnswlib(layers: DataFrame, dataset: DataFrame, path: str, *,
         f.write(header)
         for p in range(npts):
             links = level0.get(p, [])
+            # hnswlib reads the level-0 count as an unsigned SHORT and
+            # keeps per-element flags in the word's upper bytes — a
+            # count >= 2^16 would silently corrupt on their side even
+            # though our uint32 emit can represent it
+            if len(links) >= 65536:
+                raise ValueError(
+                    f"hnsw_save_hnswlib: node {ids[p]} has {len(links)} "
+                    f"level-0 links; hnswlib stores the link count in an "
+                    f"unsigned short (< 65536)")
             buf = struct.pack("<I", len(links)) + np.array(
                 links, dtype=np.uint32).tobytes()
             f.write(buf.ljust(size_links0, b"\0"))
