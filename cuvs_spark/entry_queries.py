@@ -2774,6 +2774,95 @@ def _hnsw_recall(spark, sf_dir):
                        "recall_pass")
 
 
+def _linkage_exact(spark, sf_dir):
+    """Exact-label agreement of the distributed single-linkage path
+    (kNN graph → Borůvka MST → cut, ``agglomerative.py:159``;
+    reference ``agglomerative.hpp:107,251``) vs an independent
+    driver-side Kruskal at gate scale — the one §2 family whose main
+    output had no oracle-backed driver scalar before round 7
+    (mutual_reachability has one; the linkage itself was rows-only).
+
+    The twin rebuilds the same directed kNN graph in NumPy with the
+    engine's exact fold order (sequential per-dim f64 accumulation of
+    ``(x−y)²`` — bit-identical to the ``aggregate(zip_with(...))``
+    template, ``functions/distance.py:58``), runs Kruskal over the
+    edges sorted by (dist, src, dst) — the same merge order as the
+    MST cut — and labels components by min member id. Distinct edge
+    weights make the MST unique, so Borůvka and Kruskal must agree
+    exactly: the bar is 1.0, and any sub-1.0 agreement hash-mismatches
+    and exposes itself."""
+    import numpy as np
+
+    from cuvs_spark.cluster.agglomerative import single_linkage
+    d = (emb_dataset(spark, sf_dir).filter(F.col("id") < 150)
+         .select("id", "vec"))
+    got = single_linkage(d, n_clusters=5, k=10)
+    rows = sorted((r["id"], r["vec"]) for r in d.collect())
+    ids = [int(r[0]) for r in rows]
+    A = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    n, dim = A.shape
+    D = np.zeros((n, n))
+    for t in range(dim):           # sequential per-dim fold, as the SQL
+        diff = A[:, t][:, None] - A[:, t][None, :]
+        D += diff * diff
+    edges = []
+    for i in range(n):
+        order = np.lexsort((np.arange(n), D[i]))
+        picked = 0
+        for j in order:
+            if j == i:
+                continue
+            edges.append((float(D[i, j]), ids[i], ids[int(j)]))
+            picked += 1
+            if picked == 10:
+                break
+    edges.sort()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comps = n
+    for _w, a, b in edges:
+        if comps <= 5:
+            break
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            comps -= 1
+    root_min: dict = {}
+    for i in ids:
+        root_min.setdefault(find(i), i)   # ids ascend → first is min
+    exp = spark.createDataFrame(
+        [(i, root_min[find(i)]) for i in ids], "id long, elabel long")
+    agg = (got.join(exp, "id")
+           .agg(F.avg(F.when(F.col("label") == F.col("elabel"),
+                             F.lit(1.0)).otherwise(F.lit(0.0)))
+                .alias("agree")))
+    return _clamp_pass(agg, "agree", 1.0, "linkage_pass")
+
+
+def _lsh_multiprobe_recall(spark, sf_dir):
+    """Recall@10 of LSH kNN in the multi-probe-dependent regime — 4
+    tables at 4 planes recall only 0.525 from the base buckets alone;
+    clearing the 0.7 bar requires the ``n_probe_bits=3`` bit-flip
+    probes to actually fire (``lsh.py:142``; measured 0.87 at gate
+    scale with probes on, 0.525 off). Complements
+    ``stats_recall_lsh_vs_exact`` (8 tables, wide margin) by putting
+    the probe arm itself under a driver verdict."""
+    from cuvs_spark.operators.lsh import lsh_knn
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    got = lsh_knn(d, q, 10, n_planes=4, n_tables=4, n_probe_bits=3,
+                  qvec_col="qv")
+    exact = knn(d, q, 10, "cosine", qvec_col="qv")
+    return _clamp_pass(ST.recall_score(got, exact), "recall", 0.7,
+                       "recall_pass")
+
+
 for _n, _f, _c in [
         ("stats_recall_near_dup_ann", _near_dup_ann_recall, "recall_pass"),
         ("stats_recall_nn_descent", _nn_descent_recall, "recall_pass"),
@@ -2783,7 +2872,10 @@ for _n, _f, _c in [
         ("stats_purity_spectral", _spectral_purity, "purity_pass"),
         ("stats_pca_recon", _pca_recon, "recon_pass"),
         ("stats_recall_hnsw_vs_exact", _hnsw_recall, "recall_pass"),
-        ("stats_recall_lsh_vs_exact", _lsh_recall, "recall_pass")]:
+        ("stats_recall_lsh_vs_exact", _lsh_recall, "recall_pass"),
+        ("stats_linkage_exact", _linkage_exact, "linkage_pass"),
+        ("stats_recall_lsh_multiprobe", _lsh_multiprobe_recall,
+         "recall_pass")]:
     register(_n, _f, f"SELECT CAST(1.0 AS DOUBLE) AS {_c}")
 
 
