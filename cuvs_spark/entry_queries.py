@@ -650,6 +650,27 @@ def _pack_seqs(spark, sf_dir):
     return pack_sequences(counts, 512, key_col="shard")
 
 
+def _pack_greedy(spark, sf_dir):
+    """Shard-parallel no-straddle packing (next-fit) over real token
+    counts — the padding-aware sibling of pipeline_pack_sequences; the
+    DuckDB twin replays the recurrence as a linear recursive CTE."""
+    from cuvs_spark.pipeline.sampling import pack_sequences_greedy
+    counts = (TX.token_counts(doc_table(spark, sf_dir))
+              .select("doc_id", F.col("ws_tokens").alias("n_tokens"),
+                      (F.col("doc_id") % 4).alias("shard")))
+    return pack_sequences_greedy(counts, 512, key_col="shard")
+
+
+def _pack_waste(spark, sf_dir):
+    """Padding-waste scalar of the next-fit packing — the metric a
+    token-budget owner actually reads (VERDICT r6 next #6)."""
+    from cuvs_spark.pipeline.sampling import pack_waste
+    counts = (TX.token_counts(doc_table(spark, sf_dir))
+              .select("doc_id", F.col("ws_tokens").alias("n_tokens"),
+                      (F.col("doc_id") % 4).alias("shard")))
+    return pack_waste(counts, 512, key_col="shard")
+
+
 def _cap_per_source(spark, sf_dir):
     """Per-domain cap (at most 100 docs per source, md5-key order) via
     the salted two-level select_k — the skew-proof exact path; the
@@ -719,6 +740,12 @@ def _register_sampling_gates():
                   + TX.token_counts_sql(_DOC_SQL).strip() + ")")
     register("pipeline_pack_sequences", _pack_seqs,
              pack_sequences_sql(counts_sql, 512, key_col="shard"))
+    from cuvs_spark.pipeline.sampling import (pack_sequences_greedy_sql,
+                                              pack_waste_sql)
+    register("pipeline_pack_greedy", _pack_greedy,
+             pack_sequences_greedy_sql(counts_sql, 512, key_col="shard"))
+    register("pipeline_pack_waste", _pack_waste,
+             pack_waste_sql(counts_sql, 512, key_col="shard"))
 
 
 _register_sampling_gates()
