@@ -2916,80 +2916,33 @@ for _n, _f, _c in [
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-6 WINDOW — closes union driver coverage (the r5 verdict's
-    # top item): after this round every oracle-backed gate has had a
-    # driver row at least once.
+    # ROUND-7 WINDOW — the staleness rotation the standing policy
+    # promises (r6 verdict next #1): union driver coverage has been
+    # complete since r6, so the window is now a pure refresh schedule.
     #
-    # Slots 1–16: the 16 oracle-backed gates that have never had a
-    # driver row (r5 verdict "What's missing" #1, named list) — the 7
-    # stats_* quality clamp-scalars, the 5 set-family pairwise twins,
-    # refine_cosine, dedup_simhash_wide, sample_dsir_topk,
-    # text_decontaminate_semantic.
-    "stats_pca_recon",
-    "stats_recall_nn_descent",
-    "stats_purity_spectral",
-    "stats_recall_ivf_trained",
-    "stats_recall_cagra_extend",
-    "stats_recall_cagra_ace",
-    "stats_recall_near_dup_ann",
-    "pairwise_jaccard",
-    "pairwise_dice",
-    "pairwise_russellrao",
-    "pairwise_hamming",
-    "pairwise_hellinger",
-    "refine_cosine",
-    "dedup_simhash_wide",
-    "sample_dsir_topk",
-    "text_decontaminate_semantic",
-    # Round-6 novel gates (newest code carries the most risk): the
-    # DSIR threshold path (the actual 100 TB selection shape) and the
-    # multi-layer HNSW descent recall scalar (r5 verdict items 5–6).
-    "sample_dsir_threshold",
-    "stats_recall_hnsw_vs_exact",
-    "sample_cap_per_source",
-    "dedup_keep_best",
-    "text_chunk_documents",
-    "text_lm_score_bigram",
-    "text_tfidf_keywords",
+    # Tier 2 — this round's novel gates (no never-driver-verified
+    # gates exist; newest code carries the most risk): the linkage
+    # exactness scalar, the multi-probe LSH recall scalar, and the
+    # no-straddle packing pair (rows + waste scalar).
+    "stats_linkage_exact",
+    "stats_recall_lsh_multiprobe",
+    "pipeline_pack_greedy",
+    "pipeline_pack_waste",
+    # Tier 3 — re-gates: implementations changed this round —
+    # lsh_knn's re-rank gained the broadcast-threshold probe,
+    # substring/paragraph dedup's _eager_persist became per-session
+    # (the two knn_bf_*_blas re-gates for the bounded query collect
+    # sit inside the r02-stale block below).
     "stats_recall_lsh_vs_exact",
-    "sample_cap_per_source_threshold",
-    # Re-gates: implementations changed this round — substring/
-    # paragraph dedup (min-struct keeper agg replaced the row_number
-    # window + array_except reassembly), BPE (ASCII whitespace class),
-    # NFC normalize (NULL coalesce), HNSW build (M metadata row feeds
-    # hnsw_from_cagra_view's index shape).
     "dedup_substrings",
     "dedup_paragraphs",
-    "stats_bpe_roundtrip",
-    "text_nfc_normalize",
-    "hnsw_from_cagra_view",
-    "stats_recall_cagra_vs_exact",
-    # Canaries: the two rows that were red/err in r3 and fixed in r4/5
-    # stay under permanent driver watch.
+    # Tier 4 — canaries: the two rows that were red/err in r3 and
+    # fixed in r4/5 stay under permanent driver watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Remaining slots: rotate the r2/r3-verified rows that have gone
-    # longest without a driver row (standing policy: every oracle-backed
-    # gate re-verified by the driver at least once every 3 rounds), with
-    # the r5-verified block below the cut — it ran most recently.
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "eps_neighborhood",
-    "eps_neighborhood_degrees",
-    "refine_sqeuclidean",
-    "knn_merge_parts",
-    "knn_bf_cosine",
-    "knn_bf_sqeuclidean",
-    "knn_bf_inner_product",
-    "kde_epanechnikov",
-    "kde_gaussian",
-    "preprocess_scalar_quantize",
-    "preprocess_binary_quantize",
+    # Tier 5 — staleness rotation: all 32 oracle-backed gates whose
+    # last driver row is r02 (4 rounds old — the breach the r6 verdict
+    # flags), in registry order.
     "text_language_id",
     "text_token_counts",
     "text_quality_score",
@@ -2997,7 +2950,43 @@ _WINDOW_PRIORITY = [
     "kmeans_predict",
     "kmeans_cluster_cost",
     "kmeans_lloyd_step",
+    "knn_bf_euclidean",
+    "knn_bf_cityblock",
+    "knn_bf_chebyshev",
+    "knn_bf_canberra",
+    "knn_bf_braycurtis",
+    "knn_bf_hamming",
+    "knn_bf_correlation",
+    "knn_bf_jaccard",
+    "knn_bf_russellrao",
+    "knn_bf_dice",
+    "knn_bf_hellinger",
+    "knn_bf_euclidean_blas",
+    "knn_bf_inner_product_blas",
+    "knn_bf_prefilter_bitset",
+    "knn_bf_prefilter_bitmap",
+    "pairwise_sqeuclidean",
+    "pairwise_cosine",
+    "pairwise_chebyshev",
+    "pairwise_canberra",
+    "pairwise_euclidean",
+    "pairwise_cityblock",
+    "pairwise_braycurtis",
+    "pairwise_correlation",
+    "pairwise_inner_product",
+    "ivf_flat_extend_search",
+    # Tier 5 fill — the oldest r03-verified rows take the remaining
+    # slots (the rest of the r03 block rotates in over rounds 8-9,
+    # which clears the ≤3-round refresh bar for every gate).
+    "preprocess_binary_quantize",
     "ivf_flat_search",
+    "dedup_simhash_near_dup",
+    "preprocess_scalar_roundtrip",
+    "preprocess_pq_transform",
+    "preprocess_pq_roundtrip",
+    "stats_silhouette_samples",
+    "stats_silhouette_score",
+    "stats_trustworthiness",
 ]
 
 

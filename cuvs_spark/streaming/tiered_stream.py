@@ -21,15 +21,25 @@ from pyspark.sql import functions as F
 def start_tiered_ingest(spark: SparkSession, source_dir: str, schema: str,
                         state: dict, *, id_col: str = "id",
                         vec_col: str = "vec",
-                        trigger_seconds: float | None = None):
+                        trigger_seconds: float | None = None,
+                        max_files_per_trigger: int | None = None):
     """Stream (id, vec) rows from ``source_dir`` into ``state["index"]``
     (a TieredIndex) via foreachBatch.
 
     ``state`` is a mutable holder so callers can search mid-stream; the
-    trigger interval is the dynamic-batching dispatch timeout."""
+    trigger interval is the dynamic-batching dispatch timeout.
+    ``max_files_per_trigger`` caps files per micro-batch (one file per
+    epoch reproduces the reference's per-extend compaction cadence —
+    without it a backlog of files collapses into one epoch).
+    ``state["compactions"]`` counts the micro-batches whose extend
+    crossed ``min_ann_rows`` and folded the delta into the ANN tier."""
     from cuvs_spark.operators.tiered import tiered_extend
 
-    stream = (spark.readStream.schema(schema).parquet(source_dir))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -37,6 +47,10 @@ def start_tiered_ingest(spark: SparkSession, source_dir: str, schema: str,
         rows = batch_df.select(F.col(id_col).cast("long").alias("id"),
                                F.col(vec_col).alias("vec")).localCheckpoint()
         state["index"] = tiered_extend(state["index"], rows)
+        # rows is non-empty here, so an empty post-extend delta means
+        # exactly one thing: the extend crossed min_ann_rows and folded
+        if state["index"].delta.isEmpty():
+            state["compactions"] = state.get("compactions", 0) + 1
         state["epochs"] = state.get("epochs", 0) + 1
 
     writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")

@@ -150,3 +150,69 @@ def test_pack_best_fit_beats_next_fit(spark):
         per.setdefault(r["seq_id"], 0)
         per[r["seq_id"]] += r["n_tokens"]
     assert all(v <= 512 for v in per.values())  # no oversize docs drawn
+
+
+# ---------------------------------------------------------------------------
+# Tiered compaction boundary: stream == batch == exact (VERDICT r6 #7)
+# ---------------------------------------------------------------------------
+
+def test_tiered_compaction_boundary_stream_equals_batch(spark, tmp_path):
+    """Drive the tiered index through N micro-batches so compaction
+    fires MID-STREAM, then assert search results are identical (a)
+    just before vs just after a compaction on the batch path, and (b)
+    between the streamed index and a batch-built twin — all at
+    n_probes = n_lists, where the IVF tier is exhaustive and any
+    plumbing loss (dropped delta rows, double-counted extends) shows
+    up as a hard mismatch."""
+    from pyspark.sql import functions as F
+
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.operators.tiered import (tiered_build, tiered_extend,
+                                             tiered_search)
+    from cuvs_spark.streaming import start_tiered_ingest
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")).cache())
+    old = emb.filter(F.col("id") < 300)
+    q = (emb.filter(F.col("id") % 50 == 0)
+         .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+    key = lambda df: sorted(map(tuple, df.select(
+        "qid", "nid", "rank").collect()))
+
+    # batch path: delta just before the crossing extend vs just after
+    pre = tiered_build(old, n_lists=8, kmeans_n_iters=4,
+                       min_ann_rows=150)
+    pre = tiered_extend(pre, emb.filter(
+        (F.col("id") >= 300) & (F.col("id") < 400)))      # delta=100
+    assert pre.delta.count() == 100
+    post = tiered_extend(pre, emb.filter(F.col("id") >= 400))  # 200→folds
+    assert post.delta.count() == 0
+    import dataclasses
+    pre_full = tiered_extend(  # same rows, threshold too high to fold
+        dataclasses.replace(pre, min_ann_rows=10**9),
+        emb.filter(F.col("id") >= 400))
+    assert pre_full.delta.count() == 200
+    s_post = tiered_search(post, q, 5, n_probes=8, qvec_col="qv")
+    s_pre = tiered_search(pre_full, q, 5, n_probes=8, qvec_col="qv")
+    assert key(s_pre) == key(s_post)
+    # and both equal exact brute force at exhaustive probes
+    exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
+    assert key(s_post) == key(exact)
+
+    # stream path: 4 one-file micro-batches, compaction fires mid-run
+    src = str(tmp_path / "tiered_src")
+    for i, lo in enumerate(range(300, 500, 50)):
+        (emb.filter((F.col("id") >= lo) & (F.col("id") < lo + 50))
+         .coalesce(1).write.mode("append").parquet(src))
+    state = {"index": tiered_build(old, n_lists=8, kmeans_n_iters=4,
+                                   min_ann_rows=120)}
+    sq = start_tiered_ingest(spark, src, "id long, vec array<float>",
+                             state, max_files_per_trigger=1)
+    sq.processAllAvailable()
+    sq.stop()
+    assert state["epochs"] == 4
+    assert state.get("compactions", 0) >= 1        # fired mid-stream
+    s_stream = tiered_search(state["index"], q, 5, n_probes=8,
+                             qvec_col="qv")
+    assert key(s_stream) == key(exact)
