@@ -210,6 +210,9 @@ def main() -> None:
                 .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
         return tfidf_keywords(docs, 5)
 
+    def bench_pack_greedy():
+        return QUERIES["pipeline_pack_greedy"](spark, sf_dir)
+
     def bench_cap_per_source():
         from cuvs_spark.pipeline.sampling import cap_per_group
         docs = (T(spark, sf_dir, "documents")
@@ -243,6 +246,7 @@ def main() -> None:
         "text_chunk_documents": bench_chunk_documents,
         "text_tfidf_keywords": bench_tfidf_keywords,
         "sample_cap_per_source": bench_cap_per_source,
+        "pipeline_pack_greedy": bench_pack_greedy,
     }
 
     # Two full timed passes with a per-entry min. The passes are

@@ -650,6 +650,16 @@ def _pack_seqs(spark, sf_dir):
     return pack_sequences(counts, 512, key_col="shard")
 
 
+def _epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-3 training order over the corpus — the
+    distributed offset+local-rank plan must reproduce the oracle's
+    single-window global row_number exactly (total (key, id) order)."""
+    from cuvs_spark.pipeline.sampling import epoch_shuffle
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id")))
+    return epoch_shuffle(d, 3).select("doc_id", "shuffle_rank")
+
+
 def _pack_greedy(spark, sf_dir):
     """Shard-parallel no-straddle packing (next-fit) over real token
     counts — the padding-aware sibling of pipeline_pack_sequences; the
@@ -746,6 +756,11 @@ def _register_sampling_gates():
              pack_sequences_greedy_sql(counts_sql, 512, key_col="shard"))
     register("pipeline_pack_waste", _pack_waste,
              pack_waste_sql(counts_sql, 512, key_col="shard"))
+    from cuvs_spark.pipeline.sampling import epoch_shuffle_sql
+    register("sample_epoch_shuffle", _epoch_shuffle,
+             "SELECT doc_id, shuffle_rank FROM ("
+             + epoch_shuffle_sql("SELECT doc_id FROM documents", 3).strip()
+             + ")")
 
 
 _register_sampling_gates()
@@ -2928,6 +2943,7 @@ _WINDOW_PRIORITY = [
     "stats_recall_lsh_multiprobe",
     "pipeline_pack_greedy",
     "pipeline_pack_waste",
+    "sample_epoch_shuffle",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -2986,7 +3002,9 @@ _WINDOW_PRIORITY = [
     "preprocess_pq_roundtrip",
     "stats_silhouette_samples",
     "stats_silhouette_score",
-    "stats_trustworthiness",
+    # (stats_trustworthiness was the 50th slot until the novel
+    # sample_epoch_shuffle displaced it — lowest-risk row out, per the
+    # policy; it rotates in with the rest of the r03 block in r8.)
 ]
 
 

@@ -5,8 +5,10 @@ here is a pure function of row identity (md5-derived 64-bit keys shared
 with the dedup stack), so a 100 TB run resampled on a different cluster
 topology, partition count, or Spark version produces byte-identical
 membership — unlike ``DataFrame.sample``, whose output depends on
-partitioning. All map-only except the packing cumsum (one window over
-the packing key).
+partitioning. All map-only except packing: the straddling cumsum is one
+window over the packing key, and the no-straddle greedy/best-fit
+packers are shard-local Arrow batches (the shard is the unit of
+sequential work, as in real packing pipelines).
 
 No reference-engine analog (cuVS is a vector-search library); these are
 the corpus-side operators the BASELINE.json north-star pipeline needs
@@ -249,6 +251,80 @@ def pack_sequences(df: DataFrame, max_tokens: int, *,
         *keys, F.col(id_col),
         F.floor(start / max_tokens).cast("long").alias("seq_id"),
         (start % max_tokens).cast("long").alias("seq_offset"))
+
+
+def epoch_shuffle(df: DataFrame, epoch: int, *, id_col: str = "doc_id",
+                  salt: str = "epoch-shuffle",
+                  n_partitions: int | None = None) -> DataFrame:
+    """Deterministic per-epoch global training order →
+    ``(*columns, shuffle_rank)``: the order documents are fed to the
+    trainer in epoch ``e``, as a pure function of (id, epoch, salt) —
+    re-running epoch 3 on a different cluster topology, partition
+    count, or after a resume reproduces byte-identical order, and no
+    two epochs correlate (each epoch re-keys the md5).
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY key)`` is a
+    single-reducer window — a 100 TB sort funneled through one task.
+    Instead: range-repartition on the shuffle key, sort within
+    partitions, then global rank = per-partition offset (a
+    #partitions-row driver cumsum, broadcast back) + the
+    partition-local row_number. The (key, id) order is total, so the
+    assigned ranks are identical no matter where the range boundaries
+    fall. One shuffle, no global window."""
+    key = F.expr(_bucket_key_spark(id_col, epoch, salt))
+    keyed = df.withColumn("_sk", key)
+    n = n_partitions or keyed.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")
+    srt = (keyed.repartitionByRange(int(n), "_sk", id_col)
+           .sortWithinPartitions("_sk", id_col)
+           .withColumn("_pid", F.spark_partition_id())
+           # materialize ONCE: the offsets job and the final plan must
+           # see the same physical partitioning (range-boundary
+           # sampling is not guaranteed identical across evaluations)
+           .localCheckpoint())
+    counts = sorted((r["_pid"], r["cnt"]) for r in
+                    srt.groupBy("_pid").agg(F.count("*").alias("cnt"))
+                    .collect())
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off = keyed.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_sk", id_col)
+    return (srt.withColumn("_lr", F.row_number().over(w))
+            .join(F.broadcast(off), "_pid")
+            .withColumn("shuffle_rank",
+                        (F.col("_off") + F.col("_lr")).cast("long"))
+            .drop("_sk", "_pid", "_off", "_lr"))
+
+
+def _bucket_key_spark(id_col: str, epoch: int, salt: str) -> str:
+    return H64_SPARK.format(
+        s=f"concat(CAST({id_col} AS STRING), ':', '{int(epoch)}', "
+          f"':', '{salt}')")
+
+
+def _bucket_key_duck(id_col: str, epoch: int, salt: str) -> str:
+    return H64_DUCK.format(
+        s=f"CAST({id_col} AS VARCHAR) || ':' || '{int(epoch)}' "
+          f"|| ':' || '{salt}'")
+
+
+def epoch_shuffle_sql(src_sql: str, epoch: int, *,
+                      id_col: str = "doc_id",
+                      salt: str = "epoch-shuffle") -> str:
+    """DuckDB twin: the plain global window — at gate scale the
+    single-reducer plan is fine and pins exactly the order the
+    distributed offset+local-rank plan must reproduce."""
+    k = _bucket_key_duck(id_col, epoch, salt)
+    return f"""
+WITH d AS ({src_sql})
+SELECT d.*, CAST(row_number() OVER (ORDER BY {k}, {id_col}) AS BIGINT)
+       AS shuffle_rank
+FROM d
+"""
 
 
 def pack_sequences_greedy(df: DataFrame, max_tokens: int, *,

@@ -52,6 +52,11 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
     ``state["results"]`` (driver-collected inspection mode).  Batch
     formation measurements go to ``state["batches"]``:
     ``{"epoch", "n_queries", "n_dispatches", "dispatch_sec"}``.
+
+    **Pass ``sink_dir`` in production.** The no-sink fallback collects
+    every dispatch's results into driver memory — it exists for tests
+    and notebook inspection of a few batches, and its driver residency
+    grows with stream length. The sink path is fully executor-side.
     """
     from cuvs_spark.operators.ivf_flat import ivf_flat_search
     fn = search_fn or ivf_flat_search

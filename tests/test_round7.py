@@ -216,3 +216,27 @@ def test_tiered_compaction_boundary_stream_equals_batch(spark, tmp_path):
     s_stream = tiered_search(state["index"], q, 5, n_probes=8,
                              qvec_col="qv")
     assert key(s_stream) == key(exact)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (training order)
+# ---------------------------------------------------------------------------
+
+def test_epoch_shuffle_deterministic_and_partition_proof(spark):
+    """Ranks are a permutation of 1..n, identical under different input
+    partitioning (the offset+local-rank plan is boundary-invariant),
+    identical across re-runs, and different epochs decorrelate."""
+    from cuvs_spark.pipeline.sampling import epoch_shuffle
+
+    d = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in epoch_shuffle(d, 3).collect()}
+    assert sorted(a.values()) == list(range(1, 501))
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in epoch_shuffle(d.repartition(17), 3,
+                                n_partitions=5).collect()}
+    assert a == b
+    e2 = {r["doc_id"]: r["shuffle_rank"]
+          for r in epoch_shuffle(d, 4).collect()}
+    assert sorted(e2.values()) == list(range(1, 501))
+    assert sum(a[k] == e2[k] for k in a) < 25   # epochs decorrelate
