@@ -60,17 +60,33 @@ class _UnionFind:
         return True
 
 
-def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
-    """Distributed Borůvka. Per round the CLUSTER produces one minimum
-    outgoing edge per component (a groupBy-min over the edge table —
-    already a k× contraction vs collecting n·k edges), and the
-    component map stays a distributed DataFrame: the driver sees only
-    that round's min edges and ships back the (old_root → new_root)
-    delta, so driver state per round is O(#merges), not O(n). Lineage
-    is truncated with localCheckpoint each round (Borůvka halves the
-    component count per round → ≤ log₂(n) rounds)."""
+def _mst_edges(edges: DataFrame, ids: list[int], *,
+               finish_components: int = 1024) -> list[tuple]:
+    """Distributed Borůvka with a serial finish. Per round the CLUSTER
+    produces one minimum outgoing edge per component (a groupBy-min
+    over the edge table — already a k× contraction vs collecting n·k
+    edges), and the component map stays a distributed DataFrame: the
+    driver sees only that round's min edges and ships back the
+    (old_root → new_root) delta, so driver state per round is
+    O(#merges), not O(n). Lineage is truncated with localCheckpoint
+    each round (Borůvka halves the component count per round →
+    ≤ log₂(n) rounds).
+
+    Once ≤ ``finish_components`` components remain, the contracted
+    graph — the per-(comp,comp) MINIMUM edge, ≤ finish_components²
+    rows by construction — is collected and Kruskal finishes on the
+    driver, exactly as the reference serializes the dendrogram tail on
+    contracted data (``agglomerative.hpp:251``). This removes the
+    long tail of near-empty Spark rounds (each round is a fixed-cost
+    job; the last log₂(finish_components) rounds would merge a
+    shrinking handful of components each) while keeping driver memory
+    bounded by the contracted edge count, not n·k."""
     spark = edges.sparkSession
     uf = _UnionFind()
+    # Materialize the kNN graph ONCE: without this every Borůvka round
+    # re-runs the upstream kNN job (the expensive part) through the
+    # uncached lineage — ≤log₂(n) rounds × full graph build.
+    edges = edges.localCheckpoint()
     vertices = (edges.select(F.col("src").alias("id"))
                 .unionByName(edges.select(F.col("dst").alias("id"))))
     if ids:
@@ -80,6 +96,7 @@ def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
             spark.createDataFrame([(int(i),) for i in ids], "id long"))
     comp = (vertices.distinct().withColumn("comp", F.col("id"))
             .localCheckpoint())
+    ncomp = comp.count()
     mst: list[tuple] = []
     while True:
         e = (edges
@@ -88,6 +105,22 @@ def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
              .join(comp.withColumnRenamed("id", "dst")
                    .withColumnRenamed("comp", "cb"), "dst")
              .filter(F.col("ca") != F.col("cb")))
+        if ncomp <= finish_components:
+            # serial finish: per-(ca,cb) minimum edge (cycle property —
+            # only the pair minimum can be in the MST), then Kruskal in
+            # (distance, src, dst) order — the same deterministic order
+            # the per-round min-struct uses.
+            contracted = (e.select("ca", "cb",
+                                   F.struct("distance", "src", "dst")
+                                   .alias("_s"))
+                          .groupBy("ca", "cb").agg(F.min("_s").alias("m"))
+                          .collect())
+            fin = sorted(((r["m"]["distance"], r["m"]["src"], r["m"]["dst"],
+                           int(r["ca"]), int(r["cb"])) for r in contracted))
+            for dist, src, dst, ca, cb in fin:
+                if uf.union(ca, cb):
+                    mst.append((int(src), int(dst), float(dist)))
+            break
         mins = (e.select("ca", F.struct("distance", "src", "dst", "cb")
                          .alias("_s"))
                 .groupBy("ca").agg(F.min("_s").alias("m"))
@@ -103,6 +136,7 @@ def _mst_edges(edges: DataFrame, ids: list[int]) -> list[tuple]:
                 mst.append((int(m["src"]), int(m["dst"]),
                             float(m["distance"])))
                 merged_any = True
+                ncomp -= 1
         if not merged_any:
             break
         # ship only the changed roots back to the cluster
@@ -159,7 +193,8 @@ def mutual_reachability_graph(dataset: DataFrame, k: int = 5, *,
 def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
                    metric: str = "sqeuclidean", id_col: str = "id",
                    vec_col: str = "vec", linkage: str = "knn_graph",
-                   mutual_reachability_k: int | None = None) -> DataFrame:
+                   mutual_reachability_k: int | None = None,
+                   finish_components: int = 1024) -> DataFrame:
     """single_linkage (``agglomerative.hpp:107``) → ``(id, label)``;
     labels are the minimum member id of each cluster (deterministic).
 
@@ -187,7 +222,8 @@ def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
              .select("src", "dst",
                      F.greatest("distance", "ca", "cb").alias("distance")))
     g = g.select("src", "dst", "distance")
-    mst = sorted(_mst_edges(g, ids), key=lambda t: (t[2], t[0], t[1]))
+    mst = sorted(_mst_edges(g, ids, finish_components=finish_components),
+                 key=lambda t: (t[2], t[0], t[1]))
     # cut: keep merging smallest edges until n_clusters remain
     uf = _UnionFind(ids)
     comps = len(ids)

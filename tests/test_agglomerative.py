@@ -118,3 +118,19 @@ def test_mutual_reachability_linkage(spark, rng):
     assert {got[i] for i in range(10)} == {got[0]}
     assert {got[i] for i in range(10, 20)} == {got[10]}
     assert got[0] != got[10]
+
+
+def test_single_linkage_distributed_rounds_match_serial_finish(spark, rng):
+    """finish_components=1 forces the full distributed-Borůvka round
+    loop (the serial finish never triggers); results must equal the
+    default hybrid path and the NumPy Kruskal oracle."""
+    X = np.vstack([rng.normal(c, 0.05, (10, 4)) for c in (0.0, 3.0, 9.0)]) \
+        .astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "id long, vec array<float>")
+    exp = _np_single_linkage_labels(X.astype(float), 3)
+    forced = {r["id"]: r["label"]
+              for r in single_linkage(df, 3, linkage="pairwise",
+                                      finish_components=1).collect()}
+    assert [forced[i] for i in range(len(X))] == exp
