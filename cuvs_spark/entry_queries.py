@@ -615,6 +615,16 @@ register("text_tfidf_keywords", _tfidf_keywords,
          TX.tfidf_keywords_sql(_DOC_SQL, 5))
 
 
+def _top_ngrams(spark, sf_dir):
+    """Corpus top-20 bigrams with doc- and total-frequency — the
+    corpus-statistics pass (boilerplate discovery / mixture audit)."""
+    return TX.top_ngrams(doc_table(spark, sf_dir), n=2, k=20)
+
+
+register("text_top_ngrams", _top_ngrams,
+         TX.top_ngrams_sql(_DOC_SQL, 2, 20))
+
+
 def _gopher_quality(spark, sf_dir):
     """Full Gopher §A1.1 rule set (beyond the repetition filters):
     symbol ratios, bullet/ellipsis line fractions, alpha-word fraction,
@@ -717,6 +727,23 @@ def _keep_best(spark, sf_dir):
     return keep_best_representative(memb, sc)
 
 
+def _token_budget(spark, sf_dir):
+    """Per-domain token-budget fill (exact prefix-sum path): ~700 of
+    each source's ~1300 whitespace tokens survive, chosen in md5-key
+    order with the boundary doc kept."""
+    from cuvs_spark.pipeline.sampling import token_budget_sample
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return token_budget_sample(d, 700)
+
+
+def _token_budget_rate(spark, sf_dir):
+    """Map-only rate path of the token budget (the 100 TB shape):
+    per-source keep-rate = budget/total over the same md5 rule."""
+    from cuvs_spark.pipeline.sampling import token_budget_sample
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return token_budget_sample(d, 700, method="rate")
+
+
 def _register_sampling_gates():
     from cuvs_spark.pipeline.dedup import (H64_DUCK,
                                            keep_best_representative_sql)
@@ -761,6 +788,13 @@ def _register_sampling_gates():
              "SELECT doc_id, shuffle_rank FROM ("
              + epoch_shuffle_sql("SELECT doc_id FROM documents", 3).strip()
              + ")")
+    from cuvs_spark.pipeline.sampling import (token_budget_rate_sql,
+                                              token_budget_sample_sql)
+    _TB_SQL = "SELECT doc_id, source, text FROM documents"
+    register("sample_token_budget", _token_budget,
+             token_budget_sample_sql(_TB_SQL, 700))
+    register("sample_token_budget_rate", _token_budget_rate,
+             token_budget_rate_sql(_TB_SQL, 700))
 
 
 _register_sampling_gates()
@@ -951,6 +985,28 @@ def _register_para_gate():
 
 
 _register_para_gate()
+
+
+def _boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate-line removal: a nav header shared by all
+    docs and a per-source footer (df = docs-per-source ≥ 3) must be
+    dropped from EVERY doc — including the first occurrence, the case
+    paragraph_dedup deliberately keeps."""
+    from cuvs_spark.pipeline.dedup import boilerplate_lines
+    aug = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("concat('SHARED NAV HEADER', '\\n', text, '\\n', "
+                         "'footer for ', source)").alias("text"))
+    return boilerplate_lines(aug, min_docs=3)
+
+
+def _register_boilerplate_gate():
+    from cuvs_spark.pipeline.dedup import boilerplate_lines_sql
+    register("dedup_boilerplate_lines", _boilerplate, boilerplate_lines_sql(
+        "SELECT doc_id, 'SHARED NAV HEADER' || chr(10) || text || chr(10) "
+        "|| 'footer for ' || source AS text FROM documents", min_docs=3))
+
+
+_register_boilerplate_gate()
 
 
 def _hard_negatives(spark, sf_dir):
@@ -2944,6 +3000,13 @@ _WINDOW_PRIORITY = [
     "pipeline_pack_greedy",
     "pipeline_pack_waste",
     "sample_epoch_shuffle",
+    # Tier 2 (cont.) — second-half round-7 novel gates: CCNet-style
+    # boilerplate-line removal, the per-domain token budget (exact
+    # window path + map-only rate path), corpus top-n-grams.
+    "dedup_boilerplate_lines",
+    "sample_token_budget",
+    "sample_token_budget_rate",
+    "text_top_ngrams",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -2998,13 +3061,11 @@ _WINDOW_PRIORITY = [
     "ivf_flat_search",
     "dedup_simhash_near_dup",
     "preprocess_scalar_roundtrip",
-    "preprocess_pq_transform",
-    "preprocess_pq_roundtrip",
-    "stats_silhouette_samples",
-    "stats_silhouette_score",
-    # (stats_trustworthiness was the 50th slot until the novel
-    # sample_epoch_shuffle displaced it — lowest-risk row out, per the
-    # policy; it rotates in with the rest of the r03 block in r8.)
+    # (preprocess_pq_transform / preprocess_pq_roundtrip /
+    # stats_silhouette_samples / stats_silhouette_score /
+    # stats_trustworthiness were displaced by the four second-half
+    # novel gates — lowest-risk r03 rows out, per the policy; they
+    # rotate in with the rest of the r03 block in r8.)
 ]
 
 

@@ -927,6 +927,96 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def boilerplate_lines(df: DataFrame, *, min_docs: int = 3,
+                      sep: str = "\n", id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop EVERY
+    occurrence of a line whose document frequency (number of distinct
+    docs containing it) reaches ``min_docs`` → ``(doc_id, clean_text,
+    n_lines, n_removed)``.
+
+    Complements :func:`paragraph_dedup`, which keeps the FIRST
+    occurrence — nav bars / cookie banners / footers repeated across a
+    site are junk in their first document too, so the boilerplate rule
+    removes them everywhere (CCNet §4.1's shard-hash line dedup,
+    RefinedWeb's line-wise filter).
+
+    Scale shape: document frequency is a two-level aggregation — the
+    distinct ``(line_hash, doc_id)`` pair set (groupBy, map-side
+    combine; a line repeated within one page collapses on the mapper)
+    then a count per hash. Only hashes AT OR ABOVE the threshold
+    survive the filter (the boilerplate set — tiny relative to the
+    distinct-line universe), so the marking join's build side is small
+    and AQE broadcasts it; the corpus text shuffles once for the
+    doc_id reassembly. No windows, no skew exposure: a line repeated
+    on billions of pages is one row after the pair-distinct combine.
+    """
+    d = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"))
+    lines = (d.select("doc_id", F.posexplode(
+                 F.split("text", sep)).alias("pos", "p"))
+             .filter(F.col("p") != ""))
+    lh = lines.withColumn("_h", F.expr(H64_SPARK.format(s="p")))
+    bad = (lh.select("_h", "doc_id").distinct()
+           .groupBy("_h").agg(F.count("*").alias("_df"))
+           .filter(F.col("_df") >= min_docs)
+           .select("_h", F.lit(True).alias("_bad")))
+    marked = lh.join(bad, "_h", "left")
+    out = (marked.groupBy("doc_id")
+           .agg(F.count("*").alias("n_lines"),
+                F.sum(F.col("_bad").isNotNull().cast("long"))
+                .alias("n_removed"),
+                F.array_sort(F.collect_list(F.when(
+                    F.col("_bad").isNull(),
+                    F.struct("pos", "p")))).alias("_ks")))
+    return (d.join(out, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.expr(
+                        "array_join(transform(filter(_ks, "
+                        "x -> x IS NOT NULL), x -> x.p), '\n')"),
+                        F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines", F.lit(0)).cast("long")
+                    .alias("n_lines"),
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed")))
+
+
+def boilerplate_lines_sql(doc_sql: str, min_docs: int = 3) -> str:
+    h = H64_DUCK.format(s="p")
+    return f"""
+WITH d AS ({doc_sql}),
+lines0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ps, 1) AS BIGINT) - 1 AS pos,
+         unnest(ps) AS p
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d)
+),
+lines AS (SELECT doc_id, pos, p, {h} AS h FROM lines0 WHERE p <> ''),
+bad AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                 FROM lines GROUP BY h)
+  WHERE df >= {min_docs}
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.p,
+         (b.h IS NOT NULL) AS is_bad
+  FROM lines l LEFT JOIN bad b ON l.h = b.h
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS n_removed,
+         array_to_string(list(p ORDER BY pos)
+                         FILTER (WHERE NOT is_bad), chr(10)) AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def substring_dedup(df: DataFrame, *, window: int = 8,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -229,6 +229,113 @@ FROM r WHERE rk <= {n_cap}
 """
 
 
+def token_budget_sample(df: DataFrame, budget_tokens: int, *,
+                        group_col: str = "source", id_col: str = "doc_id",
+                        text_col: str = "text", salt: str = "budget",
+                        method: str = "exact") -> DataFrame:
+    """Per-domain TOKEN budget (the data-mixing rule: "at most N
+    tokens of domain X in this training mix"): fill each group in
+    deterministic md5-key order until the whitespace-token budget is
+    reached → input ids + ``(n_tokens, cum_tokens)``. A doc is kept
+    while the budget is not yet exhausted BEFORE it (exclusive prefix
+    sum < budget), so the boundary doc that crosses the line is the
+    last one in — the greedy fill every token-budget mixer uses.
+
+    :func:`cap_per_group` bounds documents; real mixtures are specified
+    in tokens, and doc-count caps over-sample domains with short docs.
+
+    ``method='exact'`` runs one prefix-sum window per group (a
+    per-group sort — exact semantics require a total order; AQE
+    skew-split applies to the exchange, and groups are domains, so
+    cardinality is modest). ``method='rate'`` is the map-only 100 TB
+    shape: the per-group token totals (a tiny broadcast) set a
+    keep-rate ``budget/total`` over the same md5 membership rule —
+    kept token mass ≈ budget in expectation, no window, no sort;
+    ``cum_tokens`` = -1 marks the approximate path."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, "
+                         f"got {budget_tokens}")
+    from cuvs_spark.pipeline.dedup import TOKS_SPARK
+    nt = F.expr(f"CAST(size({TOKS_SPARK.format(s=text_col)}) AS BIGINT)")
+    key = F.expr(_bucket_spark(id_col, salt))
+    d = (df.withColumn("n_tokens", nt)
+         .select(F.col(id_col).cast("long").alias(id_col), group_col,
+                 "n_tokens"))
+    if method == "rate":
+        tot = d.groupBy(group_col).agg(F.sum("n_tokens").alias("_t"))
+        thr = tot.select(
+            group_col,
+            F.least(F.lit(_MOD).cast("long"),
+                    (F.lit(int(budget_tokens)).cast("long") * F.lit(_MOD)
+                     / F.col("_t")).cast("long")).alias("_thr"))
+        return (d.join(F.broadcast(thr), group_col)
+                .filter(key < F.col("_thr"))
+                .withColumn("cum_tokens", F.lit(-1).cast("long"))
+                .drop("_thr"))
+    if method != "exact":
+        raise ValueError(method)
+    w = (Window.partitionBy(group_col)
+         .orderBy(key.asc(), F.col(id_col).asc()))
+    return (d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") - F.col("n_tokens")
+                    < budget_tokens))
+
+
+def token_budget_sample_sql(src_sql: str, budget_tokens: int, *,
+                            group_col: str = "source",
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            salt: str = "budget") -> str:
+    """DuckDB twin of the exact path (same md5 order, same exclusive
+    prefix rule; token count is the shared whitespace template)."""
+    from cuvs_spark.pipeline.dedup import TOKS_DUCK
+    b = _bucket_duck(id_col, salt)
+    nt = f"CAST(len({TOKS_DUCK.format(s=text_col)}) AS BIGINT)"
+    return f"""
+WITH d AS ({src_sql}),
+t AS (SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+             {nt} AS n_tokens, {b} AS _k
+      FROM d),
+c AS (SELECT {id_col}, {group_col}, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY {group_col}
+                                 ORDER BY _k, {id_col}
+                                 ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens
+      FROM t)
+SELECT {id_col}, {group_col}, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {int(budget_tokens)}
+"""
+
+
+def token_budget_rate_sql(src_sql: str, budget_tokens: int, *,
+                          group_col: str = "source",
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          salt: str = "budget") -> str:
+    """DuckDB twin of the map-only rate path (same integer-exact
+    threshold arithmetic as ``cap_per_group_threshold_sql``)."""
+    from cuvs_spark.pipeline.dedup import TOKS_DUCK
+    b = _bucket_duck(id_col, salt)
+    nt = f"CAST(len({TOKS_DUCK.format(s=text_col)}) AS BIGINT)"
+    return f"""
+WITH d AS ({src_sql}),
+t AS (SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+             {nt} AS n_tokens, {b} AS _k
+      FROM d),
+g AS (SELECT {group_col}, sum(n_tokens) AS _t FROM t GROUP BY 1),
+r AS (SELECT {group_col},
+             least(CAST({_MOD} AS BIGINT),
+                   CAST(floor(CAST({int(budget_tokens)} AS BIGINT) * {_MOD}
+                        / CAST(_t AS DOUBLE)) AS BIGINT)) AS _thr
+      FROM g)
+SELECT t.{id_col}, t.{group_col}, t.n_tokens,
+       CAST(-1 AS BIGINT) AS cum_tokens
+FROM t JOIN r USING ({group_col})
+WHERE t._k < r._thr
+"""
+
+
 def pack_sequences(df: DataFrame, max_tokens: int, *,
                    id_col: str = "doc_id", tokens_col: str = "n_tokens",
                    key_col: str | None = None) -> DataFrame:

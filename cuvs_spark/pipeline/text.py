@@ -794,6 +794,72 @@ FROM r WHERE rank <= {k}
 """
 
 
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, *,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams →
+    ``(gram, doc_freq, total_freq, rank)`` ordered by total frequency
+    (ties broken by gram text) — the corpus-statistics pass behind
+    boilerplate discovery, contamination triage, and mixture audits
+    ("what does this crawl actually say").
+
+    Scale shape: one explode → a ``(gram, doc_id)`` groupBy (map-side
+    combine collapses within-doc repeats on the mapper) → a per-gram
+    rollup carrying both the distinct-doc count and the summed total —
+    two shuffles on the gram key, no distinct-count sketch needed, and
+    the top-``k`` is a global ``select_k`` over the already-aggregated
+    gram table (tiny relative to the corpus). A hot gram ("the of") is
+    ONE row after the first combine — no skew exposure."""
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    # name the token array `t` so the shared _gram_expr template applies
+    grams = (d.select("doc_id", F.expr(toks).alias("t"))
+             .select("doc_id",
+                     F.explode(F.expr(_gram_expr_spark(n))).alias("g")))
+    per_doc = grams.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
+    agg = (per_doc.groupBy("g")
+           .agg(F.count("*").alias("doc_freq"),
+                F.sum("c").alias("total_freq")))
+    # top-k FIRST via orderBy+limit (Catalyst's TakeOrderedAndProject:
+    # per-partition partial top-k, no global sort of the gram table),
+    # then rank only the k survivors
+    topk = agg.orderBy(F.col("total_freq").desc(), F.col("g").asc()) \
+              .limit(k)
+    w = Window.orderBy(F.col("total_freq").desc(), F.col("g").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select(F.col("g").alias("gram"),
+                    F.col("doc_freq").cast("long").alias("doc_freq"),
+                    F.col("total_freq").cast("long").alias("total_freq"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def top_ngrams_sql(doc_sql: str, n: int = 2, k: int = 20) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+tk AS (SELECT doc_id, {toks} AS t FROM d),
+grams AS (
+  SELECT doc_id, unnest({_gram_expr_duck(n)}) AS g FROM tk
+),
+per_doc AS (
+  SELECT g, doc_id, count(*) AS c FROM grams GROUP BY g, doc_id
+),
+agg AS (
+  SELECT g, count(*) AS doc_freq, sum(c) AS total_freq
+  FROM per_doc GROUP BY g
+),
+r AS (
+  SELECT g, doc_freq, total_freq,
+         row_number() OVER (ORDER BY total_freq DESC, g) AS rank
+  FROM agg
+)
+SELECT g AS gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_freq AS BIGINT) AS total_freq,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def bigram_lm(df: DataFrame, *, id_col: str = "doc_id",
               text_col: str = "text"):
     """Train an add-one-smoothed bigram LM over the corpus →

@@ -240,3 +240,94 @@ def test_epoch_shuffle_deterministic_and_partition_proof(spark):
           for r in epoch_shuffle(d, 4).collect()}
     assert sorted(e2.values()) == list(range(1, 501))
     assert sum(a[k] == e2[k] for k in a) < 25   # epochs decorrelate
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second half: boilerplate lines, token budget, top n-grams
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines_removes_every_occurrence(spark):
+    from cuvs_spark.pipeline.dedup import boilerplate_lines
+    nav = "COOKIE BANNER"
+    rows = [(i, f"{nav}\nunique line {i}") for i in range(4)]
+    rows.append((9, "rare\nonly twice"))
+    rows.append((10, "only twice\nbody ten"))
+    out = {r["doc_id"]: r for r in
+           boilerplate_lines(_docs(spark, rows), min_docs=3).collect()}
+    # the nav line (df=4) is gone from ALL docs, including doc 0
+    for i in range(4):
+        assert out[i]["clean_text"] == f"unique line {i}"
+        assert out[i]["n_removed"] == 1 and out[i]["n_lines"] == 2
+    # df=2 line survives everywhere (below min_docs=3)
+    assert out[9]["clean_text"] == "rare\nonly twice"
+    assert out[10]["n_removed"] == 0
+
+
+def test_boilerplate_lines_vs_paragraph_dedup_first_occurrence(spark):
+    """paragraph_dedup keeps the first copy; boilerplate_lines must not."""
+    from cuvs_spark.pipeline.dedup import boilerplate_lines, paragraph_dedup
+    rows = [(i, f"SHARED\nbody {i}") for i in range(3)]
+    pd_ = {r["doc_id"]: r["clean_text"]
+           for r in paragraph_dedup(_docs(spark, rows)).collect()}
+    bl = {r["doc_id"]: r["clean_text"]
+          for r in boilerplate_lines(_docs(spark, rows),
+                                     min_docs=3).collect()}
+    assert pd_[0].startswith("SHARED")          # first occurrence kept
+    assert all(not t.startswith("SHARED") for t in bl.values())
+
+
+def test_token_budget_exact_prefix_rule(spark):
+    from cuvs_spark.pipeline.sampling import token_budget_sample
+    rows = [(i, "g", "tok " * 10) for i in range(20)]   # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    out = token_budget_sample(df, 35, group_col="source").collect()
+    # greedy fill: 3 full docs (30) + the boundary doc crossing 35 → 4
+    assert len(out) == 4
+    assert max(r["cum_tokens"] for r in out) == 40
+    # exclusive prefix < budget for every kept row
+    assert all(r["cum_tokens"] - r["n_tokens"] < 35 for r in out)
+
+
+def test_token_budget_rate_approximates_budget(spark):
+    from cuvs_spark.pipeline.sampling import token_budget_sample
+    rows = [(i, f"g{i % 2}", "tok " * 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    out = token_budget_sample(df, 1000, method="rate").collect()
+    kept = {}
+    for r in out:
+        assert r["cum_tokens"] == -1
+        kept[r["source"]] = kept.get(r["source"], 0) + r["n_tokens"]
+    for g in ("g0", "g1"):                   # each group holds 2000 tokens
+        assert 500 <= kept[g] <= 1500        # ≈ budget, rate = 1/2
+
+
+def test_token_budget_deterministic_across_partitioning(spark):
+    from cuvs_spark.pipeline.sampling import token_budget_sample
+    rows = [(i, "g", "w " * (i % 7 + 1)) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string, "
+                                      "text string")
+    a = sorted(r["doc_id"] for r in
+               token_budget_sample(df1, 60).collect())
+    b = sorted(r["doc_id"] for r in
+               token_budget_sample(df1.repartition(13), 60).collect())
+    assert a == b and len(a) > 0
+
+
+def test_top_ngrams_counts_exact(spark):
+    from cuvs_spark.pipeline.text import top_ngrams
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "zz yy")]
+    out = {r["gram"]: r for r in
+           top_ngrams(_docs(spark, rows), n=2, k=10).collect()}
+    assert out["a b"]["total_freq"] == 3      # 2 in doc0 ("a b","a b") +1
+    assert out["a b"]["doc_freq"] == 2
+    assert out["a b"]["rank"] == 1
+    assert out["b a"]["total_freq"] == 1      # the middle bigram of doc0
+    assert out["zz yy"]["doc_freq"] == 1
+    ranks = sorted(r["rank"] for r in out.values())
+    assert ranks == list(range(1, len(out) + 1))
