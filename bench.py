@@ -220,6 +220,28 @@ def main() -> None:
                         "source"))
         return cap_per_group(docs, 500, group_col="source")
 
+    def bench_boilerplate_lines():
+        from cuvs_spark.pipeline.dedup import boilerplate_lines
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return boilerplate_lines(docs, min_docs=3)
+
+    def bench_token_budget():
+        from cuvs_spark.pipeline.sampling import token_budget_sample
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "source", "text"))
+        return token_budget_sample(docs, 20_000)
+
+    def bench_bm25():
+        return QUERIES["text_bm25_topk"](spark, sf_dir)
+
+    def bench_top_ngrams():
+        from cuvs_spark.pipeline.text import top_ngrams
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return top_ngrams(docs, n=2, k=50)
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "all_neighbors_base": bench_all_neighbors,
@@ -247,6 +269,10 @@ def main() -> None:
         "text_tfidf_keywords": bench_tfidf_keywords,
         "sample_cap_per_source": bench_cap_per_source,
         "pipeline_pack_greedy": bench_pack_greedy,
+        "dedup_boilerplate_lines": bench_boilerplate_lines,
+        "sample_token_budget": bench_token_budget,
+        "text_top_ngrams": bench_top_ngrams,
+        "text_bm25_topk": bench_bm25,
     }
 
     # Two full timed passes with a per-entry min. The passes are

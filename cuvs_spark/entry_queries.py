@@ -625,6 +625,61 @@ register("text_top_ngrams", _top_ngrams,
          TX.top_ngrams_sql(_DOC_SQL, 2, 20))
 
 
+# --- lexical + hybrid retrieval (BM25, RRF fusion) -------------------------
+_BM25_Q_SPARK = ("array_join(slice(filter(split(text, '\\\\s+'), "
+                 "t -> t <> ''), 1, 5), ' ')")
+_BM25_Q_SQL = ("SELECT doc_id AS qid, array_to_string("
+               "(list_filter(regexp_split_to_array(text, '\\s+'), "
+               "t -> t <> ''))[1:5], ' ') AS qtext "
+               "FROM documents WHERE doc_id < 10")
+
+
+def _bm25_queries(spark, sf_dir):
+    return (doc_table(spark, sf_dir).filter(F.col("doc_id") < 10)
+            .select(F.col("doc_id").alias("qid"),
+                    F.expr(_BM25_Q_SPARK).alias("qtext")))
+
+
+def _bm25_topk(spark, sf_dir):
+    """BM25 lexical top-10 for 10 first-5-token queries drawn from the
+    corpus itself (rational Robertson IDF — the repo's libm-free gate
+    discipline; `idf='lucene'` is the downstream log form)."""
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    return bm25_search(doc_table(spark, sf_dir),
+                       _bm25_queries(spark, sf_dir), 10)
+
+
+def _register_retrieval_gates():
+    from cuvs_spark.pipeline.retrieval import bm25_search_sql, rrf_fuse_sql
+    register("text_bm25_topk", _bm25_topk,
+             bm25_search_sql(_DOC_SQL, _BM25_Q_SQL, 10))
+
+    def _hybrid(spark, sf_dir):
+        """Hybrid retrieval: RRF fusion of the BM25 lexical ranking
+        with the cosine vector ranking (doc_id ≡ vec_id in the test
+        corpus) — the standard hybrid-search combiner."""
+        from cuvs_spark.operators import knn
+        from cuvs_spark.pipeline.retrieval import bm25_search, rrf_fuse
+        bm = bm25_search(doc_table(spark, sf_dir),
+                         _bm25_queries(spark, sf_dir), 10)
+        d = emb_dataset(spark, sf_dir)
+        q = emb_queries(spark, sf_dir, 10)
+        vec = (knn(d, q, 10, "cosine", qvec_col="qv")
+               .select("qid", F.col("nid").alias("doc_id"), "rank"))
+        return rrf_fuse([bm, vec], 10)
+
+    vec_sql = ("SELECT qid, nid AS doc_id, rank FROM ("
+               + O.knn_sql(_D_SQL, _Q_SQL.format(nq=10), 10,
+                           "cosine").strip() + ")")
+    register("text_hybrid_rrf", _hybrid,
+             rrf_fuse_sql([
+                 bm25_search_sql(_DOC_SQL, _BM25_Q_SQL, 10),
+                 vec_sql], 10))
+
+
+_register_retrieval_gates()
+
+
 def _gopher_quality(spark, sf_dir):
     """Full Gopher §A1.1 rule set (beyond the repetition filters):
     symbol ratios, bullet/ellipsis line fractions, alpha-word fraction,
@@ -3007,6 +3062,8 @@ _WINDOW_PRIORITY = [
     "sample_token_budget",
     "sample_token_budget_rate",
     "text_top_ngrams",
+    "text_bm25_topk",
+    "text_hybrid_rrf",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3059,11 +3116,10 @@ _WINDOW_PRIORITY = [
     # which clears the ≤3-round refresh bar for every gate).
     "preprocess_binary_quantize",
     "ivf_flat_search",
-    "dedup_simhash_near_dup",
-    "preprocess_scalar_roundtrip",
-    # (preprocess_pq_transform / preprocess_pq_roundtrip /
+    # (dedup_simhash_near_dup / preprocess_scalar_roundtrip /
+    # preprocess_pq_transform / preprocess_pq_roundtrip /
     # stats_silhouette_samples / stats_silhouette_score /
-    # stats_trustworthiness were displaced by the four second-half
+    # stats_trustworthiness were displaced by the six second-half
     # novel gates — lowest-risk r03 rows out, per the policy; they
     # rotate in with the rest of the r03 block in r8.)
 ]

@@ -1,0 +1,219 @@
+"""Lexical retrieval (BM25) and hybrid rank fusion (RRF).
+
+The lexical sibling of the vector-search stack: a corpus user of the
+reference engine (cuVS brute-force / IVF / graph kNN — SURVEY.md §2.5)
+pairs ANN with BM25 for hybrid retrieval and hard-negative mining
+(``dedup.mine_hard_negatives`` consumes either ranking). No
+reference-engine analog (cuVS is vectors-only); this is the corpus-side
+operator its users run next to it, re-expressed Spark-first.
+
+Scale shape:
+- the posting relation ``(term, doc_id, tf, dl)`` shuffles ONCE on the
+  term key; document-frequency joins it on the same key (co-located);
+  corpus scalars (N, avgdl) ride along as a broadcast 1-row table;
+- query terms join postings on term — the classic sharded-by-term IR
+  layout; per-(query, doc) accumulation is one groupBy with map-side
+  combine; top-k uses :func:`select_k` (no global sort);
+- RRF fusion is a union + one groupBy over candidate rows only.
+
+Gate determinism: scores use the log-free Robertson IDF ratio
+``(N - df + 0.5) / (df + 0.5)`` (the same rational-IDF discipline as
+``text.tfidf_keywords`` — pow/log are not correctly rounded across
+JVM/DuckDB libm, the repo-wide gate rule), and per-document sums fold
+in sorted term order (``array_sort`` + ``aggregate`` / ``list_sort`` +
+``list_reduce``) so both engines add the same doubles in the same
+order. ``idf='lucene'`` switches to the classical ``ln(1 + ...)`` form
+for downstream use — identical plan shape, not oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.pipeline.dedup import TOKS_DUCK, TOKS_SPARK
+
+
+def _lit(x: float) -> str:
+    """Shortest round-trip literal — parses to the identical IEEE
+    double in Spark SQL and DuckDB."""
+    return repr(float(x))
+
+
+def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text",
+                qid_col: str = "qid", qtext_col: str = "qtext",
+                idf: str = "rational") -> DataFrame:
+    """BM25 top-``k`` documents per query →
+    ``(qid, doc_id, score, rank)``.
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    over the query's distinct lowercased whitespace terms.
+    ``idf='rational'`` (default, oracle-gated) uses the Robertson
+    ratio without the log; ``'lucene'`` applies ``ln(1 + ratio)``.
+    """
+    if idf not in ("rational", "lucene"):
+        raise ValueError(idf)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    toks = TOKS_SPARK.format(s="lower(text)")
+    t = d.select("doc_id", F.explode(F.expr(toks)).alias("w"))
+    tf = t.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    post = (tf.join(dfreq, "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats)))
+    ratio = ("(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / "
+             "(CAST(df AS DOUBLE) + 0.5)")
+    idf_expr = ratio if idf == "rational" else f"ln(1.0 + ({ratio}))"
+    tnorm = (f"CAST(tf AS DOUBLE) + {_lit(k1)} * "
+             f"(1.0 - {_lit(b)} + {_lit(b)} * (CAST(dl AS DOUBLE) / "
+             f"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))")
+    score = (f"({idf_expr}) * "
+             f"((CAST(tf AS DOUBLE) * {_lit(k1 + 1.0)}) / ({tnorm}))")
+    qt = (queries.select(F.col(qid_col).cast("long").alias("qid"),
+                         F.col(qtext_col).alias("qtext"))
+          .select("qid", F.explode(F.expr(
+              TOKS_SPARK.format(s="lower(qtext)"))).alias("w"))
+          .distinct())
+    hits = (qt.join(post, "w")
+            .select("qid", "doc_id", "w", F.expr(score).alias("s")))
+    per_doc = (hits.groupBy("qid", "doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("w", "s")))
+                    .alias("_ts"))
+               .select("qid", "doc_id", F.expr(
+                   "aggregate(_ts, CAST(0.0 AS DOUBLE), "
+                   "(acc, x) -> acc + x.s)").alias("score")))
+    from cuvs_spark.operators.select_k import select_k
+    return (select_k(per_doc, "qid", "score", k, select_min=False,
+                     tie_cols=["doc_id"], rank_col="rank")
+            .select("qid", "doc_id", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def bm25_search_sql(doc_sql: str, query_sql: str, k: int = 10, *,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of the rational-IDF path — the same expression tree
+    on the same operands in the same sorted fold order."""
+    toks = TOKS_DUCK.format(s="lower(text)")
+    qtoks = TOKS_DUCK.format(s="lower(qtext)")
+    ratio = ("(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / "
+             "(CAST(df AS DOUBLE) + 0.5)")
+    tnorm = (f"CAST(tf AS DOUBLE) + {_lit(k1)} * "
+             f"(1.0 - {_lit(b)} + {_lit(b)} * (CAST(dl AS DOUBLE) / "
+             f"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))")
+    score = (f"({ratio}) * "
+             f"((CAST(tf AS DOUBLE) * {_lit(k1 + 1.0)}) / ({tnorm}))")
+    return f"""
+WITH d AS ({doc_sql}),
+t AS (SELECT doc_id, unnest({toks}) AS w FROM d),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+q AS ({query_sql}),
+qt AS (SELECT DISTINCT CAST(qid AS BIGINT) AS qid, unnest({qtoks}) AS w
+       FROM q),
+hits AS (
+  SELECT qt.qid, tf.doc_id, qt.w, {score} AS s
+  FROM qt JOIN tf USING (w)
+       JOIN dfreq USING (w)
+       JOIN dl USING (doc_id)
+       CROSS JOIN stats
+),
+per_doc AS (
+  SELECT qid, doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({{'w': w, 's': s}})),
+                            x -> x.s)),
+             (acc, x) -> acc + x) AS score
+  FROM hits GROUP BY qid, doc_id
+),
+r AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM per_doc
+)
+SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10, *,
+             k_rrf: int = 60, qid_col: str = "qid",
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankings →
+    ``(qid, doc_id, rrf_score, rank)`` with
+    ``rrf_score = Σ_i 1 / (k_rrf + rank_i)`` over the rankings that
+    contain the (query, doc) pair — the standard hybrid-search combiner
+    for BM25 + vector kNN (rank-based, so the incomparable score
+    scales never meet).
+
+    Rational arithmetic on integer ranks; the per-pair sum folds in
+    source order (each input is tagged 0..N−1 and the fold sorts on the
+    tag), so the gate is bit-exact. One union + one groupBy over
+    candidate rows only — cost tracks Σ|rankings|, never the corpus."""
+    tagged = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(qid_col).cast("long").alias("qid"),
+                      F.col(id_col).cast("long").alias("doc_id"),
+                      F.lit(i).alias("_src"),
+                      F.col(rank_col).cast("long").alias("_rk"))
+        tagged = ri if tagged is None else tagged.unionByName(ri)
+    contrib = tagged.select(
+        "qid", "doc_id", "_src",
+        F.expr(f"1.0 / (CAST({int(k_rrf)} AS DOUBLE) + "
+               f"CAST(_rk AS DOUBLE))").alias("_c"))
+    fused = (contrib.groupBy("qid", "doc_id")
+             .agg(F.array_sort(F.collect_list(F.struct("_src", "_c")))
+                  .alias("_cs"))
+             .select("qid", "doc_id", F.expr(
+                 "aggregate(_cs, CAST(0.0 AS DOUBLE), "
+                 "(acc, x) -> acc + x._c)").alias("rrf_score")))
+    from cuvs_spark.operators.select_k import select_k
+    return (select_k(fused, "qid", "rrf_score", k, select_min=False,
+                     tie_cols=["doc_id"], rank_col="rank")
+            .select("qid", "doc_id", "rrf_score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def rrf_fuse_sql(ranking_sqls: list[str], k: int = 10, *,
+                 k_rrf: int = 60) -> str:
+    """DuckDB twin: each input SQL must yield (qid, doc_id, rank)."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS "
+        f"doc_id, {i} AS _src, CAST(rank AS BIGINT) AS _rk "
+        f"FROM ({s.strip()})"
+        for i, s in enumerate(ranking_sqls))
+    return f"""
+WITH tagged AS (
+{unions}
+),
+contrib AS (
+  SELECT qid, doc_id, _src,
+         1.0 / (CAST({int(k_rrf)} AS DOUBLE) + CAST(_rk AS DOUBLE)) AS _c
+  FROM tagged
+),
+fused AS (
+  SELECT qid, doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({{'_src': _src, '_c': _c}})),
+                            x -> x._c)),
+             (acc, x) -> acc + x) AS rrf_score
+  FROM contrib GROUP BY qid, doc_id
+),
+r AS (
+  SELECT qid, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

@@ -331,3 +331,59 @@ def test_top_ngrams_counts_exact(spark):
     assert out["zz yy"]["doc_freq"] == 1
     ranks = sorted(r["rank"] for r in out.values())
     assert ranks == list(range(1, len(out) + 1))
+
+
+# ---------------------------------------------------------------------------
+# BM25 + RRF hybrid retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_distinctive_term_first(spark):
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    docs = _docs(spark, [
+        (0, "spark shuffle join"), (1, "spark window agg"),
+        (2, "zebra zoo animals"), (3, "spark spark spark shuffle")])
+    q = spark.createDataFrame([(0, "zebra"), (1, "shuffle")],
+                              "qid long, qtext string")
+    out = bm25_search(docs, q, 3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    # 'zebra' appears only in doc 2 → sole hit
+    assert sorted(by_q[0]) == [(1, 2)]
+    # 'shuffle' hits docs 0 and 3 only
+    assert {d for _, d in by_q[1]} == {0, 3}
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_lucene_idf_monotone_with_rational(spark):
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    docs = _docs(spark, [(i, f"common term{i} filler") for i in range(6)])
+    q = spark.createDataFrame([(0, "term3 common")], "qid long, qtext string")
+    top_r = bm25_search(docs, q, 1).collect()[0]["doc_id"]
+    top_l = bm25_search(docs, q, 1, idf="lucene").collect()[0]["doc_id"]
+    assert top_r == top_l == 3          # the doc holding the rare term
+
+
+def test_bm25_deterministic_across_partitioning(spark):
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    rows = [(i, f"w{i % 5} w{i % 3} shared") for i in range(40)]
+    docs = _docs(spark, rows)
+    q = spark.createDataFrame([(0, "w0 shared"), (1, "w2")],
+                              "qid long, qtext string")
+    key = lambda d: sorted((r["qid"], r["rank"], r["doc_id"], r["score"])
+                           for r in bm25_search(d, q, 5).collect())
+    assert key(docs) == key(docs.repartition(17))
+
+
+def test_rrf_fusion_hand_checked(spark):
+    from cuvs_spark.pipeline.retrieval import rrf_fuse
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)],
+                              "qid long, doc_id long, rank long")
+    b = spark.createDataFrame([(0, 11, 1), (0, 12, 2)],
+                              "qid long, doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], 10).collect()}
+    assert out[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[10]["rrf_score"] == 1.0 / 61
+    assert out[12]["rrf_score"] == 1.0 / 62
+    # doc 11 (in both rankings) wins
+    assert out[11]["rank"] == 1
