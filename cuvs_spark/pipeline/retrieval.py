@@ -44,7 +44,8 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
                 k1: float = 1.2, b: float = 0.75,
                 id_col: str = "doc_id", text_col: str = "text",
                 qid_col: str = "qid", qtext_col: str = "qtext",
-                idf: str = "rational") -> DataFrame:
+                idf: str = "rational",
+                max_df_frac: float | None = None) -> DataFrame:
     """BM25 top-``k`` documents per query →
     ``(qid, doc_id, score, rank)``.
 
@@ -52,7 +53,15 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     over the query's distinct lowercased whitespace terms.
     ``idf='rational'`` (default, oracle-gated) uses the Robertson
     ratio without the log; ``'lucene'`` applies ``ln(1 + ratio)``.
-    """
+
+    ``max_df_frac`` is the SCALE lever: terms whose document frequency
+    exceeds ``max_df_frac · N`` are dropped from scoring (classic
+    stopword pruning — the candidate set for a (query, term) pair is
+    that term's posting list, so one stopword otherwise fans a single
+    query out to a large fraction of the corpus; BM25's IDF gives such
+    terms near-zero weight anyway, which is why every production IR
+    engine prunes or impact-orders them). None scores every term —
+    exact, and what the oracle gate uses."""
     if idf not in ("rational", "lucene"):
         raise ValueError(idf)
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
@@ -64,6 +73,15 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.sum("dl").alias("sum_dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        # prune stopwords BEFORE the posting join — df is already
+        # aggregated, so the filter costs one scalar comparison per
+        # distinct term and caps every posting list the query side
+        # can fan out to
+        dfreq = (dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+                 .filter(F.col("df")
+                         <= F.lit(float(max_df_frac)) * F.col("n_docs"))
+                 .select("w", "df"))
     post = (tf.join(dfreq, "w")
             .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats)))
@@ -90,7 +108,8 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
                    "(acc, x) -> acc + x.s)").alias("score")))
     from cuvs_spark.operators.select_k import select_k
     return (select_k(per_doc, "qid", "score", k, select_min=False,
-                     tie_cols=["doc_id"], rank_col="rank")
+                     tie_cols=["doc_id"], rank_col="rank",
+                     strategy="auto")
             .select("qid", "doc_id", "score",
                     F.col("rank").cast("long").alias("rank")))
 
@@ -178,7 +197,8 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, *,
                  "(acc, x) -> acc + x._c)").alias("rrf_score")))
     from cuvs_spark.operators.select_k import select_k
     return (select_k(fused, "qid", "rrf_score", k, select_min=False,
-                     tie_cols=["doc_id"], rank_col="rank")
+                     tie_cols=["doc_id"], rank_col="rank",
+                     strategy="auto")
             .select("qid", "doc_id", "rrf_score",
                     F.col("rank").cast("long").alias("rank")))
 

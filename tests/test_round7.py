@@ -387,3 +387,15 @@ def test_rrf_fusion_hand_checked(spark):
     assert out[12]["rrf_score"] == 1.0 / 62
     # doc 11 (in both rankings) wins
     assert out[11]["rank"] == 1
+
+
+def test_bm25_max_df_prunes_stopwords(spark):
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    # 'the' appears in all 10 docs (df_frac=1.0); content words once
+    docs = _docs(spark, [(i, f"the unique{i}") for i in range(10)])
+    q = spark.createDataFrame([(0, "the unique3")], "qid long, qtext string")
+    full = bm25_search(docs, q, 10).collect()
+    pruned = bm25_search(docs, q, 10, max_df_frac=0.5).collect()
+    # unpruned: every doc matches via 'the'; pruned: only doc 3 matches
+    assert len(full) == 10
+    assert [(r["doc_id"], r["rank"]) for r in pruned] == [(3, 1)]

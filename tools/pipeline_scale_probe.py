@@ -142,6 +142,51 @@ def main() -> None:
     timed("keep_best_representative_sec",
           lambda: keep_best_representative(memb, scores))
 
+    # round-7 additions: boilerplate lines, token budget (both paths),
+    # corpus top-n-grams, BM25 retrieval (10k queries vs the corpus)
+    from cuvs_spark.pipeline.dedup import boilerplate_lines
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    from cuvs_spark.pipeline.sampling import token_budget_sample
+    from cuvs_spark.pipeline.text import top_ngrams
+    timed("boilerplate_lines_sec",
+          lambda: boilerplate_lines(docs, min_docs=3))
+    timed("token_budget_exact_sec",
+          lambda: token_budget_sample(srcd, 500_000))
+    timed("token_budget_rate_sec",
+          lambda: token_budget_sample(srcd, 500_000, method="rate"))
+    timed("top_ngrams_sec", lambda: top_ngrams(docs, n=2, k=50))
+    # BM25 gets its own corpus with a realistic long-tail vocabulary
+    # (50k terms → ~460-doc posting lists). The shared probe corpus's
+    # 1000-word uniform vocab makes EVERY term a stopword (posting
+    # lists ≈ 11% of the corpus), which benchmarks the pathological
+    # all-stopword query, not retrieval — that case is what the
+    # max_df_frac pruning lever exists for.
+    bm_path = f"/tmp/pipeline_probe_bm25_{n_docs}.parquet"
+    if not os.path.exists(bm_path):
+        (spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, 80 + pmod(xxhash64(id), "
+                "70)), i -> CASE WHEN pmod(xxhash64(id * 7 + i), 33) = 0 "
+                "THEN concat('s', pmod(xxhash64(i), 10)) "
+                "ELSE concat('w', pmod(xxhash64(id * 1000 + i), 50000)) "
+                "END), ' ')").alias("text"))
+         .write.mode("overwrite").parquet(bm_path))
+    bm_docs = spark.read.parquet(bm_path).repartition(32).cache()
+    bm_docs.count()
+    bm_q = (bm_docs.filter(F.col("doc_id") < 10_000)
+            .select(F.col("doc_id").alias("qid"),
+                    F.expr("array_join(slice(filter(split(text, "
+                           "'\\\\s+'), t -> t <> ''), 1, 5), ' ')")
+                    .alias("qtext")))
+    # ~3% of token positions are one of 10 stopwords (df ≈ N); content
+    # terms have df ≈ 460. Unpruned pays the stopword fan-out
+    # (each stopword in a query matches the whole corpus); pruned
+    # (max_df_frac=0.01) drops exactly the 10 stopwords.
+    timed("bm25_10k_queries_sec", lambda: bm25_search(bm_docs, bm_q, 10))
+    timed("bm25_10k_queries_pruned_sec",
+          lambda: bm25_search(bm_docs, bm_q, 10, max_df_frac=0.01))
+
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
     if not os.path.exists(emb_path):
