@@ -3032,6 +3032,125 @@ for _n, _f, _c in [
     register(_n, _f, f"SELECT CAST(1.0 AS DOUBLE) AS {_c}")
 
 
+# --- round-7 third-wave novel ops: incremental dedup-against-base, CDC
+# chunking, CCNet score buckets, kNN label propagation ----------------------
+
+def _dedup_against_base(spark, sf_dir):
+    """Incremental dedup of a delta crawl against the corpus as base:
+    50 exact copies (jaccard 1.0), 50 near copies (two appended
+    tokens), and 30 synthetic novel docs that must NOT match; output
+    is each matching delta doc's best base match at jaccard ≥ 0.5."""
+    d = doc_table(spark, sf_dir)
+    exact = (d.filter(F.col("doc_id") < 50)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" zq1 zq2")).alias("text")))
+    novel = (d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+             .select((F.col("doc_id") + 300000).alias("doc_id"),
+                     F.concat(F.lit("nv"), F.col("doc_id").cast("string"),
+                              F.lit(" uq alpha beta gamma delta epsilon "
+                                    "zeta")).alias("text")))
+    delta = exact.unionByName(near).unionByName(novel)
+    return DD.dedup_against(d, delta)
+
+
+_DELTA_SQL = """SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zq1 zq2' AS text
+FROM documents WHERE doc_id >= 50 AND doc_id < 100
+UNION ALL SELECT doc_id + 300000 AS doc_id,
+  'nv' || CAST(doc_id AS VARCHAR) || ' uq alpha beta gamma delta epsilon zeta' AS text
+FROM documents WHERE doc_id >= 100 AND doc_id < 130"""
+
+register("dedup_against_base", _dedup_against_base,
+         DD.dedup_against_sql(_DOC_SQL, _DELTA_SQL))
+
+
+def _cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: token-gram rolling-hash boundaries
+    (window 4, divisor 16) → per-chunk token count + hash — the
+    shift-resistant cross-version dedup unit."""
+    return DD.cdc_chunks(doc_table(spark, sf_dir))
+
+
+register("dedup_cdc_chunks", _cdc_chunks, DD.cdc_chunks_sql(_DOC_SQL))
+
+
+def _ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-source terciles of the bigram-LM
+    mean pair probability (bucket 1 = best), exact ntile path."""
+    from cuvs_spark.pipeline.sampling import score_buckets
+    d = doc_table(spark, sf_dir)
+    big, ctx, v = TX.bigram_lm(d)
+    s = TX.lm_score_bigram(d, big, ctx, v)
+    src = (T(spark, sf_dir, "documents")
+           .select(F.col("doc_id").cast("long").alias("doc_id"), "source"))
+    j = (s.join(src, "doc_id")
+         .select("doc_id", "source",
+                 F.col("mean_pair_prob").alias("score")))
+    return score_buckets(j, 3, score_col="score", group_col="source")
+
+
+def _ppl_buckets_sql():
+    from cuvs_spark.pipeline.sampling import score_buckets_sql
+    lm = TX.lm_score_bigram_sql(_DOC_SQL)
+    j = (f"SELECT s.doc_id AS doc_id, src.source AS source, "
+         f"s.mean_pair_prob AS score FROM ({lm}) s "
+         f"JOIN (SELECT doc_id, source FROM documents) src USING (doc_id)")
+    return score_buckets_sql(j, 3, score_col="score", group_col="source")
+
+
+register("sample_ppl_buckets", _ppl_buckets, _ppl_buckets_sql())
+
+
+def _knn_label_vote(spark, sf_dir):
+    """kNN majority-vote label propagation from the labeled embedding
+    table to 20 query vectors (k=10, ties → lowest label)."""
+    from cuvs_spark.pipeline.classify import knn_label_vote
+    return knn_label_vote(emb_dataset(spark, sf_dir),
+                          emb_queries(spark, sf_dir, 20), 10,
+                          "sqeuclidean", qvec_col="qv")
+
+
+def _knn_label_vote_sql():
+    from cuvs_spark.pipeline.classify import knn_label_vote_sql
+    return knn_label_vote_sql(
+        "SELECT vec_id AS nid, embedding AS dv, label FROM embeddings",
+        _Q_SQL.format(nq=20), 10, "sqeuclidean")
+
+
+register("knn_label_vote", _knn_label_vote, _knn_label_vote_sql())
+
+
+def _maxsim_topk(spark, sf_dir):
+    """ColBERT-style late interaction over multi-vector docs (5 token
+    vectors per doc, grouped from the embedding table): top-5 docs per
+    query by Σ per-query-token max cosine similarity."""
+    from cuvs_spark.pipeline.retrieval import maxsim_search
+    e = T(spark, sf_dir, "embeddings")
+    dt = e.select(F.expr("CAST(vec_id DIV 5 AS BIGINT)").alias("doc_id"),
+                  F.expr("pmod(vec_id, 5)").alias("tok_idx"),
+                  F.col("embedding").alias("vec"))
+    qt = (e.filter(F.col("vec_id") < 20)
+          .select(F.expr("CAST(vec_id DIV 5 AS BIGINT)").alias("qid"),
+                  F.expr("pmod(vec_id, 5)").alias("tok_idx"),
+                  F.col("embedding").alias("vec")))
+    return maxsim_search(dt, qt, 5, metric="cosine")
+
+
+def _maxsim_topk_sql():
+    from cuvs_spark.pipeline.retrieval import maxsim_search_sql
+    return maxsim_search_sql(
+        "SELECT vec_id // 5 AS doc_id, vec_id % 5 AS tok_idx, "
+        "embedding AS dv FROM embeddings",
+        "SELECT vec_id // 5 AS qid, vec_id % 5 AS tok_idx, "
+        "embedding AS qv FROM embeddings WHERE vec_id < 20", 5)
+
+
+register("text_maxsim_topk", _maxsim_topk, _maxsim_topk_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3064,6 +3183,14 @@ _WINDOW_PRIORITY = [
     "text_top_ngrams",
     "text_bm25_topk",
     "text_hybrid_rrf",
+    # Tier 2 (cont.) — third-wave round-7 novel gates: incremental
+    # dedup of a delta crawl against a base corpus, content-defined
+    # chunking, CCNet per-source score terciles, kNN label vote.
+    "dedup_against_base",
+    "dedup_cdc_chunks",
+    "sample_ppl_buckets",
+    "knn_label_vote",
+    "text_maxsim_topk",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3091,11 +3218,16 @@ _WINDOW_PRIORITY = [
     "knn_bf_chebyshev",
     "knn_bf_canberra",
     "knn_bf_braycurtis",
-    "knn_bf_hamming",
+    # (knn_bf_hamming also displaced by the third wave, same
+    # criterion: pairwise_hamming refreshed its metric template in r6.)
     "knn_bf_correlation",
     "knn_bf_jaccard",
-    "knn_bf_russellrao",
-    "knn_bf_dice",
+    # (knn_bf_russellrao / knn_bf_dice displaced by the third-wave
+    # novel gates: their set-family metric templates got fresh r6
+    # driver rows via the pairwise_russellrao/pairwise_dice twins,
+    # and the select_k composition is covered by the 12 knn_bf rows
+    # still in-window — the lowest-risk r02 rows by the policy's own
+    # criterion. They rotate in with the r03 block in r8.)
     "knn_bf_hellinger",
     "knn_bf_euclidean_blas",
     "knn_bf_inner_product_blas",
@@ -3111,17 +3243,13 @@ _WINDOW_PRIORITY = [
     "pairwise_correlation",
     "pairwise_inner_product",
     "ivf_flat_extend_search",
-    # Tier 5 fill — the oldest r03-verified rows take the remaining
-    # slots (the rest of the r03 block rotates in over rounds 8-9,
-    # which clears the ≤3-round refresh bar for every gate).
-    "preprocess_binary_quantize",
-    "ivf_flat_search",
-    # (dedup_simhash_near_dup / preprocess_scalar_roundtrip /
-    # preprocess_pq_transform / preprocess_pq_roundtrip /
+    # (The r03 rows preprocess_binary_quantize / ivf_flat_search —
+    # and earlier dedup_simhash_near_dup / preprocess_scalar_roundtrip
+    # / preprocess_pq_transform / preprocess_pq_roundtrip /
     # stats_silhouette_samples / stats_silhouette_score /
-    # stats_trustworthiness were displaced by the six second-half
-    # novel gates — lowest-risk r03 rows out, per the policy; they
-    # rotate in with the rest of the r03 block in r8.)
+    # stats_trustworthiness — were displaced by the round-7 novel
+    # gates, lowest-risk rows out per the policy; the whole r03 block
+    # rotates in over rounds 8-9, clearing the ≤3-round refresh bar.)
 ]
 
 

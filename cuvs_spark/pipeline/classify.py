@@ -43,6 +43,8 @@ __all__ = [
     "dsir_importance_sql",
     "dsir_select",
     "dsir_select_sql",
+    "knn_label_vote",
+    "knn_label_vote_sql",
     "synthetic_weights",
 ]
 
@@ -273,4 +275,77 @@ SELECT doc_id, CAST(_n AS BIGINT) AS n_toks,
            list_transform(_rs, x -> x.r)), (acc, x) -> acc + x)
          / CAST(_n AS DOUBLE) AS mean_ratio
 FROM g
+"""
+
+
+def knn_label_vote(data: DataFrame, queries: DataFrame, k: int = 10,
+                   metric: str = "sqeuclidean", *,
+                   id_col: str = "id", vec_col: str = "vec",
+                   label_col: str = "label", qid_col: str = "qid",
+                   qvec_col: str = "vec",
+                   method: str = "expr") -> DataFrame:
+    """kNN majority-vote label propagation: label every query row with
+    the most common label among its ``k`` exact nearest neighbors in a
+    labeled seed set → ``(qid, label, votes)``.
+
+    The corpus-curation use: a few thousand hand- or LLM-labeled
+    documents (quality tiers, topic tags, toxicity flags) propagate to
+    the whole corpus through embedding space — the standard seed-set
+    auto-labeling stage of a training-data pipeline (and the classic
+    companion op to a vector-search engine; the reference stops at
+    ``select_k``, this is the one-groupBy consumer of it).
+
+    Ties break deterministically: highest vote count, then lowest
+    label. The vote aggregation is a partial-agg ``min(struct(...))``
+    (map-side combine), never a per-query window.
+
+    **Scale shape.** The seed set is the *dataset* side and is small by
+    construction; the corpus is the *query* side and may be huge. The
+    underlying :func:`~cuvs_spark.operators.brute_force.knn` guards its
+    broadcast-queries plan with ``broadcast_query_limit`` and falls
+    back to the streaming partition-pair plan automatically, so a
+    100 TB query side degrades to a scan×broadcast-sized-seed join, not
+    a driver collect. For ANN-scale seed sets, run any index search
+    producing ``(qid, nid)`` and call the vote aggregation on it
+    directly.
+    """
+    from cuvs_spark.operators.brute_force import knn
+
+    nbrs = knn(data, queries, k, metric, id_col=id_col, vec_col=vec_col,
+               qid_col=qid_col, qvec_col=qvec_col, method=method,
+               with_distance=False)
+    lab = data.select(F.col(id_col).cast("long").alias("nid"),
+                      F.col(label_col).cast("long").alias("label"))
+    votes = (nbrs.join(F.broadcast(lab), "nid")
+             .groupBy("qid", "label").agg(F.count("*").alias("votes")))
+    # min(struct) keeps the agg partial: (k+1-votes) is positive and
+    # ascending in -votes, so the struct min is (max votes, min label)
+    best = (votes.groupBy("qid")
+            .agg(F.min(F.struct(
+                (F.lit(k + 1) - F.col("votes")).alias("_nv"),
+                F.col("label").alias("_l"))).alias("_b"))
+            .select("qid", F.col("_b._l").alias("label"),
+                    (F.lit(k + 1) - F.col("_b._nv")).alias("votes")))
+    return best
+
+
+def knn_label_vote_sql(dataset_sql: str, queries_sql: str, k: int = 10,
+                       metric: str = "sqeuclidean") -> str:
+    """DuckDB twin: the shared kNN oracle (identical distance template
+    and nid tie-break) + the same (votes DESC, label ASC) vote rule.
+    ``dataset_sql`` must yield ``(nid, dv, label)``."""
+    from cuvs_spark.plans.oracle import knn_sql
+
+    base = knn_sql(f"SELECT nid, dv FROM ({dataset_sql})", queries_sql,
+                   k, metric, with_distance=False)
+    return f"""
+WITH nbrs AS ({base}),
+lab AS (SELECT nid, CAST(label AS BIGINT) AS label FROM ({dataset_sql})),
+v AS (SELECT qid, label, count(*) AS votes
+      FROM nbrs JOIN lab USING (nid) GROUP BY qid, label),
+r AS (SELECT qid, label, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, label ASC) AS rn
+      FROM v)
+SELECT qid, label, CAST(votes AS BIGINT) AS votes FROM r WHERE rn = 1
 """

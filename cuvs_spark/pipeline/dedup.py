@@ -1172,3 +1172,233 @@ def mine_hard_negatives(queries: DataFrame, dataset: DataFrame,
             .join(excl, ["qid", "nid"], "left_anti"))
     return select_k(kept, "qid", "distance", k,
                     select_min=is_min_close(metric), tie_cols=["nid"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: delta corpus vs an existing base corpus
+# ---------------------------------------------------------------------------
+
+def dedup_against(base: DataFrame, delta: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  jaccard_threshold: float = 0.5,
+                  n_hashes: int = N_HASHES, band_r: int = BAND_R,
+                  max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup matches of a DELTA corpus against a BASE corpus →
+    ``(doc_id, base_id, jaccard)``: each delta doc's best base match
+    (max Jaccard, ties → max base_id) at or above the threshold.
+    Delta docs with no row survive; ``delta.join(result, 'doc_id',
+    'left_anti')`` is the incremental-ingest filter.
+
+    The continuous-crawl shape: a weekly crawl lands as *delta* and
+    must be deduplicated against the accumulated corpus WITHOUT
+    re-pairing the base against itself (:func:`minhash_lsh_pairs` is
+    the O(base²-candidates) self-join; this is delta×base only). Both
+    sides use the same MinHash parameters, so the base side's bands
+    can be computed once and persisted by the caller across ingests —
+    at 100 TB the base bands are a bucketed table the weekly job
+    equi-joins into, and only the delta (orders of magnitude smaller)
+    is shingled fresh.
+
+    Candidates shuffle on the (band, band_key) pair only; the exact
+    shingle-Jaccard verification touches candidates, never
+    |delta|×|base|. ``max_bucket_size`` drops hot band buckets on the
+    BASE side (boilerplate: license pages, empty docs) exactly like
+    the self-join variant; a delta doc whose only matches live in a
+    dropped bucket is near-identical to a base doc en masse, which
+    exact dedup on ingest already collapses.
+    """
+    n_bands = _check_bands(n_hashes, band_r)
+    sig = F.array(*[F.expr(e) for e in _sig_exprs_spark(n_hashes=n_hashes)])
+
+    def _prep(df: DataFrame) -> DataFrame:
+        # staged projections: HOF lambdas are excluded from Spark's
+        # subexpression elimination (same structure as the self-join)
+        return (_doc(df, id_col, text_col)
+                .withColumn("t", F.expr(TOKS_SPARK.format(s="text")))
+                .withColumn("sh", F.expr(SHINGLES_SPARK.format(t="t")))
+                .withColumn("hs", F.expr(
+                    "transform(sh, s -> " + H32_SPARK.format(s="s") + ")"))
+                .select("doc_id", sig.alias("sig"), "sh"))
+
+    def _bands(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.concat_ws("-", *[
+                             F.col("sig")[b * band_r + r]
+                             for r in range(band_r)]).alias("key"))
+                for b in range(n_bands)])).alias("bk"))
+
+    bdocs = _prep(base).persist()
+    ddocs = _prep(delta).persist()
+    bb = _bands(bdocs)
+    if max_bucket_size is not None:
+        hot = (bb.groupBy(F.col("bk.band").alias("_hb"),
+                          F.col("bk.key").alias("_hk"))
+               .count().filter(F.col("count") > max_bucket_size)
+               .select("_hb", "_hk"))
+        bb = bb.join(F.broadcast(hot),
+                     (F.col("bk.band") == F.col("_hb"))
+                     & (F.col("bk.key") == F.col("_hk")), "left_anti")
+    cand = (_bands(ddocs).alias("x").join(
+                bb.alias("y"),
+                (F.col("x.bk.band") == F.col("y.bk.band"))
+                & (F.col("x.bk.key") == F.col("y.bk.key")))
+            .select(F.col("x.doc_id").alias("doc_id"),
+                    F.col("y.doc_id").alias("base_id"))
+            .distinct())
+    dsh = ddocs.select(F.col("doc_id"), F.col("sh").alias("sh_d"))
+    bsh = bdocs.select(F.col("doc_id").alias("base_id"),
+                       F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_d", "sh_b"))
+           / F.size(F.array_union("sh_d", "sh_b")))
+    matches = (cand.join(dsh, "doc_id").join(bsh, "base_id")
+               .select("doc_id", "base_id", jac.alias("jaccard"))
+               .filter(F.col("jaccard") >= jaccard_threshold))
+    # best match per delta doc: max(struct) is a partial agg (map-side
+    # combine) — lexicographic max = (max jaccard, then max base_id)
+    return (matches.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("jaccard").alias("_j"),
+                                F.col("base_id").alias("_b"))).alias("m"))
+            .select("doc_id", F.col("m._b").alias("base_id"),
+                    F.col("m._j").alias("jaccard")))
+
+
+def dedup_against_sql(base_sql: str, delta_sql: str,
+                      jaccard_threshold: float = 0.5,
+                      n_hashes: int = N_HASHES,
+                      band_r: int = BAND_R) -> str:
+    """DuckDB twin: same signatures, same band join, same
+    (jaccard DESC, base_id DESC) best-match rule."""
+    n_bands = _check_bands(n_hashes, band_r)
+    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck(n_hashes=n_hashes))
+    sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
+    hs = "list_transform(sh, s -> " + H32_DUCK.format(s="s") + ")"
+
+    def _band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '-' || ".join(f"CAST(sig[{b * band_r + r + 1}] AS VARCHAR)"
+                                 for r in range(band_r))
+            + f" AS key FROM {src}"
+            for b in range(n_bands))
+
+    return f"""
+WITH b0 AS ({base_sql}),
+d0 AS ({delta_sql}),
+b1 AS (SELECT doc_id, {sh} AS sh FROM b0),
+b2 AS (SELECT doc_id, sh, {hs} AS hs FROM b1),
+bsigs AS (SELECT doc_id, [{exprs}] AS sig, sh FROM b2),
+d1 AS (SELECT doc_id, {sh} AS sh FROM d0),
+d2 AS (SELECT doc_id, sh, {hs} AS hs FROM d1),
+dsigs AS (SELECT doc_id, [{exprs}] AS sig, sh FROM d2),
+bbands AS ({_band_rows('bsigs')}),
+dbands AS ({_band_rows('dsigs')}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id
+  FROM dbands x JOIN bbands y ON x.band = y.band AND x.key = y.key
+),
+m AS (
+  SELECT c.doc_id, c.base_id,
+         CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(d.sh || b.sh)) AS jaccard
+  FROM cand c JOIN dsigs d ON d.doc_id = c.doc_id
+              JOIN bsigs b ON b.doc_id = c.base_id
+),
+r AS (
+  SELECT doc_id, base_id, jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, base_id DESC) AS rn
+  FROM m WHERE jaccard >= {jaccard_threshold}
+)
+SELECT doc_id, base_id, jaccard FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): shift-resistant dedup units
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", window: int = 4,
+               divisor: int = 16) -> DataFrame:
+    """Content-defined chunking over the token stream →
+    ``(doc_id, chunk_idx, n_tokens, chunk_hash)``.
+
+    A chunk boundary falls after token ``i`` wherever the hash of the
+    ``window``-token gram ending at ``i`` is ≡ 0 mod ``divisor`` —
+    boundaries are a function of local CONTENT, not position (the
+    rsync/LBFS/FastCDC trick, applied to tokens instead of bytes). A
+    doc edited near its start re-synchronizes to the same chunk
+    boundaries a few tokens past the edit, so shared chunk hashes
+    recover doc-level near-duplication that fixed-offset windows lose
+    to shifting; expected chunk length ≈ ``divisor`` tokens. Exact
+    dedup over ``chunk_hash`` (one groupBy) is then the incremental /
+    shifted-content dedup unit — the same pipeline slot where
+    :func:`substring_dedup` removes repeats WITHIN the corpus, CDC
+    chunks dedup storage and overlap ACROSS corpus versions.
+
+    Map-only: tokenizing, gram hashing, boundary selection and chunk
+    assembly all run as one JVM HOF projection + a posexplode — no
+    shuffle, no Python. Empty docs yield no rows; a doc shorter than
+    ``window`` is one whole-doc chunk.
+    """
+    if window < 1 or divisor < 1:
+        raise ValueError(f"window/divisor must be >= 1, "
+                         f"got {window}/{divisor}")
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="text")))
+         .filter(F.expr("size(_t) >= 1")))
+    gram = f"concat_ws(' ', slice(_t, i - {window} + 1, {window}))"
+    bexpr = (f"array_sort(array_distinct(concat("
+             f"filter(sequence({window}, size(_t)), "
+             f"i -> pmod({H32_SPARK.format(s=gram)}, {divisor}) = 0), "
+             f"array(size(_t)))))")
+    # sequence(w, n) with w > n would count DOWN in Spark — guard it
+    bexpr = (f"CASE WHEN size(_t) >= {window} THEN {bexpr} "
+             f"ELSE array(size(_t)) END")
+    ctext = "concat_ws(' ', slice(_t, s + 1, e - s))"
+    d = (d.withColumn("_ends", F.expr(bexpr))
+         .withColumn("_starts", F.expr(
+             "concat(array(0), slice(_ends, 1, size(_ends) - 1))"))
+         .select("doc_id", "_t", F.posexplode(F.expr(
+             "zip_with(_starts, _ends, (s, e) -> struct("
+             f"CAST(e - s AS BIGINT) AS n_tokens, "
+             f"{H64_SPARK.format(s=ctext)} AS chunk_hash))"))
+             .alias("chunk_idx", "c")))
+    return d.select("doc_id", F.col("chunk_idx").cast("long"),
+                    F.col("c.n_tokens").alias("n_tokens"),
+                    F.col("c.chunk_hash").alias("chunk_hash"))
+
+
+def cdc_chunks_sql(doc_sql: str, window: int = 4,
+                   divisor: int = 16) -> str:
+    """DuckDB twin: same gram hash, boundary rule, and chunk hash
+    (1-based ``list_slice`` vs Spark's (start, length) ``slice``)."""
+    toks = TOKS_DUCK.format(s="text")
+    gram = f"array_to_string(list_slice(t, i - {window} + 1, i), ' ')"
+    ctext = "array_to_string(list_slice(t, p[1] + 1, p[2]), ' ')"
+    return f"""
+WITH d0 AS ({doc_sql}),
+t0 AS (SELECT doc_id, {toks} AS t FROM d0),
+t1 AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) >= 1),
+b AS (SELECT doc_id, t, n,
+             CASE WHEN n >= {window} THEN list_sort(list_distinct(
+               list_filter(generate_series({window}, n),
+                 i -> ({H32_DUCK.format(s=gram)}) % {divisor} = 0)
+               || [n]))
+             ELSE [n] END AS ends
+      FROM t1),
+s AS (SELECT doc_id, t, ends,
+             list_prepend(0, list_slice(ends, 1, len(ends) - 1)) AS starts
+      FROM b),
+e AS (SELECT doc_id, t,
+             CAST(generate_subscripts(list_zip(starts, ends), 1)
+                  AS BIGINT) - 1 AS chunk_idx,
+             unnest(list_zip(starts, ends)) AS p
+      FROM s)
+SELECT doc_id, chunk_idx, CAST(p[2] - p[1] AS BIGINT) AS n_tokens,
+       {H64_DUCK.format(s=ctext)} AS chunk_hash
+FROM e
+"""

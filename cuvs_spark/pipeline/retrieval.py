@@ -237,3 +237,120 @@ r AS (
 SELECT qid, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
+
+
+def maxsim_search(doc_tokens: DataFrame, query_tokens: DataFrame,
+                  k: int = 10, *, metric: str = "cosine",
+                  doc_col: str = "doc_id", dtok_col: str = "tok_idx",
+                  dvec_col: str = "vec", qdoc_col: str = "qid",
+                  qtok_col: str = "tok_idx", qvec_col: str = "vec",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """ColBERT-style late-interaction retrieval over MULTI-vector
+    documents: ``score(q, d) = Σ_{query token} max_{doc token}
+    sim(qv, dv)`` → top-``k`` docs per query as
+    ``(qid, doc_id, score, rank)``.
+
+    Single-vector retrieval pools a document to one embedding and
+    loses token-level alignment; late interaction (Khattab & Zaharia,
+    SIGIR 2020) keeps one vector per token on both sides and lets each
+    query token pick its best-matching document token. ``metric`` is
+    ``'cosine'`` (sim = 1 − cosine distance) or ``'inner_product'``
+    (sim = the dot itself) — both rendered from the shared
+    ``functions/distance.py`` templates, so the oracle twin is
+    bit-identical.
+
+    Determinism for the gate: the inner max is an exact double
+    min/max; the outer sum folds in sorted ``qtok`` order
+    (``array_sort`` + ``aggregate``), the repo-wide sorted-fold rule.
+
+    **Scale shape.** The exact form pairs every query token with every
+    doc token — correct at gate scale and for re-ranking. At corpus
+    scale, pass ``candidates`` (``(qid, doc_id)`` — e.g. top-100 of an
+    ANN search over POOLED per-doc vectors, the standard two-stage
+    ColBERT serving layout): token pairing then touches candidate
+    pairs only, so cost tracks ``|candidates| · q_toks · d_toks``
+    instead of ``|Q| · |D|``.
+    """
+    if metric not in ("cosine", "inner_product"):
+        raise ValueError(f"maxsim metric must be cosine or "
+                         f"inner_product, got {metric}")
+    from cuvs_spark.functions.distance import distance_sql_spark
+    from cuvs_spark.operators.select_k import select_k
+
+    d = doc_tokens.select(F.col(doc_col).cast("long").alias("doc_id"),
+                          F.col(dtok_col).cast("long").alias("dtok"),
+                          F.col(dvec_col).alias("dv"))
+    q = query_tokens.select(F.col(qdoc_col).cast("long").alias("qid"),
+                            F.col(qtok_col).cast("long").alias("qtok"),
+                            F.col(qvec_col).alias("qv"))
+    if candidates is not None:
+        cand = candidates.select(F.col("qid").cast("long").alias("qid"),
+                                 F.col("doc_id").cast("long")
+                                 .alias("doc_id"))
+        pairs = q.join(cand, "qid").join(d, "doc_id")
+    else:
+        pairs = q.crossJoin(d)
+    dist = F.expr(distance_sql_spark(metric, "qv", "dv"))
+    if metric == "cosine":
+        best = F.min(dist)
+        contrib = F.lit(1.0) - F.col("_best")
+    else:
+        best = F.max(dist)
+        contrib = F.col("_best")
+    per_qtok = (pairs.groupBy("qid", "doc_id", "qtok")
+                .agg(best.alias("_best"))
+                .select("qid", "doc_id", "qtok", contrib.alias("_c")))
+    scored = (per_qtok.groupBy("qid", "doc_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("qtok", "_c"))).alias("_cs"))
+              .select("qid", "doc_id", F.expr(
+                  "aggregate(_cs, CAST(0.0 AS DOUBLE), "
+                  "(acc, x) -> acc + x._c)").alias("score")))
+    return (select_k(scored, "qid", "score", k, select_min=False,
+                     tie_cols=["doc_id"], rank_col="rank",
+                     strategy="auto")
+            .select("qid", "doc_id", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def maxsim_search_sql(doc_sql: str, query_sql: str, k: int = 10, *,
+                      metric: str = "cosine") -> str:
+    """DuckDB twin: same distance template, same exact inner min/max,
+    same sorted qtok fold, same (score DESC, doc_id ASC) rank.
+    ``doc_sql`` yields ``(doc_id, tok_idx, dv)``; ``query_sql`` yields
+    ``(qid, tok_idx, qv)``."""
+    if metric not in ("cosine", "inner_product"):
+        raise ValueError(metric)
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+
+    dist = distance_sql_duckdb(metric, "q.qv", "d.dv")
+    agg, contrib = (("min", "1.0 - best") if metric == "cosine"
+                    else ("max", "best"))
+    return f"""
+WITH d AS ({doc_sql}),
+q AS ({query_sql}),
+pt AS (
+  SELECT q.qid AS qid, d.doc_id AS doc_id,
+         CAST(q.tok_idx AS BIGINT) AS qtok, {agg}({dist}) AS best
+  FROM q CROSS JOIN d GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT qid, doc_id,
+         list_sort(list({{'qtok': qtok, 'c': {contrib}}})) AS cs
+  FROM pt GROUP BY qid, doc_id
+),
+sc AS (
+  SELECT qid, doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cs, x -> x.c)), (acc, x) -> acc + x) AS score
+  FROM s
+),
+r AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

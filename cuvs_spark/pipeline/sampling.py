@@ -627,3 +627,73 @@ SELECT {keys}{id_col},
        CAST(start % {max_tokens} AS BIGINT) AS seq_offset
 FROM c
 """
+
+
+def score_buckets(df: DataFrame, n_buckets: int = 3, *,
+                  score_col: str = "score", group_col: str = "source",
+                  id_col: str = "doc_id", ascending: bool = False,
+                  method: str = "ntile") -> DataFrame:
+    """CCNet-style per-domain quality bucketing: rank every doc inside
+    its group by a score and cut the ranking into ``n_buckets`` equal
+    tiles → ``(doc_id, group, bucket)`` with bucket 1..n. CCNet
+    (Wenzek et al., 2020) cuts each language shard into perplexity
+    terciles (head/middle/tail) and trains on head+middle; bucket 1 is
+    always the BEST tile (``ascending=False`` ranks high scores first —
+    use it for "higher is better" scores like mean token probability;
+    flip for raw perplexity).
+
+    ``method='ntile'`` (gated) is the exact SQL-standard tile: one
+    window sort per group. Groups are domains/languages, so group
+    cardinality is small and AQE skew-split handles a dominant domain;
+    CCNet itself shards by language before cutting, which is exactly
+    this shape. ``method='approx'`` is the 100 TB path CCNet actually
+    ships: per-group quantile boundaries from ``percentile_approx``
+    (a tiny broadcast) and a map-only comparison against them — no
+    window, no per-group sort; boundary docs may land one tile off,
+    which is immaterial at corpus scale.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    d = df.select(F.col(id_col).cast("long").alias(id_col),
+                  F.col(group_col).alias(group_col),
+                  F.col(score_col).cast("double").alias("_s"))
+    if method == "approx":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        probs = qs if ascending else [1.0 - q for q in qs]
+        bounds = (d.groupBy(group_col)
+                  .agg(F.percentile_approx("_s", probs).alias("_b")))
+        # bucket = 1 + number of boundaries strictly better-ranked
+        # than the score (better = above for descending, below for
+        # ascending) — the map-only analog of the ntile cut
+        cmp = "x > _s" if not ascending else "x < _s"
+        return (d.join(F.broadcast(bounds), group_col)
+                .select(id_col, group_col,
+                        (F.expr(f"size(filter(_b, x -> {cmp}))")
+                         .cast("long") + F.lit(1)).alias("bucket")))
+    if method != "ntile":
+        raise ValueError(method)
+    order = (F.col("_s").asc() if ascending else F.col("_s").desc())
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (d.select(id_col, group_col,
+                     F.ntile(n_buckets).over(w).cast("long")
+                     .alias("bucket")))
+
+
+def score_buckets_sql(src_sql: str, n_buckets: int = 3, *,
+                      score_col: str = "score",
+                      group_col: str = "source",
+                      id_col: str = "doc_id",
+                      ascending: bool = False) -> str:
+    """DuckDB twin of the ntile path (ntile is SQL-standard on both
+    engines: the first ``n mod k`` tiles take the extra rows, so equal
+    total orders give equal tiles)."""
+    dirn = "ASC" if ascending else "DESC"
+    return f"""
+WITH d AS ({src_sql})
+SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+       CAST(ntile({n_buckets}) OVER (
+            PARTITION BY {group_col}
+            ORDER BY CAST({score_col} AS DOUBLE) {dirn}, {id_col} ASC)
+         AS BIGINT) AS bucket
+FROM d
+"""

@@ -399,3 +399,155 @@ def test_bm25_max_df_prunes_stopwords(spark):
     # unpruned: every doc matches via 'the'; pruned: only doc 3 matches
     assert len(full) == 10
     assert [(r["doc_id"], r["rank"]) for r in pruned] == [(3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Third-wave round-7 ops: CDC chunks, dedup-against-base, score
+# buckets, kNN label vote
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_partition_and_shift_resilience(spark):
+    from cuvs_spark.pipeline.dedup import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(200))
+    shifted = "pre1 pre2 pre3 " + base
+    out = cdc_chunks(_docs(spark, [(1, base), (2, shifted), (3, "")]))
+    rows = out.collect()
+    # empty doc yields nothing
+    assert not [r for r in rows if r["doc_id"] == 3]
+    for did, ntok in ((1, 200), (2, 203)):
+        ch = sorted((r["chunk_idx"], r["n_tokens"]) for r in rows
+                    if r["doc_id"] == did)
+        # chunks partition the token stream, indexes contiguous from 0
+        assert [i for i, _ in ch] == list(range(len(ch)))
+        assert sum(n for _, n in ch) == ntok
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    # content-defined boundaries re-sync after the 3-token prepend:
+    # all but the first chunk(s) coincide
+    assert len(h1 & h2) / len(h1) >= 0.5
+
+
+def test_cdc_chunks_short_doc_single_chunk(spark):
+    from cuvs_spark.pipeline.dedup import cdc_chunks
+
+    out = cdc_chunks(_docs(spark, [(1, "a b")]), window=4).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_idx"] == 0 and out[0]["n_tokens"] == 2
+
+
+def test_dedup_against_threshold_and_best_match(spark):
+    from cuvs_spark.pipeline.dedup import dedup_against
+
+    body = " ".join(f"t{i}" for i in range(40))
+    base = _docs(spark, [(1, body), (2, body),
+                         (3, " ".join(f"z{i}" for i in range(40)))])
+    delta = _docs(spark, [
+        (10, body),                                   # exact dup of 1 AND 2
+        (11, " ".join(f"q{i}" for i in range(40))),   # novel
+        (12, body + " x1 x2"),                        # near dup
+    ])
+    got = {r["doc_id"]: r for r in dedup_against(base, delta).collect()}
+    assert set(got) == {10, 12}
+    # two equal-jaccard base matches → max base_id wins
+    assert got[10]["base_id"] == 2 and got[10]["jaccard"] == 1.0
+    assert got[12]["base_id"] == 2 and 0.5 <= got[12]["jaccard"] < 1.0
+
+
+def test_dedup_against_never_pairs_base_with_itself(spark):
+    from cuvs_spark.pipeline.dedup import dedup_against
+
+    body = " ".join(f"t{i}" for i in range(40))
+    base = _docs(spark, [(1, body), (2, body)])
+    delta = _docs(spark, [(10, " ".join(f"n{i}" for i in range(40)))])
+    # base-side dups must not appear: output is delta-keyed only
+    assert dedup_against(base, delta).count() == 0
+
+
+def test_score_buckets_ntile_exact(spark):
+    from cuvs_spark.pipeline.sampling import score_buckets
+
+    rows = [(gi * 100 + i, g, float(i))
+            for gi, g in enumerate(["a", "b"]) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = score_buckets(df, 3, score_col="score").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault((r["source"], r["bucket"]), []).append(r["doc_id"] % 100)
+    for g in ["a", "b"]:
+        # higher score = better = bucket 1; 9 rows → 3 per tile
+        assert sorted(by_bucket[(g, 1)]) == [6, 7, 8]
+        assert sorted(by_bucket[(g, 2)]) == [3, 4, 5]
+        assert sorted(by_bucket[(g, 3)]) == [0, 1, 2]
+
+
+def test_score_buckets_approx_matches_on_separated_scores(spark):
+    from cuvs_spark.pipeline.sampling import score_buckets
+
+    rows = [(i, "a", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    exact = {r["doc_id"]: r["bucket"]
+             for r in score_buckets(df, 3, score_col="score").collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in score_buckets(df, 3, score_col="score",
+                                     method="approx").collect()}
+    agree = sum(exact[i] == approx[i] for i in exact)
+    assert agree >= 27            # boundary rows may land one tile off
+
+
+def test_knn_label_vote_majority_and_tie(spark):
+    from cuvs_spark.pipeline.classify import knn_label_vote
+
+    pts = [(0, [0.0, 0.1], 1), (1, [0.1, 0.0], 1),
+           (2, [0.0, -0.1], 2), (3, [-0.1, 0.0], 2),
+           (4, [5.0, 5.0], 7), (5, [5.1, 5.0], 7), (6, [5.0, 5.1], 9)]
+    data = spark.createDataFrame(pts, "id long, vec array<float>, label long")
+    qs = spark.createDataFrame([(100, [0.0, 0.0]), (101, [5.0, 5.05])],
+                               "qid long, qv array<float>")
+    got = {r["qid"]: r for r in
+           knn_label_vote(data, qs, 4, "sqeuclidean",
+                          qvec_col="qv").collect()}
+    # qid 100: labels {1,1,2,2} → 2-2 tie → lowest label wins
+    assert got[100]["label"] == 1 and got[100]["votes"] == 2
+    # qid 101: nearest 4 of the far cluster + one near pt? k=4 around
+    # (5,5.05): ids 4,5,6 plus one origin point → 7 wins 2-1-1
+    assert got[101]["label"] == 7 and got[101]["votes"] == 2
+
+
+def _tok_df(spark, rows, idc):
+    return spark.createDataFrame(
+        rows, f"{idc} long, tok_idx long, vec array<float>")
+
+
+def test_maxsim_hand_checked(spark):
+    from cuvs_spark.pipeline.retrieval import maxsim_search
+
+    docs = _tok_df(spark, [
+        (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+        (2, 0, [-1.0, 0.0]), (2, 1, [0.0, -1.0])], "doc_id")
+    qs = _tok_df(spark, [(7, 0, [1.0, 0.0]), (7, 1, [0.0, 1.0])], "qid")
+    got = {r["doc_id"]: r for r in
+           maxsim_search(docs, qs, 2).collect()}
+    # each query token matches doc 1 exactly (sim 1 + 1 = 2); best
+    # doc-2 token per query token is orthogonal (sim 0)
+    assert got[1]["score"] == pytest.approx(2.0)
+    assert got[1]["rank"] == 1
+    assert got[2]["score"] == pytest.approx(0.0)
+
+
+def test_maxsim_candidates_path_equals_exact(spark):
+    import numpy as np
+    from cuvs_spark.pipeline.retrieval import maxsim_search
+
+    rng = np.random.default_rng(3)
+    docs = _tok_df(spark, [(d, t, [float(x) for x in rng.normal(0, 1, 4)])
+                           for d in range(6) for t in range(3)], "doc_id")
+    qs = _tok_df(spark, [(q, t, [float(x) for x in rng.normal(0, 1, 4)])
+                         for q in range(2) for t in range(3)], "qid")
+    exact = maxsim_search(docs, qs, 4)
+    allc = spark.createDataFrame([(q, d) for q in range(2)
+                                  for d in range(6)],
+                                 "qid long, doc_id long")
+    cand = maxsim_search(docs, qs, 4, candidates=allc)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(exact) == key(cand)
