@@ -3151,6 +3151,45 @@ def _maxsim_topk_sql():
 register("text_maxsim_topk", _maxsim_topk, _maxsim_topk_sql())
 
 
+def _contamination_report(spark, sf_dir):
+    """Per-eval-item contamination audit: eval = docs 0-19, corpus =
+    docs + injected exact/near copies → every eval item is hit by
+    its own copy (and doc<50 ids by the +100000 exact dup)."""
+    d = _docs_with_dups(spark, sf_dir)
+    bench = (doc_table(spark, sf_dir).filter(F.col("doc_id") < 20)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return TX.contamination_report(d, bench)
+
+
+register("text_contamination_report", _contamination_report,
+         TX.contamination_report_sql(
+             _DOC_DUP_SQL,
+             "SELECT doc_id AS bench_id, text FROM documents "
+             "WHERE doc_id < 20"))
+
+
+def _length_quantiles(spark, sf_dir):
+    """Per-source token-length quantile audit (exact type-7
+    percentiles, rounded 6dp on both engines)."""
+    return TX.length_quantiles(T(spark, sf_dir, "documents")
+                               .select("source", "doc_id", "text"))
+
+
+register("text_length_quantiles", _length_quantiles,
+         TX.length_quantiles_sql("SELECT source, text FROM documents"))
+
+
+def _cluster_histogram(spark, sf_dir):
+    """Exact-dup cluster-size histogram over the injected-copies
+    corpus: the dedup audit view (size-2 clusters from the exact
+    copies; near copies differ textually, so they stay size-1)."""
+    return DD.dup_cluster_histogram(_docs_with_dups(spark, sf_dir))
+
+
+register("dedup_cluster_histogram", _cluster_histogram,
+         DD.dup_cluster_histogram_sql(_DOC_DUP_SQL))
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3191,6 +3230,12 @@ _WINDOW_PRIORITY = [
     "sample_ppl_buckets",
     "knn_label_vote",
     "text_maxsim_topk",
+    # Tier 2 (cont.) — fourth-wave round-7 novel gates: per-eval-item
+    # contamination report, per-source length-quantile audit,
+    # exact-dup cluster histogram.
+    "text_contamination_report",
+    "text_length_quantiles",
+    "dedup_cluster_histogram",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3215,9 +3260,10 @@ _WINDOW_PRIORITY = [
     "kmeans_lloyd_step",
     "knn_bf_euclidean",
     "knn_bf_cityblock",
-    "knn_bf_chebyshev",
-    "knn_bf_canberra",
-    "knn_bf_braycurtis",
+    # (knn_bf_chebyshev / knn_bf_canberra / knn_bf_braycurtis
+    # displaced by the fourth wave: their pairwise_* metric-template
+    # twins stay in-window and refresh the same templates this round,
+    # and the knn/select_k composition keeps 9 other in-window rows.)
     # (knn_bf_hamming also displaced by the third wave, same
     # criterion: pairwise_hamming refreshed its metric template in r6.)
     "knn_bf_correlation",

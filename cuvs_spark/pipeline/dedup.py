@@ -1402,3 +1402,42 @@ SELECT doc_id, chunk_idx, CAST(p[2] - p[1] AS BIGINT) AS n_tokens,
        {H64_DUCK.format(s=ctext)} AS chunk_hash
 FROM e
 """
+
+
+def dup_cluster_histogram(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact-duplicate cluster-size histogram →
+    ``(cluster_size, n_clusters, n_docs)`` — the dedup AUDIT view:
+    before deleting anything, a corpus owner wants the duplication
+    profile (how much of the crawl is 2-way mirrors vs one page
+    duplicated 50 000 times — the latter is boilerplate/SEO spam and
+    usually warrants dropping ALL copies, not keeping one).
+
+    Two map-side-combined groupBys over integer keys: text-hash →
+    cluster size, then size → cluster count; the histogram is at most
+    ~log-many distinct rows, so the second shuffle is trivial. Hot
+    clusters are ONE row after the first combine — no skew exposure.
+    """
+    d = _doc(df, id_col, text_col)
+    h = H64_SPARK.format(s="text")
+    sizes = (d.select(F.expr(h).alias("h"))
+             .groupBy("h").agg(F.count("*").alias("sz")))
+    return (sizes.groupBy("sz")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(F.col("sz").cast("long").alias("cluster_size"),
+                    F.col("n_clusters").cast("long").alias("n_clusters"),
+                    (F.col("sz") * F.col("n_clusters")).cast("long")
+                    .alias("n_docs")))
+
+
+def dup_cluster_histogram_sql(doc_sql: str) -> str:
+    h = H64_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+s AS (SELECT {h} AS h, count(*) AS sz FROM d GROUP BY 1),
+g AS (SELECT sz, count(*) AS n_clusters FROM s GROUP BY sz)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(sz * n_clusters AS BIGINT) AS n_docs
+FROM g
+"""

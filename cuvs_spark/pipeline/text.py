@@ -1136,3 +1136,123 @@ SELECT doc_id, nfc_normalize(COALESCE(text, '')) AS norm_text,
             THEN 1 ELSE 0 END AS INT) AS changed
 FROM d
 """
+
+
+def contamination_report(docs: DataFrame, benchmarks: DataFrame, *,
+                         n: int = 8, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         bench_id_col: str = "bench_id",
+                         bench_text_col: str = "text") -> DataFrame:
+    """Per-EVAL-item contamination audit →
+    ``(bench_id, n_grams, n_docs_hit, n_grams_hit)``: for each eval
+    item, how many distinct corpus docs share at least one word
+    ``n``-gram with it, and how many of its own grams are hit.
+
+    :func:`decontaminate` answers the corpus-side question ("which
+    training docs must go"); this is the report the EVAL owner reads —
+    which benchmark items have leaked into the corpus, and how widely.
+    An item with ``n_docs_hit`` in the thousands is boilerplate-like
+    (its grams are generic); one hit by a handful of docs is a true
+    leak. Both counts are exact distinct counts, not sketches.
+
+    Scale shape: the corpus explodes to distinct ``(doc, gram-hash)``
+    pairs ONCE; the eval side (small by nature) broadcasts into the
+    join, so the corpus never shuffles and cost tracks corpus gram
+    volume — the same discipline as :func:`decontaminate`."""
+    bg = (benchmarks.select(
+              F.col(bench_id_col).cast("long").alias("bench_id"),
+              F.expr(TOKS_SPARK.format(s=f"lower({bench_text_col})"))
+              .alias("_t"))
+          .select("bench_id", F.expr(_ngram_hashes_expr(n)).alias("_g")))
+    totals = bg.select("bench_id",
+                       F.expr("CAST(size(_g) AS BIGINT)").alias("n_grams"))
+    bh = bg.select("bench_id", F.explode("_g").alias("h"))
+    dg = (_doc(docs, id_col, text_col)
+          .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)")))
+          .select("doc_id", F.explode(F.expr(_ngram_hashes_expr(n)))
+                  .alias("h")))
+    hits = (dg.join(F.broadcast(bh), "h")
+            .groupBy("bench_id")
+            .agg(F.countDistinct("doc_id").alias("n_docs_hit"),
+                 F.countDistinct("h").alias("n_grams_hit")))
+    return (totals.join(hits, "bench_id", "left")
+            .select("bench_id", "n_grams",
+                    F.coalesce("n_docs_hit", F.lit(0)).cast("long")
+                    .alias("n_docs_hit"),
+                    F.coalesce("n_grams_hit", F.lit(0)).cast("long")
+                    .alias("n_grams_hit")))
+
+
+def contamination_report_sql(doc_sql: str, bench_sql: str,
+                             n: int = 8) -> str:
+    """DuckDB twin (``bench_sql`` yields ``(bench_id, text)``)."""
+    toks = TOKS_DUCK.format(s="lower(text)")
+    return f"""
+WITH d0 AS ({doc_sql}),
+b0 AS ({bench_sql}),
+bg AS (SELECT CAST(bench_id AS BIGINT) AS bench_id,
+              {_ngram_hashes_duck(n, toks)} AS g FROM b0),
+bh AS (SELECT bench_id, unnest(g) AS h FROM bg),
+dh AS (SELECT doc_id, unnest({_ngram_hashes_duck(n, toks)}) AS h FROM d0),
+hits AS (
+  SELECT bh.bench_id, count(DISTINCT dh.doc_id) AS n_docs_hit,
+         count(DISTINCT bh.h) AS n_grams_hit
+  FROM dh JOIN bh USING (h) GROUP BY bh.bench_id
+)
+SELECT bg.bench_id, CAST(len(bg.g) AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+       CAST(COALESCE(hits.n_grams_hit, 0) AS BIGINT) AS n_grams_hit
+FROM bg LEFT JOIN hits ON bg.bench_id = hits.bench_id
+"""
+
+
+def length_quantiles(df: DataFrame,
+                     probs: tuple = (0.25, 0.5, 0.75, 0.9), *,
+                     group_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text", ndigits: int = 6) -> DataFrame:
+    """Per-domain token-length quantiles →
+    ``(group, n_docs, q1..qm)`` — the corpus-audit summary every
+    mixture owner looks at first (is this crawl all tweets or all
+    books?). Exact type-7 linear-interpolation percentiles (both
+    engines' exact quantile), rounded to ``ndigits`` on both sides
+    since the interpolation arithmetic is engine-internal.
+
+    Scale shape: one map-only token count, one groupBy per domain.
+    Exact percentile holds per-group state O(group rows) on the
+    reducer — domains are the partition key, so this is the same
+    per-domain-sort budget as the exact token-budget path; swap in
+    ``percentile_approx`` upstream for sketch-bounded state if a
+    single domain outgrows a reducer."""
+    toks = TOKS_SPARK.format(s=text_col)
+    d = df.select(F.col(group_col).alias("grp"),
+                  F.expr(f"CAST(size({toks}) AS DOUBLE)").alias("_n"))
+    pl = [float(p) for p in probs]
+    agg = d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.percentile("_n", F.array(*[F.lit(p) for p in pl])).alias("_q"))
+    cols = [F.round(F.col("_q")[i], ndigits).alias(f"q{i + 1}")
+            for i in range(len(pl))]
+    return agg.select(F.col("grp").alias(group_col), "n_docs", *cols)
+
+
+def length_quantiles_sql(doc_sql: str,
+                         probs: tuple = (0.25, 0.5, 0.75, 0.9), *,
+                         group_col: str = "source",
+                         ndigits: int = 6) -> str:
+    """DuckDB twin (``quantile_cont`` = the same type-7 rule)."""
+    toks = TOKS_DUCK.format(s="text")
+    pl = ", ".join(repr(float(p)) for p in probs)
+    cols = ",\n       ".join(
+        f"ROUND(q[{i + 1}], {ndigits}) AS q{i + 1}"
+        for i in range(len(probs)))
+    return f"""
+WITH d AS ({doc_sql}),
+t AS (SELECT {group_col} AS grp, CAST(len({toks}) AS DOUBLE) AS _n
+      FROM d),
+g AS (SELECT grp, count(*) AS n_docs,
+             quantile_cont(_n, [{pl}]) AS q
+      FROM t GROUP BY grp)
+SELECT grp AS {group_col}, CAST(n_docs AS BIGINT) AS n_docs,
+       {cols}
+FROM g
+"""

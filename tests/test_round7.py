@@ -551,3 +551,45 @@ def test_maxsim_candidates_path_equals_exact(spark):
     cand = maxsim_search(docs, qs, 4, candidates=allc)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(exact) == key(cand)
+
+
+def test_contamination_report_counts(spark):
+    from cuvs_spark.pipeline.text import contamination_report
+
+    g8 = " ".join(f"g{i}" for i in range(8))
+    corpus = _docs(spark, [
+        (1, g8 + " tail one"), (2, g8 + " tail two"),
+        (3, "totally different words " + " ".join(f"x{i}" for i in range(8)))])
+    bench = spark.createDataFrame(
+        [(100, g8), (101, " ".join(f"z{i}" for i in range(8)))],
+        "bench_id long, text string")
+    got = {r["bench_id"]: r for r in
+           contamination_report(corpus, bench).collect()}
+    # item 100's single 8-gram appears in corpus docs 1 and 2
+    assert got[100]["n_grams"] == 1 and got[100]["n_docs_hit"] == 2
+    assert got[100]["n_grams_hit"] == 1
+    # item 101 is clean — and still present with zeros
+    assert got[101]["n_docs_hit"] == 0 and got[101]["n_grams_hit"] == 0
+
+
+def test_length_quantiles_exact_values(spark):
+    from cuvs_spark.pipeline.text import length_quantiles
+
+    rows = [(i, "s", " ".join("w" for _ in range(n)))
+            for i, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = length_quantiles(df, probs=(0.5,)).collect()[0]
+    assert r["n_docs"] == 10
+    assert r["q1"] == pytest.approx(5.5)     # type-7 median of 1..10
+
+
+def test_dup_cluster_histogram(spark):
+    from cuvs_spark.pipeline.dedup import dup_cluster_histogram
+
+    docs = _docs(spark, [(1, "a"), (2, "a"), (3, "a"),
+                         (4, "b"), (5, "b"), (6, "c")])
+    got = {r["cluster_size"]: r for r in
+           dup_cluster_histogram(docs).collect()}
+    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
+    assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
+    assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 1
