@@ -242,6 +242,47 @@ def main() -> None:
                 .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
         return top_ngrams(docs, n=2, k=50)
 
+    def bench_cdc_chunks():
+        from cuvs_spark.pipeline.dedup import cdc_chunks
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return cdc_chunks(docs)
+
+    def bench_dedup_against():
+        # delta = 10% of the corpus re-ingested with a 2-token edit —
+        # the weekly-crawl shape at bench scale
+        from cuvs_spark.pipeline.dedup import dedup_against
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        delta = (docs.filter(F.col("doc_id") % 10 == 0)
+                 .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" zq1 zq2")).alias("text")))
+        return dedup_against(docs, delta)
+
+    def bench_maxsim_rerank():
+        # two-stage ColBERT serving shape: pooled-vector ANN candidates
+        # (top-20 cosine) → exact MaxSim re-rank over candidates only
+        from cuvs_spark.operators.brute_force import knn
+        from cuvs_spark.pipeline.retrieval import maxsim_search
+        e = T(spark, sf_dir, "embeddings")
+        toks = e.select(F.expr("CAST(vec_id DIV 5 AS BIGINT)").alias("doc_id"),
+                        F.expr("pmod(vec_id, 5)").alias("tok_idx"),
+                        F.col("embedding").alias("vec"))
+        pooled = (toks.groupBy("doc_id")
+                  .agg(F.array(*[
+                      F.round(F.avg(F.col("vec")[i]), 6)
+                      for i in range(64)]).alias("vec"))
+                  .withColumnRenamed("doc_id", "id"))
+        qtoks = toks.filter(F.col("doc_id") < 50) \
+                    .withColumnRenamed("doc_id", "qid")
+        qpool = (pooled.filter(F.col("id") < 50)
+                 .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
+        cand = (knn(pooled, qpool, 20, "cosine", qvec_col="qv",
+                    with_distance=False)
+                .select("qid", F.col("nid").alias("doc_id")))
+        return maxsim_search(toks, qtoks, 10, candidates=cand)
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "all_neighbors_base": bench_all_neighbors,
@@ -273,6 +314,9 @@ def main() -> None:
         "sample_token_budget": bench_token_budget,
         "text_top_ngrams": bench_top_ngrams,
         "text_bm25_topk": bench_bm25,
+        "dedup_cdc_chunks": bench_cdc_chunks,
+        "dedup_against_delta": bench_dedup_against,
+        "text_maxsim_rerank": bench_maxsim_rerank,
     }
 
     # Two full timed passes with a per-entry min. The passes are

@@ -3190,6 +3190,34 @@ register("dedup_cluster_histogram", _cluster_histogram,
          DD.dup_cluster_histogram_sql(_DOC_DUP_SQL))
 
 
+def _script_profile(spark, sf_dir):
+    """Unicode script-mix audit (map-only regexp counts; fractions
+    over greatest(n_chars, 1))."""
+    return TX.script_profile(doc_table(spark, sf_dir))
+
+
+register("text_script_profile", _script_profile,
+         TX.script_profile_sql(_DOC_SQL))
+
+
+def _leakage_free_split(spark, sf_dir):
+    """Duplicate-cluster-aware split over the injected-copies corpus:
+    every exact copy must land in its original's split."""
+    from cuvs_spark.pipeline.sampling import leakage_free_split
+    return leakage_free_split(_docs_with_dups(spark, sf_dir),
+                              {"train": 0.8, "test": 0.2})
+
+
+def _leakage_free_split_sql():
+    from cuvs_spark.pipeline.sampling import leakage_free_split_sql
+    return leakage_free_split_sql(_DOC_DUP_SQL,
+                                  {"train": 0.8, "test": 0.2})
+
+
+register("sample_leakage_free_split", _leakage_free_split,
+         _leakage_free_split_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3236,6 +3264,8 @@ _WINDOW_PRIORITY = [
     "text_contamination_report",
     "text_length_quantiles",
     "dedup_cluster_histogram",
+    "text_script_profile",
+    "sample_leakage_free_split",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3257,7 +3287,9 @@ _WINDOW_PRIORITY = [
     "text_fingerprints",
     "kmeans_predict",
     "kmeans_cluster_cost",
-    "kmeans_lloyd_step",
+    # (kmeans_lloyd_step displaced by the fifth wave: the in-window
+    # kmeans_fit_centroids canary chains the identical assign+means
+    # CTEs per iteration — a strict superset of the single step.)
     "knn_bf_euclidean",
     "knn_bf_cityblock",
     # (knn_bf_chebyshev / knn_bf_canberra / knn_bf_braycurtis
@@ -3266,7 +3298,8 @@ _WINDOW_PRIORITY = [
     # and the knn/select_k composition keeps 9 other in-window rows.)
     # (knn_bf_hamming also displaced by the third wave, same
     # criterion: pairwise_hamming refreshed its metric template in r6.)
-    "knn_bf_correlation",
+    # (knn_bf_correlation displaced by the fifth wave — same
+    # pairwise-twin criterion as the rows above.)
     "knn_bf_jaccard",
     # (knn_bf_russellrao / knn_bf_dice displaced by the third-wave
     # novel gates: their set-family metric templates got fresh r6

@@ -697,3 +697,46 @@ SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
          AS BIGINT) AS bucket
 FROM d
 """
+
+
+def leakage_free_split(df: DataFrame, weights: dict[str, float], *,
+                       labels: DataFrame | None = None,
+                       label_col: str = "label",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       salt: str = "split") -> DataFrame:
+    """Train/eval split that can NEVER separate duplicates →
+    ``(doc_id, split_key, split)``. Hashing the document id (plain
+    :func:`hash_split`) puts a page and its mirror on opposite sides
+    of the train/test line — the classic leakage that inflates evals;
+    the fix is to split by duplicate CLUSTER, so every copy lands in
+    the same split.
+
+    With no ``labels``, the cluster key is the exact-text hash (exact
+    copies co-locate, map-only). Pass a ``(doc_id, label)`` relation —
+    e.g. :func:`~cuvs_spark.pipeline.dedup.connected_components` over
+    MinHash pairs — to co-locate whole NEAR-dup clusters; the join is
+    the only shuffle, on the id key. Same md5 arithmetic as every
+    sampling op, so membership is stable under repartitioning and
+    incremental ingest (adding docs never reassigns existing ones,
+    and a new copy of an old doc lands in the old doc's split by
+    construction)."""
+    if labels is None:
+        from cuvs_spark.pipeline.dedup import H64_SPARK
+        d = df.select(F.col(id_col).cast("long").alias(id_col),
+                      F.expr(H64_SPARK.format(s=text_col))
+                      .alias("split_key"))
+    else:
+        d = (df.select(F.col(id_col).cast("long").alias(id_col))
+             .join(labels.select(F.col(id_col).cast("long").alias(id_col),
+                                 F.col(label_col).cast("long")
+                                 .alias("split_key")), id_col))
+    return hash_split(d, weights, id_col="split_key", salt=salt)
+
+
+def leakage_free_split_sql(doc_sql: str, weights: dict[str, float], *,
+                           salt: str = "split") -> str:
+    """DuckDB twin of the exact-text-cluster path."""
+    from cuvs_spark.pipeline.dedup import H64_DUCK
+    inner = (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+             f"{H64_DUCK.format(s='text')} AS split_key FROM ({doc_sql})")
+    return hash_split_sql(inner, weights, id_col="split_key", salt=salt)

@@ -1256,3 +1256,62 @@ SELECT grp AS {group_col}, CAST(n_docs AS BIGINT) AS n_docs,
        {cols}
 FROM g
 """
+
+
+# script-class char ranges (BMP, embedded as literal chars so both
+# engines parse identical classes — no escape-syntax divergence)
+# (name, spark class, duckdb class) — identical except \s, whose
+# backslash must be doubled inside a Spark SQL string literal but not
+# in DuckDB's (standard-SQL literals don't process escapes)
+_SCRIPT_CLASSES = (
+    ("latin", "a-zA-Z", "a-zA-Z"),
+    ("digit", "0-9", "0-9"),
+    ("cjk", "一-鿿", "一-鿿"),
+    ("cyrillic", "Ѐ-ӿ", "Ѐ-ӿ"),
+    ("space", "\\\\s", "\\s"),
+)
+
+
+def script_profile(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode script-mix audit per doc → ``(doc_id, n_chars,
+    latin_frac, digit_frac, cjk_frac, cyrillic_frac, space_frac)``.
+
+    The multilingual-curation companion to the n-gram
+    :func:`language_id` heuristic: script fractions catch what a
+    token-level model can't — mixed-script spam ("Ĺíké ťhíś"
+    homoglyphs score near-zero on every class), CJK embedded in a
+    Latin crawl, digit-heavy table dumps — and they work on text with
+    no whitespace tokenization at all. Each count is one
+    ``regexp_replace`` with a negated single-range character class
+    (alternation-free, the dual-engine regex rule), so the whole op
+    is a map-only projection; fractions divide by
+    ``greatest(n_chars, 1)`` to stay null-free on empty docs.
+    """
+    d = _doc(df, id_col, text_col)
+    cols = [F.expr("CAST(length(text) AS BIGINT)").alias("n_chars")]
+    for nm, cls, _ in _SCRIPT_CLASSES:
+        cnt = f"length(regexp_replace(text, '[^{cls}]', ''))"
+        cols.append(F.expr(
+            f"CAST({cnt} AS DOUBLE) / "
+            f"CAST(greatest(length(text), 1) AS DOUBLE)")
+            .alias(f"{nm}_frac"))
+    return d.select("doc_id", *cols)
+
+
+def script_profile_sql(doc_sql: str) -> str:
+    """DuckDB twin (``regexp_replace`` needs the explicit 'g' flag;
+    both engines count codepoints)."""
+    parts = []
+    for nm, _, cls in _SCRIPT_CLASSES:
+        cnt = f"length(regexp_replace(text, '[^{cls}]', '', 'g'))"
+        parts.append(f"CAST({cnt} AS DOUBLE) / "
+                     f"CAST(greatest(length(text), 1) AS DOUBLE) "
+                     f"AS {nm}_frac")
+    cols = ",\n       ".join(parts)
+    return f"""
+WITH d AS ({doc_sql})
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       {cols}
+FROM d
+"""

@@ -593,3 +593,45 @@ def test_dup_cluster_histogram(spark):
     assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
     assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
     assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 1
+
+
+def test_script_profile_mixed_scripts(spark):
+    from cuvs_spark.pipeline.text import script_profile
+
+    rows = [(1, "Hello мир 世界 123"), (2, "")]
+    got = {r["doc_id"]: r for r in
+           script_profile(_docs(spark, rows)).collect()}
+    r = got[1]
+    n = r["n_chars"]
+    assert n == 16
+    assert r["latin_frac"] == pytest.approx(5 / n)
+    assert r["cyrillic_frac"] == pytest.approx(3 / n)
+    assert r["cjk_frac"] == pytest.approx(2 / n)
+    assert r["digit_frac"] == pytest.approx(3 / n)
+    assert r["space_frac"] == pytest.approx(3 / n)
+    # empty doc: null-free zeros
+    assert got[2]["n_chars"] == 0 and got[2]["latin_frac"] == 0.0
+
+
+def test_leakage_free_split_colocates_duplicates(spark):
+    from cuvs_spark.pipeline.sampling import leakage_free_split
+
+    rows = ([(i, f"unique doc {i} body") for i in range(50)]
+            + [(1000 + i, f"unique doc {i} body") for i in range(50)])
+    out = {r["doc_id"]: r["split"] for r in leakage_free_split(
+        _docs(spark, rows), {"train": 0.7, "test": 0.3}).collect()}
+    for i in range(50):
+        assert out[i] == out[1000 + i]          # copies co-locate
+    assert {"train", "test"} == set(out.values())
+
+
+def test_leakage_free_split_with_near_dup_labels(spark):
+    from cuvs_spark.pipeline.sampling import leakage_free_split
+
+    rows = [(1, "a x"), (2, "a y"), (3, "b z")]
+    labels = spark.createDataFrame([(1, 10), (2, 10), (3, 30)],
+                                   "doc_id long, label long")
+    out = {r["doc_id"]: r["split"] for r in leakage_free_split(
+        _docs(spark, rows), {"train": 0.5, "test": 0.5},
+        labels=labels).collect()}
+    assert out[1] == out[2]                     # same cluster label
