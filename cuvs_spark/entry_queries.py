@@ -3218,6 +3218,88 @@ register("sample_leakage_free_split", _leakage_free_split,
          _leakage_free_split_sql())
 
 
+def _ngram_novelty(spark, sf_dir):
+    """Per-doc novel-3-gram fraction over the injected-copies corpus:
+    exact copies collapse every gram's doc-freq to ≥2, so their
+    novelty (and their originals') drops to 0 — the memorization-
+    pressure score the audit is for."""
+    return TX.ngram_novelty(_docs_with_dups(spark, sf_dir), 3)
+
+
+register("text_ngram_novelty", _ngram_novelty,
+         TX.ngram_novelty_sql(_DOC_DUP_SQL, 3))
+
+
+def _vocab_coverage(spark, sf_dir):
+    """Top-50 vocabulary head coverage (Zipf audit): cumulative token
+    mass per rank — integer counts, one exact division per row."""
+    return TX.vocab_coverage(doc_table(spark, sf_dir), 50)
+
+
+register("text_vocab_coverage", _vocab_coverage,
+         TX.vocab_coverage_sql(_DOC_SQL, 50))
+
+
+def _cross_source_dups(spark, sf_dir):
+    """Cross-source exact-dup audit: every doc_id % 3 == 0 doc gets a
+    copy under source 'mirror', so those clusters (and any organic
+    cross-source duplicates) must surface with their sorted source
+    list; same-source duplicates must NOT."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    mirror = (d.filter(F.col("doc_id") % 3 == 0)
+              .select((F.col("doc_id") + 400000).alias("doc_id"), "text",
+                      F.lit("mirror").alias("source")))
+    return DD.cross_source_dups(d.unionByName(mirror))
+
+
+_DOC_SRC_DUP_SQL = """SELECT doc_id, text, source AS src FROM documents
+UNION ALL SELECT doc_id + 400000 AS doc_id, text, 'mirror' AS src
+FROM documents WHERE doc_id % 3 = 0"""
+
+register("dedup_cross_source", _cross_source_dups,
+         DD.cross_source_dups_sql(_DOC_SRC_DUP_SQL))
+
+
+def _matryoshka_recall(spark, sf_dir):
+    """Recall@10 of cosine kNN on the 16-dim Matryoshka prefix vs the
+    full 64-dim exact answer — EXACT on both engines (both rank with
+    the same distance templates and nid tie-break, so the hit count is
+    an integer and the scalar is one IEEE division), unlike the
+    clamped stats_recall_* scalars."""
+    from cuvs_spark.functions.vector import truncate_dims
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    ann = knn(d.withColumn("vec", truncate_dims("vec", 16)),
+              q.withColumn("qv", truncate_dims("qv", 16)),
+              10, "cosine", qvec_col="qv", with_distance=False)
+    exact = knn(d, q, 10, "cosine", qvec_col="qv", with_distance=False)
+    return ST.recall_score(ann, exact)
+
+
+def _matryoshka_recall_sql():
+    trunc_d = ("SELECT vec_id AS nid, embedding[1:16] AS dv "
+               "FROM embeddings")
+    trunc_q = ("SELECT vec_id AS qid, embedding[1:16] AS qv "
+               "FROM embeddings WHERE vec_id < 20")
+    ann = O.knn_sql(trunc_d, trunc_q, 10, "cosine", with_distance=False)
+    ex = O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 10, "cosine",
+                   with_distance=False)
+    return f"""
+WITH ann AS ({ann}),
+ex AS ({ex}),
+h AS (SELECT count(*) AS hits FROM ann a
+      JOIN ex e ON a.qid = e.qid AND a.nid = e.nid),
+t AS (SELECT count(*) AS total FROM ex)
+SELECT CAST(h.hits AS DOUBLE) / CAST(t.total AS DOUBLE) AS recall
+FROM h, t
+"""
+
+
+register("stats_recall_matryoshka", _matryoshka_recall,
+         _matryoshka_recall_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3266,6 +3348,14 @@ _WINDOW_PRIORITY = [
     "dedup_cluster_histogram",
     "text_script_profile",
     "sample_leakage_free_split",
+    # Tier 2 (cont.) — fifth-wave round-7 novel gates: n-gram novelty
+    # (memorization audit), vocabulary head coverage (Zipf audit),
+    # cross-source exact-dup audit, and the exact Matryoshka
+    # truncated-prefix recall scalar.
+    "text_ngram_novelty",
+    "text_vocab_coverage",
+    "dedup_cross_source",
+    "stats_recall_matryoshka",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3290,8 +3380,11 @@ _WINDOW_PRIORITY = [
     # (kmeans_lloyd_step displaced by the fifth wave: the in-window
     # kmeans_fit_centroids canary chains the identical assign+means
     # CTEs per iteration — a strict superset of the single step.)
-    "knn_bf_euclidean",
-    "knn_bf_cityblock",
+    # (knn_bf_euclidean / knn_bf_cityblock displaced by the fifth
+    # wave: their pairwise_euclidean / pairwise_cityblock template
+    # twins stay in-window below and refresh the same distance
+    # templates this round; the select_k composition keeps the two
+    # *_blas + two prefilter knn_bf rows in-window.)
     # (knn_bf_chebyshev / knn_bf_canberra / knn_bf_braycurtis
     # displaced by the fourth wave: their pairwise_* metric-template
     # twins stay in-window and refresh the same templates this round,
@@ -3300,14 +3393,17 @@ _WINDOW_PRIORITY = [
     # criterion: pairwise_hamming refreshed its metric template in r6.)
     # (knn_bf_correlation displaced by the fifth wave — same
     # pairwise-twin criterion as the rows above.)
-    "knn_bf_jaccard",
+    # (knn_bf_jaccard / knn_bf_hellinger displaced by the fifth wave:
+    # pairwise_jaccard / pairwise_hellinger refreshed the same set-
+    # family / probability-vector templates with green r6 driver
+    # rows — the lowest-risk remaining r02 rows by the policy's
+    # template-twin criterion. They join the r8 staleness tier.)
     # (knn_bf_russellrao / knn_bf_dice displaced by the third-wave
     # novel gates: their set-family metric templates got fresh r6
     # driver rows via the pairwise_russellrao/pairwise_dice twins,
     # and the select_k composition is covered by the 12 knn_bf rows
     # still in-window — the lowest-risk r02 rows by the policy's own
     # criterion. They rotate in with the r03 block in r8.)
-    "knn_bf_hellinger",
     "knn_bf_euclidean_blas",
     "knn_bf_inner_product_blas",
     "knn_bf_prefilter_bitset",

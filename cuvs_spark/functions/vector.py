@@ -35,3 +35,17 @@ def l2_normalize(col, eps: float = 1e-12) -> Column:
         f"aggregate({c}, CAST(0 AS DOUBLE), "
         f"(acc, u) -> acc + CAST(u AS DOUBLE) * CAST(u AS DOUBLE))), "
         f"CAST({eps} AS DOUBLE)) AS FLOAT))")
+
+
+def truncate_dims(col, dims: int) -> Column:
+    """Matryoshka truncation: keep the first ``dims`` components.
+
+    MRL-trained embeddings (Kusupati et al. 2022) nest coarse
+    representations in their prefix, so serving pipelines search the
+    truncated prefix (cheaper distance folds, smaller IVF lists) and
+    optionally re-rank with the full vector — the same
+    prune-then-refine shape as ``operators/pairwise.refine``. Pure
+    JVM ``slice``; pair with ``stats.recall_score`` to measure the
+    retrieval cost of a given prefix length (the
+    ``stats_recall_matryoshka`` gate does exactly that)."""
+    return F.expr(f"slice({_sql(col)}, 1, {int(dims)})")

@@ -1441,3 +1441,61 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(sz * n_clusters AS BIGINT) AS n_docs
 FROM g
 """
+
+
+def cross_source_dups(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """Exact-duplicate clusters that span MORE THAN ONE source →
+    ``(text_hash, n_docs, n_sources, canonical_id, sources)`` with
+    ``sources`` the sorted, comma-joined distinct source names.
+
+    The provenance-leakage audit: identical text appearing under two
+    domains is either syndication (keep one, attribute carefully),
+    a mirror (drop the mirror domain wholesale), or a scraped eval
+    set leaking into a second crawl — all decisions a per-source
+    dedup report drives. Composes with
+    :func:`dup_cluster_histogram` (the size view) and
+    :func:`keep_best_representative` (the resolution step).
+
+    One map-side-combined groupBy on the 60-bit content digest; the
+    per-cluster source set is bounded by the number of SOURCES (not
+    docs), so ``collect_set`` state stays tiny even for a 50 000-copy
+    boilerplate cluster. Null sources coalesce to '' on both engines.
+    """
+    d = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"),
+                  F.coalesce(F.col(source_col).cast("string"),
+                             F.lit("")).alias("src"))
+    h = H64_SPARK.format(s="text")
+    g = (d.select(F.expr(h).alias("text_hash"), "doc_id", "src")
+         .groupBy("text_hash")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.min("doc_id").alias("canonical_id"),
+              F.array_sort(F.collect_set("src")).alias("_srcs")))
+    return (g.filter(F.size("_srcs") >= 2)
+            .select("text_hash", "n_docs",
+                    F.size("_srcs").cast("long").alias("n_sources"),
+                    "canonical_id",
+                    F.array_join("_srcs", ",").alias("sources")))
+
+
+def cross_source_dups_sql(doc_sql: str) -> str:
+    """DuckDB twin; ``doc_sql`` must yield ``(doc_id, text, src)``."""
+    h = H64_DUCK.format(s="text")
+    return f"""
+WITH d AS (SELECT doc_id, text, COALESCE(CAST(src AS VARCHAR), '') AS src
+           FROM ({doc_sql})),
+g AS (
+  SELECT {h} AS text_hash,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS canonical_id,
+         list_sort(list_distinct(list(src))) AS _srcs
+  FROM d GROUP BY 1
+)
+SELECT text_hash, n_docs,
+       CAST(len(_srcs) AS BIGINT) AS n_sources,
+       canonical_id,
+       array_to_string(_srcs, ',') AS sources
+FROM g WHERE len(_srcs) >= 2
+"""

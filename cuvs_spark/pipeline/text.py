@@ -1315,3 +1315,153 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        {cols}
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (memorization / duplication-pressure audit)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc fraction of word ``n``-grams that appear in NO other
+    document → ``(doc_id, n_grams, novel_grams, novelty_frac)``.
+
+    The memorization-pressure audit: a doc whose n-grams are mostly
+    shared with the rest of the corpus is boilerplate / near-dup
+    residue and trains the model to memorize, while novelty ≈ 1 marks
+    genuinely fresh text. Used as a soft score where the hard dedup
+    passes (:mod:`cuvs_spark.pipeline.dedup`) are too blunt — e.g. to
+    down-weight rather than drop (per-doc distinct grams, so within-doc
+    repetition is :func:`repetition_stats`'s job, not this one's).
+
+    Scale shape: explode → distinct ``(gram, doc_id)`` pairs (map-side
+    combine collapses within-doc repeats before the shuffle) → per-gram
+    doc-frequency (second map-side-combined agg) → join the tiny
+    ``(gram, dfreq)`` table back to the pairs and regroup on doc_id.
+    Two shuffles on the gram key + one on doc_id; a hot gram is ONE
+    row after the first combine. The only division is one integer-pair
+    IEEE divide (exact on both engines); empty docs survive with
+    ``novelty_frac = 0`` via the left join + coalesce.
+    """
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    pairs = (d.select("doc_id", F.expr(toks).alias("t"))
+             .select("doc_id",
+                     F.explode(F.expr(_gram_expr_spark(n))).alias("g"))
+             .distinct())
+    df_tab = pairs.groupBy("g").agg(F.count("*").alias("dfreq"))
+    uniq = (pairs.join(df_tab, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+                  .cast("long").alias("novel_grams")))
+    return (d.select("doc_id").join(uniq, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("novel_grams", F.lit(0))
+                     .alias("novel_grams"),
+                    F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0,
+                           F.lit(0.0))
+                     .otherwise(F.col("novel_grams").cast("double")
+                                / F.col("n_grams").cast("double"))
+                     .alias("novelty_frac")))
+
+
+def ngram_novelty_sql(doc_sql: str, n: int = 3) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+tk AS (SELECT doc_id, {toks} AS t FROM d),
+pairs AS (
+  SELECT DISTINCT doc_id, unnest({_gram_expr_duck(n)}) AS g FROM tk
+),
+dfreq AS (
+  SELECT g, count(*) AS dfreq FROM pairs GROUP BY g
+),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_grams
+  FROM pairs p JOIN dfreq f ON p.g = f.g
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(u.n_grams, 0) AS n_grams,
+       COALESCE(u.novel_grams, 0) AS novel_grams,
+       CASE WHEN COALESCE(u.n_grams, 0) = 0 THEN 0.0
+            ELSE CAST(u.novel_grams AS DOUBLE) / CAST(u.n_grams AS DOUBLE)
+       END AS novelty_frac
+FROM d LEFT JOIN per_doc u ON d.doc_id = u.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary head coverage (tokenizer-design audit)
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Token-mass coverage of the top-``k`` corpus vocabulary →
+    ``(rank, term, term_freq, cum_freq, total_tokens, coverage_frac)``
+    ordered by frequency (ties → term text).
+
+    The tokenizer-design / Zipf audit: "how much of the corpus do the
+    k most frequent whitespace tokens cover" decides vocab size and
+    flags degenerate crawls (a boilerplate-heavy corpus hits 90%
+    coverage absurdly early). ``coverage_frac`` at each rank is the
+    cumulative head mass.
+
+    Scale shape: one token explode → map-side-combined term count →
+    global top-``k`` via orderBy+limit (TakeOrderedAndProject: partial
+    per-partition top-k, never a full sort) → the running sum and rank
+    are windows over the k survivors only. ``total_tokens`` is a
+    1-row global agg cross-joined in (broadcast). Integer counts; one
+    exact IEEE division per row.
+    """
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    terms = (d.select(F.explode(F.expr(toks)).alias("term"))
+             .groupBy("term").agg(F.count("*").alias("term_freq")))
+    topk = terms.orderBy(F.col("term_freq").desc(),
+                         F.col("term").asc()).limit(k)
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("term").asc())
+    total = (d.select(F.expr(f"size({toks})").alias("_n"))
+             .agg(F.sum("_n").cast("long").alias("total_tokens")))
+    return (topk
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("cum_freq",
+                        F.sum("term_freq").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long"))
+            .crossJoin(F.broadcast(total))
+            .select("rank", "term",
+                    F.col("term_freq").cast("long").alias("term_freq"),
+                    "cum_freq", "total_tokens",
+                    (F.col("cum_freq").cast("double")
+                     / F.col("total_tokens").cast("double"))
+                    .alias("coverage_frac")))
+
+
+def vocab_coverage_sql(doc_sql: str, k: int = 50) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+tok AS (SELECT unnest({toks}) AS term FROM d),
+terms AS (SELECT term, count(*) AS term_freq FROM tok GROUP BY term),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM tok),
+ranked AS (
+  SELECT term, term_freq,
+         row_number() OVER (ORDER BY term_freq DESC, term ASC) AS rank,
+         sum(term_freq) OVER (ORDER BY term_freq DESC, term ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_freq
+  FROM terms
+)
+SELECT CAST(rank AS BIGINT) AS rank, term,
+       CAST(term_freq AS BIGINT) AS term_freq,
+       CAST(cum_freq AS BIGINT) AS cum_freq,
+       t.total_tokens AS total_tokens,
+       CAST(cum_freq AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+         AS coverage_frac
+FROM ranked CROSS JOIN total t WHERE rank <= {k}
+"""

@@ -635,3 +635,71 @@ def test_leakage_free_split_with_near_dup_labels(spark):
         _docs(spark, rows), {"train": 0.5, "test": 0.5},
         labels=labels).collect()}
     assert out[1] == out[2]                     # same cluster label
+
+
+# ---------------------------------------------------------------------------
+# Fifth-wave round-7 operators: n-gram novelty, vocab coverage,
+# cross-source dup audit, Matryoshka truncation recall
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_hand_checked(spark):
+    from cuvs_spark.pipeline.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),        # grams: "a b c" (shared), "b c d" (novel)
+         (2, "a b c x"),        # grams: "a b c" (shared), "b c x" (novel)
+         (3, "z z z z z"),      # distinct gram: "z z z" (novel)
+         (4, "")],              # no grams
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty_frac"])
+           for r in ngram_novelty(docs, 3).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_vocab_coverage_hand_checked(spark):
+    from cuvs_spark.pipeline.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    rows = vocab_coverage(docs, 2).orderBy("rank").collect()
+    assert [(r["rank"], r["term"], r["term_freq"], r["cum_freq"],
+             r["total_tokens"], r["coverage_frac"]) for r in rows] == \
+        [(1, "a", 2, 2, 5, 0.4), (2, "b", 2, 4, 5, 0.8)]
+
+
+def test_cross_source_dups_spanning_only(spark):
+    from cuvs_spark.pipeline.dedup import cross_source_dups
+
+    docs = spark.createDataFrame(
+        [(1, "x", "s1"), (2, "x", "s2"), (3, "x", "s1"),
+         (4, "y", "s1"), (5, "y", "s1"),          # same-source dup: out
+         (6, "w", "s3")],                          # singleton: out
+        "doc_id long, text string, source string")
+    rows = cross_source_dups(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["n_sources"], r["canonical_id"],
+            r["sources"]) == (3, 2, 1, "s1,s2")
+
+
+def test_truncate_dims_matryoshka_recall(spark, vectors_df, queries_df):
+    from cuvs_spark.functions.vector import truncate_dims
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.stats.metrics import recall_score
+
+    full = knn(vectors_df, queries_df, 5, "cosine")
+    # full-width "truncation" is the identity → recall exactly 1.0
+    same = knn(vectors_df.withColumn("vec", truncate_dims("vec", 8)),
+               queries_df.withColumn("vec", truncate_dims("vec", 8)),
+               5, "cosine")
+    assert recall_score(same, full).collect()[0]["recall"] == 1.0
+    # a 2-dim prefix loses information but stays a valid kNN result
+    trunc = knn(vectors_df.withColumn("vec", truncate_dims("vec", 2)),
+                queries_df.withColumn("vec", truncate_dims("vec", 2)),
+                5, "cosine")
+    assert trunc.count() == 12 * 5
+    rec = recall_score(trunc, full).collect()[0]["recall"]
+    assert 0.0 <= rec <= 1.0
