@@ -283,7 +283,9 @@ def knn_label_vote(data: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "id", vec_col: str = "vec",
                    label_col: str = "label", qid_col: str = "qid",
                    qvec_col: str = "vec",
-                   method: str = "expr") -> DataFrame:
+                   method: str = "expr",
+                   broadcast_queries: bool | None = None,
+                   broadcast_query_limit: int = 500_000) -> DataFrame:
     """kNN majority-vote label propagation: label every query row with
     the most common label among its ``k`` exact nearest neighbors in a
     labeled seed set → ``(qid, label, votes)``.
@@ -300,20 +302,26 @@ def knn_label_vote(data: DataFrame, queries: DataFrame, k: int = 10,
     (map-side combine), never a per-query window.
 
     **Scale shape.** The seed set is the *dataset* side and is small by
-    construction; the corpus is the *query* side and may be huge. The
-    underlying :func:`~cuvs_spark.operators.brute_force.knn` guards its
-    broadcast-queries plan with ``broadcast_query_limit`` and falls
-    back to the streaming partition-pair plan automatically, so a
-    100 TB query side degrades to a scan×broadcast-sized-seed join, not
-    a driver collect. For ANN-scale seed sets, run any index search
-    producing ``(qid, nid)`` and call the vote aggregation on it
-    directly.
+    construction; the corpus is the *query* side and may be huge, so
+    this wrapper applies the same guard as ``lsh_knn``: with
+    ``broadcast_queries=None`` it probes the query count (a bounded
+    ``limit(n+1).count()``, never a collect) and only broadcasts below
+    ``broadcast_query_limit`` rows — past it the exact kNN runs as the
+    memory-bounded partition-pair plan, so a 100 TB query side degrades
+    to a scan × broadcast-sized-seed join, not a forced broadcast of
+    the corpus. For ANN-scale seed sets, run any index search producing
+    ``(qid, nid)`` and call the vote aggregation on it directly.
     """
     from cuvs_spark.operators.brute_force import knn
 
+    if broadcast_queries is None:
+        broadcast_queries = (queries.select(qid_col)
+                             .limit(broadcast_query_limit + 1)
+                             .count() <= broadcast_query_limit)
     nbrs = knn(data, queries, k, metric, id_col=id_col, vec_col=vec_col,
                qid_col=qid_col, qvec_col=qvec_col, method=method,
-               with_distance=False)
+               with_distance=False, broadcast_queries=broadcast_queries,
+               broadcast_query_limit=broadcast_query_limit)
     lab = data.select(F.col(id_col).cast("long").alias("nid"),
                       F.col(label_col).cast("long").alias("label"))
     votes = (nbrs.join(F.broadcast(lab), "nid")

@@ -93,6 +93,16 @@ _PERSIST_LOCK = threading.Lock()
 EAGER_PERSIST = True
 
 
+def _session_stopped(s) -> bool:
+    """True iff the session's SparkContext has been stopped (classic
+    pyspark nulls ``_jsc`` on stop). Errs toward 'alive' — wrongly
+    evicting a live session's FIFO would orphan its cached tables."""
+    try:
+        return s.sparkContext._jsc is None
+    except Exception:
+        return False
+
+
 def _eager_persist(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK persist, materialized now (when
     :data:`EAGER_PERSIST`): the eager count guarantees single
@@ -113,8 +123,20 @@ def _eager_persist(df: DataFrame) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     if EAGER_PERSIST:
         df.count()
+    sess = df.sparkSession
     with _PERSIST_LOCK:
-        fifo = _PERSISTED.setdefault(id(df.sparkSession), [])
+        # drop FIFOs owned by stopped sessions: their executors (and
+        # caches) are gone, so the references only pin driver memory —
+        # and id() reuse after GC must not hand a new session a stale
+        # FIFO, hence the identity check below
+        for key in [k for k, (s, _) in _PERSISTED.items()
+                    if _session_stopped(s)]:
+            del _PERSISTED[key]
+        ent = _PERSISTED.get(id(sess))
+        if ent is None or ent[0] is not sess:
+            ent = (sess, [])
+            _PERSISTED[id(sess)] = ent
+        fifo = ent[1]
         fifo.append(df)
         evict = fifo[:-_PERSIST_CAP]
         del fifo[:-_PERSIST_CAP]
@@ -124,6 +146,14 @@ def _eager_persist(df: DataFrame) -> DataFrame:
         except Exception:
             pass
     return df
+
+
+def _re_lit(sep: str) -> str:
+    """Escape a literal separator for use as a Java/RE2 regex (both
+    engines' split functions take patterns; '.'/'|' must not explode
+    into char-level splits)."""
+    return "".join("\\" + c if c in "\\.[]{}()*+?^$|" else c
+                   for c in sep)
 
 
 def exact_dedup(df: DataFrame, *, id_col: str = "doc_id",
@@ -864,7 +894,7 @@ def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
     d = df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.col(text_col).alias("text"))
     paras = (d.select("doc_id", F.posexplode(
-                 F.split("text", sep)).alias("pos", "p"))
+                 F.split("text", _re_lit(sep))).alias("pos", "p"))
              .filter(F.col("p") != ""))
     h = F.expr(H64_SPARK.format(s="p"))
     # materialized once — consumed by both the keeper aggregation and
@@ -885,9 +915,9 @@ def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
                     F.struct("pos", "p")))).alias("_ks")))
     return (d.join(out, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce(F.expr(
-                        "array_join(transform(filter(_ks, "
-                        "x -> x IS NOT NULL), x -> x.p), '\n')"),
+                    F.coalesce(F.array_join(F.transform(
+                        F.filter(F.col("_ks"), lambda x: x.isNotNull()),
+                        lambda x: x["p"]), sep),
                         F.lit("")).alias("clean_text"),
                     F.coalesce("n_paragraphs", F.lit(0)).cast("long")
                     .alias("n_paragraphs"),
@@ -895,15 +925,24 @@ def paragraph_dedup(df: DataFrame, *, sep: str = "\n",
                     .alias("n_removed")))
 
 
-def paragraph_dedup_sql(doc_sql: str) -> str:
+def _sep_lit_duck(sep: str) -> str:
+    """DuckDB literal for a separator (chr(10) for the default so no
+    raw newline lands inside the SQL string)."""
+    if sep == "\n":
+        return "chr(10)"
+    return "'" + sep.replace("'", "''") + "'"
+
+
+def paragraph_dedup_sql(doc_sql: str, sep: str = "\n") -> str:
     h = H64_DUCK.format(s="p")
+    sl = _sep_lit_duck(sep)
     return f"""
 WITH d AS ({doc_sql}),
 paras0 AS (
   SELECT doc_id,
          CAST(generate_subscripts(ps, 1) AS BIGINT) - 1 AS pos,
          unnest(ps) AS p
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d)
+  FROM (SELECT doc_id, string_split(text, {sl}) AS ps FROM d)
 ),
 paras AS (SELECT * FROM paras0 WHERE p <> ''),
 ranked AS (
@@ -916,7 +955,7 @@ agg AS (
   SELECT doc_id, count(*) AS n_paragraphs,
          sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
          array_to_string(list(p ORDER BY pos)
-                         FILTER (WHERE rn = 1), chr(10)) AS clean_text
+                         FILTER (WHERE rn = 1), {sl}) AS clean_text
   FROM ranked GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -950,11 +989,15 @@ def boilerplate_lines(df: DataFrame, *, min_docs: int = 3,
     and AQE broadcasts it; the corpus text shuffles once for the
     doc_id reassembly. No windows, no skew exposure: a line repeated
     on billions of pages is one row after the pair-distinct combine.
+
+    ``sep`` is a LITERAL separator (escaped before it reaches the
+    regex split) and is used verbatim for the reassembly join, so
+    e.g. ``sep='.'`` or a paragraph ``sep='\\n\\n'`` behave as typed.
     """
     d = df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.col(text_col).alias("text"))
     lines = (d.select("doc_id", F.posexplode(
-                 F.split("text", sep)).alias("pos", "p"))
+                 F.split("text", _re_lit(sep))).alias("pos", "p"))
              .filter(F.col("p") != ""))
     lh = lines.withColumn("_h", F.expr(H64_SPARK.format(s="p")))
     bad = (lh.select("_h", "doc_id").distinct()
@@ -971,9 +1014,9 @@ def boilerplate_lines(df: DataFrame, *, min_docs: int = 3,
                     F.struct("pos", "p")))).alias("_ks")))
     return (d.join(out, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce(F.expr(
-                        "array_join(transform(filter(_ks, "
-                        "x -> x IS NOT NULL), x -> x.p), '\n')"),
+                    F.coalesce(F.array_join(F.transform(
+                        F.filter(F.col("_ks"), lambda x: x.isNotNull()),
+                        lambda x: x["p"]), sep),
                         F.lit("")).alias("clean_text"),
                     F.coalesce("n_lines", F.lit(0)).cast("long")
                     .alias("n_lines"),
@@ -981,15 +1024,17 @@ def boilerplate_lines(df: DataFrame, *, min_docs: int = 3,
                     .alias("n_removed")))
 
 
-def boilerplate_lines_sql(doc_sql: str, min_docs: int = 3) -> str:
+def boilerplate_lines_sql(doc_sql: str, min_docs: int = 3,
+                          sep: str = "\n") -> str:
     h = H64_DUCK.format(s="p")
+    sl = _sep_lit_duck(sep)
     return f"""
 WITH d AS ({doc_sql}),
 lines0 AS (
   SELECT doc_id,
          CAST(generate_subscripts(ps, 1) AS BIGINT) - 1 AS pos,
          unnest(ps) AS p
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d)
+  FROM (SELECT doc_id, string_split(text, {sl}) AS ps FROM d)
 ),
 lines AS (SELECT doc_id, pos, p, {h} AS h FROM lines0 WHERE p <> ''),
 bad AS (
@@ -1006,7 +1051,7 @@ agg AS (
   SELECT doc_id, count(*) AS n_lines,
          sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS n_removed,
          array_to_string(list(p ORDER BY pos)
-                         FILTER (WHERE NOT is_bad), chr(10)) AS clean_text
+                         FILTER (WHERE NOT is_bad), {sl}) AS clean_text
   FROM marked GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1230,8 +1275,11 @@ def dedup_against(base: DataFrame, delta: DataFrame, *,
                              for r in range(band_r)]).alias("key"))
                 for b in range(n_bands)])).alias("bk"))
 
-    bdocs = _prep(base).persist()
-    ddocs = _prep(delta).persist()
+    # both sides feed two consumers (bands + shingle join) — route
+    # through the tracked per-session FIFO so repeated incremental
+    # ingests in one long-lived session can't pin unbounded storage
+    bdocs = _eager_persist(_prep(base))
+    ddocs = _eager_persist(_prep(delta))
     bb = _bands(bdocs)
     if max_bucket_size is not None:
         hot = (bb.groupBy(F.col("bk.band").alias("_hb"),

@@ -178,6 +178,8 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, *,
     source order (each input is tagged 0..N−1 and the fold sorts on the
     tag), so the gate is bit-exact. One union + one groupBy over
     candidate rows only — cost tracks Σ|rankings|, never the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
     tagged = None
     for i, r in enumerate(rankings):
         ri = r.select(F.col(qid_col).cast("long").alias("qid"),

@@ -715,21 +715,28 @@ def leakage_free_split(df: DataFrame, weights: dict[str, float], *,
     copies co-locate, map-only). Pass a ``(doc_id, label)`` relation —
     e.g. :func:`~cuvs_spark.pipeline.dedup.connected_components` over
     MinHash pairs — to co-locate whole NEAR-dup clusters; the join is
-    the only shuffle, on the id key. Same md5 arithmetic as every
-    sampling op, so membership is stable under repartitioning and
-    incremental ingest (adding docs never reassigns existing ones,
-    and a new copy of an old doc lands in the old doc's split by
-    construction)."""
+    the only shuffle, on the id key. The label relation is allowed to
+    be PARTIAL (``connected_components`` emits rows only for docs that
+    appear in at least one dup pair): unlabeled docs are kept via a
+    LEFT join and fall back to their exact-text-hash key, so
+    singletons still split and exact copies still co-locate — they are
+    never silently dropped. Same md5 arithmetic as every sampling op,
+    so membership is stable under repartitioning and incremental
+    ingest (adding docs never reassigns existing ones, and a new copy
+    of an old doc lands in the old doc's split by construction)."""
+    from cuvs_spark.pipeline.dedup import H64_SPARK
     if labels is None:
-        from cuvs_spark.pipeline.dedup import H64_SPARK
         d = df.select(F.col(id_col).cast("long").alias(id_col),
                       F.expr(H64_SPARK.format(s=text_col))
                       .alias("split_key"))
     else:
-        d = (df.select(F.col(id_col).cast("long").alias(id_col))
-             .join(labels.select(F.col(id_col).cast("long").alias(id_col),
-                                 F.col(label_col).cast("long")
-                                 .alias("split_key")), id_col))
+        lab = labels.select(F.col(id_col).cast("long").alias(id_col),
+                            F.col(label_col).cast("long").alias("_lbl"))
+        d = (df.select(F.col(id_col).cast("long").alias(id_col),
+                       F.expr(H64_SPARK.format(s=text_col)).alias("_th"))
+             .join(lab, id_col, "left")
+             .select(id_col,
+                     F.coalesce("_lbl", F.col("_th")).alias("split_key")))
     return hash_split(d, weights, id_col="split_key", salt=salt)
 
 

@@ -703,3 +703,80 @@ def test_truncate_dims_matryoshka_recall(spark, vectors_df, queries_df):
     assert trunc.count() == 12 * 5
     rec = recall_score(trunc, full).collect()[0]["recall"]
     assert 0.0 <= rec <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-7 self-review fixes
+# ---------------------------------------------------------------------------
+
+def test_leakage_free_split_keeps_unlabeled_docs(spark):
+    """A PARTIAL label relation (connected_components only labels
+    dup-pair members) must not drop singletons; unlabeled exact
+    copies still co-locate via the text-hash fallback."""
+    from cuvs_spark.pipeline.sampling import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(1, "dup text"), (2, "dup text"), (3, "solo one"),
+         (4, "copy two"), (5, "copy two")],
+        "doc_id long, text string")
+    # labels cover ONLY docs 1-2; 3-5 are unlabeled
+    labels = spark.createDataFrame([(1, 1), (2, 1)],
+                                   "doc_id long, label long")
+    out = leakage_free_split(docs, {"train": 0.5, "test": 0.5},
+                             labels=labels)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}          # nothing dropped
+    assert got[1] == got[2]                      # labeled cluster
+    assert got[4] == got[5]                      # unlabeled exact copies
+
+
+def test_paragraph_dedup_literal_sep(spark):
+    """sep is literal: '|' must not be parsed as an (empty) regex
+    alternation, and reassembly must use the same separator."""
+    from cuvs_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|beta"), (2, "beta|gamma")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, sep="|").collect()}
+    assert out[1]["clean_text"] == "alpha|beta"
+    assert out[2]["clean_text"] == "gamma"       # 'beta' kept in doc 1
+    assert out[2]["n_removed"] == 1
+
+
+def test_boilerplate_lines_literal_sep(spark):
+    from cuvs_spark.pipeline.dedup import boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "nav.keep one"), (2, "nav.keep two"), (3, "nav.solo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_lines(docs, min_docs=3, sep=".").collect()}
+    # 'nav' appears in all 3 docs -> removed everywhere, '.'-joined
+    assert out[1]["clean_text"] == "keep one"
+    assert out[3]["clean_text"] == "solo"
+    assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    from cuvs_spark.pipeline.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], 5)
+
+
+def test_knn_label_vote_no_broadcast_fallback_equal(spark, vectors_df,
+                                                    queries_df):
+    """Past broadcast_query_limit the vote must run the partition-pair
+    plan (no forced broadcast of the corpus-as-queries side) with
+    identical results."""
+    from cuvs_spark.pipeline.classify import knn_label_vote
+
+    data = vectors_df.withColumn("label", (F.col("id") % 3).cast("long"))
+    base = knn_label_vote(data, queries_df, 5, "sqeuclidean",
+                          broadcast_queries=True)
+    guarded = knn_label_vote(data, queries_df, 5, "sqeuclidean",
+                             broadcast_query_limit=3)   # 12 > 3
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(base) == key(guarded)
