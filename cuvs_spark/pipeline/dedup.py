@@ -1547,3 +1547,142 @@ SELECT text_hash, n_docs,
        array_to_string(_srcs, ',') AS sources
 FROM g WHERE len(_srcs) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (fixed-size dedup state for incremental ingest)
+# ---------------------------------------------------------------------------
+
+# 63 usable bits per BIGINT word: bit 63 is the sign bit, and while the
+# or/and arithmetic would still be correct on negative longs, DuckDB's
+# checked `<<` and the hash-compare's canonicalizer are simpler kept in
+# non-negative territory on both engines.
+_BLOOM_WORD_BITS = 63
+
+
+def bloom_build(df: DataFrame, *, m_bits: int = 63 * 16384, k: int = 4,
+                text_col: str = "text") -> DataFrame:
+    """Build a Bloom filter over exact-text digests →
+    ``(word_idx, bits)`` — one row per non-zero 63-bit word.
+
+    The fixed-size membership state for continuous-crawl exact dedup:
+    :func:`dedup_against` keeps the base corpus' bands as a TABLE that
+    every delta must join (state grows with the corpus); the Bloom
+    filter compresses "have I seen this exact text" into ``m_bits``
+    REGARDLESS of corpus size, so a 100 TB base becomes a few hundred
+    MB that broadcasts to every executor and the weekly delta scan is
+    MAP-ONLY (plus one tiny join) with a bounded, tunable
+    false-positive rate ≈ (1 − e^(−k·n/m))^k — size ``m_bits`` at
+    ~10 bits per expected key for ~1% FPR, and route the few positives
+    through the exact path. False negatives are impossible, so it is
+    always safe as a pre-filter.
+
+    Everything is integer md5 arithmetic (no RNG, no libm): position i
+    of a doc is ``H64(text ∥ '#bloom' ∥ i) % m_bits``, and the build is
+    one explode + one map-side-combined ``bit_or`` groupBy — a hot
+    duplicate text sets the same bits on every mapper and collapses to
+    k rows before the shuffle."""
+    if m_bits % _BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD_BITS}")
+    pos = [F.expr(H64_SPARK.format(s=f"concat({text_col}, '#bloom{i}')"))
+           % m_bits for i in range(k)]
+    bits = (df.select(F.explode(F.array(*pos)).alias("_p"))
+            .select(F.expr(f"CAST(_p DIV {_BLOOM_WORD_BITS} AS BIGINT)")
+                    .alias("word_idx"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(_p % {_BLOOM_WORD_BITS} AS INT))")
+                    .alias("_b")))
+    return (bits.groupBy("word_idx")
+            .agg(F.expr("bit_or(_b)").alias("bits")))
+
+
+def bloom_build_sql(doc_sql: str, m_bits: int = 63 * 16384,
+                    k: int = 4) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {H64_DUCK.format(s=h)} % {m_bits} AS p FROM d"
+        for i in range(k)
+        for h in [f"(text || '#bloom{i}')"])
+    return f"""
+WITH d AS ({doc_sql}),
+pos AS ({sel})
+SELECT CAST(p // {_BLOOM_WORD_BITS} AS BIGINT) AS word_idx,
+       bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD_BITS} AS INT))
+         AS bits
+FROM pos GROUP BY 1
+"""
+
+
+def bloom_contains(delta: DataFrame, bloom: DataFrame, *,
+                   m_bits: int = 63 * 16384, k: int = 4,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Probe a :func:`bloom_build` filter → ``(doc_id, maybe_dup)``
+    (1 = all ``k`` bits set: exact text PROBABLY seen; 0 = definitely
+    novel). The filter table broadcasts (≤ m_bits/63 rows); each delta
+    doc contributes k probe rows, and the verdict is a partial
+    ``min`` agg — no window, no skew."""
+    d = delta.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    pos = [F.expr(H64_SPARK.format(s=f"concat(text, '#bloom{i}')"))
+           % m_bits for i in range(k)]
+    probes = (d.select("doc_id", F.explode(F.array(*pos)).alias("_p"))
+              .select("doc_id",
+                      F.expr(f"CAST(_p DIV {_BLOOM_WORD_BITS} AS BIGINT)")
+                      .alias("word_idx"),
+                      F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                             f"CAST(_p % {_BLOOM_WORD_BITS} AS INT))")
+                      .alias("_m")))
+    hit = (probes.join(F.broadcast(bloom), "word_idx", "left")
+           .select("doc_id",
+                   (F.coalesce(F.col("bits"), F.lit(0))
+                    .bitwiseAND(F.col("_m")) != 0).cast("int")
+                   .alias("_hit")))
+    return (hit.groupBy("doc_id")
+            .agg(F.min("_hit").cast("int").alias("maybe_dup")))
+
+
+def dedup_against_bloom(base: DataFrame, delta: DataFrame, *,
+                        m_bits: int = 63 * 16384, k: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact-dup pre-filter of a delta crawl against a base corpus
+    through a fixed-size Bloom filter → ``(doc_id, maybe_dup)``.
+
+    The O(1)-state companion to :func:`dedup_against` (whose MinHash
+    band state grows with the base): at 100 TB the base is one
+    broadcastable bit array, the delta pass is a scan, and only the
+    ``maybe_dup = 1`` sliver (true dups + the tuned FP rate) proceeds
+    to exact/near verification. Deterministic md5 bit positions → the
+    whole pipeline is gate-exact across engines."""
+    return bloom_contains(delta,
+                          bloom_build(base, m_bits=m_bits, k=k,
+                                      text_col=text_col),
+                          m_bits=m_bits, k=k, id_col=id_col,
+                          text_col=text_col)
+
+
+def dedup_against_bloom_sql(base_sql: str, delta_sql: str,
+                            m_bits: int = 63 * 16384, k: int = 4) -> str:
+    build = bloom_build_sql(base_sql, m_bits, k)
+    probe_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {H64_DUCK.format(s=h)} % {m_bits} AS p FROM delta"
+        for i in range(k)
+        for h in [f"(text || '#bloom{i}')"])
+    return f"""
+WITH bloom AS ({build}),
+delta AS ({delta_sql}),
+probes AS (
+  SELECT doc_id,
+         CAST(p // {_BLOOM_WORD_BITS} AS BIGINT) AS word_idx,
+         CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD_BITS} AS INT) AS m
+  FROM ({probe_sel})
+),
+hits AS (
+  SELECT probes.doc_id,
+         CAST(CASE WHEN (COALESCE(b.bits, 0) & probes.m) <> 0
+              THEN 1 ELSE 0 END AS INT) AS hit
+  FROM probes LEFT JOIN bloom b USING (word_idx)
+)
+SELECT doc_id, CAST(min(hit) AS INT) AS maybe_dup
+FROM hits GROUP BY doc_id
+"""

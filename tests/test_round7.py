@@ -780,3 +780,30 @@ def test_knn_label_vote_no_broadcast_fallback_equal(spark, vectors_df,
                              broadcast_query_limit=3)   # 12 > 3
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(base) == key(guarded)
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every base text probes positive (Bloom guarantees no false
+    negatives); fresh texts stay mostly negative at ~1.6 bits/key
+    headroom; m_bits validation rejects non-multiples of 63."""
+    from cuvs_spark.pipeline.dedup import (bloom_build, bloom_contains,
+                                           dedup_against_bloom)
+
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} payload") for i in range(200)],
+        "doc_id long, text string")
+    novel = spark.createDataFrame(
+        [(1000 + i, f"novel doc {i} other") for i in range(200)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["maybe_dup"]
+           for r in dedup_against_bloom(
+               base, base.unionByName(novel), m_bits=63 * 512).collect()}
+    assert all(out[i] == 1 for i in range(200))          # no false negs
+    fps = sum(out[1000 + i] for i in range(200))
+    assert fps <= 20                                     # loose FP bound
+    with pytest.raises(ValueError, match="multiple"):
+        bloom_build(base, m_bits=1000)
+    # probing an empty filter is all-negative
+    empty = bloom_build(base.limit(0), m_bits=63 * 512)
+    neg = bloom_contains(novel, empty, m_bits=63 * 512).collect()
+    assert all(r["maybe_dup"] == 0 for r in neg)
