@@ -283,6 +283,23 @@ def main() -> None:
                 .select("qid", F.col("nid").alias("doc_id")))
         return maxsim_search(toks, qtoks, 10, candidates=cand)
 
+    def bench_bloom_dedup():
+        # same weekly-delta shape as dedup_against_delta, but through
+        # the fixed-size Bloom membership pre-filter (10 bits/key)
+        from cuvs_spark.pipeline.dedup import dedup_against_bloom
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        delta = (docs.filter(F.col("doc_id") % 10 == 0)
+                 .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                         "text"))
+        return dedup_against_bloom(docs, delta, m_bits=63 * 1024)
+
+    def bench_ngram_novelty():
+        from cuvs_spark.pipeline.text import ngram_novelty
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return ngram_novelty(docs, 3)
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "all_neighbors_base": bench_all_neighbors,
@@ -317,6 +334,8 @@ def main() -> None:
         "dedup_cdc_chunks": bench_cdc_chunks,
         "dedup_against_delta": bench_dedup_against,
         "text_maxsim_rerank": bench_maxsim_rerank,
+        "dedup_against_bloom": bench_bloom_dedup,
+        "text_ngram_novelty": bench_ngram_novelty,
     }
 
     # Two full timed passes with a per-entry min. The passes are

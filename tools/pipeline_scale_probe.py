@@ -187,6 +187,30 @@ def main() -> None:
     timed("bm25_10k_queries_pruned_sec",
           lambda: bm25_search(bm_docs, bm_q, 10, max_df_frac=0.01))
 
+    # round-7 fifth wave: corpus audits + fixed-size Bloom membership
+    # + span-removal decontamination (eval = 100 replayed texts)
+    from cuvs_spark.pipeline.dedup import (cross_source_dups,
+                                           dedup_against_bloom)
+    from cuvs_spark.pipeline.text import (decontaminate_remove,
+                                          ngram_novelty, vocab_coverage)
+    timed("ngram_novelty_sec", lambda: ngram_novelty(docs, 3))
+    timed("vocab_coverage_sec", lambda: vocab_coverage(docs, 100))
+    timed("cross_source_dups_sec",
+          lambda: cross_source_dups(
+              docs.withColumn("source",
+                              F.expr("concat('s', doc_id % 8)"))))
+    # Bloom: base = first 95%, delta = everything (the 5% replays are
+    # guaranteed hits); 10 bits/key at 200k keys
+    bloom_m = 63 * ((10 * n_docs) // 63 + 1)
+    timed("bloom_dedup_against_sec",
+          lambda: dedup_against_bloom(
+              docs.filter(F.col("doc_id") < dup_start), docs,
+              m_bits=bloom_m))
+    bench_docs = docs.filter(F.col("doc_id") < 100) \
+                     .selectExpr("doc_id AS bench_id", "text")
+    timed("decontaminate_remove_sec",
+          lambda: decontaminate_remove(docs, bench_docs))
+
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
     if not os.path.exists(emb_path):
