@@ -3409,6 +3409,9 @@ _WINDOW_PRIORITY = [
     "stats_recall_lsh_vs_exact",
     "dedup_substrings",
     "dedup_paragraphs",
+    # Tier 3 (cont.) — decontaminate's membership test became a
+    # broadcast semi-join this round (was a literal-array scan).
+    "text_decontaminate",
     # Tier 4 — canaries: the two rows that were red/err in r3 and
     # fixed in r4/5 stay under permanent driver watch.
     "gram_polynomial",
@@ -3466,7 +3469,9 @@ _WINDOW_PRIORITY = [
     "pairwise_cityblock",
     "pairwise_braycurtis",
     "pairwise_correlation",
-    "pairwise_inner_product",
+    # (pairwise_inner_product displaced by the text_decontaminate
+    # re-gate: the dot-product fold is exercised by every in-window
+    # cosine gate and by knn_bf_inner_product_blas's DESC ordering.)
     "ivf_flat_extend_search",
     # (The r03 rows preprocess_binary_quantize / ivf_flat_search —
     # and earlier dedup_simhash_near_dup / preprocess_scalar_roundtrip
