@@ -1581,7 +1581,16 @@ def bloom_build(df: DataFrame, *, m_bits: int = 63 * 16384, k: int = 4,
     of a doc is ``H64(text ∥ '#bloom' ∥ i) % m_bits``, and the build is
     one explode + one map-side-combined ``bit_or`` groupBy — a hot
     duplicate text sets the same bits on every mapper and collapses to
-    k rows before the shuffle."""
+    k rows before the shuffle.
+
+    The build parameters travel WITH the filter as two metadata rows
+    (``word_idx = -1 → m_bits``, ``word_idx = -2 → k``, the same trick
+    as the HNSW ``layer = -1`` M row): a probe with mismatched
+    parameters would silently produce false negatives — the one
+    failure mode a Bloom pre-filter must never have — so
+    :func:`bloom_contains` reads (or cross-checks) them instead of
+    trusting the caller. Probe word indices are always ≥ 0, so the
+    metadata rows can never collide with a probe."""
     if m_bits % _BLOOM_WORD_BITS:
         raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD_BITS}")
     pos = [F.expr(H64_SPARK.format(s=f"concat({text_col}, '#bloom{i}')"))
@@ -1592,8 +1601,11 @@ def bloom_build(df: DataFrame, *, m_bits: int = 63 * 16384, k: int = 4,
                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                            f"CAST(_p % {_BLOOM_WORD_BITS} AS INT))")
                     .alias("_b")))
+    meta = df.sparkSession.createDataFrame(
+        [(-1, m_bits), (-2, k)], "word_idx long, bits long")
     return (bits.groupBy("word_idx")
-            .agg(F.expr("bit_or(_b)").alias("bits")))
+            .agg(F.expr("bit_or(_b)").alias("bits"))
+            .unionByName(meta))
 
 
 def bloom_build_sql(doc_sql: str, m_bits: int = 63 * 16384,
@@ -1613,14 +1625,39 @@ FROM pos GROUP BY 1
 
 
 def bloom_contains(delta: DataFrame, bloom: DataFrame, *,
-                   m_bits: int = 63 * 16384, k: int = 4,
+                   m_bits: int | None = None, k: int | None = None,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Probe a :func:`bloom_build` filter → ``(doc_id, maybe_dup)``
     (1 = all ``k`` bits set: exact text PROBABLY seen; 0 = definitely
     novel). The filter table broadcasts (≤ m_bits/63 rows); each delta
     doc contributes k probe rows, and the verdict is a partial
-    ``min`` agg — no window, no skew."""
+    ``min`` agg — no window, no skew.
+
+    ``m_bits``/``k`` default to the parameters stored in the filter's
+    metadata rows; passing values that disagree with them raises
+    (probing with the wrong modulus silently yields false negatives,
+    the one failure a Bloom pre-filter must never have)."""
+    stored = {r["word_idx"]: r["bits"]
+              for r in bloom.filter(F.col("word_idx") < 0).collect()}
+    if stored:
+        sm, sk = int(stored.get(-1, 0)), int(stored.get(-2, 0))
+        if m_bits is None:
+            m_bits = sm
+        elif m_bits != sm:
+            raise ValueError(
+                f"bloom_contains: m_bits={m_bits} does not match the "
+                f"filter's build m_bits={sm}")
+        if k is None:
+            k = sk
+        elif k != sk:
+            raise ValueError(
+                f"bloom_contains: k={k} does not match the filter's "
+                f"build k={sk}")
+    elif m_bits is None or k is None:
+        raise ValueError(
+            "bloom_contains: filter carries no metadata rows; pass "
+            "m_bits and k explicitly")
     d = delta.select(F.col(id_col).cast("long").alias("doc_id"),
                      F.col(text_col).alias("text"))
     pos = [F.expr(H64_SPARK.format(s=f"concat(text, '#bloom{i}')"))
@@ -1653,10 +1690,13 @@ def dedup_against_bloom(base: DataFrame, delta: DataFrame, *,
     broadcastable bit array, the delta pass is a scan, and only the
     ``maybe_dup = 1`` sliver (true dups + the tuned FP rate) proceeds
     to exact/near verification. Deterministic md5 bit positions → the
-    whole pipeline is gate-exact across engines."""
-    return bloom_contains(delta,
-                          bloom_build(base, m_bits=m_bits, k=k,
-                                      text_col=text_col),
+    whole pipeline is gate-exact across engines. The filter is
+    persisted (tracked FIFO) so the metadata read and the probe join
+    share one build; callers holding a filter across many ingests
+    should persist or save it themselves."""
+    bloom = _eager_persist(bloom_build(base, m_bits=m_bits, k=k,
+                                       text_col=text_col))
+    return bloom_contains(delta, bloom,
                           m_bits=m_bits, k=k, id_col=id_col,
                           text_col=text_col)
 

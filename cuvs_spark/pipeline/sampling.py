@@ -714,16 +714,21 @@ def leakage_free_split(df: DataFrame, weights: dict[str, float], *,
     With no ``labels``, the cluster key is the exact-text hash (exact
     copies co-locate, map-only). Pass a ``(doc_id, label)`` relation —
     e.g. :func:`~cuvs_spark.pipeline.dedup.connected_components` over
-    MinHash pairs — to co-locate whole NEAR-dup clusters; the join is
-    the only shuffle, on the id key. The label relation is allowed to
-    be PARTIAL (``connected_components`` emits rows only for docs that
-    appear in at least one dup pair): unlabeled docs are kept via a
-    LEFT join and fall back to their exact-text-hash key, so
-    singletons still split and exact copies still co-locate — they are
-    never silently dropped. Same md5 arithmetic as every sampling op,
-    so membership is stable under repartitioning and incremental
-    ingest (adding docs never reassigns existing ones, and a new copy
-    of an old doc lands in the old doc's split by construction)."""
+    MinHash pairs — to co-locate whole NEAR-dup clusters; the joins
+    shuffle on the id and text-hash keys only. The label relation is
+    allowed to be PARTIAL and even STALE (``connected_components``
+    emits rows only for docs in at least one dup pair, and an
+    incremental ingest may add copies after the labels were computed):
+    unlabeled docs are kept via a LEFT join, and the effective key is
+    resolved per exact-text cluster — every doc whose text matches a
+    labeled doc inherits that label (min over the cluster), and fully
+    unlabeled clusters fall back to the text hash. So an unlabeled
+    fresh copy of a labeled doc lands in the labeled doc's split, by
+    construction, and nothing is silently dropped. (A stale relation
+    can still separate NEAR-dups that share no exact text — recompute
+    labels after large ingests.) Same md5 arithmetic as every sampling
+    op, so membership is stable under repartitioning and incremental
+    ingest."""
     from cuvs_spark.pipeline.dedup import H64_SPARK
     if labels is None:
         d = df.select(F.col(id_col).cast("long").alias(id_col),
@@ -734,9 +739,13 @@ def leakage_free_split(df: DataFrame, weights: dict[str, float], *,
                             F.col(label_col).cast("long").alias("_lbl"))
         d = (df.select(F.col(id_col).cast("long").alias(id_col),
                        F.expr(H64_SPARK.format(s=text_col)).alias("_th"))
-             .join(lab, id_col, "left")
+             .join(lab, id_col, "left"))
+        # resolve one key per exact-text cluster: any member's label
+        # (min of the labeled ones), else the shared text hash
+        cl = d.groupBy("_th").agg(F.min("_lbl").alias("_clbl"))
+        d = (d.join(cl, "_th")
              .select(id_col,
-                     F.coalesce("_lbl", F.col("_th")).alias("split_key")))
+                     F.coalesce("_clbl", F.col("_th")).alias("split_key")))
     return hash_split(d, weights, id_col="split_key", salt=salt)
 
 

@@ -1010,7 +1010,9 @@ def decontaminate(docs: DataFrame, benchmarks: DataFrame, *, n: int = 8,
     membership test, measured 33× slower on the span-removal twin of
     this plan at the 200k probe. Only docs with at least one hit
     regroup (the contaminated sliver); the gram count itself is a
-    map-only projection, so clean-corpus cost is scan-shaped."""
+    map-only projection, so clean-corpus cost is scan-shaped.
+    ``doc_id`` must be unique (the repo-wide contract — every
+    aggregate-by-id operator merges rows sharing an id)."""
     bench = (benchmarks.select(F.expr(TOKS_SPARK.format(s=f"lower({bench_text_col})"))
                                .alias("_t"))
              .select(F.explode(F.expr(_ngram_hashes_expr(n))).alias("h"))
@@ -1337,13 +1339,15 @@ def ngram_novelty(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
     repetition is :func:`repetition_stats`'s job, not this one's).
 
     Scale shape: explode → distinct ``(gram, doc_id)`` pairs (map-side
-    combine collapses within-doc repeats before the shuffle) → per-gram
-    doc-frequency (second map-side-combined agg) → join the tiny
-    ``(gram, dfreq)`` table back to the pairs and regroup on doc_id.
-    Two shuffles on the gram key + one on doc_id; a hot gram is ONE
-    row after the first combine. The only division is one integer-pair
-    IEEE divide (exact on both engines); empty docs survive with
-    ``novelty_frac = 0`` via the left join + coalesce.
+    combine collapses within-doc repeats before the shuffle), then two
+    independent aggregations of that pair table — ``n_grams`` per doc,
+    and the per-gram ``(dfreq, min(doc_id))`` rollup. A novel gram has
+    exactly one owner (its min doc), so ``novel_grams`` regroups only
+    the ``dfreq = 1`` SLIVER of the gram table by owner — the full
+    pair table is never joined back through the gram key. A hot gram
+    is ONE row after the first combine. The only division is one
+    integer-pair IEEE divide (exact on both engines); empty docs
+    survive with ``novelty_frac = 0`` via the left join + coalesce.
     """
     d = _doc(df, id_col, text_col)
     toks = TOKS_SPARK.format(s="text")
@@ -1351,12 +1355,15 @@ def ngram_novelty(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
              .select("doc_id",
                      F.explode(F.expr(_gram_expr_spark(n))).alias("g"))
              .distinct())
-    df_tab = pairs.groupBy("g").agg(F.count("*").alias("dfreq"))
-    uniq = (pairs.join(df_tab, "g")
-            .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_grams"),
-                 F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
-                  .cast("long").alias("novel_grams")))
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"))
+    novel = (pairs.groupBy("g")
+             .agg(F.count("*").alias("dfreq"),
+                  F.min("doc_id").alias("owner"))
+             .filter(F.col("dfreq") == 1)
+             .groupBy(F.col("owner").alias("doc_id"))
+             .agg(F.count("*").cast("long").alias("novel_grams")))
+    uniq = per_doc.join(novel, "doc_id", "left")
     return (d.select("doc_id").join(uniq, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
@@ -1364,7 +1371,8 @@ def ngram_novelty(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
                      .alias("novel_grams"),
                     F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0,
                            F.lit(0.0))
-                     .otherwise(F.col("novel_grams").cast("double")
+                     .otherwise(F.coalesce(F.col("novel_grams"),
+                                           F.lit(0)).cast("double")
                                 / F.col("n_grams").cast("double"))
                      .alias("novelty_frac")))
 
@@ -1499,7 +1507,9 @@ def decontaminate_remove(docs: DataFrame, benchmarks: DataFrame, *,
     matches-per-doc); clean docs — the overwhelming majority — take
     the map-only token rebuild and never shuffle. The DuckDB twin
     keeps its independent correlated-range construction, so the gate
-    cross-checks two formulations."""
+    cross-checks two formulations. ``doc_id`` must be unique (the
+    repo-wide contract — rows sharing an id would merge their matched
+    positions)."""
     bench = (benchmarks.select(
                  F.expr(TOKS_SPARK.format(s=f"lower({bench_text_col})"))
                  .alias("_t"))

@@ -649,7 +649,9 @@ def test_ngram_novelty_hand_checked(spark):
         [(1, "a b c d"),        # grams: "a b c" (shared), "b c d" (novel)
          (2, "a b c x"),        # grams: "a b c" (shared), "b c x" (novel)
          (3, "z z z z z"),      # distinct gram: "z z z" (novel)
-         (4, "")],              # no grams
+         (4, ""),               # no grams
+         (5, "m n o p"),        # exact copies: every gram shared →
+         (6, "m n o p")],       # novelty 0.0 (not NULL — regression)
         "doc_id long, text string")
     got = {r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty_frac"])
            for r in ngram_novelty(docs, 3).collect()}
@@ -657,6 +659,8 @@ def test_ngram_novelty_hand_checked(spark):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 1, 1.0)
     assert got[4] == (0, 0, 0.0)
+    assert got[5] == (2, 0, 0.0)
+    assert got[6] == (2, 0, 0.0)
 
 
 def test_vocab_coverage_hand_checked(spark):
@@ -835,3 +839,41 @@ def test_decontaminate_remove_spans(spark):
                                    "bench_id long, text string")
     r = decontaminate_remove(docs2, bench2, n=3).collect()[0]
     assert (r["clean_text"], r["n_removed"]) == ("x y", 4)
+
+
+def test_bloom_metadata_guards_parameter_mismatch(spark):
+    """The filter carries its build parameters; probing with a
+    different m_bits/k must raise instead of silently returning
+    false negatives, and omitted parameters are read from it."""
+    from cuvs_spark.pipeline.dedup import bloom_build, bloom_contains
+
+    base = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string")
+    filt = bloom_build(base, m_bits=63 * 256, k=4).localCheckpoint()
+    # parameters read from metadata: every base text probes positive
+    out = {r["doc_id"]: r["maybe_dup"]
+           for r in bloom_contains(base, filt).collect()}
+    assert all(out[i] == 1 for i in range(50))
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_contains(base, filt, m_bits=63 * 128)
+    with pytest.raises(ValueError, match="k="):
+        bloom_contains(base, filt, k=2)
+
+
+def test_leakage_free_split_stale_labels_colocate_exact_copies(spark):
+    """A copy ingested AFTER the label relation was computed must land
+    in its labeled original's split (label propagates across the
+    exact-text cluster)."""
+    from cuvs_spark.pipeline.sampling import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(1, "dup text"), (2, "dup text"), (999, "dup text"),
+         (3, "solo one")],
+        "doc_id long, text string")
+    labels = spark.createDataFrame([(1, 5), (2, 5)],   # 999 is stale
+                                   "doc_id long, label long")
+    out = leakage_free_split(docs, {"train": 0.5, "test": 0.5},
+                             labels=labels)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(got) == {1, 2, 3, 999}
+    assert got[1] == got[2] == got[999]
