@@ -1,3 +1,7 @@
+from cuvs_spark.streaming.bloom_stream import (  # noqa: F401
+    bloom_dedup_batch_against_state,
+    start_streaming_bloom_dedup,
+)
 from cuvs_spark.streaming.dedup_stream import (  # noqa: F401
     dedup_batch_against_state,
     start_streaming_dedup,

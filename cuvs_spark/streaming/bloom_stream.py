@@ -1,0 +1,104 @@
+"""Streaming exact-dedup ingest with O(m) Bloom state.
+
+The fixed-size companion to :mod:`cuvs_spark.streaming.dedup_stream`:
+that pipeline's state (digests + band keys + shingles) grows with the
+accepted corpus, which is what near-dup verification needs — but a
+crawl front-line that only has to answer "have I accepted this exact
+text before" can keep its WHOLE state in an ``m_bits`` Bloom filter
+(``≤ m/63`` BIGINT words as one tiny Parquet table), regardless of how
+many trillions of documents have flowed through. False positives are
+tunable (~10 bits per expected key ≈ 1% — route the flagged sliver to
+the exact path if over-dropping matters); false negatives are
+impossible, so nothing slips past (the guarantee inherited from
+``pipeline.dedup.bloom_build``'s deterministic md5 bit positions).
+
+Per micro-batch (``foreachBatch``):
+1. batch-internal exact dedup (lowest doc_id per digest);
+2. probe the stored filter — ``maybe_dup = 1`` rows are dropped;
+3. fold the survivors' bits into the filter (``bit_or`` per word —
+   idempotent, so replaying a batch after a checkpoint-recovery
+   restart converges to the same state) and overwrite the state table.
+
+The filter's build parameters travel as the metadata rows
+(``word_idx = -1/-2``), and the merge ORs them with themselves — a
+parameter mismatch between the stored state and the configured stream
+raises before any document is misjudged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_spark.pipeline.dedup import (
+    H64_SPARK,
+    _BLOOM_WORD_BITS,
+    bloom_build,
+    bloom_contains,
+)
+
+
+def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
+                                    m_bits: int = 63 * 16384,
+                                    k: int = 4) -> DataFrame:
+    """One exact-dedup ingest step → the accepted subset of ``batch``.
+
+    Reads the Bloom state (if any), drops batch-internal duplicate
+    texts and anything the filter has seen, then merges the survivors'
+    bits back in. Usable directly from batch jobs and foreachBatch."""
+    if m_bits % _BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD_BITS}")
+    spark = batch.sparkSession
+    b = batch.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    # batch-internal exact dedup: lowest doc_id per digest
+    canon = (b.withColumn("_h", F.expr(H64_SPARK.format(s="text")))
+             .groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    b1 = b.join(canon, "doc_id", "left_semi")
+
+    state_path = os.path.join(state_dir, "bloom")
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        accepted = (bloom_contains(b1, state, m_bits=m_bits, k=k)
+                    .filter(F.col("maybe_dup") == 0)
+                    .select("doc_id"))
+        # cut lineage BEFORE the overwrite below deletes the state
+        # files this plan reads (and so the survivors' bits and the
+        # returned rows are computed once)
+        b2 = b1.join(accepted, "doc_id", "left_semi").localCheckpoint()
+        merged = (bloom_build(b2, m_bits=m_bits, k=k)
+                  .unionByName(state)
+                  .groupBy("word_idx")
+                  .agg(F.expr("bit_or(bits)").alias("bits")))
+    else:
+        b2 = b1.localCheckpoint()
+        merged = bloom_build(b2, m_bits=m_bits, k=k)
+    # materialize before overwriting the path the plan reads from
+    merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+    return batch.join(b2.select("doc_id"), "doc_id", "left_semi")
+
+
+def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
+                                state_dir: str, accepted_dir: str, *,
+                                m_bits: int = 63 * 16384, k: int = 4,
+                                trigger_seconds: float | None = None):
+    """Stream (doc_id, text) Parquet from ``source_dir``; per
+    micro-batch run the Bloom exact-dedup ingest and append accepted
+    docs to ``accepted_dir``."""
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(source_dir))
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ok = bloom_dedup_batch_against_state(
+            batch_df, state_dir, m_bits=m_bits, k=k)
+        ok.write.mode("append").parquet(accepted_dir)
+
+    writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

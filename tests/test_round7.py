@@ -877,3 +877,61 @@ def test_leakage_free_split_stale_labels_colocate_exact_copies(spark):
     got = {r["doc_id"]: r["split"] for r in out.collect()}
     assert set(got) == {1, 2, 3, 999}
     assert got[1] == got[2] == got[999]
+
+
+def test_bloom_stream_batch_vs_state(spark, tmp_path):
+    """Three ingest steps against the O(m) Bloom state: in-batch dups
+    collapse, cross-batch exact replays are rejected, novel docs pass;
+    replaying an already-merged batch (checkpoint recovery) is
+    idempotent — the state converges, nothing is re-accepted."""
+    from cuvs_spark.streaming import bloom_dedup_batch_against_state
+
+    state = str(tmp_path / "bstate")
+    kw = dict(m_bits=63 * 256, k=4)
+    b1 = spark.createDataFrame(
+        [(0, "doc zero text"), (1, "doc one text"), (2, "doc zero text")],
+        "doc_id long, text string")
+    ok1 = bloom_dedup_batch_against_state(b1, state, **kw).toPandas()
+    assert sorted(ok1.doc_id) == [0, 1]
+
+    b2 = spark.createDataFrame(
+        [(10, "doc zero text"), (11, "fresh words here")],
+        "doc_id long, text string")
+    ok2 = bloom_dedup_batch_against_state(b2, state, **kw).toPandas()
+    assert sorted(ok2.doc_id) == [11]
+
+    # replay of b2 (recovery): nothing re-accepted, state unchanged
+    ok2b = bloom_dedup_batch_against_state(b2, state, **kw).toPandas()
+    assert len(ok2b) == 0
+    # mismatched parameters must refuse, not silently false-negative
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_dedup_batch_against_state(b2, state, m_bits=63 * 128, k=4)
+
+
+def test_bloom_stream_smoke(spark, tmp_path):
+    import time
+
+    from cuvs_spark.streaming import start_streaming_bloom_dedup
+
+    src = str(tmp_path / "bsrc")
+    spark.createDataFrame(
+        [(0, "streaming bloom alpha"), (1, "streaming bloom alpha"),
+         (2, "streaming bloom beta")],
+        "doc_id long, text string").write.parquet(src)
+    q = start_streaming_bloom_dedup(
+        spark, src, str(tmp_path / "bstate2"), str(tmp_path / "bok"),
+        m_bits=63 * 256, trigger_seconds=0.5)
+    try:
+        deadline = time.time() + 60
+        n = -1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(str(tmp_path / "bok")).count()
+                if n == 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert n == 2
+    finally:
+        q.stop()
