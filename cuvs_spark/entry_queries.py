@@ -2115,7 +2115,8 @@ def _curate(spark, sf_dir):
                          langs=("en", "und"), near_dup_jaccard=0.8)
 
 
-def _curate_oracle(gopher: bool = False, rules: bool = False):
+def _curate_oracle(gopher: bool = False, rules: bool = False,
+                   novelty: float | None = None):
     # flat CTE chain: every stage is a NAMED cte referenced by name, not
     # re-nested text — textual nesting made the query tree (and DuckDB's
     # runtime) exponential in pipeline stages (measured 330 s vs 3 s)
@@ -2155,7 +2156,7 @@ s2g AS MATERIALIZED (SELECT doc_id, text FROM s2f
         rep_union += "UNION ALL SELECT doc_id, stage FROM badg\n"
     else:
         head += "s2g AS MATERIALIZED (SELECT doc_id, text FROM s2f),\n"
-    return head + f"""grp AS MATERIALIZED ({DD.exact_dedup_sql(
+    head += f"""grp AS MATERIALIZED ({DD.exact_dedup_sql(
         "SELECT doc_id, text FROM s2g")}),
 bade AS MATERIALIZED (SELECT doc_id, 'exact_dup' AS stage FROM s2g
          WHERE doc_id NOT IN (SELECT canonical_id FROM grp)),
@@ -2165,13 +2166,28 @@ mh AS MATERIALIZED ({DD.minhash_lsh_pairs_sql("SELECT doc_id, text FROM s3", 0.8
 comp AS MATERIALIZED ({DD.connected_components_sql("SELECT doc_a, doc_b FROM mh")}),
 badn AS MATERIALIZED (SELECT doc_id, 'near_dup' AS stage FROM comp
          WHERE doc_id <> canonical_id),
-kept AS MATERIALIZED (SELECT doc_id, 'kept' AS stage FROM s3
-         WHERE doc_id NOT IN (SELECT doc_id FROM badn))
-SELECT doc_id, stage FROM badq
+s4 AS MATERIALIZED (SELECT doc_id, text FROM s3
+       WHERE doc_id NOT IN (SELECT doc_id FROM badn)),
+"""
+    nov_union = ""
+    if novelty is not None:
+        head += f"""nov AS MATERIALIZED ({TX.ngram_novelty_sql(
+            "SELECT doc_id, text FROM s4", 3)}),
+badv AS MATERIALIZED (SELECT doc_id, 'novelty' AS stage FROM nov
+         WHERE novelty_frac < {novelty!r}),
+kept AS MATERIALIZED (SELECT doc_id, 'kept' AS stage FROM s4
+         WHERE doc_id NOT IN (SELECT doc_id FROM badv))
+"""
+        nov_union = "UNION ALL SELECT doc_id, stage FROM badv\n"
+    else:
+        head += """kept AS MATERIALIZED (SELECT doc_id, 'kept' AS stage
+         FROM s4)
+"""
+    return head + f"""SELECT doc_id, stage FROM badq
 UNION ALL SELECT doc_id, stage FROM badl
 {rep_union}UNION ALL SELECT doc_id, stage FROM bade
 UNION ALL SELECT doc_id, stage FROM badn
-UNION ALL SELECT doc_id, stage FROM kept
+{nov_union}UNION ALL SELECT doc_id, stage FROM kept
 """
 
 
@@ -2201,6 +2217,21 @@ def _curate_gopher_rules(spark, sf_dir):
 
 register("pipeline_curate_gopher_rules", _curate_gopher_rules,
          _curate_oracle(rules=True))
+
+
+def _curate_novelty(spark, sf_dir):
+    """curate_corpus with the post-dedup n-gram-novelty stage: docs
+    whose 3-gram novelty over the SURVIVING corpus falls below 0.3
+    (≈ the 20th percentile at gate scale) are staged 'novelty'."""
+    from cuvs_spark.pipeline.curate import curate_corpus
+    return curate_corpus(_docs_with_dups(spark, sf_dir),
+                         min_tokens=10, max_punct_ratio=0.2,
+                         langs=("en", "und"), near_dup_jaccard=0.8,
+                         min_novelty=0.3)
+
+
+register("pipeline_curate_novelty", _curate_novelty,
+         _curate_oracle(novelty=0.3))
 
 
 def _curate_semantic(spark, sf_dir):
@@ -3401,6 +3432,7 @@ _WINDOW_PRIORITY = [
     "stats_recall_matryoshka",
     "dedup_against_bloom",
     "text_decontaminate_remove",
+    "pipeline_curate_novelty",
     # Tier 3 — re-gates: implementations changed this round —
     # lsh_knn's re-rank gained the broadcast-threshold probe,
     # substring/paragraph dedup's _eager_persist became per-session
@@ -3410,8 +3442,13 @@ _WINDOW_PRIORITY = [
     "dedup_substrings",
     "dedup_paragraphs",
     # Tier 3 (cont.) — decontaminate's membership test became a
-    # broadcast semi-join this round (was a literal-array scan).
+    # broadcast semi-join this round (was a literal-array scan), and
+    # the curate oracle tail was restructured (s4/kept split) for the
+    # novelty stage — curate_corpus re-gates that identical structural
+    # change on behalf of the gopher/rules/semantic variants (the
+    # novelty gate itself exercises the new tail most fully).
     "text_decontaminate",
+    "pipeline_curate_corpus",
     # Tier 4 — canaries: the two rows that were red/err in r3 and
     # fixed in r4/5 stay under permanent driver watch.
     "gram_polynomial",
@@ -3420,7 +3457,9 @@ _WINDOW_PRIORITY = [
     # last driver row is r02 (4 rounds old — the breach the r6 verdict
     # flags), in registry order.
     "text_language_id",
-    "text_token_counts",
+    # (text_token_counts displaced by pipeline_curate_novelty: its
+    # token stats are a strict subset of text_quality_score's, which
+    # stays below and also runs inside every in-window curate gate.)
     "text_quality_score",
     "text_fingerprints",
     # (kmeans_predict displaced by text_decontaminate_remove: the
@@ -3467,7 +3506,9 @@ _WINDOW_PRIORITY = [
     "pairwise_canberra",
     "pairwise_euclidean",
     "pairwise_cityblock",
-    "pairwise_braycurtis",
+    # (pairwise_braycurtis displaced by the pipeline_curate_corpus
+    # re-gate: pairwise_canberra above refreshes the same
+    # abs-diff-ratio fold family this round.)
     "pairwise_correlation",
     # (pairwise_inner_product displaced by the text_decontaminate
     # re-gate: the dot-product fold is exercised by every in-window

@@ -20,7 +20,8 @@ from cuvs_spark.pipeline.dedup import (
     minhash_lsh_pairs,
 )
 from cuvs_spark.pipeline.text import (gopher_quality, language_id,
-                                      quality_score, repetition_stats)
+                                      ngram_novelty, quality_score,
+                                      repetition_stats)
 
 
 def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
@@ -31,17 +32,26 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
                   max_dup_word_frac: float | None = None,
                   max_top_bigram_frac: float | None = None,
                   max_dup_trigram_frac: float | None = None,
-                  gopher_rules: dict | None = None) -> DataFrame:
+                  gopher_rules: dict | None = None,
+                  min_novelty: float | None = None,
+                  novelty_n: int = 3) -> DataFrame:
     """Return the curated corpus ``(doc_id, text, stage)`` where
     ``stage`` records the first filter each *dropped* doc hit
     ('quality', 'lang', 'repetition', 'gopher_rules', 'exact_dup',
-    'near_dup') or 'kept'. The repetition stage (Gopher-style; off
-    unless one of its thresholds is set) joins per-doc n-gram
-    repetition fractions into the same marking pass — one extra
-    (doc, gram) shuffle, no extra anti-join. ``gopher_rules`` (a dict
-    of :func:`gopher_quality` thresholds, ``{}`` for the published
-    defaults) adds the full document-quality rule set the same way —
-    the stage is map-only, so it fuses into the marking projection."""
+    'near_dup', 'novelty') or 'kept'. The repetition stage
+    (Gopher-style; off unless one of its thresholds is set) joins
+    per-doc n-gram repetition fractions into the same marking pass —
+    one extra (doc, gram) shuffle, no extra anti-join. ``gopher_rules``
+    (a dict of :func:`gopher_quality` thresholds, ``{}`` for the
+    published defaults) adds the full document-quality rule set the
+    same way — the stage is map-only, so it fuses into the marking
+    projection. ``min_novelty`` (off unless set) appends a
+    memorization-pressure stage AFTER dedup: survivors whose
+    :func:`~cuvs_spark.pipeline.text.ngram_novelty` fraction over the
+    SURVIVING corpus falls below the threshold are staged 'novelty' —
+    the soft boilerplate filter for cross-doc repetition that the hard
+    dedup stages don't collapse (runs last so its corpus statistic is
+    computed over what dedup kept, matching the rule's intent)."""
     # each stage feeds several consumers (the mark union AND the next
     # stage's anti-join); checkpoint stage outputs so Catalyst doesn't
     # re-derive the whole upstream chain per consumer. Quality and
@@ -112,6 +122,15 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
              .select("doc_id", F.lit("near_dup").alias("stage")))
     survivors = ids2.join(bad_n.select("doc_id"), "doc_id", "left_anti")
     marks.append(bad_n)
+    if min_novelty is not None:
+        ids3 = survivors.localCheckpoint()
+        nov = ngram_novelty(d.join(ids3, "doc_id", "left_semi"),
+                            novelty_n)
+        bad_v = (nov.filter(F.col("novelty_frac") < min_novelty)
+                 .select("doc_id", F.lit("novelty").alias("stage")))
+        survivors = ids3.join(bad_v.select("doc_id"), "doc_id",
+                              "left_anti")
+        marks.append(bad_v)
     dropped = marks[0]
     for m in marks[1:]:
         dropped = dropped.unionByName(m)
