@@ -1338,16 +1338,21 @@ def ngram_novelty(df: DataFrame, n: int = 3, *, id_col: str = "doc_id",
     down-weight rather than drop (per-doc distinct grams, so within-doc
     repetition is :func:`repetition_stats`'s job, not this one's).
 
-    Scale shape: explode → distinct ``(gram, doc_id)`` pairs (map-side
-    combine collapses within-doc repeats before the shuffle), then two
-    independent aggregations of that pair table — ``n_grams`` per doc,
-    and the per-gram ``(dfreq, min(doc_id))`` rollup. A novel gram has
-    exactly one owner (its min doc), so ``novel_grams`` regroups only
-    the ``dfreq = 1`` SLIVER of the gram table by owner — the full
-    pair table is never joined back through the gram key. A hot gram
-    is ONE row after the first combine. The only division is one
-    integer-pair IEEE divide (exact on both engines); empty docs
-    survive with ``novelty_frac = 0`` via the left join + coalesce.
+    Scale shape: explode → distinct ``(gram, doc_id)`` pairs (ONE
+    gram-string computation; the distinct's exchange is then reused by
+    both downstream aggregations), then ``n_grams`` per doc and the
+    per-gram ``(dfreq, min(doc_id))`` rollup. A novel gram has exactly
+    one owner (its min doc), so ``novel_grams`` regroups only the
+    ``dfreq = 1`` SLIVER of the gram rollup by owner — the full pair
+    table is never joined back through the gram key (the r7 review's
+    plan fix; measured 15.7 s at the 200k probe vs 17.7 s for the
+    join-back and 45-50 s for two row-local variants whose dual
+    consumers each recomputed the gram transform — per-doc
+    ``array_distinct``/md5 arrays are NOT cheaper than one
+    distinct exchange). A hot gram is ONE row after the map-side
+    combine. The only division is one integer-pair IEEE divide (exact
+    on both engines); empty docs survive with ``novelty_frac = 0`` via
+    the left join + coalesce.
     """
     d = _doc(df, id_col, text_col)
     toks = TOKS_SPARK.format(s="text")
@@ -1381,28 +1386,24 @@ def ngram_novelty_sql(doc_sql: str, n: int = 3) -> str:
     toks = TOKS_DUCK.format(s="text")
     return f"""
 WITH d AS ({doc_sql}),
-tk AS (SELECT doc_id, {toks} AS t FROM d),
-pairs AS (
-  SELECT DISTINCT doc_id, unnest({_gram_expr_duck(n)}) AS g FROM tk
-),
-dfreq AS (
-  SELECT g, count(*) AS dfreq FROM pairs GROUP BY g
-),
-per_doc AS (
-  SELECT p.doc_id,
-         CAST(count(*) AS BIGINT) AS n_grams,
-         CAST(sum(CASE WHEN f.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS novel_grams
-  FROM pairs p JOIN dfreq f ON p.g = f.g
-  GROUP BY p.doc_id
+t0 AS (SELECT doc_id, {toks} AS t FROM d),
+tk AS (SELECT doc_id, list_distinct({_gram_expr_duck(n)}) AS g FROM t0),
+per_doc AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM tk),
+pairs AS (SELECT doc_id, unnest(g) AS g FROM tk),
+novel AS (
+  SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS novel_grams
+  FROM (SELECT g, count(*) AS dfreq, min(doc_id) AS owner
+        FROM pairs GROUP BY g)
+  WHERE dfreq = 1 GROUP BY owner
 )
-SELECT d.doc_id,
-       COALESCE(u.n_grams, 0) AS n_grams,
-       COALESCE(u.novel_grams, 0) AS novel_grams,
-       CASE WHEN COALESCE(u.n_grams, 0) = 0 THEN 0.0
-            ELSE CAST(u.novel_grams AS DOUBLE) / CAST(u.n_grams AS DOUBLE)
+SELECT p.doc_id,
+       p.n_grams,
+       COALESCE(v.novel_grams, 0) AS novel_grams,
+       CASE WHEN p.n_grams = 0 THEN 0.0
+            ELSE CAST(COALESCE(v.novel_grams, 0) AS DOUBLE)
+                 / CAST(p.n_grams AS DOUBLE)
        END AS novelty_frac
-FROM d LEFT JOIN per_doc u ON d.doc_id = u.doc_id
+FROM per_doc p LEFT JOIN novel v ON p.doc_id = v.doc_id
 """
 
 
