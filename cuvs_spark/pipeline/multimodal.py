@@ -2,11 +2,20 @@
 
 Training-data pipelines carry media as ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over ``mapInPandas``. The image/audio codecs
-are not in this container, so the *decode* step is stubbed behind an
-import-try (PIL/soundfile) with a deterministic fake for tests — the
-Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
-is real and tested.
+Arrow-batched pandas UDFs over ``mapInPandas``.
+
+Decode support is tiered by what the container can honestly do:
+
+* **Real, no codec lib needed**: binary netpbm images (P6 PPM / P5
+  PGM — header + raw pixels, parsed in pure NumPy) and RIFF/WAV
+  16-bit PCM audio (stdlib ``wave``). These run end-to-end through
+  every operator below.
+* **Stubbed**: compressed formats (JPEG/PNG magic, MP3/OGG) raise
+  ``NotImplementedError`` — they require codec libraries (PIL /
+  soundfile) absent from this container, per the task spec.
+* **Deterministic fake**: payloads without a recognized magic (the
+  ``attach_fake_media`` fixture) decode to a sha256 digest stream, so
+  the distributed plumbing stays testable anywhere.
 
 Scale notes: media rows are large — the operators keep media columns
 pruned until the UDF that needs them (select the binary column last),
@@ -18,6 +27,8 @@ sizes.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,13 +38,6 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = ("id long, media binary, media_type string, "
                 "width int, height int, n_frames int")
-
-try:  # pragma: no cover - codec libs absent in this container
-    from PIL import Image  # noqa: F401
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
-
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: pixels derived from a
@@ -48,15 +52,45 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
             .reshape(height, width, 3))
 
 
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    """Parse a binary netpbm payload (P6 PPM → HxWx3, P5 PGM →
+    grayscale replicated to 3 channels). Pure NumPy — no codec lib."""
+    magic = payload[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":           # header comment
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                       # single ws after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = (np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                        offset=pos).reshape(h, w, ch))
+    return px if ch == 3 else np.repeat(px, 3, axis=2)
+
+
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Real path requires PIL (absent here) — falls back to the
-    deterministic fake so the distributed plumbing stays testable."""
-    if HAVE_PIL:  # pragma: no cover
+    Binary netpbm (P6/P5) decodes for real in pure NumPy; compressed
+    formats raise (codec libs absent per the task spec); anything else
+    falls back to the deterministic fake so the distributed plumbing
+    stays testable."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"\xff\xd8" or payload[:4] == b"\x89PNG":
         raise NotImplementedError(
-            "real decode path: Image.open(io.BytesIO(payload)) — enable "
-            "when codec libs are provisioned")
+            "JPEG/PNG decode requires a codec library (PIL), absent "
+            "from this container — re-encode to binary PPM upstream or "
+            "provision codecs")
     return _fake_pixels(payload, width, height)
 
 
@@ -134,11 +168,39 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     "media_type string, width int, height int")
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAV payload → (mono int16 samples, frame rate)
+    with the stdlib ``wave`` module — no codec lib. Multi-channel
+    audio keeps channel 0 (deterministic; curation features don't need
+    a downmix)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV supported (got sample width "
+                f"{wf.getsampwidth()})")
+        nch = wf.getnchannels()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    x = np.frombuffer(frames, dtype=np.int16)
+    if nch > 1:
+        x = x.reshape(-1, nch)[:, 0]
+    return x, rate
+
+
 def decode_pcm(payload: bytes, n_samples: int) -> np.ndarray:
     """Decode an audio payload to int16 PCM samples.
 
-    Real path requires soundfile/librosa (absent here) — deterministic
-    digest-stream fake keeps the distributed plumbing testable."""
+    RIFF/WAV (16-bit PCM) decodes for real via the stdlib ``wave``
+    module (``n_samples`` is ignored — the file knows its length);
+    compressed audio would need soundfile/librosa (absent per the task
+    spec); anything else falls back to the deterministic digest-stream
+    fake so the distributed plumbing stays testable."""
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)[0]
+    if payload[:3] == b"ID3" or payload[:2] == b"\xff\xfb":
+        raise NotImplementedError(
+            "MP3 decode requires a codec library, absent from this "
+            "container — transcode to WAV upstream or provision codecs")
     need = n_samples * 2
     out = bytearray()
     counter = 0
@@ -153,19 +215,25 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16000,
     """Decode + waveform features → ``(id, rms, zcr, peak, duration_s)``:
     root-mean-square level, zero-crossing rate, absolute peak, clip
     duration. The standard audio-curation gate set (silence / clipping /
-    length filters), Arrow-batched like the image path."""
+    length filters), Arrow-batched like the image path. WAV payloads
+    use their own length and frame rate; the fake path uses the
+    ``sample_rate``/``n_samples`` parameters."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                x = decode_pcm(bytes(row["media"]), n_samples)
+                payload = bytes(row["media"])
+                if payload[:4] == b"RIFF":
+                    x, rate = _decode_wav(payload)
+                else:
+                    x, rate = decode_pcm(payload, n_samples), sample_rate
                 xf = x.astype(np.float64) / 32768.0
                 rows.append((
                     row["id"],
                     float(np.sqrt((xf ** 2).mean())),
                     float((np.signbit(xf[1:]) != np.signbit(xf[:-1])).mean()),
                     float(np.abs(xf).max()),
-                    n_samples / sample_rate))
+                    len(xf) / rate))
             yield pd.DataFrame(rows, columns=[
                 "id", "rms", "zcr", "peak", "duration_s"])
 

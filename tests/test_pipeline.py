@@ -448,3 +448,82 @@ def test_tfidf_keywords_matches_python(spark):
             ((-tf[t] * ((n + 1) / (dfreq[t] + 1))), t) for t in tf)[:2]
         want = [(i + 1, t, -s) for i, (s, t) in enumerate(scored)]
         assert sorted(out[k]) == want, (k, out[k], want)
+
+
+def test_multimodal_real_netpbm_decode(spark):
+    """Binary PPM/PGM payloads decode for REAL (pure NumPy, no codec
+    lib): pixel-exact features end-to-end through the Arrow pipeline,
+    header comments handled, PGM replicated to 3 channels, compressed
+    magics still raise."""
+    import numpy as np
+    import pytest
+    from cuvs_spark.pipeline.multimodal import (decode_pixels,
+                                                image_features,
+                                                media_embedding)
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    ppm = b"P6\n# a comment\n5 4\n255\n" + px.tobytes()
+    assert (decode_pixels(ppm, 5, 4) == px).all()
+    gray = rng.integers(0, 256, (3, 2), dtype=np.uint8)
+    pgm = b"P5 2 3 255 " + gray.tobytes()
+    assert (decode_pixels(pgm, 2, 3) == gray[..., None]).all()
+    with pytest.raises(NotImplementedError, match="JPEG|PNG"):
+        decode_pixels(b"\xff\xd8\xff\xe0fakejpeg", 1, 1)
+
+    media = spark.createDataFrame(
+        [(7, bytearray(ppm), "image/x-portable-pixmap", 5, 4, 1)],
+        "id long, media binary, media_type string, width int, "
+        "height int, n_frames int")
+    feat = image_features(media).collect()[0]
+    assert feat["mean_r"] == px[..., 0].astype(np.float64).mean()
+    assert feat["mean_g"] == px[..., 1].astype(np.float64).mean()
+    emb = media_embedding(media, dim=16).collect()[0]
+    assert len(emb["vec"]) == 16
+    assert abs(float(np.linalg.norm(emb["vec"])) - 1.0) < 1e-5
+
+
+def test_multimodal_real_wav_decode(spark, tmp_path):
+    """RIFF/WAV 16-bit PCM decodes for real via the stdlib wave module:
+    rms/peak/duration match the synthesized waveform exactly; stereo
+    keeps channel 0; MP3 magic raises."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+    from cuvs_spark.pipeline.multimodal import audio_features, decode_pcm
+
+    rate, n = 8000, 1600
+    t = np.arange(n)
+    x = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    payload = buf.getvalue()
+    assert (decode_pcm(payload, 0) == x).all()
+    with pytest.raises(NotImplementedError, match="MP3"):
+        decode_pcm(b"ID3\x04fakemp3", 16)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/wav", 0, 0, 1)],
+        "id long, media binary, media_type string, width int, "
+        "height int, n_frames int")
+    row = audio_features(media).collect()[0]
+    xf = x.astype(np.float64) / 32768.0
+    assert row["duration_s"] == n / rate
+    assert abs(row["rms"] - float(np.sqrt((xf ** 2).mean()))) < 1e-12
+    assert row["peak"] == float(np.abs(xf).max())
+
+    # stereo: channel 0 wins
+    st = np.stack([x, np.zeros_like(x)], axis=1)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(st.tobytes())
+    assert (decode_pcm(buf2.getvalue(), 0) == x).all()
