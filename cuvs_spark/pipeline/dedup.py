@@ -1610,6 +1610,11 @@ def bloom_build(df: DataFrame, *, m_bits: int = 63 * 16384, k: int = 4,
 
 def bloom_build_sql(doc_sql: str, m_bits: int = 63 * 16384,
                     k: int = 4) -> str:
+    """DuckDB twin of :func:`bloom_build`, INCLUDING the two metadata
+    rows (``word_idx = -1 → m_bits``, ``-2 → k``) so both engines emit
+    the same self-describing filter table: a filter materialized from
+    the SQL path is probe-able by :func:`bloom_contains` without the
+    caller re-supplying the build parameters."""
     sel = " UNION ALL ".join(
         f"SELECT {H64_DUCK.format(s=h)} % {m_bits} AS p FROM d"
         for i in range(k)
@@ -1621,6 +1626,8 @@ SELECT CAST(p // {_BLOOM_WORD_BITS} AS BIGINT) AS word_idx,
        bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD_BITS} AS INT))
          AS bits
 FROM pos GROUP BY 1
+UNION ALL SELECT CAST(-1 AS BIGINT), CAST({m_bits} AS BIGINT)
+UNION ALL SELECT CAST(-2 AS BIGINT), CAST({k} AS BIGINT)
 """
 
 

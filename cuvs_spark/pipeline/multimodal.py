@@ -194,9 +194,15 @@ def decode_pcm(payload: bytes, n_samples: int) -> np.ndarray:
     module (``n_samples`` is ignored — the file knows its length);
     compressed audio would need soundfile/librosa (absent per the task
     spec); anything else falls back to the deterministic digest-stream
-    fake so the distributed plumbing stays testable."""
-    if payload[:4] == b"RIFF":
+    fake so the distributed plumbing stays testable. Only RIFF
+    containers whose form type is ``WAVE`` route to the WAV parser —
+    other RIFF media (AVI video, WEBP images) need real codecs."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)[0]
+    if payload[:4] == b"RIFF":
+        raise NotImplementedError(
+            f"RIFF container with form type {payload[8:12]!r} (not WAVE) "
+            "requires a codec library, absent from this container")
     if payload[:3] == b"ID3" or payload[:2] == b"\xff\xfb":
         raise NotImplementedError(
             "MP3 decode requires a codec library, absent from this "
@@ -223,15 +229,20 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16000,
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["media"])
-                if payload[:4] == b"RIFF":
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     x, rate = _decode_wav(payload)
                 else:
                     x, rate = decode_pcm(payload, n_samples), sample_rate
+                if len(x) == 0:
+                    # valid zero-frame WAV: silence stats, not NaN/crash
+                    rows.append((row["id"], 0.0, 0.0, 0.0, 0.0))
+                    continue
                 xf = x.astype(np.float64) / 32768.0
                 rows.append((
                     row["id"],
                     float(np.sqrt((xf ** 2).mean())),
-                    float((np.signbit(xf[1:]) != np.signbit(xf[:-1])).mean()),
+                    float((np.signbit(xf[1:]) != np.signbit(xf[:-1])).mean())
+                    if len(xf) > 1 else 0.0,
                     float(np.abs(xf).max()),
                     len(xf) / rate))
             yield pd.DataFrame(rows, columns=[

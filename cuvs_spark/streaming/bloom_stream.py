@@ -17,7 +17,15 @@ Per micro-batch (``foreachBatch``):
 2. probe the stored filter — ``maybe_dup = 1`` rows are dropped;
 3. fold the survivors' bits into the filter (``bit_or`` per word —
    idempotent, so replaying a batch after a checkpoint-recovery
-   restart converges to the same state) and overwrite the state table.
+   restart converges to the same state) and commit the state table.
+
+State commits are crash-safe via versioned subpaths: each merge writes
+a NEW ``<state_dir>/bloom/v=<n+1>`` table, readers always take the
+highest committed version, and older versions are pruned only after
+the new write succeeds — so a crash at any point leaves at least one
+complete filter on disk and can never lose accumulated bits (a crash
+mid-prune just leaves an extra stale version, removed on the next
+commit).
 
 The filter's build parameters travel as the metadata rows
 (``word_idx = -1/-2``), and the merge ORs them with themselves — a
@@ -28,6 +36,7 @@ raises before any document is misjudged.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +49,23 @@ from cuvs_spark.pipeline.dedup import (
 )
 
 
+def _state_versions(state_path: str) -> list[int]:
+    """Committed filter versions under ``state_path`` (``v=<n>`` dirs
+    holding a Spark ``_SUCCESS`` marker), ascending."""
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in os.listdir(state_path):
+        if name.startswith("v="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(state_path, name, "_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
 def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
                                     m_bits: int = 63 * 16384,
                                     k: int = 4) -> DataFrame:
@@ -47,7 +73,12 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
 
     Reads the Bloom state (if any), drops batch-internal duplicate
     texts and anything the filter has seen, then merges the survivors'
-    bits back in. Usable directly from batch jobs and foreachBatch."""
+    bits back in. Usable directly from batch jobs and foreachBatch.
+
+    The merged filter is committed write-new-then-prune-old (see the
+    module docstring): the previous version is deleted only after the
+    new one has a ``_SUCCESS`` marker, so a crash anywhere in this
+    function leaves the last committed filter intact."""
     if m_bits % _BLOOM_WORD_BITS:
         raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD_BITS}")
     spark = batch.sparkSession
@@ -60,34 +91,51 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     b1 = b.join(canon, "doc_id", "left_semi")
 
     state_path = os.path.join(state_dir, "bloom")
-    if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
+    versions = _state_versions(state_path)
+    if versions:
+        cur = versions[-1]
+        state = spark.read.parquet(os.path.join(state_path, f"v={cur}"))
         accepted = (bloom_contains(b1, state, m_bits=m_bits, k=k)
                     .filter(F.col("maybe_dup") == 0)
                     .select("doc_id"))
-        # cut lineage BEFORE the overwrite below deletes the state
-        # files this plan reads (and so the survivors' bits and the
-        # returned rows are computed once)
+        # cut lineage BEFORE the prune below deletes the state files
+        # this plan reads (and so the survivors' bits and the returned
+        # rows are computed once)
         b2 = b1.join(accepted, "doc_id", "left_semi").localCheckpoint()
         merged = (bloom_build(b2, m_bits=m_bits, k=k)
                   .unionByName(state)
                   .groupBy("word_idx")
                   .agg(F.expr("bit_or(bits)").alias("bits")))
     else:
+        cur = 0
         b2 = b1.localCheckpoint()
         merged = bloom_build(b2, m_bits=m_bits, k=k)
-    # materialize before overwriting the path the plan reads from
-    merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+    # commit the new version first; only then prune older ones, so the
+    # accumulated bits survive a crash at any point in between
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"v={cur + 1}"))
+    for v in _state_versions(state_path):
+        if v <= cur:
+            shutil.rmtree(os.path.join(state_path, f"v={v}"),
+                          ignore_errors=True)
     return batch.join(b2.select("doc_id"), "doc_id", "left_semi")
 
 
 def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
                                 state_dir: str, accepted_dir: str, *,
                                 m_bits: int = 63 * 16384, k: int = 4,
-                                trigger_seconds: float | None = None):
+                                trigger_seconds: float | None = None,
+                                checkpoint_dir: str | None = None):
     """Stream (doc_id, text) Parquet from ``source_dir``; per
     micro-batch run the Bloom exact-dedup ingest and append accepted
-    docs to ``accepted_dir``."""
+    docs to ``accepted_dir``.
+
+    Pass ``checkpoint_dir`` for restart-able ingest: after a stop or
+    crash, restarting with the same checkpoint resumes from the first
+    uncommitted micro-batch; a replayed batch converges (the Bloom
+    merge is idempotent ``bit_or`` and the versioned state commit
+    never loses bits), so the accepted output stays exactly-once per
+    distinct text."""
     stream = (spark.readStream
               .schema("doc_id long, text string").parquet(source_dir))
 
@@ -99,6 +147,8 @@ def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
         ok.write.mode("append").parquet(accepted_dir)
 
     writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()

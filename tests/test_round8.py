@@ -1,0 +1,214 @@
+"""Round-8 tests: ADVICE-fix coverage (versioned Bloom state, RIFF
+routing, zero-frame WAV, bloom_build_sql metadata parity) plus the
+verdict-requested streaming-Bloom checkpoint-recovery replay test and
+the single_linkage driver-bound guard."""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Versioned Bloom state (ADVICE r7 #1): crash-safe commits
+# ---------------------------------------------------------------------------
+
+def test_bloom_state_versioned_commit_and_prune(spark, tmp_path):
+    """Each ingest commits a NEW v=<n> table and prunes older ones
+    only after the write succeeds; a partial (no _SUCCESS) version
+    left by a crash is ignored by readers and cleaned up by the next
+    commit."""
+    from cuvs_spark.streaming import bloom_dedup_batch_against_state
+    from cuvs_spark.streaming.bloom_stream import _state_versions
+
+    state = str(tmp_path / "bstate")
+    kw = dict(m_bits=63 * 256, k=4)
+    b1 = spark.createDataFrame(
+        [(0, "v-test alpha"), (1, "v-test beta")],
+        "doc_id long, text string")
+    bloom_dedup_batch_against_state(b1, state, **kw)
+    bpath = os.path.join(state, "bloom")
+    assert _state_versions(bpath) == [1]
+
+    b2 = spark.createDataFrame(
+        [(10, "v-test alpha"), (11, "v-test gamma")],
+        "doc_id long, text string")
+    ok2 = bloom_dedup_batch_against_state(b2, state, **kw).toPandas()
+    assert sorted(ok2.doc_id) == [11]
+    assert _state_versions(bpath) == [2]          # v=1 pruned post-commit
+
+    # simulate a crash that left a partial new version: no _SUCCESS
+    os.makedirs(os.path.join(bpath, "v=3"))
+    with open(os.path.join(bpath, "v=3", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert _state_versions(bpath) == [2]          # partial ignored
+    b3 = spark.createDataFrame(
+        [(20, "v-test gamma"), (21, "v-test delta")],
+        "doc_id long, text string")
+    ok3 = bloom_dedup_batch_against_state(b3, state, **kw).toPandas()
+    assert sorted(ok3.doc_id) == [21]             # state v=2 still probed
+    assert _state_versions(bpath) == [3]          # overwrote the partial
+
+
+def test_bloom_state_survives_crash_between_write_and_prune(spark, tmp_path):
+    """If the process dies after committing v=n+1 but before pruning
+    v=n, both versions sit on disk; the next ingest reads the newest
+    and converges — no accumulated bit is ever lost."""
+    import shutil
+
+    from cuvs_spark.streaming import bloom_dedup_batch_against_state
+    from cuvs_spark.streaming.bloom_stream import _state_versions
+
+    state = str(tmp_path / "bstate2")
+    kw = dict(m_bits=63 * 256, k=4)
+    b1 = spark.createDataFrame([(0, "wp one"), (1, "wp two")],
+                               "doc_id long, text string")
+    bloom_dedup_batch_against_state(b1, state, **kw)
+    bpath = os.path.join(state, "bloom")
+    # resurrect a stale older version next to the committed one
+    shutil.copytree(os.path.join(bpath, "v=1"), os.path.join(bpath, "v=0"))
+    assert _state_versions(bpath) == [0, 1]
+    b2 = spark.createDataFrame([(10, "wp one"), (11, "wp three")],
+                               "doc_id long, text string")
+    ok2 = bloom_dedup_batch_against_state(b2, state, **kw).toPandas()
+    assert sorted(ok2.doc_id) == [11]             # newest state used
+    assert _state_versions(bpath) == [2]          # both stale pruned
+
+
+def test_bloom_stream_checkpoint_recovery_replay(spark, tmp_path):
+    """End-to-end replay claim (r7 verdict #6): stop the stream after
+    batch 1, add a second source file (one exact replay of batch 1 +
+    one novel doc), restart from the SAME checkpoint — the accepted
+    set is exactly one row per distinct text, nothing re-accepted."""
+    from cuvs_spark.streaming import start_streaming_bloom_dedup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    okdir = str(tmp_path / "ok")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def wait_accepted(n_expect, seconds=60):
+        deadline = time.time() + seconds
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(okdir)
+                if got.count() >= n_expect:
+                    return got
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError(f"accepted dir never reached {n_expect} rows")
+
+    spark.createDataFrame(
+        [(0, "ckpt alpha"), (1, "ckpt beta"), (2, "ckpt alpha")],
+        "doc_id long, text string").write.parquet(os.path.join(src, "b1"))
+    q = start_streaming_bloom_dedup(spark, src + "/*", state, okdir,
+                                    m_bits=63 * 256, trigger_seconds=0.5,
+                                    checkpoint_dir=ckpt)
+    try:
+        got1 = wait_accepted(2)
+        assert sorted(r["doc_id"] for r in got1.collect()) == [0, 1]
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    spark.createDataFrame(
+        [(10, "ckpt alpha"), (11, "ckpt gamma")],
+        "doc_id long, text string").write.parquet(os.path.join(src, "b2"))
+    q2 = start_streaming_bloom_dedup(spark, src + "/*", state, okdir,
+                                     m_bits=63 * 256, trigger_seconds=0.5,
+                                     checkpoint_dir=ckpt)
+    try:
+        got2 = wait_accepted(3)
+        ids = sorted(r["doc_id"] for r in got2.collect())
+        assert ids == [0, 1, 11]     # replayed text rejected; novel kept
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+
+
+# ---------------------------------------------------------------------------
+# bloom_build_sql metadata parity (ADVICE r7 #4)
+# ---------------------------------------------------------------------------
+
+def test_bloom_build_sql_row_identical_and_self_describing(spark):
+    """The DuckDB builder emits the same self-describing table as the
+    Spark builder — including the word_idx=-1/-2 metadata rows — so a
+    filter materialized from the SQL path probes without explicit
+    m_bits/k."""
+    import duckdb
+
+    from cuvs_spark.pipeline.dedup import (bloom_build, bloom_build_sql,
+                                           bloom_contains)
+
+    texts = [(i, f"sqlpar doc {i} words") for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    m, k = 63 * 128, 3
+    spark_rows = sorted(map(tuple, bloom_build(df, m_bits=m, k=k)
+                            .select("word_idx", "bits").collect()))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    duck_rows = sorted(map(tuple, con.execute(
+        bloom_build_sql("SELECT doc_id, text FROM documents", m, k))
+        .fetchall()))
+    assert spark_rows == duck_rows
+    assert (-1, m) in duck_rows and (-2, k) in duck_rows
+
+    # a filter rebuilt from the DuckDB rows is probe-able with no params
+    filt = spark.createDataFrame(duck_rows, "word_idx long, bits long")
+    out = {r["doc_id"]: r["maybe_dup"]
+           for r in bloom_contains(df, filt).collect()}
+    assert all(out[i] == 1 for i in range(40))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal routing guards (ADVICE r7 #2, #3)
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_riff_non_wave_raises_not_implemented():
+    """An AVI/WEBP RIFF container must hit the documented
+    NotImplementedError, not an opaque wave.Error."""
+    from cuvs_spark.pipeline.multimodal import decode_pcm
+
+    avi = b"RIFF" + (1000).to_bytes(4, "little") + b"AVI " + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="AVI"):
+        decode_pcm(avi, 16)
+    webp = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBP" + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="WEBP"):
+        decode_pcm(webp, 16)
+    # real WAVE still decodes
+    x = decode_pcm(_wav_bytes([100, -100, 200]), 0)
+    assert x.tolist() == [100, -100, 200]
+
+
+def test_audio_features_zero_frame_wav(spark):
+    """A valid zero-frame WAV yields silence stats (all-zero row), not
+    a NaN or an empty-array crash that fails the whole Arrow batch."""
+    from cuvs_spark.pipeline.multimodal import audio_features
+
+    rows = [(1, _wav_bytes([])), (2, _wav_bytes([1000, -1000, 0, 500]))]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r for r in audio_features(df).collect()}
+    z = out[1]
+    assert (z["rms"], z["zcr"], z["peak"], z["duration_s"]) == (0, 0, 0, 0)
+    nz = out[2]
+    assert nz["peak"] > 0 and nz["duration_s"] > 0
+    assert not any(np.isnan([nz["rms"], nz["zcr"], nz["peak"]]))
