@@ -194,7 +194,8 @@ def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
                    metric: str = "sqeuclidean", id_col: str = "id",
                    vec_col: str = "vec", linkage: str = "knn_graph",
                    mutual_reachability_k: int | None = None,
-                   finish_components: int = 1024) -> DataFrame:
+                   finish_components: int = 1024,
+                   max_driver_rows: int = 5_000_000) -> DataFrame:
     """single_linkage (``agglomerative.hpp:107``) → ``(id, label)``;
     labels are the minimum member id of each cluster (deterministic).
 
@@ -203,9 +204,28 @@ def single_linkage(dataset: DataFrame, n_clusters: int = 5, *, k: int = 15,
     for scale. ``mutual_reachability_k`` switches edge weights to the
     HDBSCAN mutual-reachability distance
     max(core_k(a), core_k(b), d(a,b)) (``agglomerative.hpp:133,191``) —
-    core distances come from the same kNN job."""
+    core distances come from the same kNN job.
+
+    **Driver-side bound: O(n) in the number of DATASET ROWS.** The MST
+    cut, union-find, and final labeling hold all n ids on the driver
+    (the reference's dendrogram step is likewise a serial finish after
+    the distributed kNN + Borůvka contraction — SURVEY §2.6): a full
+    dendrogram is inherently a serial object of n−1 merges, so the
+    driver cost is the algorithm, not an accident. ``max_driver_rows``
+    (default 5M ids ≈ a few hundred MB with the MST edge list) raises
+    a clear error instead of an opaque driver OOM; clustering more
+    rows than that wants the distributed label-propagation family
+    (``dedup.connected_components``) or a coarse k-means pre-partition
+    rather than an exact dendrogram."""
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
+    n_rows = d.count()
+    if n_rows > max_driver_rows:
+        raise ValueError(
+            f"single_linkage holds all ids driver-side (exact dendrogram "
+            f"finish): dataset has {n_rows} rows > max_driver_rows="
+            f"{max_driver_rows}. Raise the bound only with driver memory "
+            f"to match, or use a distributed clustering family instead.")
     ids = [r["id"] for r in d.select("id").collect()]
     kk = len(ids) - 1 if linkage == "pairwise" else k
     g = knn_self(d, kk, metric).select(

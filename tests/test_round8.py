@@ -132,6 +132,37 @@ def test_bloom_stream_checkpoint_recovery_replay(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# epoch_shuffle is plan-only at construction (r7 verdict #3)
+# ---------------------------------------------------------------------------
+
+def test_epoch_shuffle_plan_only_construction(spark):
+    """Constructing the epoch-shuffle DataFrame must run NO job: the
+    bucket is a pure column function (no spark_partition_id, no
+    localCheckpoint, no driver collect), so a column that errors at
+    runtime passes construction and only fails on the first action."""
+    from cuvs_spark.pipeline.sampling import epoch_shuffle
+
+    d = (spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.expr("assert_true(id < 0)").alias("boom")))
+    out = epoch_shuffle(d, 1)          # would raise if it materialized
+    out.explain()                      # analysis/plan printing is safe too
+    with pytest.raises(Exception):
+        out.collect()
+
+    # and the ranks themselves: a dense permutation of 1..n that is
+    # reproducible and epoch-decorrelated
+    d2 = spark.range(100).select(F.col("id").alias("doc_id"))
+    r3 = {r["doc_id"]: r["shuffle_rank"]
+          for r in epoch_shuffle(d2, 3).collect()}
+    r3b = {r["doc_id"]: r["shuffle_rank"]
+           for r in epoch_shuffle(d2.repartition(7), 3,
+                                  n_partitions=5).collect()}
+    assert r3 == r3b                   # topology/bucket-count invariant
+    assert sorted(r3.values()) == list(range(1, 101))
+
+
+# ---------------------------------------------------------------------------
 # bloom_build_sql metadata parity (ADVICE r7 #4)
 # ---------------------------------------------------------------------------
 
@@ -165,6 +196,23 @@ def test_bloom_build_sql_row_identical_and_self_describing(spark):
     out = {r["doc_id"]: r["maybe_dup"]
            for r in bloom_contains(df, filt).collect()}
     assert all(out[i] == 1 for i in range(40))
+
+
+# ---------------------------------------------------------------------------
+# single_linkage driver bound (r7 verdict #4)
+# ---------------------------------------------------------------------------
+
+def test_single_linkage_driver_row_guard(spark, vectors_df):
+    """Above max_driver_rows the exact-dendrogram finish must refuse
+    with a clear error (it holds all ids driver-side by design), not
+    OOM the driver; under the bound it clusters normally."""
+    from cuvs_spark.cluster.agglomerative import single_linkage
+
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        single_linkage(vectors_df, 5, max_driver_rows=10)
+    out = single_linkage(vectors_df.limit(30), 5, k=10)
+    labels = {r["label"] for r in out.collect()}
+    assert len(labels) == 5
 
 
 # ---------------------------------------------------------------------------
