@@ -236,6 +236,17 @@ def main() -> None:
     def bench_bm25():
         return QUERIES["text_bm25_topk"](spark, sf_dir)
 
+    def bench_bm25_pruned():
+        # the production serving path: df-pruned stopwords cap every
+        # posting list BEFORE the query join (max_df_frac=0.1; the
+        # exact entry above scores every term)
+        from cuvs_spark.entry_queries import _bm25_queries
+        from cuvs_spark.pipeline.retrieval import bm25_search
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        return bm25_search(docs, _bm25_queries(spark, sf_dir), 10,
+                           max_df_frac=0.1)
+
     def bench_top_ngrams():
         from cuvs_spark.pipeline.text import top_ngrams
         docs = (T(spark, sf_dir, "documents")
@@ -331,12 +342,38 @@ def main() -> None:
         "sample_token_budget": bench_token_budget,
         "text_top_ngrams": bench_top_ngrams,
         "text_bm25_topk": bench_bm25,
+        "text_bm25_topk_pruned": bench_bm25_pruned,
         "dedup_cdc_chunks": bench_cdc_chunks,
         "dedup_against_delta": bench_dedup_against,
         "text_maxsim_rerank": bench_maxsim_rerank,
         "dedup_against_bloom": bench_bloom_dedup,
         "text_ngram_novelty": bench_ngram_novelty,
     }
+
+    # Fixed-cost canary (r7 verdict #2): a constant JVM-only aggregate
+    # with no data, no cache, and no plan that any round's changes can
+    # touch. Timed at the start and end of each timed pass, it
+    # separates host/JVM-session drift (canary moves with the entries)
+    # from real plan regressions (canary flat, one entry moves):
+    # 1,500+ stages of catalog/GC pressure accumulate in this single
+    # JVM, and round-over-round comparisons need that measured, not
+    # assumed.
+    def run_canary() -> float:
+        t0 = time.time()
+        (spark.range(0, 2_000_000, 1, 8)
+         .selectExpr("sum(id * 3 + 1) AS s", "count(*) AS c")
+         .write.format("noop").mode("overwrite").save())
+        return round(time.time() - t0, 3)
+
+    run_canary()                       # untimed canary warmup
+    canary: dict[str, float] = {}
+
+    def jvm_gc() -> None:
+        # decouple entries from each other's garbage: a full GC between
+        # timed entries means entry N's humps aren't collected inside
+        # entry N+1's timed section (one suspected source of the
+        # uniform r6->r7 drift)
+        spark.sparkContext._jvm.System.gc()
 
     # Two full timed passes with a per-entry min. The passes are
     # minutes apart, so a transient host/GC degradation window (which
@@ -346,28 +383,34 @@ def main() -> None:
     # builder caches); the warmup execution itself is untimed.
     timings: dict[str, float] = {}
     for pass_i in range(2):
+        canary[f"pass{pass_i}_first"] = run_canary()
         for name, make in benches.items():
             if pass_i == 0:
                 make().write.format("noop").mode("overwrite").save()
+            jvm_gc()
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 3)
+        canary[f"pass{pass_i}_last"] = run_canary()
     # third pass for the sub-1.5s entries only: their min-of-2 is the
     # most noise-dominated (a single multi-second host stall can poison
     # both samples of a 0.3s query), and re-running them costs seconds
     for name, make in benches.items():
         if timings[name] < 1.5:
+            jvm_gc()
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if dt < timings[name]:
                 timings[name] = round(dt, 3)
+    canary["final"] = run_canary()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_queries_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+                      "unit": "sec", "queries": timings, "sf": sf,
+                      "canary": canary}))
 
 
 if __name__ == "__main__":
