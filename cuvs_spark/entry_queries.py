@@ -3374,6 +3374,148 @@ register("text_decontaminate_remove", _decontaminate_remove,
              "WHERE doc_id < 20"))
 
 
+# --- round-8 novel gates -----------------------------------------------------
+
+
+def _bloom_filter_table(spark, sf_dir):
+    """The Bloom filter TABLE itself as a gate (round 8): both engines
+    must emit the identical self-describing (word_idx, bits) relation
+    — including the word_idx=-1/-2 metadata rows added to the SQL twin
+    this round (ADVICE r7 #4) — so a filter materialized by either
+    engine is probe-able by the other's bloom_contains."""
+    return DD.bloom_build(doc_table(spark, sf_dir), m_bits=63 * 512, k=3)
+
+
+register("dedup_bloom_filter", _bloom_filter_table,
+         DD.bloom_build_sql(_DOC_SQL, 63 * 512, 3))
+
+
+def _group_mmd(spark, sf_dir):
+    """Linear-kernel MMD² between every label pair of the embeddings
+    table — the distribution-shift audit (collapses to rounded
+    per-group means + the shared sqeuclidean fold; nothing quadratic
+    in rows)."""
+    e = T(spark, sf_dir, "embeddings")
+    return ST.group_mmd(e, group_col="label", id_col="vec_id",
+                        vec_col="embedding")
+
+
+register("stats_group_mmd", _group_mmd,
+         ST.group_mmd_sql("SELECT label, embedding FROM embeddings"))
+
+
+def _norm_quantiles(spark, sf_dir):
+    """Per-label squared-norm quantiles of the embedding column — the
+    embedding-quality audit twin of text_length_quantiles (broken
+    encoder batches / degenerate sources show up as collapsed or
+    exploding norm distributions)."""
+    e = T(spark, sf_dir, "embeddings")
+    return ST.embedding_norm_quantiles(e, group_col="label",
+                                       vec_col="embedding")
+
+
+register("stats_norm_quantiles", _norm_quantiles,
+         ST.embedding_norm_quantiles_sql(
+             "SELECT label, embedding FROM embeddings"))
+
+
+def _collocations(spark, sf_dir):
+    """Top-20 adjacent-word collocations by lift (PMI sans log — the
+    no-libm rule; log is monotone so the ranking is PMI's)."""
+    return TX.collocations(doc_table(spark, sf_dir), 20, min_count=5)
+
+
+register("text_collocations", _collocations,
+         TX.collocations_sql(_DOC_SQL, 20, min_count=5))
+
+
+def _vocab_gini(spark, sf_dir):
+    """Gini coefficient of the corpus token-frequency distribution —
+    the one-number Zipf audit; all-integer rank-sum grouped by
+    distinct frequency so no vocab-sized sort exists anywhere."""
+    return TX.vocab_gini(doc_table(spark, sf_dir))
+
+
+register("text_vocab_gini", _vocab_gini, TX.vocab_gini_sql(_DOC_SQL))
+
+
+def _register_round8_retrieval_gates():
+    from cuvs_spark.pipeline.retrieval import (bm25_search_sql, borda_fuse,
+                                               borda_fuse_sql,
+                                               mmr_diversify,
+                                               mmr_diversify_sql)
+
+    def _borda(spark, sf_dir):
+        """Borda-count fusion of the same BM25 + cosine rankings the
+        RRF gate fuses — pure integer positional points, the
+        equal-trust hybrid combiner."""
+        from cuvs_spark.operators import knn
+        from cuvs_spark.pipeline.retrieval import bm25_search, borda_fuse
+        bm = bm25_search(doc_table(spark, sf_dir),
+                         _bm25_queries(spark, sf_dir), 10)
+        d = emb_dataset(spark, sf_dir)
+        q = emb_queries(spark, sf_dir, 10)
+        vec = (knn(d, q, 10, "cosine", qvec_col="qv")
+               .select("qid", F.col("nid").alias("doc_id"), "rank"))
+        return borda_fuse([bm, vec], 10, depth=10)
+
+    vec_sql = ("SELECT qid, nid AS doc_id, rank FROM ("
+               + O.knn_sql(_D_SQL, _Q_SQL.format(nq=10), 10,
+                           "cosine").strip() + ")")
+    register("text_rank_fusion_borda", _borda,
+             borda_fuse_sql([
+                 bm25_search_sql(_DOC_SQL, _BM25_Q_SQL, 10),
+                 vec_sql], 10, depth=10))
+
+    def _mmr(spark, sf_dir):
+        """MMR diversity re-rank of cosine top-20 candidates (k=5,
+        λ=0.5): the post-ANN serving stage — candidates-only, k
+        unrolled greedy steps, cosine-fold parity with the oracle's
+        unrolled CTEs."""
+        from cuvs_spark.operators import knn
+        d = emb_dataset(spark, sf_dir)
+        q = emb_queries(spark, sf_dir, 20)
+        got = knn(d, q, 20, "cosine", qvec_col="qv")
+        cand = (got.select("qid", F.col("nid").alias("doc_id"),
+                           (F.lit(1.0) - F.col("distance")).alias("rel"))
+                .join(d.select(F.col("id").alias("doc_id"), "vec"),
+                      "doc_id"))
+        return mmr_diversify(cand, 5, lam=0.5)
+
+    cand_sql = ("SELECT k.qid AS qid, k.nid AS doc_id, "
+                "CAST(1.0 AS DOUBLE) - k.distance AS rel, "
+                "e.embedding AS vec FROM ("
+                + O.knn_sql(_D_SQL, _Q_SQL.format(nq=20), 20,
+                            "cosine").strip()
+                + ") k JOIN embeddings e ON e.vec_id = k.nid")
+    register("text_mmr_diversify", _mmr,
+             mmr_diversify_sql(cand_sql, 5, lam=0.5))
+
+
+_register_round8_retrieval_gates()
+
+
+def _mrr_lsh(spark, sf_dir):
+    """MRR of the exact cosine top-1 within the LSH top-10 ranking —
+    the position-sensitive serving-quality scalar on top of the
+    recall gates (recall@10 says the true neighbor appears; MRR says
+    it surfaces near the top). Rational-exact (integer 2520/rank
+    sums), clamped above the 0.75 bar (measured ~0.9 at gate scale:
+    LSH's exact re-rank puts found top-1s at rank 1, so MRR tracks
+    top-1 recall)."""
+    from cuvs_spark.operators.lsh import lsh_knn
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    ann = lsh_knn(d, q, 10, n_planes=4, n_tables=8, n_probe_bits=2,
+                  qvec_col="qv")
+    truth = knn(d, q, 1, "cosine", qvec_col="qv").select("qid", "nid")
+    return _clamp_pass(ST.mrr_score(ann, truth), "mrr", 0.75, "mrr_pass")
+
+
+register("stats_mrr_lsh", _mrr_lsh,
+         "SELECT CAST(1.0 AS DOUBLE) AS mrr_pass")
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2

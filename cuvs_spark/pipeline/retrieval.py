@@ -28,7 +28,7 @@ for downstream use — identical plan shape, not oracle-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cuvs_spark.pipeline.dedup import TOKS_DUCK, TOKS_SPARK
@@ -355,4 +355,182 @@ r AS (
 )
 SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
+"""
+
+
+def borda_fuse(rankings: list[DataFrame], k: int = 10, *,
+               depth: int = 10, qid_col: str = "qid",
+               id_col: str = "doc_id",
+               rank_col: str = "rank") -> DataFrame:
+    """Borda-count fusion of N top-``depth`` rankings →
+    ``(qid, doc_id, borda_score, rank)`` with
+    ``borda_score = Σ_i max(0, depth − rank_i + 1)`` — the
+    positional-points alternative to :func:`rrf_fuse` (RRF's 1/(60+r)
+    barely separates deep ranks; Borda weights the whole list
+    linearly, the standard choice when every input list is trusted
+    equally, e.g. fusing BM25 with dense retrieval for training-pair
+    mining).
+
+    PURE INTEGER arithmetic end-to-end — the score sum is
+    order-independent by construction (no fold-ordering machinery
+    needed, unlike RRF's double reciprocals), so the gate is exact by
+    the cheapest possible route. Same scale shape as RRF: one union +
+    one map-side-combined groupBy over candidate rows only."""
+    if not rankings:
+        raise ValueError("borda_fuse: rankings must be non-empty")
+    tagged = None
+    for r in rankings:
+        ri = r.select(F.col(qid_col).cast("long").alias("qid"),
+                      F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(rank_col).cast("long").alias("_rk"))
+        tagged = ri if tagged is None else tagged.unionByName(ri)
+    pts = tagged.select(
+        "qid", "doc_id",
+        F.greatest(F.lit(0).cast("long"),
+                   F.lit(int(depth) + 1) - F.col("_rk")).alias("_p"))
+    fused = (pts.groupBy("qid", "doc_id")
+             .agg(F.sum("_p").cast("long").alias("borda_score")))
+    from cuvs_spark.operators.select_k import select_k
+    return (select_k(fused, "qid", "borda_score", k, select_min=False,
+                     tie_cols=["doc_id"], rank_col="rank",
+                     strategy="auto")
+            .select("qid", "doc_id", "borda_score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def borda_fuse_sql(ranking_sqls: list[str], k: int = 10, *,
+                   depth: int = 10) -> str:
+    """DuckDB twin: each input SQL must yield (qid, doc_id, rank)."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS "
+        f"doc_id, CAST(rank AS BIGINT) AS _rk FROM ({s.strip()})"
+        for s in ranking_sqls)
+    return f"""
+WITH tagged AS (
+{unions}
+),
+fused AS (
+  SELECT qid, doc_id,
+         CAST(sum(greatest(CAST(0 AS BIGINT),
+                           {int(depth) + 1} - _rk)) AS BIGINT)
+           AS borda_score
+  FROM tagged GROUP BY qid, doc_id
+),
+r AS (
+  SELECT qid, doc_id, borda_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY borda_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, borda_score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def mmr_diversify(cand: DataFrame, k: int = 5, *, lam: float = 0.5,
+                  qid_col: str = "qid", id_col: str = "doc_id",
+                  rel_col: str = "rel",
+                  vec_col: str = "vec") -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    of a per-query CANDIDATE set → ``(qid, doc_id, mmr_rank)``: pick
+    the most relevant candidate first, then greedily the candidate
+    maximizing ``lam·rel − (1−lam)·max_sim_to_selected`` — the
+    diversity-aware serving stage every production vector search runs
+    after ANN (near-duplicate hits crowd out coverage; cuVS users
+    re-rank its top-k the same way).
+
+    ``cand`` is the ANN/BM25 top-N per query with a relevance column
+    (higher = better) and the candidate's vector; similarity between
+    candidates is cosine (1 − the shared cosine-distance fold, so both
+    engines and the oracle agree bit-for-bit; ties break on doc_id).
+
+    Scale shape: CANDIDATES-ONLY, like the MaxSim re-rank — per query
+    the loop touches N candidates × ≤k selected, never the corpus, and
+    all queries proceed in parallel inside each unrolled step (k
+    dataframe steps, each one join + one groupBy + one top-1 window
+    over candidate rows). Per-step lineage is cut with a lazy
+    localCheckpoint so the plan stays O(k), not O(2^k)."""
+    from cuvs_spark.functions.distance import distance_sql_spark
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_diversify: lam must be in [0, 1]")
+    c = cand.select(F.col(qid_col).cast("long").alias("qid"),
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(rel_col).cast("double").alias("rel"),
+                    F.col(vec_col).alias("vec"))
+    sim = (f"CAST(1 AS DOUBLE) - "
+           f"({distance_sql_spark('cosine', 'vec', '_sv')})")
+    lam_l, lam_r = _lit(lam), _lit(1.0 - lam)
+    w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(),
+                                           F.col("doc_id").asc())
+    sel = (c.withColumn("_rn", F.row_number().over(w1))
+           .filter(F.col("_rn") == 1)
+           .select("qid", "doc_id", "vec", F.lit(1).alias("mmr_rank")))
+    for i in range(2, int(k) + 1):
+        sel = sel.localCheckpoint(eager=False)
+        rem = c.join(sel.select("qid", "doc_id"),
+                     ["qid", "doc_id"], "left_anti")
+        ms = (rem.join(sel.select("qid", F.col("vec").alias("_sv")),
+                       "qid")
+              .select("qid", "doc_id", F.expr(sim).alias("_s"))
+              .groupBy("qid", "doc_id").agg(F.max("_s").alias("_ms")))
+        wi = Window.partitionBy("qid").orderBy(F.col("_score").desc(),
+                                               F.col("doc_id").asc())
+        pick = (rem.join(ms, ["qid", "doc_id"])
+                .withColumn("_score",
+                            F.expr(f"{lam_l} * rel") -
+                            F.expr(f"{lam_r} * _ms"))
+                .withColumn("_rn", F.row_number().over(wi))
+                .filter(F.col("_rn") == 1)
+                .select("qid", "doc_id", "vec",
+                        F.lit(i).alias("mmr_rank")))
+        sel = sel.unionByName(pick)
+    return (sel.select("qid", "doc_id",
+                       F.col("mmr_rank").cast("long").alias("mmr_rank")))
+
+
+def mmr_diversify_sql(cand_sql: str, k: int = 5, *,
+                      lam: float = 0.5) -> str:
+    """DuckDB twin, unrolled: ``cand_sql`` yields
+    ``(qid, doc_id, rel, vec)``; k CTE steps mirror the Spark loop
+    exactly (same cosine fold, same lam split, same doc_id ties)."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    sim = (f"CAST(1 AS DOUBLE) - "
+           f"({distance_sql_duckdb('cosine', 'r.vec', 's.vec')})")
+    lam_l, lam_r = _lit(lam), _lit(1.0 - lam)
+    parts = [f"cand AS ({cand_sql})",
+             """sel_1 AS (
+  SELECT qid, doc_id, vec, 1 AS mmr_rank FROM (
+    SELECT qid, doc_id, vec,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, doc_id ASC) AS _rn
+    FROM cand) WHERE _rn = 1
+)""",
+             "selu_1 AS (SELECT * FROM sel_1)"]
+    for i in range(2, int(k) + 1):
+        parts.append(f"""rem_{i} AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM selu_{i - 1} s
+                    WHERE s.qid = c.qid AND s.doc_id = c.doc_id)
+)""")
+        parts.append(f"""ms_{i} AS (
+  SELECT r.qid AS qid, r.doc_id AS doc_id, max({sim}) AS _ms
+  FROM rem_{i} r JOIN selu_{i - 1} s ON r.qid = s.qid
+  GROUP BY r.qid, r.doc_id
+)""")
+        parts.append(f"""sel_{i} AS (
+  SELECT qid, doc_id, vec, {i} AS mmr_rank FROM (
+    SELECT r.qid AS qid, r.doc_id AS doc_id, r.vec AS vec,
+           row_number() OVER (PARTITION BY r.qid
+             ORDER BY {lam_l} * r.rel - {lam_r} * m._ms DESC,
+                      r.doc_id ASC) AS _rn
+    FROM rem_{i} r JOIN ms_{i} m ON r.qid = m.qid
+                               AND r.doc_id = m.doc_id) WHERE _rn = 1
+)""")
+        parts.append(f"""selu_{i} AS (
+  SELECT * FROM selu_{i - 1} UNION ALL SELECT * FROM sel_{i}
+)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT qid, doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank
+FROM selu_{int(k)}
 """

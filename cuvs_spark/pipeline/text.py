@@ -1596,3 +1596,164 @@ SELECT d0.doc_id,
        COALESCE(a.n_removed, 0) AS n_removed
 FROM d0 LEFT JOIN agg a ON d0.doc_id = a.doc_id
 """
+
+
+def collocations(df: DataFrame, k: int = 20, *, min_count: int = 5,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Top-``k`` adjacent-word collocations by LIFT →
+    ``(w1, w2, pair_count, lift, rank)`` — statistically-bound word
+    pairs ("new york", "machine learning"), the corpus-analysis pass
+    behind phrase mining, tokenizer-merge candidates, and boilerplate
+    phrase discovery. ``lift = P(w1,w2) / (P(w1·)·P(·w2)) =
+    N·c(w1,w2) / (c(w1·)·c(·w2))`` over the adjacent-pair relation —
+    PMI's argument WITHOUT the log (the repo-wide no-libm gate rule;
+    log is monotone, so the top-k by lift IS the top-k by PMI).
+
+    Determinism: every count is an integer from one groupBy; the lift
+    is a single division of two exactly-representable int products
+    (computed in doubles so a 100 TB corpus can't overflow the int64
+    product). Scale shape: one explode → three map-side-combined
+    groupBys (pair, left-word, right-word) → two broadcast-able joins
+    onto the pair table (word marginals ≪ pair table) → global top-k
+    via TakeOrderedAndProject. ``min_count`` prunes the hapax tail
+    before the joins — the classic collocation-noise filter (a pair
+    seen twice in one doc scores huge lift)."""
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    pairs = (d.select(F.expr(toks).alias("t"))
+             .filter(F.expr("size(t) >= 2"))
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(t) - 1), "
+                 "i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
+                 .alias("p"))
+             .select("p.w1", "p.w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    lc = pairs.groupBy("w1").agg(F.count("*").alias("_cl"))
+    rc = pairs.groupBy("w2").agg(F.count("*").alias("_cr"))
+    n = pairs.agg(F.count("*").alias("_n"))
+    scored = (pc.filter(F.col("pair_count") >= int(min_count))
+              .join(lc, "w1").join(rc, "w2").crossJoin(F.broadcast(n))
+              .select("w1", "w2",
+                      F.col("pair_count").cast("long").alias("pair_count"),
+                      (F.col("pair_count").cast("double")
+                       * F.col("_n").cast("double")
+                       / (F.col("_cl").cast("double")
+                          * F.col("_cr").cast("double"))).alias("lift")))
+    topk = scored.orderBy(F.col("lift").desc(), F.col("w1").asc(),
+                          F.col("w2").asc()).limit(int(k))
+    w = Window.orderBy(F.col("lift").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select("w1", "w2", "pair_count", "lift",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def collocations_sql(doc_sql: str, k: int = 20, *,
+                     min_count: int = 5) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+tk AS (SELECT t FROM (SELECT {toks} AS t FROM d) WHERE len(t) >= 2),
+pairs AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+    FROM tk)
+),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY w1, w2),
+lc AS (SELECT w1, count(*) AS _cl FROM pairs GROUP BY w1),
+rc AS (SELECT w2, count(*) AS _cr FROM pairs GROUP BY w2),
+n AS (SELECT count(*) AS _n FROM pairs),
+scored AS (
+  SELECT pc.w1 AS w1, pc.w2 AS w2,
+         CAST(pair_count AS BIGINT) AS pair_count,
+         CAST(pair_count AS DOUBLE) * CAST(_n AS DOUBLE)
+           / (CAST(_cl AS DOUBLE) * CAST(_cr AS DOUBLE)) AS lift
+  FROM pc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN n
+  WHERE pair_count >= {int(min_count)}
+),
+r AS (
+  SELECT w1, w2, pair_count, lift,
+         row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+)
+SELECT w1, w2, pair_count, lift, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {int(k)}
+"""
+
+
+def vocab_gini(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Gini coefficient of the token-frequency distribution → one row
+    ``(gini, n_vocab, total_tokens)`` — the single-number Zipf audit
+    complementing :func:`vocab_coverage`'s head table: 0 = perfectly
+    uniform vocabulary, → 1 = a few tokens dominate (template spam,
+    boilerplate floods, collapsed crawls move it up; diverse prose
+    sits lower). Tracked per source/snapshot it flags distribution
+    drift without eyeballing the whole frequency table.
+
+    Exactness + scale in one trick: the rank-sum formula
+    ``G = (2·Σᵢ i·fᵢ − (n+1)·Σf) / (n·Σf)`` needs frequencies sorted
+    ascending — but ranks within a TIE contribute a constant sum, so
+    grouping by distinct frequency value collapses the n-row sort to a
+    ≤#distinct-frequencies-row cumsum (a few thousand rows even at
+    100 TB: bounded by the largest token count, with one row per
+    distinct value actually present). Everything stays INTEGER until
+    one final double expression; the window runs over the tiny
+    distinct-frequency table, never the vocab."""
+    d = _doc(df, id_col, text_col)
+    toks = TOKS_SPARK.format(s="text")
+    freq = (d.select(F.explode(F.expr(toks)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("f")))
+    by_f = freq.groupBy("f").agg(F.count("*").alias("m"))
+    w = (Window.orderBy("f")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # tokens with strictly smaller frequency precede the block; the
+    # block's rank sum is C·m + m(m+1)/2 regardless of tie order
+    ranked = by_f.withColumn(
+        "_c", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long"))
+    agg = ranked.agg(
+        # all-integer rank-sum (m·(m+1) is even, so DIV 2 is exact):
+        # the sum is over longs — order-independent by construction
+        F.sum(F.expr("f * (_c * m + (m * (m + 1)) DIV 2)"))
+        .cast("double").alias("_s1"),
+        F.sum(F.col("f") * F.col("m")).cast("long").alias("_s0"),
+        F.sum("m").cast("long").alias("_nv"))
+    return agg.select(
+        ((F.lit(2.0) * F.col("_s1")
+          - (F.col("_nv") + F.lit(1)).cast("double")
+          * F.col("_s0").cast("double"))
+         / (F.col("_nv").cast("double")
+            * F.col("_s0").cast("double"))).alias("gini"),
+        F.col("_nv").alias("n_vocab"),
+        F.col("_s0").alias("total_tokens"))
+
+
+def vocab_gini_sql(doc_sql: str) -> str:
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+freq AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest({toks}) AS w FROM d) GROUP BY w
+),
+by_f AS (SELECT f, count(*) AS m FROM freq GROUP BY f),
+ranked AS (
+  SELECT f, m,
+         CAST(COALESCE(sum(m) OVER (ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS _c
+  FROM by_f
+),
+agg AS (
+  SELECT CAST(sum(f * (_c * m + (m * (m + 1)) // 2)) AS DOUBLE) AS _s1,
+         CAST(sum(f * m) AS BIGINT) AS _s0,
+         CAST(sum(m) AS BIGINT) AS _nv
+  FROM ranked
+)
+SELECT (2.0 * _s1 - CAST(_nv + 1 AS DOUBLE) * CAST(_s0 AS DOUBLE))
+         / (CAST(_nv AS DOUBLE) * CAST(_s0 AS DOUBLE)) AS gini,
+       _nv AS n_vocab, _s0 AS total_tokens
+FROM agg
+"""

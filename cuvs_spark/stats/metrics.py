@@ -148,3 +148,150 @@ def recall_score(ann: DataFrame, exact: DataFrame) -> DataFrame:
     spark = ann.sparkSession
     return spark.createDataFrame(
         [(float(hits) / float(total) if total else 0.0,)], "recall double")
+
+
+def mrr_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
+    """Mean reciprocal rank of the true item within an approximate
+    ranking → one-row ``(mrr)`` — the position-sensitive companion to
+    :func:`recall_score` (recall@k says whether the true neighbor
+    appears in the top-k; MRR says WHERE: an index that always buries
+    it at rank 10 recalls 1.0 but serves poorly).
+
+    ``ann`` is ``(qid, nid, rank)``; ``truth`` is the relevant
+    ``(qid, nid)`` pair per query (e.g. the exact top-1). Exact
+    rational arithmetic: with ranks in 1..k ≤ 10, every reciprocal is
+    ``lcm(1..10) = 2520 / rank`` — an INTEGER — so the sum is
+    order-independent and the single final double division is
+    deterministic across engines and shuffle orders (the gate-design
+    rule: never sum floats you can sum as ints)."""
+    if k > 10:
+        raise ValueError("mrr_score: rational-exact path needs k <= 10 "
+                         "(reciprocals scaled by lcm(1..10) = 2520)")
+    hit = (truth.select("qid", "nid")
+           .join(ann.select("qid", "nid",
+                            F.col("rank").cast("long").alias("_rk")),
+                 ["qid", "nid"]))
+    num = hit.agg(F.sum(F.expr("2520 DIV _rk")).alias("s")).collect()[0]["s"]
+    nq = truth.select("qid").distinct().count()
+    spark = ann.sparkSession
+    mrr = float(num or 0) / (2520.0 * float(nq)) if nq else 0.0
+    return spark.createDataFrame([(mrr,)], "mrr double")
+
+
+def group_mmd(df: DataFrame, *, group_col: str = "label",
+              id_col: str = "id", vec_col: str = "vec",
+              ndigits: int = 6) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between every pair of
+    groups → ``(group_a, group_b, n_a, n_b, mmd2)`` for a < b — the
+    distribution-shift audit over embedding slices (did the new crawl
+    drift from the base corpus? do two sources occupy the same
+    region?). For the linear kernel, ``MMD² = ‖mean(X) − mean(Y)‖²``
+    exactly (Gretton et al. 2012, eq. 4 with k(x,y)=⟨x,y⟩), so the
+    O(n²) kernel double-sum collapses to per-group means — one
+    map-side-combined groupBy over (group, dim) and a tiny
+    groups²-row cross join; nothing quadratic in rows.
+
+    Engine parity: per-dim means are rounded to ``ndigits`` (the
+    kmeans-gate template — shuffle-order FP noise dies at the round),
+    and the squared distance between the rounded mean vectors uses the
+    shared sequential-fold sqeuclidean template."""
+    from cuvs_spark.functions.distance import distance_sql_spark
+    d = df.select(F.col(group_col).cast("long").alias("grp"),
+                  F.col(vec_col).alias("vec"))
+    dims = (d.select("grp", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("grp", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), ndigits)
+                 .alias("val")))
+    means = (dims.groupBy("grp")
+             .agg(F.count("*").alias("_nd"),
+                  F.expr("transform(array_sort(collect_list("
+                         "struct(dim, val))), s -> s.val)").alias("mv")))
+    counts = d.groupBy("grp").agg(F.count("*").alias("n"))
+    m = means.join(counts, "grp")
+    a = m.select(F.col("grp").alias("group_a"), F.col("mv").alias("ma"),
+                 F.col("n").alias("n_a"))
+    b = m.select(F.col("grp").alias("group_b"), F.col("mv").alias("mb"),
+                 F.col("n").alias("n_b"))
+    dist = distance_sql_spark("sqeuclidean", "ma", "mb")
+    return (a.crossJoin(b).filter(F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.expr(dist).alias("mmd2")))
+
+
+def group_mmd_sql(dataset_sql: str, *, group_col: str = "label",
+                  vec_col: str = "embedding", ndigits: int = 6) -> str:
+    """DuckDB twin: ``dataset_sql`` yields the raw table; means are
+    rounded per dim and folded with the shared sqeuclidean template."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    dist = distance_sql_duckdb("sqeuclidean", "a.ma", "b.mb")
+    return f"""
+WITH src AS ({dataset_sql}),
+d AS (SELECT CAST({group_col} AS BIGINT) AS grp, {vec_col} AS vec
+      FROM src),
+dims AS (
+  SELECT grp, CAST(generate_subscripts(vec, 1) AS BIGINT) - 1 AS dim,
+         CAST(unnest(vec) AS DOUBLE) AS x
+  FROM d
+),
+md AS (SELECT grp, dim, ROUND(avg(x), {ndigits}) AS val
+       FROM dims GROUP BY grp, dim),
+means AS (SELECT grp, list(val ORDER BY dim) AS mv FROM md GROUP BY grp),
+counts AS (SELECT grp, count(*) AS n FROM d GROUP BY grp),
+m AS (SELECT means.grp AS grp, mv, n FROM means JOIN counts USING (grp))
+SELECT a.grp AS group_a, b.grp AS group_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       {dist.replace('a.ma', 'a.mv').replace('b.mb', 'b.mv')} AS mmd2
+FROM m a CROSS JOIN m b
+WHERE a.grp < b.grp
+"""
+
+
+def embedding_norm_quantiles(df: DataFrame,
+                             probs: tuple = (0.25, 0.5, 0.75, 0.9), *,
+                             group_col: str = "label",
+                             vec_col: str = "vec",
+                             ndigits: int = 6) -> DataFrame:
+    """Per-group squared-L2-norm quantiles of an embedding column →
+    ``(group, n_rows, q1..qm)`` — the embedding-quality audit twin of
+    the text side's ``length_quantiles``: collapsed or exploding norms
+    flag a broken encoder batch, a degenerate source, or rows that
+    need renormalizing before cosine ANN. Squared norm (the shared
+    inner-product fold of vec with itself) keeps the whole pipeline
+    libm-free; exact type-7 percentiles rounded to ``ndigits`` on both
+    engines. Map-only norm pass + one groupBy — same scale shape as
+    length_quantiles."""
+    from cuvs_spark.functions.distance import distance_sql_spark
+    sq = distance_sql_spark("inner_product", vec_col, vec_col)
+    d = df.select(F.col(group_col).cast("long").alias("grp"),
+                  F.expr(sq).alias("_n"))
+    pl = [float(p) for p in probs]
+    agg = d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.percentile("_n", F.array(*[F.lit(p) for p in pl])).alias("_q"))
+    cols = [F.round(F.col("_q")[i], ndigits).alias(f"q{i + 1}")
+            for i in range(len(pl))]
+    return agg.select(F.col("grp").alias(group_col), "n_rows", *cols)
+
+
+def embedding_norm_quantiles_sql(dataset_sql: str,
+                                 probs: tuple = (0.25, 0.5, 0.75, 0.9), *,
+                                 group_col: str = "label",
+                                 vec_col: str = "embedding",
+                                 ndigits: int = 6) -> str:
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    sq = distance_sql_duckdb("inner_product", vec_col, vec_col)
+    pl = ", ".join(repr(float(p)) for p in probs)
+    cols = ",\n       ".join(
+        f"ROUND(q[{i + 1}], {ndigits}) AS q{i + 1}"
+        for i in range(len(probs)))
+    return f"""
+WITH src AS ({dataset_sql}),
+t AS (SELECT CAST({group_col} AS BIGINT) AS grp, {sq} AS _n FROM src),
+g AS (SELECT grp, count(*) AS n_rows, quantile_cont(_n, [{pl}]) AS q
+      FROM t GROUP BY grp)
+SELECT grp AS {group_col}, CAST(n_rows AS BIGINT) AS n_rows,
+       {cols}
+FROM g
+"""

@@ -260,3 +260,154 @@ def test_audio_features_zero_frame_wav(spark):
     nz = out[2]
     assert nz["peak"] > 0 and nz["duration_s"] > 0
     assert not any(np.isnan([nz["rms"], nz["zcr"], nz["peak"]]))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 novel operators
+# ---------------------------------------------------------------------------
+
+def test_borda_fuse_hand_example(spark):
+    """Positional points: depth=3 gives 3/2/1 points by rank; items in
+    both lists sum; absent items score only their one list."""
+    from cuvs_spark.pipeline.retrieval import borda_fuse
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+                              "qid long, doc_id long, rank long")
+    b = spark.createDataFrame([(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+                              "qid long, doc_id long, rank long")
+    out = {r["doc_id"]: (r["borda_score"], r["rank"])
+           for r in borda_fuse([a, b], 10, depth=3).collect()}
+    # 10: (3-1+1)+(3-3+1)=4 ; 11: 2+3=5 ; 12: 1 ; 13: 2
+    assert out[11] == (5, 1)
+    assert out[10] == (4, 2)
+    assert out[13] == (2, 3)
+    assert out[12] == (1, 4)
+    with pytest.raises(ValueError):
+        borda_fuse([], 10)
+
+
+def test_mmr_diversify_prefers_diverse_pick(spark):
+    """Three near-identical high-relevance candidates and one distinct
+    lower-relevance one: pure relevance would pick the three clones
+    first; MMR (lam=0.5) must pick the distinct vector second."""
+    from cuvs_spark.pipeline.retrieval import mmr_diversify
+
+    rows = [
+        (1, 100, 0.99, [1.0, 0.0, 0.0]),
+        (1, 101, 0.98, [0.999, 0.01, 0.0]),   # clone of 100
+        (1, 102, 0.97, [0.998, 0.02, 0.0]),   # clone of 100
+        (1, 200, 0.60, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    cand = spark.createDataFrame(
+        rows, "qid long, doc_id long, rel double, vec array<double>")
+    out = {r["mmr_rank"]: r["doc_id"]
+           for r in mmr_diversify(cand, 3, lam=0.5).collect()}
+    assert out[1] == 100          # most relevant first
+    assert out[2] == 200          # diversity beats the clones
+    assert out[3] == 101          # then best remaining clone
+    # lam=1.0 degenerates to pure relevance order
+    out_rel = {r["mmr_rank"]: r["doc_id"]
+               for r in mmr_diversify(cand, 3, lam=1.0).collect()}
+    assert (out_rel[1], out_rel[2], out_rel[3]) == (100, 101, 102)
+    with pytest.raises(ValueError):
+        mmr_diversify(cand, 3, lam=1.5)
+
+
+def test_mrr_score_rational_exact(spark):
+    """Hand example: ranks 1, 4 and one miss over 3 queries →
+    MRR = (1 + 1/4 + 0) / 3 exactly."""
+    from cuvs_spark.stats.metrics import mrr_score
+
+    ann = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3), (2, 23, 4),
+         (3, 30, 1)],
+        "qid long, nid long, rank long")
+    truth = spark.createDataFrame([(1, 10), (2, 23), (3, 99)],
+                                  "qid long, nid long")
+    got = mrr_score(ann, truth).collect()[0]["mrr"]
+    assert got == (1.0 + 0.25 + 0.0) / 3.0
+    with pytest.raises(ValueError, match="k <= 10"):
+        mrr_score(ann, truth, k=20)
+
+
+def test_group_mmd_matches_numpy(spark, rng):
+    """MMD² equals the squared distance between rounded group means;
+    a group duplicated under two labels scores ~0 against itself."""
+    from cuvs_spark.stats.metrics import group_mmd
+
+    X = rng.normal(0, 1, (40, 6))
+    rows = ([(int(i), 0, [float(v) for v in X[i]]) for i in range(20)]
+            + [(int(i + 20), 1, [float(v) for v in X[i + 20]])
+               for i in range(10)]
+            + [(int(i + 30), 2, [float(v) for v in X[i + 20]])
+               for i in range(10)])   # label 2 duplicates label 1
+    df = spark.createDataFrame(rows, "id long, label long, vec array<double>")
+    out = {(r["group_a"], r["group_b"]): r["mmd2"]
+           for r in group_mmd(df, group_col="label").collect()}
+    m0 = np.round(X[:20].mean(0), 6)
+    m1 = np.round(X[20:30].mean(0), 6)
+    assert abs(out[(0, 1)] - float(((m0 - m1) ** 2).sum())) < 1e-9
+    assert out[(1, 2)] == 0.0          # identical groups
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_vocab_gini_known_values(spark):
+    """Uniform frequencies → gini 0; a known skewed distribution
+    matches the direct rank-sum formula computed in Python."""
+    from cuvs_spark.pipeline.text import vocab_gini
+
+    uni = spark.createDataFrame([(1, "a b c d")],
+                                "doc_id long, text string")
+    r = vocab_gini(uni).collect()[0]
+    assert (r["gini"], r["n_vocab"], r["total_tokens"]) == (0.0, 4, 4)
+
+    skew = spark.createDataFrame([(1, "a a a a a a b b c")],
+                                 "doc_id long, text string")
+    r2 = vocab_gini(skew).collect()[0]
+    f = sorted([6, 2, 1])              # ascending
+    n, s0 = len(f), sum(f)
+    s1 = sum((i + 1) * fi for i, fi in enumerate(f))
+    assert r2["gini"] == (2.0 * s1 - (n + 1) * s0) / (n * s0)
+    assert (r2["n_vocab"], r2["total_tokens"]) == (3, 9)
+
+
+def test_collocations_counts_and_lift(spark):
+    """Tiny corpus with a known bigram structure: counts and lift
+    match hand computation; min_count prunes."""
+    from cuvs_spark.pipeline.text import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york"),
+         (2, "new york is big"),
+         (3, "big apple big apple")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["pair_count"], r["lift"])
+           for r in collocations(docs, 10, min_count=2).collect()}
+    # pairs: doc1: (new,york)x3 (york,new)x2 ; doc2: (new,york)(york,is)
+    # (is,big) ; doc3: (big,apple)x2 (apple,big)x1  -> N = 11
+    assert out[("new", "york")][0] == 4
+    # lift(new,york) = 11*4 / (cl(new)=4 * cr(york)=4) = 2.75
+    assert out[("new", "york")][1] == 2.75
+    assert out[("big", "apple")][0] == 2
+    # lift(big,apple) = 11*2 / (cl(big)=2 * cr(apple)=2) = 5.5
+    assert out[("big", "apple")][1] == 5.5
+    assert ("apple", "big") not in out     # pair_count 1 < min_count
+
+
+def test_embedding_norm_quantiles_matches_numpy(spark, rng):
+    """Squared-norm percentiles equal NumPy's linear-interpolation
+    (type-7) percentiles of the sequential-fold squared norms."""
+    from cuvs_spark.stats.metrics import embedding_norm_quantiles
+
+    X = rng.normal(0, 1, (60, 5))
+    rows = [(int(i), int(i % 2), [float(v) for v in X[i]])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, label long, vec array<double>")
+    out = {r["label"]: [r["q1"], r["q2"], r["q3"], r["q4"]]
+           for r in embedding_norm_quantiles(
+               df, group_col="label", vec_col="vec").collect()}
+    for lbl in (0, 1):
+        sq = (X[lbl::2] ** 2).sum(1)
+        exp = np.percentile(sq, [25, 50, 75, 90])
+        assert np.allclose(out[lbl], np.round(exp, 6), atol=2e-6)
