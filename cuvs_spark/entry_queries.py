@@ -3516,6 +3516,49 @@ register("stats_mrr_lsh", _mrr_lsh,
          "SELECT CAST(1.0 AS DOUBLE) AS mrr_pass")
 
 
+def _ngram_containment(spark, sf_dir):
+    """Excerpt detection by rare-shingle-blocked n-gram containment:
+    40 injected excerpts (the first 80 chars of docs 0-39) must pair
+    with their source at containment 1.0 — the asymmetric-dup class
+    Jaccard/MinHash structurally miss (an excerpt's Jaccard vs its
+    source is tiny)."""
+    d = doc_table(spark, sf_dir)
+    exc = (d.filter(F.col("doc_id") < 40)
+           .select((F.col("doc_id") + 400000).alias("doc_id"),
+                   F.substring("text", 1, 80).alias("text")))
+    return DD.ngram_containment_pairs(d.unionByName(exc), 8,
+                                      threshold=0.8, max_df=20)
+
+
+register("dedup_ngram_containment", _ngram_containment,
+         DD.ngram_containment_pairs_sql(
+             _DOC_SQL + " UNION ALL SELECT doc_id + 400000 AS doc_id, "
+             "substr(text, 1, 80) AS text FROM documents "
+             "WHERE doc_id < 40", 8, 0.8, 20))
+
+
+def _temperature_mixture(spark, sf_dir):
+    """Temperature-0.5 mixture plan over the documents sources: per
+    source (n_docs, n_tokens, sqrt-flattened weight, budget-scaled
+    sample_rate) — the mC4/XLM-R rebalancing rule, gate-exact because
+    sqrt (unlike pow) is correctly rounded on both engines."""
+    from cuvs_spark.pipeline.sampling import temperature_mixture
+    d = (T(spark, sf_dir, "documents")
+         .select("source", F.col("doc_id").cast("long").alias("doc_id"),
+                 "text"))
+    return temperature_mixture(d, 20_000)
+
+
+def _temperature_mixture_sql():
+    from cuvs_spark.pipeline.sampling import temperature_mixture_sql
+    return temperature_mixture_sql(
+        "SELECT source, doc_id, text FROM documents", 20_000)
+
+
+register("sample_temperature_mixture", _temperature_mixture,
+         _temperature_mixture_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3526,143 +3569,89 @@ register("stats_mrr_lsh", _mrr_lsh,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-7 WINDOW — the staleness rotation the standing policy
-    # promises (r6 verdict next #1): union driver coverage has been
-    # complete since r6, so the window is now a pure refresh schedule.
+    # ROUND-8 WINDOW — the staleness-rotation round the r7 verdict
+    # ordered (next #1): union driver coverage stays complete, so the
+    # window packs this round's 10 novel gates, 3 re-gates, the 2
+    # permanent canaries, ALL 17 r02-displaced rows (ending the 6-round
+    # r02 staleness), and the first 18 rows of the r03 block in
+    # registry order; the remaining 26 r03 rows are the round-9
+    # staleness tier (after r9, no gate's latest driver row predates
+    # r05 — the verdict's bar).
     #
-    # Tier 2 — this round's novel gates (no never-driver-verified
-    # gates exist; newest code carries the most risk): the linkage
-    # exactness scalar, the multi-probe LSH recall scalar, and the
-    # no-straddle packing pair (rows + waste scalar).
-    "stats_linkage_exact",
-    "stats_recall_lsh_multiprobe",
-    "pipeline_pack_greedy",
-    "pipeline_pack_waste",
-    "sample_epoch_shuffle",
-    # Tier 2 (cont.) — second-half round-7 novel gates: CCNet-style
-    # boilerplate-line removal, the per-domain token budget (exact
-    # window path + map-only rate path), corpus top-n-grams.
-    "dedup_boilerplate_lines",
-    "sample_token_budget",
-    "sample_token_budget_rate",
-    "text_top_ngrams",
-    "text_bm25_topk",
-    "text_hybrid_rrf",
-    # Tier 2 (cont.) — third-wave round-7 novel gates: incremental
-    # dedup of a delta crawl against a base corpus, content-defined
-    # chunking, CCNet per-source score terciles, kNN label vote.
-    "dedup_against_base",
-    "dedup_cdc_chunks",
-    "sample_ppl_buckets",
-    "knn_label_vote",
-    "text_maxsim_topk",
-    # Tier 2 (cont.) — fourth-wave round-7 novel gates: per-eval-item
-    # contamination report, per-source length-quantile audit,
-    # exact-dup cluster histogram.
-    "text_contamination_report",
-    "text_length_quantiles",
-    "dedup_cluster_histogram",
-    "text_script_profile",
-    "sample_leakage_free_split",
-    # Tier 2 (cont.) — fifth-wave round-7 novel gates: n-gram novelty
-    # (memorization audit), vocabulary head coverage (Zipf audit),
-    # cross-source exact-dup audit, and the exact Matryoshka
-    # truncated-prefix recall scalar.
-    "text_ngram_novelty",
-    "text_vocab_coverage",
-    "dedup_cross_source",
-    "stats_recall_matryoshka",
+    # Tier 2 — round-8 novel gates (newest code, most risk): Bloom
+    # filter-table parity, linear-kernel MMD shift audit, per-group
+    # norm quantiles, collocation lift, vocabulary Gini, Borda fusion,
+    # MMR diversity re-rank, MRR-of-LSH scalar, rare-shingle
+    # containment (excerpt dup), temperature-0.5 mixture plan.
+    "dedup_bloom_filter",
+    "stats_group_mmd",
+    "stats_norm_quantiles",
+    "text_collocations",
+    "text_vocab_gini",
+    "text_rank_fusion_borda",
+    "text_mmr_diversify",
+    "stats_mrr_lsh",
+    "dedup_ngram_containment",
+    "sample_temperature_mixture",
+    # Tier 3 — re-gates (implementation or oracle twin changed this
+    # round): bloom_build_sql gained the metadata rows (ADVICE r7 #4)
+    # -> dedup_against_bloom's oracle text changed; epoch_shuffle was
+    # rewritten to fully-lazy data-derived range buckets (verdict #3);
+    # single_linkage gained the max_driver_rows guard (verdict #4) ->
+    # stats_linkage_exact re-verifies the whole linkage path
+    # (agglomerative_single_linkage itself is rows-only and must not
+    # take a slot).
     "dedup_against_bloom",
-    "text_decontaminate_remove",
-    "pipeline_curate_novelty",
-    # Tier 3 — re-gates: implementations changed this round —
-    # lsh_knn's re-rank gained the broadcast-threshold probe,
-    # substring/paragraph dedup's _eager_persist became per-session
-    # (the two knn_bf_*_blas re-gates for the bounded query collect
-    # sit inside the r02-stale block below).
-    "stats_recall_lsh_vs_exact",
-    "dedup_substrings",
-    "dedup_paragraphs",
-    # Tier 3 (cont.) — decontaminate's membership test became a
-    # broadcast semi-join this round (was a literal-array scan), and
-    # the curate oracle tail was restructured (s4/kept split) for the
-    # novelty stage — curate_corpus re-gates that identical structural
-    # change on behalf of the gopher/rules/semantic variants (the
-    # novelty gate itself exercises the new tail most fully).
-    "text_decontaminate",
-    "pipeline_curate_corpus",
-    # Tier 4 — canaries: the two rows that were red/err in r3 and
-    # fixed in r4/5 stay under permanent driver watch.
+    "sample_epoch_shuffle",
+    "stats_linkage_exact",
+    # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5 — staleness rotation: all 32 oracle-backed gates whose
-    # last driver row is r02 (4 rounds old — the breach the r6 verdict
-    # flags), in registry order.
-    "text_language_id",
-    # (text_token_counts displaced by pipeline_curate_novelty: its
-    # token stats are a strict subset of text_quality_score's, which
-    # stays below and also runs inside every in-window curate gate.)
-    "text_quality_score",
-    "text_fingerprints",
-    # (kmeans_predict displaced by text_decontaminate_remove: the
-    # in-window kmeans_fit_centroids canary chains the identical
-    # assign CTE, and kmeans_cluster_cost below refreshes the same
-    # min-distance template.)
-    "kmeans_cluster_cost",
-    # (kmeans_lloyd_step displaced by the fifth wave: the in-window
-    # kmeans_fit_centroids canary chains the identical assign+means
-    # CTEs per iteration — a strict superset of the single step.)
-    # (knn_bf_euclidean / knn_bf_cityblock displaced by the fifth
-    # wave: their pairwise_euclidean / pairwise_cityblock template
-    # twins stay in-window below and refresh the same distance
-    # templates this round; the select_k composition keeps the two
-    # *_blas + two prefilter knn_bf rows in-window.)
-    # (knn_bf_chebyshev / knn_bf_canberra / knn_bf_braycurtis
-    # displaced by the fourth wave: their pairwise_* metric-template
-    # twins stay in-window and refresh the same templates this round,
-    # and the knn/select_k composition keeps 9 other in-window rows.)
-    # (knn_bf_hamming also displaced by the third wave, same
-    # criterion: pairwise_hamming refreshed its metric template in r6.)
-    # (knn_bf_correlation displaced by the fifth wave — same
-    # pairwise-twin criterion as the rows above.)
-    # (knn_bf_jaccard / knn_bf_hellinger displaced by the fifth wave:
-    # pairwise_jaccard / pairwise_hellinger refreshed the same set-
-    # family / probability-vector templates with green r6 driver
-    # rows — the lowest-risk remaining r02 rows by the policy's
-    # template-twin criterion. They join the r8 staleness tier.)
-    # (knn_bf_russellrao / knn_bf_dice displaced by the third-wave
-    # novel gates: their set-family metric templates got fresh r6
-    # driver rows via the pairwise_russellrao/pairwise_dice twins,
-    # and the select_k composition is covered by the 12 knn_bf rows
-    # still in-window — the lowest-risk r02 rows by the policy's own
-    # criterion. They rotate in with the r03 block in r8.)
-    "knn_bf_euclidean_blas",
-    "knn_bf_inner_product_blas",
-    "knn_bf_prefilter_bitset",
-    "knn_bf_prefilter_bitmap",
-    # (pairwise_sqeuclidean displaced by dedup_against_bloom: the
-    # euclidean row below refreshes the identical squared-diff fold
-    # template this round.)
-    "pairwise_cosine",
-    "pairwise_chebyshev",
-    "pairwise_canberra",
-    "pairwise_euclidean",
-    "pairwise_cityblock",
-    # (pairwise_braycurtis displaced by the pipeline_curate_corpus
-    # re-gate: pairwise_canberra above refreshes the same
-    # abs-diff-ratio fold family this round.)
-    "pairwise_correlation",
-    # (pairwise_inner_product displaced by the text_decontaminate
-    # re-gate: the dot-product fold is exercised by every in-window
-    # cosine gate and by knn_bf_inner_product_blas's DESC ordering.)
-    "ivf_flat_extend_search",
-    # (The r03 rows preprocess_binary_quantize / ivf_flat_search —
-    # and earlier dedup_simhash_near_dup / preprocess_scalar_roundtrip
-    # / preprocess_pq_transform / preprocess_pq_roundtrip /
-    # stats_silhouette_samples / stats_silhouette_score /
-    # stats_trustworthiness — were displaced by the round-7 novel
-    # gates, lowest-risk rows out per the policy; the whole r03 block
-    # rotates in over rounds 8-9, clearing the ≤3-round refresh bar.)
+    # Tier 5a — the 17 r02-stale rows displaced across rounds 6-7
+    # (template twins / strict subsets of in-window rows then; their
+    # last driver rows are now 6 rounds old and this window ends that):
+    "knn_bf_euclidean",
+    "knn_bf_cityblock",
+    "knn_bf_chebyshev",
+    "knn_bf_canberra",
+    "knn_bf_braycurtis",
+    "knn_bf_hamming",
+    "knn_bf_correlation",
+    "knn_bf_jaccard",
+    "knn_bf_russellrao",
+    "knn_bf_dice",
+    "knn_bf_hellinger",
+    "pairwise_sqeuclidean",
+    "pairwise_braycurtis",
+    "pairwise_inner_product",
+    "text_token_counts",
+    "kmeans_predict",
+    "kmeans_lloyd_step",
+    # Tier 5b — the first 18 r03-stale rows in registry order; the
+    # remaining 26 (events_sessionize, cagra_merge, the custom/bitwise/
+    # minkowski/haversine kNN variants, gram_linear/rbf/tanh, the
+    # jensenshannon/kl rows, ivf_pq_search_refined, ivf_bq_search,
+    # pipeline_curate_stats, the scann trio, vamana_build,
+    # ivf_rabitq_search, the 4 KDE variants, and the 3 *_blas twins)
+    # rotate in round 9.
+    "ivf_flat_search",
+    "dedup_simhash_near_dup",
+    "preprocess_scalar_roundtrip",
+    "preprocess_binary_quantize",
+    "preprocess_pq_transform",
+    "preprocess_pq_roundtrip",
+    "stats_silhouette_samples",
+    "stats_silhouette_score",
+    "stats_trustworthiness",
+    "stats_recall_ivf_vs_exact",
+    "ivf_pq_search",
+    "ivf_sq_search",
+    "all_neighbors_graph",
+    "cagra_optimize",
+    "sparse_knn",
+    "sparse_pairwise_inner_product",
+    "tiered_search",
+    "events_windowed_counts",
 ]
 
 

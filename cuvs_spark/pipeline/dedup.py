@@ -1733,3 +1733,81 @@ hits AS (
 SELECT doc_id, CAST(min(hit) AS INT) AS maybe_dup
 FROM hits GROUP BY doc_id
 """
+
+
+def ngram_containment_pairs(df: DataFrame, n: int = 8, *,
+                            threshold: float = 0.5,
+                            max_df: int = 20,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Asymmetric near-dup detection by character-n-gram CONTAINMENT →
+    ``(doc_a, doc_b, containment)`` with
+    ``containment = |A∩B| / min(|A|, |B|)`` — the excerpt/quote/
+    truncation detector Jaccard structurally misses: a 100-word doc
+    copied verbatim inside a 10,000-word doc has Jaccard ≈ 0.01 (below
+    any near-dup bar, and below MinHash-LSH's candidate floor) but
+    containment 1.0. Standard alongside symmetric dedup in corpus
+    curation (Broder's containment, the "coverage" half of shingling).
+
+    Candidate generation is RARE-SHINGLE BLOCKING, not LSH (LSH
+    candidates are Jaccard-bounded, exactly what excerpts evade): two
+    docs become a candidate pair iff they share at least one n-gram
+    with document frequency in [2, ``max_df``]. The gram→docs relation
+    self-joins only inside those rare grams — per-gram fanout ≤
+    max_df², and burned-in grams (df > max_df: boilerplate, common
+    phrases) generate no pairs at all, so candidate count tracks genuine
+    rare-content sharing, never the corpus square. Verification then
+    intersects the two docs' distinct-gram sets on candidates only.
+    An excerpt shares ALL its grams with its source, so rare-gram
+    blocking cannot miss a pair whose shared content contains at least
+    one sub-``max_df`` gram; a corpus where every shared gram is
+    boilerplate has nothing containment should flag.
+
+    Determinism: integer set sizes, one final double division."""
+    d = _doc(df, id_col, text_col)
+    g = d.select("doc_id",
+                 F.expr(NGRAM_SPARK.format(s="text", n=n)).alias("g"))
+    posting = g.select("doc_id", F.explode("g").alias("_g"))
+    rare = (posting.groupBy("_g").agg(F.count("*").alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= int(max_df)))
+            .select("_g"))
+    rp = posting.join(rare, "_g")
+    cand = (rp.select(F.col("_g"), F.col("doc_id").alias("doc_a"))
+            .join(rp.select(F.col("_g"), F.col("doc_id").alias("doc_b")),
+                  "_g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    cont = (F.size(F.array_intersect("ga", "gb")).cast("double")
+            / F.least(F.size("ga"), F.size("gb")).cast("double"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", cont.alias("containment"))
+            .filter(F.col("containment") >= float(threshold)))
+
+
+def ngram_containment_pairs_sql(doc_sql: str, n: int = 8,
+                                threshold: float = 0.5,
+                                max_df: int = 20) -> str:
+    g = NGRAM_DUCK.format(s="text", n=n)
+    return f"""
+WITH d AS ({doc_sql}),
+g AS (SELECT doc_id, {g} AS g FROM d),
+posting AS (SELECT doc_id, unnest(g) AS _g FROM g),
+rare AS (
+  SELECT _g FROM (SELECT _g, count(*) AS _df FROM posting GROUP BY _g)
+  WHERE _df >= 2 AND _df <= {int(max_df)}
+),
+rp AS (SELECT p.doc_id, p._g FROM posting p JOIN rare USING (_g)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM rp x JOIN rp y ON x._g = y._g AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         / CAST(least(len(a.g), len(b.g)) AS DOUBLE) AS containment
+FROM cand c JOIN g a ON a.doc_id = c.doc_a
+            JOIN g b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / CAST(least(len(a.g), len(b.g)) AS DOUBLE) >= {float(threshold)}
+"""

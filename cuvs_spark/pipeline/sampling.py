@@ -751,3 +751,90 @@ def leakage_free_split_sql(doc_sql: str, weights: dict[str, float], *,
     inner = (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
              f"{H64_DUCK.format(s='text')} AS split_key FROM ({doc_sql})")
     return hash_split_sql(inner, weights, id_col="split_key", salt=salt)
+
+
+def temperature_mixture(df: DataFrame, token_budget: int, *,
+                        t: float = 0.5, group_col: str = "source",
+                        tokens_col: str | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-scaled mixture plan →
+    ``(group, n_docs, n_tokens, weight, sample_rate)`` — the
+    multilingual/multi-source rebalancing rule (mC4/XLM-R style):
+    raw proportions ``p_s`` are flattened to ``p_s^t / Σ p_r^t`` so
+    head sources shrink and tail sources grow (t=1 keeps natural
+    proportions, t→0 approaches uniform). ``sample_rate`` is the
+    per-source keep probability that hits ``token_budget`` total
+    tokens at the temperature mixture, capped at 1 (a tail source
+    smaller than its slice is taken whole; re-normalize the budget
+    upstream if exact totals matter).
+
+    The default ``t=0.5`` is the gate-exact path: ``p^0.5 = sqrt(p)``
+    and IEEE sqrt is correctly rounded on both engines, unlike
+    ``pow`` (the repo-wide libm rule — any other ``t`` works but is
+    excluded from oracle gating, like minkowski's ``exact_parity=
+    False``). The cross-group normalizer folds in sorted group order.
+    Scale shape: one map-side-combined groupBy to per-group token
+    counts (O(#groups) rows); everything after is arithmetic on that
+    tiny table."""
+    from cuvs_spark.pipeline.dedup import TOKS_SPARK
+    if tokens_col is None:
+        toks = TOKS_SPARK.format(s=text_col)
+        d = df.select(F.col(group_col).alias("grp"),
+                      F.expr(f"size({toks})").cast("long").alias("_tk"))
+    else:
+        d = df.select(F.col(group_col).alias("grp"),
+                      F.col(tokens_col).cast("long").alias("_tk"))
+    per = d.groupBy("grp").agg(F.count("*").alias("n_docs"),
+                               F.sum("_tk").alias("n_tokens"))
+    if t == 0.5:
+        pw = F.expr("sqrt(CAST(n_tokens AS DOUBLE))")
+    else:
+        pw = F.expr(f"power(CAST(n_tokens AS DOUBLE), "
+                    f"CAST({float(t)} AS DOUBLE))")
+    scored = per.withColumn("_w", pw)
+    # normalizer: deterministic sorted fold over the tiny group table
+    tot = (scored.select(F.struct("grp", "_w").alias("_s"))
+           .agg(F.array_sort(F.collect_list("_s")).alias("_a"))
+           .select(F.expr("aggregate(_a, CAST(0 AS DOUBLE), "
+                          "(acc, x) -> acc + x._w)").alias("_tot")))
+    return (scored.crossJoin(F.broadcast(tot))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    (F.col("_w") / F.col("_tot")).alias("weight"),
+                    F.least(F.lit(1.0),
+                            F.lit(float(token_budget)) * F.col("_w")
+                            / F.col("_tot")
+                            / F.col("n_tokens").cast("double"))
+                    .alias("sample_rate")))
+
+
+def temperature_mixture_sql(doc_sql: str, token_budget: int, *,
+                            group_col: str = "source") -> str:
+    """DuckDB twin of the gate-exact ``t=0.5`` path."""
+    from cuvs_spark.pipeline.dedup import TOKS_DUCK
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH d AS ({doc_sql}),
+per AS (
+  SELECT {group_col} AS grp, count(*) AS n_docs,
+         sum(CAST(len({toks}) AS BIGINT)) AS n_tokens
+  FROM d GROUP BY 1
+),
+scored AS (SELECT grp, n_docs, n_tokens,
+                  sqrt(CAST(n_tokens AS DOUBLE)) AS _w FROM per),
+tot AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list({{'grp': grp, '_w': _w}})),
+                          x -> x['_w'])),
+           (acc, v) -> acc + v) AS _tot
+  FROM scored
+)
+SELECT grp AS {group_col}, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       _w / _tot AS weight,
+       least(1.0, {float(token_budget)} * _w / _tot
+                    / CAST(n_tokens AS DOUBLE)) AS sample_rate
+FROM scored CROSS JOIN tot
+"""

@@ -213,7 +213,11 @@ def group_mmd(df: DataFrame, *, group_col: str = "label",
     b = m.select(F.col("grp").alias("group_b"), F.col("mv").alias("mb"),
                  F.col("n").alias("n_b"))
     dist = distance_sql_spark("sqeuclidean", "ma", "mb")
-    return (a.crossJoin(b).filter(F.col("group_a") < F.col("group_b"))
+    # broadcast the (tiny) mean table: the groups^2 cross becomes a
+    # BroadcastNestedLoopJoin over O(#groups) rows, never a
+    # CartesianProduct exchange
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("group_a") < F.col("group_b"))
             .select("group_a", "group_b",
                     F.col("n_a").cast("long").alias("n_a"),
                     F.col("n_b").cast("long").alias("n_b"),

@@ -411,3 +411,104 @@ def test_embedding_norm_quantiles_matches_numpy(spark, rng):
         sq = (X[lbl::2] ** 2).sum(1)
         exp = np.percentile(sq, [25, 50, 75, 90])
         assert np.allclose(out[lbl], np.round(exp, 6), atol=2e-6)
+
+
+def test_ngram_containment_finds_excerpts_jaccard_misses(spark):
+    """A short doc copied verbatim inside a long doc: containment 1.0
+    while its Jaccard vs the source is far below any near-dup bar;
+    docs sharing only a super-common (df > max_df) gram never pair."""
+    from cuvs_spark.pipeline.dedup import (ngram_containment_pairs,
+                                           ngram_jaccard_pairs)
+
+    excerpt = "the rare quick zebra vaulted"
+    filler = " ".join(f"word{i} filler{i}" for i in range(60))
+    # 25 docs sharing ONLY a common block (df=25 > max_df=20 → burned)
+    # plus long tails whose grams are unique (df=1 → not rare either)
+    docs = [(1, f"{filler} {excerpt} {filler}"),
+            (2, excerpt)] + \
+           [(10 + i,
+             "common shared prefix block "
+             + " ".join(f"t{i}w{j} uq{i}x{j}" for j in range(8)))
+            for i in range(25)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in ngram_containment_pairs(df, 8, threshold=0.8,
+                                            max_df=20).collect()}
+    assert out[(1, 2)] == 1.0
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, 8).collect()}
+    assert jac[(1, 2)] < 0.05          # Jaccard misses the excerpt
+    # burned-gram-only sharing generates no candidate pairs
+    assert all(a == 1 and b == 2 for (a, b) in out)
+
+
+def test_temperature_mixture_sqrt_weights(spark):
+    """t=0.5 weights equal sqrt(n_tokens) shares; rates cap at 1 for
+    sources smaller than their slice; agrees with the driver-side
+    temperature_rates helper on the same counts."""
+    from cuvs_spark.pipeline.sampling import (temperature_mixture,
+                                              temperature_rates)
+    import math
+
+    rows = ([(f"d{i}", "big", "w " * 100) for i in range(90)]
+            + [(f"e{i}", "small", "w " * 100) for i in range(10)])
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (_, s, t) in enumerate(rows)],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           temperature_mixture(df, 5000, tokens_col=None).collect()}
+    wb, ws = math.sqrt(9000.0), math.sqrt(1000.0)
+    assert abs(out["big"]["weight"] - wb / (wb + ws)) < 1e-12
+    assert abs(out["small"]["weight"] - ws / (wb + ws)) < 1e-12
+    assert out["big"]["n_tokens"] == 9000
+    # budget*weight/n_tokens: big gets ~0.42, small ~1.2 -> capped
+    assert out["small"]["sample_rate"] == 1.0
+    exp = temperature_rates({"big": 9000, "small": 1000}, 5000)
+    assert abs(out["big"]["sample_rate"] - exp["big"]) < 1e-12
+
+
+def test_round8_plan_shapes(spark):
+    """Scale claims pinned: no cartesian products / nested-loop joins
+    anywhere in the round-8 family; group_mmd's only join inputs are
+    the tiny per-group tables; collocations' marginal joins hash on
+    the word keys."""
+    from cuvs_spark.pipeline.dedup import ngram_containment_pairs
+    from cuvs_spark.pipeline.retrieval import borda_fuse, mmr_diversify
+    from cuvs_spark.pipeline.text import collocations, vocab_gini
+    from cuvs_spark.plans.layout import plan_string
+    from cuvs_spark.stats.metrics import (embedding_norm_quantiles,
+                                          group_mmd)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta epsilon zeta", "s1")
+         for i in range(30)],
+        "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0, 2.0]) for i in range(30)],
+        "id long, label long, vec array<double>")
+    rk = spark.createDataFrame([(1, 10, 1)],
+                               "qid long, doc_id long, rank long")
+    cand = spark.createDataFrame(
+        [(1, 10, 0.9, [1.0, 0.0]), (1, 11, 0.8, [0.0, 1.0])],
+        "qid long, doc_id long, rel double, vec array<double>")
+    # no un-broadcast cartesian products anywhere in the family
+    for df in (collocations(docs, 10),
+               vocab_gini(docs),
+               ngram_containment_pairs(docs, 8),
+               borda_fuse([rk, rk], 10),
+               mmr_diversify(cand, 2),
+               group_mmd(emb, group_col="label", vec_col="vec"),
+               embedding_norm_quantiles(emb, group_col="label",
+                                        vec_col="vec")):
+        assert "CartesianProduct" not in plan_string(df)
+    # row-level operators must not nested-loop at all (collocations /
+    # group_mmd DO carry one BroadcastNestedLoopJoin each by design —
+    # a broadcast 1-row scalar attach / the per-group MEAN table
+    # cross, both O(groups), never row-level)
+    for df in (ngram_containment_pairs(docs, 8),
+               borda_fuse([rk, rk], 10),
+               mmr_diversify(cand, 2),
+               vocab_gini(docs),
+               embedding_norm_quantiles(emb, group_col="label",
+                                        vec_col="vec")):
+        assert "BroadcastNestedLoopJoin" not in plan_string(df)

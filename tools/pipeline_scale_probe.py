@@ -211,6 +211,19 @@ def main() -> None:
     timed("decontaminate_remove_sec",
           lambda: decontaminate_remove(docs, bench_docs))
 
+    # round-8 additions: collocation lift, vocab Gini, Borda fusion of
+    # the exact + pruned BM25 rankings (hybrid shape without a second
+    # retriever), and the MMR diversity re-rank at serving scale
+    from cuvs_spark.pipeline.retrieval import borda_fuse, mmr_diversify
+    from cuvs_spark.pipeline.text import collocations, vocab_gini
+    timed("collocations_sec", lambda: collocations(docs, 50, min_count=5))
+    timed("vocab_gini_sec", lambda: vocab_gini(docs))
+    bm_exact = bm25_search(bm_docs, bm_q, 10).localCheckpoint()
+    bm_pruned = bm25_search(bm_docs, bm_q, 10,
+                            max_df_frac=0.01).localCheckpoint()
+    timed("borda_fuse_10k_sec",
+          lambda: borda_fuse([bm_exact, bm_pruned], 10, depth=10))
+
     # --- embeddings: clustered gaussians (reuses scale_probe's layout)
     emb_path = f"/tmp/pipeline_probe_emb_{n_emb}.parquet"
     if not os.path.exists(emb_path):
@@ -236,6 +249,27 @@ def main() -> None:
     n_dups = sd.filter("is_dup").count()
     out["semantic_dedup_blas_sec"] = round(time.time() - t0, 2)
     out["semantic_dedup_flagged"] = int(n_dups)
+
+    # round-8 embedding audits + MMR at serving scale (10k queries ×
+    # 20 candidates each, straight from the embedding table — the
+    # unrolled 5-step greedy touches candidates only, so cost tracks
+    # n_queries × N × k, never the corpus)
+    from cuvs_spark.stats.metrics import (embedding_norm_quantiles,
+                                          group_mmd)
+    lab = emb.withColumn("label", F.expr("pmod(vec_id, 16)"))
+    timed("group_mmd_sec",
+          lambda: group_mmd(lab, group_col="label", id_col="vec_id",
+                            vec_col="embedding"))
+    timed("norm_quantiles_sec",
+          lambda: embedding_norm_quantiles(lab, group_col="label",
+                                           vec_col="embedding"))
+    cand = (emb.select(
+        F.expr("CAST(vec_id DIV 20 AS BIGINT)").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.expr("CAST(pmod(xxhash64(vec_id), 1000) AS DOUBLE) / 1000.0")
+        .alias("rel"),
+        F.col("embedding").alias("vec")).localCheckpoint())
+    timed("mmr_diversify_10k_sec", lambda: mmr_diversify(cand, 5))
 
     print(json.dumps({"n_docs": n_docs, "n_emb": n_emb, **out}))
 
