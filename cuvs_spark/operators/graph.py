@@ -622,3 +622,49 @@ def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
         g.write.mode("overwrite").parquet(path)
         parts.append(spark.read.parquet(path))
     return cagra_merge(parts, graph_degree)
+
+
+def degree_histogram(graph: DataFrame, *, nodes: DataFrame | None = None,
+                     src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """In-degree histogram of a kNN/CAGRA graph →
+    ``(in_degree, n_nodes)`` — the graph-quality audit the reference's
+    users run on CAGRA adjacency (out-degree is fixed by construction;
+    IN-degree skew is what predicts search behavior: hub nodes absorb
+    beam traffic, in-degree-0 nodes are unreachable by graph descent
+    and only found via entry-point seeding). Degree 0 is reported
+    (nodes present as a source — or in ``nodes`` when given — that
+    never appear as a destination), so the unreachable count is the
+    ``in_degree = 0`` row rather than a silent omission.
+
+    Scale shape: one map-side-combined groupBy on dst, a broadcast-able
+    anti-join for the zero-degree row set, and a second tiny groupBy on
+    the degree value — per-node state never leaves the reducers."""
+    node_ids = (nodes.select(F.col(nodes.columns[0]).alias("_n"))
+                if nodes is not None
+                else graph.select(F.col(src_col).alias("_n")).distinct())
+    deg = (graph.groupBy(F.col(dst_col).alias("_n"))
+           .agg(F.count("*").alias("_d")))
+    per_node = (node_ids.join(deg, "_n", "left")
+                .select(F.coalesce(F.col("_d"), F.lit(0)).alias("_d")))
+    return (per_node.groupBy("_d")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.col("_d").cast("long").alias("in_degree"),
+                    F.col("n_nodes").cast("long").alias("n_nodes")))
+
+
+def degree_histogram_sql(graph_sql: str) -> str:
+    """DuckDB twin: ``graph_sql`` yields ``(src, dst)`` edges; node
+    universe = distinct sources, as the Spark default."""
+    return f"""
+WITH g AS ({graph_sql}),
+nodes AS (SELECT DISTINCT src AS _n FROM g),
+deg AS (SELECT dst AS _n, count(*) AS _d FROM g GROUP BY dst),
+per_node AS (
+  SELECT COALESCE(d._d, 0) AS _d
+  FROM nodes n LEFT JOIN deg d ON n._n = d._n
+)
+SELECT CAST(_d AS BIGINT) AS in_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM per_node GROUP BY _d
+"""

@@ -90,23 +90,32 @@ def asof_join_sql(left_sql: str, right_sql: str, *, on: str = "ts",
                   by: str | None = None, right_cols: list[str],
                   left_cols: list[str],
                   tolerance: float | None = None,
-                  right_prefix: str = "r_") -> str:
+                  right_prefix: str = "r_",
+                  direction: str = "backward") -> str:
     """DuckDB oracle via native ``ASOF LEFT JOIN``. The right subquery
     must be unique on (by, on) — pre-aggregate to guarantee it (DuckDB
-    leaves exact-tie winners undefined otherwise)."""
+    leaves exact-tie winners undefined otherwise).
+    ``direction="forward"`` matches the earliest right row at-or-after
+    the left timestamp (DuckDB ASOF accepts ``<=``)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    cmp = ">=" if direction == "backward" else "<="
     key_eq = f"l.{by} = r.{by} AND " if by else ""
     lc = ", ".join(f"l.{c} AS {c}" for c in left_cols)
     rc = ", ".join(f"r.{c} AS {right_prefix}{c}" for c in [on] + right_cols)
     sql = f"""
 WITH l AS ({left_sql}), r AS ({right_sql})
 SELECT {lc}, {rc}
-FROM l ASOF LEFT JOIN r ON {key_eq}l.{on} >= r.{on}
+FROM l ASOF LEFT JOIN r ON {key_eq}l.{on} {cmp} r.{on}
 """
     if tolerance is not None:
         # ASOF has no tolerance clause: null out far matches in a wrapper
+        gap = (f"epoch({on}) - epoch({right_prefix}{on})"
+               if direction == "backward"
+               else f"epoch({right_prefix}{on}) - epoch({on})")
         cols = ", ".join(left_cols)
         rcols = ", ".join(
-            f"CASE WHEN epoch({on}) - epoch({right_prefix}{on}) <= "
+            f"CASE WHEN {gap} <= "
             f"{tolerance} THEN {right_prefix}{c} END AS {right_prefix}{c}"
             for c in [on] + right_cols)
         sql = f"SELECT {cols}, {rcols} FROM ({sql.strip()})"

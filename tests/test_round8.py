@@ -512,3 +512,46 @@ def test_round8_plan_shapes(spark):
                embedding_norm_quantiles(emb, group_col="label",
                                         vec_col="vec")):
         assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of attaches the EARLIEST right row at-or-after each
+    left timestamp; tolerance nulls far matches (sentinel projection
+    left to callers)."""
+    from cuvs_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (2, 205.0), (3, 500.0)],
+        "event_id long, ts double")
+    right = spark.createDataFrame(
+        [(150.0, 15), (210.0, 21), (220.0, 22)], "ts double, p long")
+    out = {r["event_id"]: (r["r_ts"], r["r_p"])
+           for r in asof_join(left, right, on="ts",
+                              direction="forward").collect()}
+    assert out[1] == (150.0, 15)       # earliest at-or-after 100
+    assert out[2] == (210.0, 21)       # not 220
+    assert out[3] == (None, None)      # nothing after 500
+    # tolerance: match farther than 40s nulls out
+    out2 = {r["event_id"]: r["r_p"]
+            for r in asof_join(left, right, on="ts", tolerance=40.0,
+                               direction="forward").collect()}
+    assert out2[1] is None             # gap 50 > 40
+    assert out2[2] == 21
+
+
+def test_degree_histogram_zero_degree_and_counts(spark):
+    """Histogram counts match a hand-built graph, including the
+    unreachable in_degree=0 row."""
+    from cuvs_spark.operators.graph import degree_histogram
+
+    # 1->2, 1->3, 2->3, 3->2 : in-deg 1:0, 2:2, 3:2
+    g = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 2)],
+                              "src long, dst long")
+    out = {r["in_degree"]: r["n_nodes"]
+           for r in degree_histogram(g).collect()}
+    assert out == {0: 1, 2: 2}
+    # explicit node universe adds isolated node 9 to the zero row
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    out2 = {r["in_degree"]: r["n_nodes"]
+            for r in degree_histogram(g, nodes=nodes).collect()}
+    assert out2 == {0: 2, 2: 2}
