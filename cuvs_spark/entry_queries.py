@@ -3624,6 +3624,93 @@ register("graph_degree_histogram", _graph_degree_histogram,
          _graph_degree_histogram_sql())
 
 
+def _knn_graph_edges(spark, sf_dir):
+    from cuvs_spark.operators.brute_force import knn_self
+    d = emb_dataset(spark, sf_dir)
+    return knn_self(d, 10).select(F.col("qid").alias("src"),
+                                  F.col("nid").alias("dst"))
+
+
+def _knn_graph_edges_sql():
+    return ("SELECT qid AS src, nid AS dst FROM ("
+            + O.knn_sql(_D_SQL, _D_SQL.replace("nid", "qid")
+                        .replace("dv", "qv"), 10, "sqeuclidean",
+                        with_distance=False,
+                        pair_where="q.qid <> d.nid").strip() + ")")
+
+
+def _graph_reciprocal_rate(spark, sf_dir):
+    """Reciprocal-edge rate of the exact kNN graph (k=10) — the
+    mutual-neighbor symmetry audit behind CAGRA's reverse-edge
+    optimize pass; exact integer counts + one division."""
+    from cuvs_spark.operators.graph import reciprocal_rate
+    return reciprocal_rate(_knn_graph_edges(spark, sf_dir))
+
+
+def _graph_reciprocal_rate_sql():
+    from cuvs_spark.operators.graph import reciprocal_rate_sql
+    return reciprocal_rate_sql(_knn_graph_edges_sql())
+
+
+register("graph_reciprocal_rate", _graph_reciprocal_rate,
+         _graph_reciprocal_rate_sql())
+
+
+def _hubness_skew(spark, sf_dir):
+    """k-occurrence (in-degree) skewness of the exact kNN graph — the
+    Radovanović hubness scalar on top of the r8 degree histogram;
+    integer moment algebra + a three-op skewness double."""
+    from cuvs_spark.stats.metrics import hubness_moments
+    return hubness_moments(_knn_graph_edges(spark, sf_dir))
+
+
+def _hubness_skew_sql():
+    from cuvs_spark.stats.metrics import hubness_moments_sql
+    return hubness_moments_sql(_knn_graph_edges_sql())
+
+
+register("stats_hubness_skew", _hubness_skew, _hubness_skew_sql())
+
+
+def _map_lsh(spark, sf_dir):
+    """MAP@10 of LSH kNN against the exact cosine top-10 relevant set
+    — the every-relevant-neighbor companion to stats_mrr_lsh (MRR
+    scores only the first hit; MAP penalizes burying ANY true
+    neighbor). Rational-exact per-query AP sums (×2520 integers),
+    Fraction-exact mean, clamped above the 0.75 bar (measured 0.94
+    at gate scale with multi-probe on)."""
+    from cuvs_spark.operators.lsh import lsh_knn
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 20)
+    ann = lsh_knn(d, q, 10, n_planes=4, n_tables=8, n_probe_bits=2,
+                  qvec_col="qv")
+    truth = knn(d, q, 10, "cosine", qvec_col="qv").select("qid", "nid")
+    return _clamp_pass(ST.map_score(ann, truth), "map", 0.75, "map_pass")
+
+
+register("stats_map_lsh", _map_lsh,
+         "SELECT CAST(1.0 AS DOUBLE) AS map_pass")
+
+
+def _isotropy_hist(spark, sf_dir):
+    """Cosine-similarity histogram over a deterministic md5-bucketed
+    pairing of the embeddings — the anisotropy audit (Ethayarajh
+    2019) run before trusting metric='cosine'; pure-integer bins from
+    the shared bit-equal cosine template."""
+    from cuvs_spark.stats.metrics import cosine_pair_histogram
+    return cosine_pair_histogram(emb_dataset(spark, sf_dir),
+                                 id_col="id", vec_col="vec")
+
+
+def _isotropy_hist_sql():
+    from cuvs_spark.stats.metrics import cosine_pair_histogram_sql
+    return cosine_pair_histogram_sql(
+        "SELECT vec_id, embedding FROM embeddings")
+
+
+register("stats_isotropy_hist", _isotropy_hist, _isotropy_hist_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3661,6 +3748,16 @@ _WINDOW_PRIORITY = [
     "sample_temperature_mixture",
     "events_asof_forward",
     "graph_degree_histogram",
+    # ... and the second round-8 wave: reciprocal-edge rate, hubness
+    # skewness (integer moment algebra), MAP@10-of-LSH (rational-exact
+    # clamp), isotropy cosine-pair histogram.  These four displace the
+    # last four tier-5b rows (all_neighbors_graph, cagra_optimize,
+    # sparse_knn, sparse_pairwise_inner_product) into the round-9
+    # staleness tier — novel gates never wait (policy tier 2).
+    "graph_reciprocal_rate",
+    "stats_hubness_skew",
+    "stats_map_lsh",
+    "stats_isotropy_hist",
     # Tier 3 — re-gates (implementation or oracle twin changed this
     # round): bloom_build_sql gained the metadata rows (ADVICE r7 #4)
     # -> dedup_against_bloom's oracle text changed; epoch_shuffle was
@@ -3695,8 +3792,10 @@ _WINDOW_PRIORITY = [
     "text_token_counts",
     "kmeans_predict",
     "kmeans_lloyd_step",
-    # Tier 5b — the first 16 r03-stale rows in registry order; the
-    # remaining 28 (tiered_search, events_windowed_counts,
+    # Tier 5b — the first 12 r03-stale rows in registry order; the
+    # remaining 32 (all_neighbors_graph, cagra_optimize, sparse_knn,
+    # sparse_pairwise_inner_product — displaced by the wave-2 novels —
+    # plus tiered_search, events_windowed_counts,
     # events_sessionize, cagra_merge, the custom/bitwise/minkowski/
     # haversine kNN variants, gram_linear/rbf/tanh, the
     # jensenshannon/kl rows, ivf_pq_search_refined, ivf_bq_search,
@@ -3715,10 +3814,6 @@ _WINDOW_PRIORITY = [
     "stats_recall_ivf_vs_exact",
     "ivf_pq_search",
     "ivf_sq_search",
-    "all_neighbors_graph",
-    "cagra_optimize",
-    "sparse_knn",
-    "sparse_pairwise_inner_product",
 ]
 
 

@@ -668,3 +668,56 @@ SELECT CAST(_d AS BIGINT) AS in_degree,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM per_node GROUP BY _d
 """
+
+def reciprocal_rate(graph: DataFrame, *, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Reciprocal-edge rate of a directed kNN graph → one row
+    ``(n_edges, n_reciprocal, reciprocal_rate)`` — the symmetry audit
+    behind CAGRA's optimize step (graph.py's optimize adds REVERSE
+    edges precisely because beam search needs a path back into
+    low-in-degree regions; reference ``cagra/graph_core.cuh`` ranks
+    candidate edges by reverse-edge presence). A rate near 1.0 means
+    mutual-neighbor structure (easy descent); a low rate predicts
+    hub-and-spoke graphs where :func:`degree_histogram` shows mass at
+    in_degree 0.
+
+    Engine parity: both counts are exact BIGINTs and the rate is ONE
+    division of exact integers (correctly rounded, bit-equal across
+    engines — the gate-design rule).
+
+    Scale shape: a single self-equi-join on the (dst, src) key pair —
+    shuffle-partitioned both sides, no broadcast assumption (the edge
+    table is n·k rows); counts are map-side-combined."""
+    e = graph.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    # single-row aggregates: two cheap count jobs, then a literal row
+    n_edges = e.count()
+    n_recip = recip.count()
+    rate = float(n_recip) / float(n_edges) if n_edges else 0.0
+    spark = graph.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, n_recip, rate)],
+        "n_edges bigint, n_reciprocal bigint, reciprocal_rate double")
+
+
+def reciprocal_rate_sql(graph_sql: str) -> str:
+    """DuckDB twin of :func:`reciprocal_rate` — same integer counts,
+    same single exact-integer division."""
+    return f"""
+WITH g AS ({graph_sql}),
+e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM g),
+r AS (
+  SELECT count(*) AS n_recip
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e rev WHERE rev.dst = e.src AND rev.src = e.dst)
+),
+n AS (SELECT count(*) AS n_edges FROM e)
+SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+       CAST(r.n_recip AS BIGINT) AS n_reciprocal,
+       CASE WHEN n.n_edges = 0 THEN 0.0
+            ELSE CAST(r.n_recip AS DOUBLE) / CAST(n.n_edges AS DOUBLE)
+       END AS reciprocal_rate
+FROM n, r
+"""

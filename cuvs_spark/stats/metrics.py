@@ -299,3 +299,213 @@ SELECT grp AS {group_col}, CAST(n_rows AS BIGINT) AS n_rows,
        {cols}
 FROM g
 """
+
+def map_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
+    """Mean average precision of an approximate ranking against a
+    relevant set → one-row ``(map)`` — the order-sensitive companion
+    to :func:`recall_score` when MORE than one neighbor is relevant
+    per query (MRR only scores the first hit; MAP scores every
+    relevant neighbor by the precision at its position — the standard
+    ANN-serving quality summary next to recall@k).
+
+    ``ann`` is ``(qid, nid, rank)`` with ranks 1..k unique per query;
+    ``truth`` is the relevant ``(qid, nid)`` set (e.g. the exact
+    top-k). Exact rational arithmetic: precision-at-hit ``i/r`` is
+    scaled by ``lcm(1..10) = 2520`` so every per-hit term
+    ``(2520 DIV r) * i`` is an INTEGER — per-query AP sums are
+    order-independent BIGINTs, and the cross-query mean is an exact
+    ``fractions.Fraction`` sum on the driver with ONE final float
+    conversion (deterministic across engines and shuffle orders).
+
+    Driver bound: one row per query is collected (#queries rows —
+    the same bound as :func:`mrr_score`'s scalar agg); the per-hit
+    and per-query work is distributed."""
+    if k > 10:
+        raise ValueError("map_score: rational-exact path needs k <= 10 "
+                         "(precisions scaled by lcm(1..10) = 2520)")
+    hits = (truth.select("qid", "nid")
+            .join(ann.select("qid", "nid",
+                             F.col("rank").cast("long").alias("_rk")),
+                  ["qid", "nid"]))
+    w = Window.partitionBy("qid").orderBy("_rk")
+    perq = (hits.withColumn("_i", F.row_number().over(w))
+            .withColumn("_term", F.expr("(2520 DIV _rk) * _i"))
+            .groupBy("qid").agg(F.sum("_term").alias("_ap")))
+    rel = truth.groupBy("qid").agg(F.count("*").alias("_nrel"))
+    rows = (rel.join(perq, "qid", "left")
+            .select("_nrel", F.coalesce(F.col("_ap"), F.lit(0))
+                    .alias("_ap"))
+            .collect())
+    from fractions import Fraction
+    spark = ann.sparkSession
+    if not rows:
+        return spark.createDataFrame([(0.0,)], "map double")
+    total = sum(Fraction(int(r["_ap"]), 2520 * int(r["_nrel"]))
+                for r in rows)
+    return spark.createDataFrame([(float(total / len(rows)),)],
+                                 "map double")
+
+
+def hubness_moments(graph: DataFrame, *, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Hubness audit of a kNN graph: exact integer in-degree moments
+    and the degree-distribution skewness → one row ``(n_nodes,
+    sum_deg, m2_scaled, m3_scaled, skewness)``. k-occurrence skewness
+    is THE standard hubness measure for high-dimensional ANN
+    (Radovanović et al., JMLR 2010): skew ≈ 0 means in-degrees spread
+    symmetrically around k; large positive skew means hub formation —
+    exactly the regime where graph indexes (CAGRA/HNSW) lose recall
+    and the reference's optimize pass prunes/reverses edges.
+
+    Engine parity: ``m2_scaled = n·Σd² − (Σd)²`` (= n²·variance) and
+    ``m3_scaled = n²·Σd³ − 3n·Σd·Σd² + 2(Σd)³`` (= n³·third central
+    moment) are EXACT BIGINTs (degrees are integers), and
+    ``skewness = m3 / (m2·√m2)`` is three correctly-rounded ops on
+    exact inputs — bit-equal across engines. Zero variance (every
+    node at in-degree k) reports skewness 0.0, null-free.
+
+    Scale shape: one map-side-combined groupBy(dst), an anti-join-free
+    left join for degree-0 nodes, then a single 4-sum scalar agg; the
+    integer moments fit int64 up to ~10⁵ nodes at k ≤ 64 — past that
+    run the same formula over :func:`~cuvs_spark.operators.graph.
+    degree_histogram` output in doubles."""
+    node_ids = graph.select(F.col(src_col).cast("long").alias("_n")).distinct()
+    deg = (graph.groupBy(F.col(dst_col).cast("long").alias("_n"))
+           .agg(F.count("*").alias("_d")))
+    per_node = (node_ids.join(deg, "_n", "left")
+                .select(F.coalesce(F.col("_d"), F.lit(0))
+                        .cast("long").alias("_d")))
+    sums = per_node.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_d").cast("long").alias("s1"),
+        F.sum(F.expr("_d * _d")).cast("long").alias("s2"),
+        F.sum(F.expr("_d * _d * _d")).cast("long").alias("s3"))
+    return sums.select(
+        F.col("n").alias("n_nodes"),
+        F.col("s1").alias("sum_deg"),
+        F.expr("n * s2 - s1 * s1").alias("m2_scaled"),
+        F.expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
+         .alias("m3_scaled"),
+        F.expr(
+            "CASE WHEN n * s2 - s1 * s1 <= 0 THEN 0.0 ELSE "
+            "CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 "
+            "AS DOUBLE) / (CAST(n * s2 - s1 * s1 AS DOUBLE) * "
+            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) END")
+         .alias("skewness"))
+
+
+def hubness_moments_sql(graph_sql: str) -> str:
+    """DuckDB twin of :func:`hubness_moments` — same integer moment
+    algebra, same three-op skewness expression."""
+    return f"""
+WITH g AS ({graph_sql}),
+nodes AS (SELECT DISTINCT CAST(src AS BIGINT) AS _n FROM g),
+deg AS (SELECT CAST(dst AS BIGINT) AS _n, count(*) AS _d
+        FROM g GROUP BY CAST(dst AS BIGINT)),
+per_node AS (
+  SELECT CAST(COALESCE(d._d, 0) AS BIGINT) AS _d
+  FROM nodes n LEFT JOIN deg d ON n._n = d._n
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(_d) AS BIGINT) AS s1,
+         CAST(sum(_d * _d) AS BIGINT) AS s2,
+         CAST(sum(_d * _d * _d) AS BIGINT) AS s3
+  FROM per_node
+)
+SELECT n AS n_nodes, s1 AS sum_deg,
+       n * s2 - s1 * s1 AS m2_scaled,
+       n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3_scaled,
+       CASE WHEN n * s2 - s1 * s1 <= 0 THEN 0.0 ELSE
+       CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            AS DOUBLE) / (CAST(n * s2 - s1 * s1 AS DOUBLE) *
+       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) END AS skewness
+FROM s
+"""
+
+
+def cosine_pair_histogram(df: DataFrame, *, id_col: str = "id",
+                          vec_col: str = "vec",
+                          n_buckets: int = 64) -> DataFrame:
+    """Isotropy audit: histogram of cosine similarity over a
+    deterministic pseudo-random pairing of the rows → ``(bin,
+    n_pairs)`` with ``bin = floor((cos + 1)·8)`` in 0..15. An
+    isotropic embedding space concentrates mass near cos ≈ 0; heavy
+    right-tail mass (Ethayarajh 2019's anisotropy) predicts poor
+    contrast for cosine ANN — the audit to run before choosing
+    ``metric='cosine'`` for an index build.
+
+    Pairing: rows land in ``id % n_buckets`` buckets, are ordered
+    within the bucket by ``(md5(id), id)``, and consecutive rows pair
+    up (the odd leftover per bucket is dropped) — deterministic on
+    both engines, no global sort, parallel across buckets. The cosine
+    comes from the shared sequential-fold template (bit-equal), and
+    the output is pure integers: floor-binning a bit-equal double is
+    exact, out-of-range/NaN distances land in the ``-1`` sentinel bin
+    rather than a NULL.
+
+    Scale shape: at 100 TB feed a hash-sampled subset (the audit is a
+    distribution estimate; pair counts don't need the full corpus) —
+    per-bucket windows then stay O(sample/n_buckets)."""
+    d = df.select(F.col(id_col).cast("long").alias("i"),
+                  F.col(vec_col).alias("v"))
+    d = d.withColumn("_bkt", F.expr(f"i % {n_buckets}"))
+    d = d.withColumn("_h", F.md5(F.col("i").cast("string")))
+    w = Window.partitionBy("_bkt").orderBy("_h", "i")
+    d = (d.withColumn("_rn", F.row_number().over(w))
+         .withColumn("_pr", F.expr("CAST((_rn - 1) DIV 2 AS BIGINT)"))
+         .withColumn("_side", F.expr("(_rn - 1) % 2")))
+    a = (d.filter(F.col("_side") == 0)
+         .select("_bkt", "_pr", F.col("v").alias("_va")))
+    b = (d.filter(F.col("_side") == 1)
+         .select("_bkt", "_pr", F.col("v").alias("_vb")))
+    dist = distance_sql_spark("cosine", "_va", "_vb")
+    pairs = a.join(b, ["_bkt", "_pr"]).withColumn("_d", F.expr(dist))
+    binned = pairs.select(F.expr(
+        "CASE WHEN _d >= 0.0 AND _d <= 2.0 THEN "
+        "LEAST(CAST(FLOOR((2.0 - _d) * 8.0) AS BIGINT), CAST(15 AS BIGINT)) "
+        "ELSE CAST(-1 AS BIGINT) END").alias("bin"))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+def cosine_pair_histogram_sql(dataset_sql: str, *, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              n_buckets: int = 64) -> str:
+    """DuckDB twin of :func:`cosine_pair_histogram` — same bucketed
+    md5 pairing, shared cosine template, same sentinel binning."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    dist = distance_sql_duckdb("cosine", "_va", "_vb")
+    return f"""
+WITH src AS ({dataset_sql}),
+d AS (
+  SELECT CAST({id_col} AS BIGINT) AS i, {vec_col} AS v,
+         CAST({id_col} AS BIGINT) % {n_buckets} AS _bkt,
+         md5(CAST(CAST({id_col} AS BIGINT) AS VARCHAR)) AS _h
+  FROM src
+),
+rn AS (
+  SELECT i, v, _bkt,
+         row_number() OVER (PARTITION BY _bkt ORDER BY _h, i) AS _rn
+  FROM d
+),
+sides AS (
+  SELECT _bkt, CAST((_rn - 1) // 2 AS BIGINT) AS _pr,
+         (_rn - 1) % 2 AS _side, v
+  FROM rn
+),
+pairs AS (
+  SELECT a.v AS _va, b.v AS _vb
+  FROM (SELECT * FROM sides WHERE _side = 0) a
+  JOIN (SELECT * FROM sides WHERE _side = 1) b
+    ON a._bkt = b._bkt AND a._pr = b._pr
+),
+binned AS (
+  SELECT CASE WHEN _d >= 0.0 AND _d <= 2.0 THEN
+         LEAST(CAST(FLOOR((2.0 - _d) * 8.0) AS BIGINT),
+               CAST(15 AS BIGINT))
+         ELSE CAST(-1 AS BIGINT) END AS bin
+  FROM (SELECT {dist} AS _d FROM pairs)
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY bin
+"""
