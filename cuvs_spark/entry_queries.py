@@ -3711,6 +3711,158 @@ def _isotropy_hist_sql():
 register("stats_isotropy_hist", _isotropy_hist, _isotropy_hist_sql())
 
 
+_EV_SQL = "SELECT event_id, user_id, ts, event_type, value FROM events"
+
+
+def _events_gap_stats(spark, sf_dir):
+    """Per-user inter-event gap audit (count of >30 min silences, worst
+    gap) — the liveness check behind sessionize; epoch-double lag
+    arithmetic, null-free via the 0.0 coalesce."""
+    from cuvs_spark.operators.temporal import gap_stats
+    return gap_stats(events_table(spark, sf_dir)
+                     .select("event_id", "user_id", "ts"))
+
+
+def _events_gap_stats_sql():
+    from cuvs_spark.operators.temporal import gap_stats_sql
+    return gap_stats_sql("SELECT event_id, user_id, ts FROM events")
+
+
+register("events_gap_stats", _events_gap_stats, _events_gap_stats_sql())
+
+
+def _events_retention(spark, sf_dir):
+    """Weekly cohort retention triangle — first-event week × activity
+    offset × returning users; pure int64-micros bucket arithmetic."""
+    from cuvs_spark.operators.temporal import retention_cohort
+    return retention_cohort(events_table(spark, sf_dir)
+                            .select("user_id", "ts"))
+
+
+def _events_retention_sql():
+    from cuvs_spark.operators.temporal import retention_cohort_sql
+    return retention_cohort_sql("SELECT user_id, ts FROM events")
+
+
+register("events_retention_cohort", _events_retention,
+         _events_retention_sql())
+
+
+def _events_burst(spark, sf_dir):
+    """Hourly burst detection: windows whose event count beats 2× the
+    trailing-3-window average, compared in cross-multiplied integers
+    over a RANGE frame (quiet windows count as zero)."""
+    from cuvs_spark.operators.temporal import burst_windows
+    return burst_windows(events_table(spark, sf_dir).select("ts"))
+
+
+def _events_burst_sql():
+    from cuvs_spark.operators.temporal import burst_windows_sql
+    return burst_windows_sql("SELECT ts FROM events")
+
+
+register("events_burst_windows", _events_burst, _events_burst_sql())
+
+
+def _chi2_terms(spark, sf_dir):
+    """χ² feature selection: the 50 tokens most associated with the
+    lang='en' label — the vocabulary-picking step before training a
+    fastText-style quality/language classifier; exact integer 2×2
+    contingencies, one division per term."""
+    from cuvs_spark.pipeline.classify import chi2_terms
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return chi2_terms(d, "lang = 'en'", 50)
+
+
+def _chi2_terms_sql():
+    from cuvs_spark.pipeline.classify import chi2_terms_sql
+    return chi2_terms_sql("SELECT doc_id, text, lang FROM documents",
+                          "lang = 'en'", 50)
+
+
+register("text_chi2_terms", _chi2_terms, _chi2_terms_sql())
+
+
+def _quality_auc(spark, sf_dir):
+    """Mann-Whitney ROC AUC of document length as a predictor of the
+    lang='en' label — the threshold-free score audit (does a
+    quality/heuristic score actually rank the target class higher?);
+    exact BIGINT rank-sum numerator + one division."""
+    from cuvs_spark.stats.metrics import rank_auc
+    d = T(spark, sf_dir, "documents").select("n_chars", "lang")
+    return rank_auc(d, "n_chars", "lang = 'en'")
+
+
+def _quality_auc_sql():
+    from cuvs_spark.stats.metrics import rank_auc_sql
+    return rank_auc_sql("SELECT n_chars, lang FROM documents",
+                        "n_chars", "lang = 'en'")
+
+
+register("stats_quality_auc", _quality_auc, _quality_auc_sql())
+
+
+# ASCII-normalized doc text for the edit-distance gate: DuckDB's
+# levenshtein counts bytes, Spark counts characters — identical only
+# on ASCII, so the gate strips non-ASCII on BOTH engines (the Spark
+# operator itself is fully Unicode; see edit_distance_pairs docstring)
+_ASCII_SPARK = "regexp_replace(text, '[^ -~]', '')"
+_ASCII_DUCK = "regexp_replace(text, '[^ -~]', '', 'g')"
+
+
+def _edit_distance_pairs(spark, sf_dir):
+    """Second-stage character-level near-dup verification: 40 injected
+    single-substitution variants ('Z' + text[2:]) of docs 0-39 must
+    pair with their sources at tiny Levenshtein distance; LSH
+    candidates first, O(L²) DP only on the sliver. Integer-only
+    output."""
+    from cuvs_spark.pipeline.dedup import edit_distance_pairs
+    d = (T(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.expr(_ASCII_SPARK).alias("text")))
+    var = (d.filter(F.col("doc_id") < 40)
+           .select((F.col("doc_id") + 500000).alias("doc_id"),
+                   F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
+                   .alias("text")))
+    return edit_distance_pairs(d.unionByName(var), 0.2)
+
+
+def _edit_distance_pairs_sql():
+    from cuvs_spark.pipeline.dedup import edit_distance_pairs_sql
+    base = (f"SELECT doc_id, {_ASCII_DUCK} AS text FROM documents")
+    src = (base + " UNION ALL SELECT doc_id + 500000 AS doc_id, "
+           f"'Z' || substr(text, 2) AS text FROM ({base}) "
+           "WHERE doc_id < 40")
+    return edit_distance_pairs_sql(src, 0.2)
+
+
+register("dedup_edit_distance", _edit_distance_pairs,
+         _edit_distance_pairs_sql())
+
+
+def _importance_sample(spark, sf_dir):
+    """Quality-weighted deterministic downsampling: keep probability
+    proportional to doc length via integer cross-multiplied md5
+    buckets — no float threshold anywhere."""
+    from cuvs_spark.pipeline.sampling import importance_weighted_sample
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+    return importance_weighted_sample(d, "n_chars + 1")
+
+
+def _importance_sample_sql():
+    from cuvs_spark.pipeline.sampling import importance_weighted_sample_sql
+    return importance_weighted_sample_sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents",
+        "n_chars + 1")
+
+
+register("sample_importance_weighted", _importance_sample,
+         _importance_sample_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3758,6 +3910,21 @@ _WINDOW_PRIORITY = [
     "stats_hubness_skew",
     "stats_map_lsh",
     "stats_isotropy_hist",
+    # ... and the third round-8 wave: per-user gap audit, weekly
+    # retention cohorts, integer burst detection, chi-squared term
+    # selection, Mann-Whitney rank AUC, Levenshtein second-stage
+    # near-dup verification, importance-weighted sampling.  These
+    # seven displace the next seven tier-5b rows
+    # (preprocess_pq_roundtrip, stats_silhouette_samples/score,
+    # stats_trustworthiness, stats_recall_ivf_vs_exact,
+    # ivf_pq_search, ivf_sq_search) into the round-9 tier.
+    "events_gap_stats",
+    "events_retention_cohort",
+    "events_burst_windows",
+    "text_chi2_terms",
+    "stats_quality_auc",
+    "dedup_edit_distance",
+    "sample_importance_weighted",
     # Tier 3 — re-gates (implementation or oracle twin changed this
     # round): bloom_build_sql gained the metadata rows (ADVICE r7 #4)
     # -> dedup_against_bloom's oracle text changed; epoch_shuffle was
@@ -3792,9 +3959,12 @@ _WINDOW_PRIORITY = [
     "text_token_counts",
     "kmeans_predict",
     "kmeans_lloyd_step",
-    # Tier 5b — the first 12 r03-stale rows in registry order; the
-    # remaining 32 (all_neighbors_graph, cagra_optimize, sparse_knn,
-    # sparse_pairwise_inner_product — displaced by the wave-2 novels —
+    # Tier 5b — the first 5 r03-stale rows in registry order; the
+    # remaining 39 (all_neighbors_graph, cagra_optimize, sparse_knn,
+    # sparse_pairwise_inner_product, preprocess_pq_roundtrip,
+    # stats_silhouette_samples, stats_silhouette_score,
+    # stats_trustworthiness, stats_recall_ivf_vs_exact, ivf_pq_search,
+    # ivf_sq_search — displaced by the wave-2/3 novels —
     # plus tiered_search, events_windowed_counts,
     # events_sessionize, cagra_merge, the custom/bitwise/minkowski/
     # haversine kNN variants, gram_linear/rbf/tanh, the
@@ -3807,13 +3977,6 @@ _WINDOW_PRIORITY = [
     "preprocess_scalar_roundtrip",
     "preprocess_binary_quantize",
     "preprocess_pq_transform",
-    "preprocess_pq_roundtrip",
-    "stats_silhouette_samples",
-    "stats_silhouette_score",
-    "stats_trustworthiness",
-    "stats_recall_ivf_vs_exact",
-    "ivf_pq_search",
-    "ivf_sq_search",
 ]
 
 

@@ -161,3 +161,181 @@ FROM d a JOIN d b
   ON {key_eq}a.{id_col} < b.{id_col}
  AND abs(epoch(a.{on}) - epoch(b.{on})) <= {max_dt}
 """
+
+def gap_stats(df: DataFrame, *, by: str = "user_id", on: str = "ts",
+              id_col: str = "event_id",
+              threshold_s: float = 1800.0) -> DataFrame:
+    """Per-entity inter-event gap audit → ``(user_id, n_events,
+    n_gaps_over, max_gap_s)`` — the data-freshness / liveness check
+    behind sessionization: how many silences exceeded the threshold,
+    and the worst one. (Sessionize assigns ids; this reports WHERE the
+    stream goes quiet — ingestion monitoring reads this table, not the
+    session labels.)
+
+    Engine parity: gaps are differences of epoch doubles (micros/1e6 —
+    one correctly-rounded division per engine, identical), the
+    over-threshold count is an integer, and ``max_gap_s`` coalesces to
+    0.0 for single-event entities (null-free outputs).
+
+    Scale shape: identical to sessionize — ONE shuffle on the entity
+    key, a per-partition sorted lag scan, then a map-side-combined
+    groupBy on the same key (no second exchange: the window's hash
+    partitioning is reused)."""
+    w = Window.partitionBy(by).orderBy(on, id_col)
+    gap = (F.col(on).cast("double")
+           - F.lag(F.col(on).cast("double")).over(w))
+    return (df.withColumn("_gap", gap)
+            .groupBy(by)
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.when(F.col("_gap") > threshold_s, 1)
+                       .otherwise(0)).cast("long").alias("n_gaps_over"),
+                 F.coalesce(F.max("_gap"), F.lit(0.0))
+                  .alias("max_gap_s")))
+
+
+def gap_stats_sql(src_sql: str, *, by: str = "user_id", on: str = "ts",
+                  id_col: str = "event_id",
+                  threshold_s: float = 1800.0) -> str:
+    """DuckDB twin of :func:`gap_stats` — same lag/epoch arithmetic."""
+    return f"""
+WITH src AS ({src_sql}),
+g AS (
+  SELECT {by},
+         epoch({on}) - lag(epoch({on})) OVER
+           (PARTITION BY {by} ORDER BY {on}, {id_col}) AS _gap
+  FROM src
+)
+SELECT {by}, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN _gap > {threshold_s} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gaps_over,
+       COALESCE(max(_gap), 0.0) AS max_gap_s
+FROM g GROUP BY {by}
+"""
+
+
+def retention_cohort(df: DataFrame, *, by: str = "user_id",
+                     on: str = "ts",
+                     bucket_s: int = 604_800) -> DataFrame:
+    """Cohort retention matrix → ``(cohort, age, n_users)``: users
+    grouped by the time bucket of their FIRST event (the cohort), and
+    for each later bucket in which they were active, the bucket offset
+    (``age``) and how many of the cohort came back — the standard
+    product-analytics triangle (age 0 row = cohort size).
+
+    Engine parity: buckets are integer division of int64 epoch
+    MICROSECONDS (``unix_micros DIV (bucket_s·10⁶)``) — no float
+    touches the output; every column is BIGINT.
+
+    Scale shape: one map-side-combined groupBy(user) for the cohort
+    assignment, one distinct on (user, bucket) — both shuffle on the
+    same user key and AQE coalesces them; the final (cohort, age)
+    rollup is O(buckets²) rows."""
+    div = int(bucket_s) * 1_000_000
+    b = df.select(F.col(by).alias("_u"),
+                  F.expr(f"unix_micros({on}) DIV {div}").alias("_b"))
+    cohort = b.groupBy("_u").agg(F.min("_b").alias("_c"))
+    active = b.distinct()
+    # (_u, _b) is already distinct and (_c, _age) is a function of it,
+    # so no second distinct is needed before the rollup
+    return (active.join(cohort, "_u")
+            .select("_c", (F.col("_b") - F.col("_c")).alias("_age"), "_u")
+            .groupBy("_c", "_age")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .select(F.col("_c").cast("long").alias("cohort"),
+                    F.col("_age").cast("long").alias("age"),
+                    "n_users"))
+
+
+def retention_cohort_sql(src_sql: str, *, by: str = "user_id",
+                         on: str = "ts",
+                         bucket_s: int = 604_800) -> str:
+    """DuckDB twin of :func:`retention_cohort` — same integer-micros
+    bucket arithmetic."""
+    div = int(bucket_s) * 1_000_000
+    return f"""
+WITH src AS ({src_sql}),
+b AS (SELECT {by} AS _u, epoch_us({on}) // {div} AS _b FROM src),
+cohort AS (SELECT _u, min(_b) AS _c FROM b GROUP BY _u),
+active AS (SELECT DISTINCT _u, _b FROM b)
+SELECT CAST(c._c AS BIGINT) AS cohort,
+       CAST(a._b - c._c AS BIGINT) AS age,
+       CAST(count(DISTINCT a._u) AS BIGINT) AS n_users
+FROM active a JOIN cohort c ON a._u = c._u
+GROUP BY c._c, a._b - c._c
+"""
+
+
+def burst_windows(df: DataFrame, *, on: str = "ts",
+                  window_s: int = 3600, lookback: int = 3,
+                  factor: tuple[int, int] = (2, 1)) -> DataFrame:
+    """Event-rate burst detection → per tumbling window ``(bucket,
+    n_events, prev_sum, is_burst)``: a window is a burst when its
+    count exceeds ``factor`` × the trailing-``lookback``-window
+    average — the rate-anomaly audit run on ingestion streams (crawler
+    loops, replayed batches, bot storms) before the data is trusted.
+
+    Exactness: the trailing average compare is cross-multiplied into
+    pure integers (``n · lookback · fq > fp · prev_sum`` for factor
+    fp/fq) — no float division anywhere; EMPTY trailing windows count
+    as zero events because the sum runs over a RANGE frame on the
+    integer bucket axis, not a ROWS frame over existing rows (a ROWS
+    frame would silently skip quiet windows and deflate the baseline).
+    The first ``lookback`` buckets after the stream's global start
+    have no full baseline and report ``is_burst = 0``.
+
+    Scale shape: one map-side-combined groupBy on the bucket; the
+    window scan runs over the per-bucket COUNTS table (rows = time
+    span / window_s, independent of event count), so the unpartitioned
+    RANGE window is O(buckets), not O(events)."""
+    div = int(window_s) * 1_000_000
+    fp, fq = factor
+    counts = (df.select(F.expr(f"unix_micros({on}) DIV {div}")
+                        .alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count("*").cast("long").alias("n_events")))
+    wr = (Window.orderBy("bucket")
+          .rangeBetween(-int(lookback), -1))
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    out = (counts
+           .withColumn("prev_sum",
+                       F.coalesce(F.sum("n_events").over(wr), F.lit(0))
+                       .cast("long"))
+           .withColumn("_min_b", F.min("bucket").over(wall))
+           .select(F.col("bucket").cast("long").alias("bucket"),
+                   "n_events", "prev_sum",
+                   F.expr(f"CAST(CASE WHEN bucket - _min_b >= {lookback} "
+                          f"AND n_events * {lookback} * {fq} > "
+                          f"{fp} * prev_sum THEN 1 ELSE 0 END AS BIGINT)")
+                   .alias("is_burst")))
+    return out
+
+
+def burst_windows_sql(src_sql: str, *, on: str = "ts",
+                      window_s: int = 3600, lookback: int = 3,
+                      factor: tuple[int, int] = (2, 1)) -> str:
+    """DuckDB twin of :func:`burst_windows` — same integer bucket,
+    RANGE frame, and cross-multiplied compare."""
+    div = int(window_s) * 1_000_000
+    fp, fq = factor
+    return f"""
+WITH src AS ({src_sql}),
+counts AS (
+  SELECT epoch_us({on}) // {div} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM src GROUP BY 1
+),
+w AS (
+  SELECT bucket, n_events,
+         CAST(COALESCE(sum(n_events) OVER
+           (ORDER BY bucket RANGE BETWEEN {lookback} PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS prev_sum,
+         min(bucket) OVER () AS _min_b
+  FROM counts
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_events, prev_sum,
+       CAST(CASE WHEN bucket - _min_b >= {lookback}
+            AND n_events * {lookback} * {fq} > {fp} * prev_sum
+            THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+FROM w
+"""

@@ -357,3 +357,110 @@ r AS (SELECT qid, label, votes,
       FROM v)
 SELECT qid, label, CAST(votes AS BIGINT) AS votes FROM r WHERE rn = 1
 """
+
+def chi2_terms(df: DataFrame, label_expr: str, top_n: int = 50, *,
+               id_col: str = "doc_id", text_col: str = "text",
+               min_df: int = 2) -> DataFrame:
+    """χ² term-label association for classifier feature selection →
+    the ``top_n`` tokens most associated with a binary document label
+    as ``(term, df_pos, df_neg, chi2)`` — the classic first step
+    before training a quality/topic classifier (pick the vocabulary
+    that actually separates the classes instead of hashing blindly).
+
+    ``label_expr`` is a boolean SQL expression over the input columns
+    (e.g. ``"lang = 'en'"``). For each token with document frequency
+    ≥ ``min_df``, the 2×2 presence/label contingency (a, b, c, d) is
+    built from EXACT integer document counts and
+    ``χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))``.
+
+    Engine parity: counts are BIGINTs; the numerator difference
+    ``ad − bc`` stays integer (int64-safe to ~3·10⁹ docs), is cast to
+    DOUBLE once, and the rest is correctly-rounded double mults + ONE
+    division — bit-equal across engines. Ranking ties break on the
+    term string.
+
+    Scale shape: one explode + distinct on (term, doc) — the same
+    exchange every df-based text op here uses — then a
+    map-side-combined groupBy(term) with the two label counts as
+    conditional sums, a broadcast one-row totals join, and a
+    TakeOrderedAndProject top-n; nothing quadratic, no driver state."""
+    d = df.select(F.col(id_col).cast("long").alias("_doc"),
+                  F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
+                  .alias("_y"),
+                  F.expr(TOKS_SPARK.format(s=text_col)).alias("_t"))
+    totals = d.agg(
+        F.sum("_y").cast("long").alias("_np"),
+        F.sum(F.expr("1 - _y")).cast("long").alias("_nn"))
+    pres = (d.select("_doc", "_y", F.explode("_t").alias("term"))
+            .groupBy("term", "_doc")
+            .agg(F.max("_y").alias("_y")))
+    cnt = (pres.groupBy("term")
+           .agg(F.sum("_y").cast("long").alias("df_pos"),
+                F.sum(F.expr("1 - _y")).cast("long").alias("df_neg"))
+           .filter(F.col("df_pos") + F.col("df_neg") >= min_df))
+    chi = (cnt.crossJoin(F.broadcast(totals))
+           .withColumn("chi2", F.expr(
+               "CASE WHEN (df_pos + df_neg) = 0 "
+               "OR (_np + _nn - df_pos - df_neg) = 0 "
+               "OR _np = 0 OR _nn = 0 THEN 0.0 ELSE "
+               "CAST(_np + _nn AS DOUBLE) * "
+               "CAST(df_pos * (_nn - df_neg) - df_neg * (_np - df_pos) "
+               "AS DOUBLE) * "
+               "CAST(df_pos * (_nn - df_neg) - df_neg * (_np - df_pos) "
+               "AS DOUBLE) / "
+               "(CAST(df_pos + df_neg AS DOUBLE) * "
+               "CAST(_np + _nn - df_pos - df_neg AS DOUBLE) * "
+               "CAST(_np AS DOUBLE) * CAST(_nn AS DOUBLE)) END")))
+    return (chi.orderBy(F.col("chi2").desc(), "term")
+            .limit(top_n)
+            .select("term", "df_pos", "df_neg", "chi2"))
+
+
+def chi2_terms_sql(doc_sql: str, label_expr: str, top_n: int = 50, *,
+                   min_df: int = 2) -> str:
+    """DuckDB twin of :func:`chi2_terms` — same integer contingency,
+    same single-division χ² expression, same (chi2 DESC, term) order."""
+    toks = TOKS_DUCK.format(s="text")
+    return f"""
+WITH src AS ({doc_sql}),
+d AS (
+  SELECT doc_id AS _doc,
+         CASE WHEN {label_expr} THEN 1 ELSE 0 END AS _y,
+         {toks} AS _t
+  FROM src
+),
+totals AS (
+  SELECT CAST(sum(_y) AS BIGINT) AS _np,
+         CAST(sum(1 - _y) AS BIGINT) AS _nn
+  FROM d
+),
+pres AS (
+  SELECT term, _doc, max(_y) AS _y
+  FROM (SELECT _doc, _y, unnest(_t) AS term FROM d)
+  GROUP BY term, _doc
+),
+cnt AS (
+  SELECT term, CAST(sum(_y) AS BIGINT) AS df_pos,
+         CAST(sum(1 - _y) AS BIGINT) AS df_neg
+  FROM pres GROUP BY term
+  HAVING CAST(sum(_y) AS BIGINT) + CAST(sum(1 - _y) AS BIGINT)
+         >= {min_df}
+),
+chi AS (
+  SELECT term, df_pos, df_neg,
+         CASE WHEN (df_pos + df_neg) = 0
+              OR (_np + _nn - df_pos - df_neg) = 0
+              OR _np = 0 OR _nn = 0 THEN 0.0 ELSE
+         CAST(_np + _nn AS DOUBLE) *
+         CAST(df_pos * (_nn - df_neg) - df_neg * (_np - df_pos)
+              AS DOUBLE) *
+         CAST(df_pos * (_nn - df_neg) - df_neg * (_np - df_pos)
+              AS DOUBLE) /
+         (CAST(df_pos + df_neg AS DOUBLE) *
+          CAST(_np + _nn - df_pos - df_neg AS DOUBLE) *
+          CAST(_np AS DOUBLE) * CAST(_nn AS DOUBLE)) END AS chi2
+  FROM cnt, totals
+)
+SELECT term, df_pos, df_neg, chi2
+FROM chi ORDER BY chi2 DESC, term LIMIT {top_n}
+"""

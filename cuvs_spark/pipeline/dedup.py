@@ -1811,3 +1811,77 @@ FROM cand c JOIN g a ON a.doc_id = c.doc_a
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         / CAST(least(len(a.g), len(b.g)) AS DOUBLE) >= {float(threshold)}
 """
+
+def edit_distance_pairs(df: DataFrame, max_frac: float = 0.2, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        jaccard_floor: float = 0.3,
+                        max_bucket_size: int | None = None,
+                        n_hashes: int = N_HASHES,
+                        band_r: int = BAND_R) -> DataFrame:
+    """Character-level near-dup verification: LSH candidate pairs
+    confirmed by Levenshtein distance → ``(doc_a, doc_b, lev, len_a,
+    len_b)`` with ``lev ≤ max_frac · max(len_a, len_b)``.
+
+    Token-set measures (Jaccard/MinHash/containment) are blind to the
+    EDIT structure — a doc with every 5th word swapped and a doc with
+    one appended paragraph can share a Jaccard score while only the
+    second is a true near-dup for training-dedup purposes. This is the
+    standard second-stage verifier: cheap set-based candidates first
+    (``jaccard_floor``, deliberately below the dedup threshold), exact
+    edit distance only on the candidate sliver.
+
+    Engine parity: every output column is a BIGINT, and the relative
+    threshold is cross-multiplied into integers (``lev·1000 ≤
+    ⌊max_frac·1000⌋·max(len)``) — no float output at all. NOTE for the
+    oracle twin: DuckDB's ``levenshtein`` counts BYTES where Spark
+    counts CHARACTERS, so dual-engine gates must feed ASCII-normalized
+    text; the Spark operator itself is fully Unicode.
+
+    Scale shape: inherits :func:`minhash_lsh_pairs`' banded candidate
+    generation (with the ``max_bucket_size`` skew guard); the O(L²)
+    Levenshtein DP runs once per CANDIDATE pair, never per corpus
+    pair."""
+    cand = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col,
+        jaccard_threshold=jaccard_floor,
+        max_bucket_size=max_bucket_size,
+        n_hashes=n_hashes, band_r=band_r).select("doc_a", "doc_b")
+    a = df.select(F.col(id_col).cast("long").alias("doc_a"),
+                  F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).cast("long").alias("doc_b"),
+                  F.col(text_col).alias("_tb"))
+    thr = int(max_frac * 1000)
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
+                    F.length("_ta").cast("long").alias("len_a"),
+                    F.length("_tb").cast("long").alias("len_b"))
+            .filter(F.expr(
+                f"lev * 1000 <= {thr} * greatest(len_a, len_b)")))
+
+
+def edit_distance_pairs_sql(doc_sql: str, max_frac: float = 0.2, *,
+                            jaccard_floor: float = 0.3,
+                            n_hashes: int = N_HASHES,
+                            band_r: int = BAND_R) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` — same candidates,
+    same integer cross-multiplied threshold (feed ASCII text: DuckDB's
+    levenshtein is bytewise)."""
+    cand = minhash_lsh_pairs_sql(doc_sql, jaccard_floor,
+                                 n_hashes=n_hashes, band_r=band_r)
+    thr = int(max_frac * 1000)
+    return f"""
+WITH src AS ({doc_sql}),
+cand AS (SELECT doc_a, doc_b FROM ({cand.strip()})),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         CAST(length(a.text) AS BIGINT) AS len_a,
+         CAST(length(b.text) AS BIGINT) AS len_b
+  FROM cand c
+  JOIN src a ON a.doc_id = c.doc_a
+  JOIN src b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, lev, len_a, len_b
+FROM j WHERE lev * 1000 <= {thr} * greatest(len_a, len_b)
+"""

@@ -838,3 +838,45 @@ SELECT grp AS {group_col}, CAST(n_docs AS BIGINT) AS n_docs,
                     / CAST(n_tokens AS DOUBLE)) AS sample_rate
 FROM scored CROSS JOIN tot
 """
+
+def importance_weighted_sample(df: DataFrame, weight_expr: str, *,
+                               id_col: str = "doc_id",
+                               salt: str = "w0") -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability proportional to an integer weight —
+    ``P(keep) = w / w_max`` — by comparing the row's md5 bucket
+    against its weight in CROSS-MULTIPLIED integers
+    (``bucket · w_max < w · 10⁶``), so membership is a pure function
+    of (id, salt, weight) with no float threshold anywhere. The
+    quality-weighted downsampling stage (keep long/high-scoring docs
+    preferentially) every curation pipeline runs between filtering
+    and token-budget capping.
+
+    ``weight_expr`` must be a non-negative INTEGER SQL expression over
+    the input columns (scale float scores by 1000 first); int64-safe
+    for weights up to ~9·10¹².
+
+    Scale shape: ``w_max`` is a one-row broadcast scalar (never a
+    collect of data rows); the filter itself is a map-only JVM
+    expression — zero shuffles."""
+    d = df.withColumn("_w", F.expr(weight_expr).cast("long"))
+    wmax = d.agg(F.max("_w").alias("_wmax"))
+    return (d.crossJoin(F.broadcast(wmax))
+            .filter(F.expr(
+                f"{_bucket_spark(id_col, salt)} * _wmax < _w * {_MOD}"))
+            .drop("_w", "_wmax"))
+
+
+def importance_weighted_sample_sql(src_sql: str, weight_expr: str, *,
+                                   id_col: str = "doc_id",
+                                   salt: str = "w0") -> str:
+    """DuckDB twin — same md5 bucket, same integer cross-multiply."""
+    return f"""
+WITH d AS (SELECT *, CAST({weight_expr} AS BIGINT) AS _w
+           FROM ({src_sql})),
+m AS (SELECT max(_w) AS _wmax FROM d)
+SELECT * EXCLUDE (_w) FROM (
+  SELECT d.* FROM d, m
+  WHERE {_bucket_duck(id_col, salt)} * m._wmax < d._w * {_MOD}
+)
+"""

@@ -509,3 +509,82 @@ binned AS (
 SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
 FROM binned GROUP BY bin
 """
+
+def rank_auc(df: DataFrame, score_col: str, label_expr: str) -> DataFrame:
+    """ROC AUC of a score against a binary label via the Mann-Whitney
+    rank statistic → one row ``(n_pos, n_neg, auc_num2, auc)`` — the
+    threshold-free audit of any quality/classifier score column (does
+    the score actually rank positives above negatives?).
+
+    ``AUC = P(score_pos > score_neg) + ½·P(tie)``; the numerator is
+    accumulated per DISTINCT score value as
+    ``Σ np_s · (2·cum_neg_below + nn_s)`` — an exact BIGINT
+    (``auc_num2`` = 2·n_pos·n_neg·AUC) — so the only float op is the
+    final division of exact integers (bit-equal across engines).
+    Degenerate inputs (no positives or no negatives) report 0.0.
+
+    Scale shape: one map-side-combined groupBy on the score value,
+    then ONE ordered window over the distinct-score table (rows =
+    #distinct scores, independent of corpus size) — never the
+    n_pos × n_neg pair join the textbook definition implies.
+
+    Works for integer scores directly; for float scores quantize
+    first (ties must mean bit-equal on both engines)."""
+    g = (df.select(F.col(score_col).alias("_s"),
+                   F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
+                   .alias("_y"))
+         .groupBy("_s")
+         .agg(F.sum("_y").cast("long").alias("_np"),
+              F.sum(F.expr("1 - _y")).cast("long").alias("_nn")))
+    w = (Window.orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    acc = (g.withColumn("_cnb",
+                        F.coalesce(F.sum("_nn").over(w), F.lit(0))
+                        .cast("long"))
+           .agg(F.sum("_np").cast("long").alias("n_pos"),
+                F.sum("_nn").cast("long").alias("n_neg"),
+                F.sum(F.expr("_np * (2 * _cnb + _nn)")).cast("long")
+                .alias("auc_num2")))
+    return acc.select(
+        "n_pos", "n_neg",
+        F.coalesce(F.col("auc_num2"), F.lit(0)).cast("long")
+        .alias("auc_num2"),
+        F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE "
+               "CAST(auc_num2 AS DOUBLE) / "
+               "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) "
+               "END").alias("auc"))
+
+
+def rank_auc_sql(src_sql: str, score_col: str, label_expr: str) -> str:
+    """DuckDB twin of :func:`rank_auc` — same distinct-score rank-sum
+    integers, same single division."""
+    return f"""
+WITH src AS ({src_sql}),
+g AS (
+  SELECT {score_col} AS _s,
+         CAST(sum(CASE WHEN {label_expr} THEN 1 ELSE 0 END)
+              AS BIGINT) AS _np,
+         CAST(sum(CASE WHEN {label_expr} THEN 0 ELSE 1 END)
+              AS BIGINT) AS _nn
+  FROM src GROUP BY {score_col}
+),
+acc AS (
+  SELECT _np, _nn,
+         CAST(COALESCE(sum(_nn) OVER
+           (ORDER BY _s ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS _cnb
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(_np) AS BIGINT) AS n_pos,
+         CAST(sum(_nn) AS BIGINT) AS n_neg,
+         CAST(COALESCE(sum(_np * (2 * _cnb + _nn)), 0) AS BIGINT)
+           AS auc_num2
+  FROM acc
+)
+SELECT n_pos, n_neg, auc_num2,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE
+       CAST(auc_num2 AS DOUBLE) /
+       (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+FROM s
+"""
