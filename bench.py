@@ -311,6 +311,19 @@ def main() -> None:
                 .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
         return ngram_novelty(docs, 3)
 
+    def bench_chi2_terms():
+        from cuvs_spark.pipeline.classify import chi2_terms
+        docs = (T(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text", "lang"))
+        return chi2_terms(docs, "lang = 'en'", 50)
+
+    def bench_gap_stats():
+        from cuvs_spark.entry_queries import events_table
+        from cuvs_spark.operators.temporal import gap_stats
+        return gap_stats(events_table(spark, sf_dir)
+                         .select("event_id", "user_id", "ts"))
+
     benches = {
         "knn_bf_cosine_expr": bench_entry("knn_bf_cosine"),
         "all_neighbors_base": bench_all_neighbors,
@@ -348,6 +361,8 @@ def main() -> None:
         "text_maxsim_rerank": bench_maxsim_rerank,
         "dedup_against_bloom": bench_bloom_dedup,
         "text_ngram_novelty": bench_ngram_novelty,
+        "text_chi2_terms": bench_chi2_terms,
+        "events_gap_stats": bench_gap_stats,
     }
 
     # Fixed-cost canary (r7 verdict #2): a constant JVM-only aggregate

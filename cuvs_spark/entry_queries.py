@@ -3863,6 +3863,92 @@ register("sample_importance_weighted", _importance_sample,
          _importance_sample_sql())
 
 
+def _triangle_stats(spark, sf_dir):
+    """Triangle census of the mutual kNN graph — neighbors-of-
+    neighbors consistency (3T/W global clustering coefficient), the
+    second-order companion to the reciprocal-rate gate; sorted-triple
+    joins, exact integer counts + one division."""
+    from cuvs_spark.operators.graph import triangle_stats
+    return triangle_stats(_knn_graph_edges(spark, sf_dir))
+
+
+def _triangle_stats_sql():
+    from cuvs_spark.operators.graph import triangle_stats_sql
+    return triangle_stats_sql(_knn_graph_edges_sql())
+
+
+register("graph_triangle_stats", _triangle_stats, _triangle_stats_sql())
+
+
+def _kendall_bm25_vs_cosine(spark, sf_dir):
+    """Kendall τ between the BM25 and cosine-kNN top-10 rankings the
+    fusion gates combine — the pre-fusion agreement diagnostic; all-
+    integer concordant/discordant pair counts over the per-query
+    candidate intersection."""
+    from cuvs_spark.pipeline.retrieval import bm25_search
+    from cuvs_spark.stats.metrics import kendall_rank_agreement
+    bm = (bm25_search(doc_table(spark, sf_dir),
+                      _bm25_queries(spark, sf_dir), 10)
+          .select("qid", F.col("doc_id").alias("nid"), "rank"))
+    d = emb_dataset(spark, sf_dir)
+    q = emb_queries(spark, sf_dir, 10)
+    vec = knn(d, q, 10, "cosine", qvec_col="qv").select("qid", "nid",
+                                                        "rank")
+    return kendall_rank_agreement(bm, vec)
+
+
+def _kendall_sql():
+    from cuvs_spark.pipeline.retrieval import bm25_search_sql
+    from cuvs_spark.stats.metrics import kendall_rank_agreement_sql
+    bm_sql = ("SELECT qid, doc_id AS nid, rank FROM ("
+              + bm25_search_sql(_DOC_SQL, _BM25_Q_SQL, 10).strip() + ")")
+    vec_sql = ("SELECT qid, nid, rank FROM ("
+               + O.knn_sql(_D_SQL, _Q_SQL.format(nq=10), 10,
+                           "cosine").strip() + ")")
+    return kendall_rank_agreement_sql(bm_sql, vec_sql)
+
+
+register("stats_rank_corr_kendall", _kendall_bm25_vs_cosine,
+         _kendall_sql())
+
+
+def _ivf_list_sizes(spark, sf_dir):
+    """IVF inverted-file balance audit: per-list occupancy including
+    empty lists (the reference index's list_sizes array) — the table
+    n_probes tuning starts from; fixed centroids make it SQL-exact."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_list_sizes
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_flat_build(d, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir,
+                                                    _IVF_LISTS))
+    return ivf_list_sizes(idx)
+
+
+def _ivf_list_sizes_sql():
+    from cuvs_spark.operators.ivf_flat import ivf_list_sizes_sql
+    return ivf_list_sizes_sql(_DA_SQL, _IVF_CENT_SQL)
+
+
+register("ivf_list_sizes", _ivf_list_sizes, _ivf_list_sizes_sql())
+
+
+def _fertility(spark, sf_dir):
+    """Whitespace-tokenizer fertility (chars per token) by language —
+    the audit that flags no-whitespace scripts before token-budget
+    sampling trusts n_tokens; integer sums + one division."""
+    from cuvs_spark.pipeline.text import fertility_by_group
+    return fertility_by_group(T(spark, sf_dir, "documents")
+                              .select("lang", "text"))
+
+
+def _fertility_sql():
+    from cuvs_spark.pipeline.text import fertility_by_group_sql
+    return fertility_by_group_sql("SELECT lang, text FROM documents")
+
+
+register("text_fertility_by_lang", _fertility, _fertility_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -3925,6 +4011,20 @@ _WINDOW_PRIORITY = [
     "stats_quality_auc",
     "dedup_edit_distance",
     "sample_importance_weighted",
+    # ... and the fourth round-8 wave: triangle census (clustering
+    # coefficient), Kendall rank agreement (BM25 vs cosine), IVF
+    # list-size balance audit, tokenizer fertility by language.
+    # These four displace four more tier-5b rows (ivf_flat_search,
+    # dedup_simhash_near_dup, preprocess_scalar_roundtrip,
+    # preprocess_binary_quantize) into the round-9 tier.  That tier
+    # now holds 43 r03 rows + the 2 canaries = 45 of round 9's 50
+    # slots, so ROUND 9 IS THE CONSOLIDATION ROUND: cap r9 novel
+    # gates at 5 or the "no latest row predates r05 after r9" bar
+    # breaks.
+    "graph_triangle_stats",
+    "stats_rank_corr_kendall",
+    "ivf_list_sizes",
+    "text_fertility_by_lang",
     # Tier 3 — re-gates (implementation or oracle twin changed this
     # round): bloom_build_sql gained the metadata rows (ADVICE r7 #4)
     # -> dedup_against_bloom's oracle text changed; epoch_shuffle was
@@ -3959,12 +4059,14 @@ _WINDOW_PRIORITY = [
     "text_token_counts",
     "kmeans_predict",
     "kmeans_lloyd_step",
-    # Tier 5b — the first 5 r03-stale rows in registry order; the
-    # remaining 39 (all_neighbors_graph, cagra_optimize, sparse_knn,
+    # Tier 5b — one r03-stale row fills the last slot; the
+    # remaining 43 (all_neighbors_graph, cagra_optimize, sparse_knn,
     # sparse_pairwise_inner_product, preprocess_pq_roundtrip,
     # stats_silhouette_samples, stats_silhouette_score,
     # stats_trustworthiness, stats_recall_ivf_vs_exact, ivf_pq_search,
-    # ivf_sq_search — displaced by the wave-2/3 novels —
+    # ivf_sq_search, ivf_flat_search, dedup_simhash_near_dup,
+    # preprocess_scalar_roundtrip, preprocess_binary_quantize —
+    # displaced by the wave-2/3/4 novels —
     # plus tiered_search, events_windowed_counts,
     # events_sessionize, cagra_merge, the custom/bitwise/minkowski/
     # haversine kNN variants, gram_linear/rbf/tanh, the
@@ -3972,10 +4074,6 @@ _WINDOW_PRIORITY = [
     # pipeline_curate_stats, the scann trio, vamana_build,
     # ivf_rabitq_search, the 4 KDE variants, and the 3 *_blas twins)
     # rotate in round 9.
-    "ivf_flat_search",
-    "dedup_simhash_near_dup",
-    "preprocess_scalar_roundtrip",
-    "preprocess_binary_quantize",
     "preprocess_pq_transform",
 ]
 

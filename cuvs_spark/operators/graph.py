@@ -706,18 +706,108 @@ def reciprocal_rate_sql(graph_sql: str) -> str:
     """DuckDB twin of :func:`reciprocal_rate` — same integer counts,
     same single exact-integer division."""
     return f"""
-WITH g AS ({graph_sql}),
-e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM g),
-r AS (
+WITH _g AS ({graph_sql}),
+_e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       FROM _g),
+_r AS (
   SELECT count(*) AS n_recip
-  FROM e WHERE EXISTS (
-    SELECT 1 FROM e rev WHERE rev.dst = e.src AND rev.src = e.dst)
+  FROM _e WHERE EXISTS (
+    SELECT 1 FROM _e rev WHERE rev.dst = _e.src AND rev.src = _e.dst)
 ),
-n AS (SELECT count(*) AS n_edges FROM e)
-SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
-       CAST(r.n_recip AS BIGINT) AS n_reciprocal,
-       CASE WHEN n.n_edges = 0 THEN 0.0
-            ELSE CAST(r.n_recip AS DOUBLE) / CAST(n.n_edges AS DOUBLE)
+_n AS (SELECT count(*) AS n_edges FROM _e)
+SELECT CAST(_n.n_edges AS BIGINT) AS n_edges,
+       CAST(_r.n_recip AS BIGINT) AS n_reciprocal,
+       CASE WHEN _n.n_edges = 0 THEN 0.0
+            ELSE CAST(_r.n_recip AS DOUBLE) / CAST(_n.n_edges AS DOUBLE)
        END AS reciprocal_rate
-FROM n, r
+FROM _n, _r
+"""
+
+def triangle_stats(graph: DataFrame, *, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Triangle census of the MUTUAL kNN graph → one row ``(n_nodes,
+    n_mutual_edges, n_wedges, n_triangles, clustering_coeff)`` — the
+    local-neighborhood-consistency audit: a high global clustering
+    coefficient (3·triangles / wedges) means neighbors-of-neighbors
+    are neighbors, the regime where greedy graph descent (CAGRA/HNSW)
+    converges in few hops; a low one means the graph is tree-like and
+    beam search needs wider beams. Complements
+    :func:`reciprocal_rate` (edge-level symmetry) with the
+    second-order structure.
+
+    Mutualization keeps only edges present in BOTH directions (the
+    undirected core CAGRA's optimize preserves), stored once as
+    ``a < b``. Wedges = Σ d(d−1)/2 over mutual degrees — exact
+    BIGINTs (d(d−1) is even); triangles count each closed triple once
+    via the sorted x<y<z join; the coefficient is ONE division of
+    exact integers (0.0 when wedge-free).
+
+    Scale shape: joins are node-key equi-joins whose fanout is
+    bounded by the mutual degree (≤ k for a kNN graph, so the wedge
+    join is ≤ k² rows per node, never n²); the triangle-closing check
+    is a semi-join against the edge table."""
+    e = graph.select(F.col(src_col).cast("long").alias("s"),
+                     F.col(dst_col).cast("long").alias("d"))
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    und = (e.join(rev, ["s", "d"], "left_semi")
+           .filter(F.col("s") < F.col("d"))
+           .select(F.col("s").alias("a"), F.col("d").alias("b")))
+    deg = (und.select(F.col("a").alias("_n"))
+           .unionAll(und.select(F.col("b").alias("_n")))
+           .groupBy("_n").agg(F.count("*").alias("_d")))
+    nodes = e.select(F.col("s").alias("_n")).distinct()
+    wedges = deg.agg(
+        F.sum(F.expr("_d * (_d - 1) DIV 2")).cast("long").alias("w"))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y")
+           .join(und.select(F.col("a").alias("x"),
+                            F.col("b").alias("z")), ["x", "z"],
+                 "left_semi"))
+    n_nodes = nodes.count()
+    n_edges = und.count()
+    n_wedges = int(wedges.collect()[0]["w"] or 0)
+    n_tri = tri.count()
+    cc = 3.0 * float(n_tri) / float(n_wedges) if n_wedges else 0.0
+    spark = graph.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri, cc)],
+        "n_nodes bigint, n_mutual_edges bigint, n_wedges bigint, "
+        "n_triangles bigint, clustering_coeff double")
+
+
+def triangle_stats_sql(graph_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_stats` — same mutualization,
+    sorted-triple join, and single exact division."""
+    return f"""
+WITH _g AS ({graph_sql}),
+_e AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+       FROM _g),
+_und AS (
+  SELECT _e.s AS a, _e.d AS b FROM _e
+  WHERE _e.s < _e.d AND EXISTS (
+    SELECT 1 FROM _e r WHERE r.s = _e.d AND r.d = _e.s)
+),
+_deg AS (
+  SELECT _n, count(*) AS _d FROM (
+    SELECT a AS _n FROM _und UNION ALL SELECT b AS _n FROM _und)
+  GROUP BY _n
+),
+_w AS (SELECT CAST(COALESCE(sum(_d * (_d - 1) // 2), 0) AS BIGINT) AS w
+       FROM _deg),
+_tri AS (
+  SELECT count(*) AS t
+  FROM _und e1 JOIN _und e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM _und e3
+                WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+_n AS (SELECT count(DISTINCT s) AS n_nodes FROM _e),
+_m AS (SELECT count(*) AS n_edges FROM _und)
+SELECT CAST(_n.n_nodes AS BIGINT) AS n_nodes,
+       CAST(_m.n_edges AS BIGINT) AS n_mutual_edges,
+       _w.w AS n_wedges, CAST(_tri.t AS BIGINT) AS n_triangles,
+       CASE WHEN _w.w = 0 THEN 0.0
+            ELSE 3.0 * CAST(_tri.t AS DOUBLE) / CAST(_w.w AS DOUBLE)
+       END AS clustering_coeff
+FROM _n, _m, _w, _tri
 """

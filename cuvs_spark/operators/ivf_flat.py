@@ -279,3 +279,46 @@ def ivf_flat_extend(index: IVFFlatIndex, new_rows: DataFrame, *,
             centroids[r["list_id"], r["dim"]] = r["m"]
     return IVFFlatIndex(centroids=centroids, lists=lists,
                         metric=index.metric)
+
+def ivf_list_sizes(index: IVFFlatIndex) -> DataFrame:
+    """Per-list occupancy of the inverted file → ``(list_id,
+    list_size)`` for every list INCLUDING empties — the direct analog
+    of the reference index's per-list size array
+    (``ivf_flat::index::list_sizes``, exposed on every IVF variant),
+    and the balance audit behind probe-latency tails: a 10× oversized
+    hot list makes every query that probes it 10× slower, which is why
+    the reference trains with ``balanced`` k-means and why
+    ``n_probes`` tuning starts from this table.
+
+    Engine parity: pure BIGINT counts (empty lists via a
+    range-generated left join, 0 not NULL).
+
+    Scale shape: one map-side-combined groupBy on list_id over the
+    inverted file; the n_lists-row frame joins broadcast."""
+    spark = index.lists.sparkSession
+    occ = (index.lists.groupBy(F.col("list_id").cast("long")
+                               .alias("list_id"))
+           .agg(F.count("*").alias("_n")))
+    all_lists = spark.range(index.n_lists).select(
+        F.col("id").alias("list_id"))
+    return (all_lists.join(occ, "list_id", "left")
+            .select("list_id",
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                    .alias("list_size")))
+
+
+def ivf_list_sizes_sql(dataset_sql: str, cent_sql: str) -> str:
+    """DuckDB twin of :func:`ivf_list_sizes` for the fixed-centroid
+    build: assignment via the shared argmin template
+    (``plans/oracle.assign_sql``), then the same zero-including
+    rollup."""
+    from cuvs_spark.plans.oracle import assign_sql
+    return f"""
+WITH asg AS ({assign_sql(dataset_sql, cent_sql).strip()}),
+occ AS (SELECT label AS list_id, count(*) AS _n FROM asg GROUP BY label),
+alll AS (SELECT DISTINCT CAST(label AS BIGINT) AS list_id
+         FROM ({cent_sql}))
+SELECT alll.list_id,
+       CAST(COALESCE(occ._n, 0) AS BIGINT) AS list_size
+FROM alll LEFT JOIN occ ON alll.list_id = occ.list_id
+"""

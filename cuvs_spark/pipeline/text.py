@@ -1757,3 +1757,61 @@ SELECT (2.0 * _s1 - CAST(_nv + 1 AS DOUBLE) * CAST(_s0 AS DOUBLE))
        _nv AS n_vocab, _s0 AS total_tokens
 FROM agg
 """
+
+def fertility_by_group(df: DataFrame, *, group_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility audit per group → ``(lang, n_docs,
+    n_tokens, n_chars, chars_per_token)`` — how many characters one
+    whitespace token carries per language. The tokenizer-budget
+    planning table: scripts without whitespace (zh/ja) show extreme
+    fertility under a whitespace pre-tokenizer, which is exactly when
+    a byte/char-level segmenter must replace it before token-budget
+    sampling trusts ``n_tokens``.
+
+    Engine parity: three map-side-combined integer sums + ONE exact
+    division (0-token groups report 0.0, null-free).
+
+    Scale shape: map-only token/char counting, one tiny groupBy on
+    the group key — no shuffle of text."""
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"CAST(size({TOKS_SPARK.format(s=text_col)}) AS BIGINT)")
+        .alias("_nt"),
+        F.length(text_col).cast("long").alias("_nc"))
+    return (d.groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_nt").cast("long").alias("n_tokens"),
+                 F.sum("_nc").cast("long").alias("n_chars"))
+            .select(F.col("grp").alias(group_col), "n_docs", "n_tokens",
+                    "n_chars",
+                    F.expr("CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+                           "CAST(n_chars AS DOUBLE) / "
+                           "CAST(n_tokens AS DOUBLE) END")
+                    .alias("chars_per_token")))
+
+
+def fertility_by_group_sql(doc_sql: str, *, group_col: str = "lang",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`fertility_by_group` — same integer sums,
+    same single division."""
+    toks = TOKS_DUCK.format(s=text_col)
+    return f"""
+WITH src AS ({doc_sql}),
+d AS (
+  SELECT {group_col} AS grp,
+         CAST(len({toks}) AS BIGINT) AS _nt,
+         CAST(length({text_col}) AS BIGINT) AS _nc
+  FROM src
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_nt) AS BIGINT) AS n_tokens,
+         CAST(sum(_nc) AS BIGINT) AS n_chars
+  FROM d GROUP BY grp
+)
+SELECT grp AS {group_col}, n_docs, n_tokens, n_chars,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS chars_per_token
+FROM g
+"""

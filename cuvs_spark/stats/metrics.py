@@ -588,3 +588,83 @@ SELECT n_pos, n_neg, auc_num2,
        (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
 FROM s
 """
+
+def kendall_rank_agreement(rank_a: DataFrame,
+                           rank_b: DataFrame) -> DataFrame:
+    """Kendall rank agreement between two retrieval systems → one row
+    ``(n_items, n_pairs, concordant, discordant, tau)`` — do lexical
+    (BM25) and semantic (embedding) ranking actually agree before you
+    fuse them? A τ near 0 says the fused list is dominated by whichever
+    system is weighted higher; a τ near 1 says fusion adds nothing.
+    The diagnostic to read NEXT TO :func:`~cuvs_spark.pipeline.
+    retrieval.rrf_fuse` / ``borda_fuse``.
+
+    Both inputs are ``(qid, nid, rank)`` with unique ranks per query.
+    Agreement is computed over the INTERSECTION of the two candidate
+    sets per query (items only one system returned carry no rank in
+    the other — the standard top-k τ treatment); with unique ranks
+    there are no ties, so τ = (C − D) / pairs, all-integer until the
+    single exact division.
+
+    Scale shape: one (qid, nid) equi-join, then a per-query pair
+    self-join — fanout bounded by k² per query (k ≤ 10s), never
+    corpus-sized; the final sums are map-side-combined."""
+    a = rank_a.select("qid", "nid", F.col("rank").cast("long").alias("_ra"))
+    b = rank_b.select("qid", "nid", F.col("rank").cast("long").alias("_rb"))
+    both = a.join(b, ["qid", "nid"])
+    p1 = both.select("qid", F.col("nid").alias("n1"),
+                     F.col("_ra").alias("a1"), F.col("_rb").alias("b1"))
+    p2 = both.select("qid", F.col("nid").alias("n2"),
+                     F.col("_ra").alias("a2"), F.col("_rb").alias("b2"))
+    pairs = (p1.join(p2, "qid")
+             .filter(F.col("n1") < F.col("n2"))
+             .select(F.expr("CASE WHEN (a1 - a2) * (b1 - b2) > 0 "
+                            "THEN 1 ELSE 0 END").alias("_c"),
+                     F.expr("CASE WHEN (a1 - a2) * (b1 - b2) < 0 "
+                            "THEN 1 ELSE 0 END").alias("_d")))
+    n_items = both.count()
+    agg = pairs.agg(F.count("*").cast("long").alias("np"),
+                    F.sum("_c").cast("long").alias("c"),
+                    F.sum("_d").cast("long").alias("d")).collect()[0]
+    np_, c, d = (int(agg["np"] or 0), int(agg["c"] or 0),
+                 int(agg["d"] or 0))
+    tau = float(c - d) / float(np_) if np_ else 0.0
+    spark = rank_a.sparkSession
+    return spark.createDataFrame(
+        [(n_items, np_, c, d, tau)],
+        "n_items bigint, n_pairs bigint, concordant bigint, "
+        "discordant bigint, tau double")
+
+
+def kendall_rank_agreement_sql(rank_a_sql: str, rank_b_sql: str) -> str:
+    """DuckDB twin of :func:`kendall_rank_agreement` — same
+    intersection, pair predicate, and single exact division."""
+    return f"""
+WITH ra AS ({rank_a_sql}), rb AS ({rank_b_sql}),
+both_r AS (
+  SELECT ra.qid, ra.nid, CAST(ra.rank AS BIGINT) AS _ra,
+         CAST(rb.rank AS BIGINT) AS _rb
+  FROM ra JOIN rb ON ra.qid = rb.qid AND ra.nid = rb.nid
+),
+pairs AS (
+  SELECT CASE WHEN (p1._ra - p2._ra) * (p1._rb - p2._rb) > 0
+              THEN 1 ELSE 0 END AS _c,
+         CASE WHEN (p1._ra - p2._ra) * (p1._rb - p2._rb) < 0
+              THEN 1 ELSE 0 END AS _d
+  FROM both_r p1 JOIN both_r p2
+    ON p1.qid = p2.qid AND p1.nid < p2.nid
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(COALESCE(sum(_c), 0) AS BIGINT) AS c,
+         CAST(COALESCE(sum(_d), 0) AS BIGINT) AS d
+  FROM pairs
+),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM both_r)
+SELECT ni.n_items, s.np AS n_pairs, s.c AS concordant,
+       s.d AS discordant,
+       CASE WHEN s.np = 0 THEN 0.0
+            ELSE CAST(s.c - s.d AS DOUBLE) / CAST(s.np AS DOUBLE)
+       END AS tau
+FROM s, ni
+"""

@@ -68,6 +68,29 @@ def main() -> None:
     out["range_pairs"] = pairs.count()
     out["range_s"] = round(time.time() - t0, 2)
 
+    # round-8 analytics family: one key shuffle each — must stay
+    # ~linear in rows like the joins above
+    from cuvs_spark.operators.temporal import (
+        burst_windows,
+        gap_stats,
+        retention_cohort,
+    )
+    t0 = time.time()
+    out["gap_users"] = gap_stats(
+        ev.select("event_id", "user_id", "ts")).count()
+    out["gap_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out["cohort_cells"] = retention_cohort(
+        ev.select("user_id", "ts")).count()
+    out["cohort_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    b = burst_windows(ev.select("ts")).cache()
+    out["burst_buckets"] = b.count()
+    out["burst_flagged"] = b.filter("is_burst = 1").count()
+    out["burst_s"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
 
 
