@@ -9,6 +9,10 @@ from cuvs_spark.streaming.dedup_stream import (  # noqa: F401
 from cuvs_spark.streaming.dynamic_batching import (  # noqa: F401
     start_dynamic_batching,
 )
+from cuvs_spark.streaming.rate_monitor import (  # noqa: F401
+    burst_batch_against_state,
+    start_streaming_rate_monitor,
+)
 from cuvs_spark.streaming.tiered_stream import (  # noqa: F401
     start_tiered_ingest,
     windowed_event_counts,

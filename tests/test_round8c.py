@@ -211,3 +211,70 @@ def test_importance_weighted_sample_duckdb_twin(spark):
     want = sorted(r[0] for r in con.sql(importance_weighted_sample_sql(
         "SELECT doc_id, w FROM t", "w")).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming rate monitor (burst detection on ingest)
+# ---------------------------------------------------------------------------
+
+_H0 = int(dt.datetime(2024, 1, 1, tzinfo=UTC).timestamp()) // 3600
+
+
+def _mk_events(spark, hours_counts):
+    rows = [(dt.datetime(2024, 1, 1, h, m % 60, tzinfo=UTC),)
+            for h, c in hours_counts for m in range(c)]
+    return spark.createDataFrame(rows, "ts timestamp")
+
+
+def test_rate_monitor_stream_equals_batch(spark, tmp_path):
+    """Two time-ordered micro-batches produce exactly the flags the
+    batch operator computes on the union (trailing baselines only look
+    backward, so arrival order = time order reproduces batch)."""
+    from cuvs_spark.operators.temporal import burst_windows
+    from cuvs_spark.streaming import burst_batch_against_state
+
+    state = str(tmp_path / "rstate")
+    b1 = _mk_events(spark, [(0, 2), (1, 2), (2, 2), (3, 2)])
+    b2 = _mk_events(spark, [(4, 20), (5, 2)])
+    f1 = burst_batch_against_state(b1, state, 0).collect()
+    f2 = burst_batch_against_state(b2, state, 1).collect()
+    got = {r.bucket - _H0: (r.n_events, r.prev_sum, r.is_burst)
+           for r in f1 + f2}
+    want = {r.bucket - _H0: (r.n_events, r.prev_sum, r.is_burst)
+            for r in burst_windows(b1.unionByName(b2)).collect()}
+    assert got == want
+    # the hour-4 spike (20 vs trailing avg 2) must be the only burst
+    assert sum(v[2] for v in got.values()) == 1
+
+
+def test_rate_monitor_replay_is_idempotent(spark, tmp_path):
+    """Re-processing the same epoch after checkpoint recovery rewrites
+    the same state rows — counts never double, flags don't change."""
+    from cuvs_spark.streaming import burst_batch_against_state
+    state = str(tmp_path / "rstate")
+    b1 = _mk_events(spark, [(0, 2), (1, 2), (2, 2)])
+    b2 = _mk_events(spark, [(3, 20)])
+    burst_batch_against_state(b1, state, 0)
+    first = {r.bucket - _H0: tuple(r)[1:]
+             for r in burst_batch_against_state(b2, state, 1).collect()}
+    replay = {r.bucket - _H0: tuple(r)[1:]
+              for r in burst_batch_against_state(b2, state, 1).collect()}
+    assert replay == first
+    assert first[3] == (20, 6, 1)            # n, prev_sum, is_burst
+
+
+def test_rate_monitor_bucket_split_across_batches(spark, tmp_path):
+    """A window whose events straddle two micro-batches accumulates
+    in the state: the second batch's flag sees the FULL count."""
+    from cuvs_spark.streaming import burst_batch_against_state
+    state = str(tmp_path / "rstate")
+    warm = _mk_events(spark, [(0, 2), (1, 2), (2, 2)])
+    burst_batch_against_state(warm, state, 0)
+    h3a = _mk_events(spark, [(3, 3)])         # 3 events: not a burst yet
+    f1 = {r.bucket - _H0: r for r in
+          burst_batch_against_state(h3a, state, 1).collect()}
+    assert f1[3].n_events == 3 and f1[3].is_burst == 0
+    h3b = _mk_events(spark, [(3, 10)])        # 10 more → 13 total: burst
+    f2 = {r.bucket - _H0: r for r in
+          burst_batch_against_state(h3b, state, 2).collect()}
+    assert f2[3].n_events == 13 and f2[3].is_burst == 1

@@ -271,6 +271,26 @@ def main() -> None:
         F.col("embedding").alias("vec")).localCheckpoint())
     timed("mmr_diversify_10k_sec", lambda: mmr_diversify(cand, 5))
 
+    # round-8 wave-3/4 pipeline ops: chi2 vocabulary selection and
+    # importance sampling are one-exchange / map-only and must track
+    # corpus size linearly; edit-distance verification cost must track
+    # the CANDIDATE count (the 5% dup tail), never n²
+    from cuvs_spark.pipeline.classify import chi2_terms
+    from cuvs_spark.pipeline.dedup import edit_distance_pairs
+    from cuvs_spark.pipeline.sampling import importance_weighted_sample
+    labeled = docs.withColumn("lang", F.expr(
+        "CASE WHEN pmod(doc_id, 2) = 0 THEN 'en' ELSE 'de' END"))
+    timed("chi2_terms_sec",
+          lambda: chi2_terms(labeled, "lang = 'en'", 50))
+    timed("importance_sample_sec",
+          lambda: importance_weighted_sample(
+              docs.withColumn("w", F.length("text")), "w"))
+    t0 = time.time()
+    ed = edit_distance_pairs(docs, 0.2, jaccard_floor=0.5,
+                             max_bucket_size=2000)
+    out["edit_distance_pairs"] = ed.count()
+    out["edit_distance_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_docs": n_docs, "n_emb": n_emb, **out}))
 
 
