@@ -3396,7 +3396,7 @@ def _group_mmd(spark, sf_dir):
     per-group means + the shared sqeuclidean fold; nothing quadratic
     in rows)."""
     e = T(spark, sf_dir, "embeddings")
-    return ST.group_mmd(e, group_col="label", id_col="vec_id",
+    return ST.group_mmd(e, group_col="label",
                         vec_col="embedding")
 
 

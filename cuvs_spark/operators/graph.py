@@ -749,25 +749,32 @@ def triangle_stats(graph: DataFrame, *, src_col: str = "src",
     e = graph.select(F.col(src_col).cast("long").alias("s"),
                      F.col(dst_col).cast("long").alias("d"))
     rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    # the mutualization semi-join feeds five consumers (degree union x2,
+    # edge count, and three copies inside the triangle join) — persist
+    # it once so the per-action recomputation doesn't multiply shuffles
     und = (e.join(rev, ["s", "d"], "left_semi")
            .filter(F.col("s") < F.col("d"))
-           .select(F.col("s").alias("a"), F.col("d").alias("b")))
-    deg = (und.select(F.col("a").alias("_n"))
-           .unionAll(und.select(F.col("b").alias("_n")))
-           .groupBy("_n").agg(F.count("*").alias("_d")))
-    nodes = e.select(F.col("s").alias("_n")).distinct()
-    wedges = deg.agg(
-        F.sum(F.expr("_d * (_d - 1) DIV 2")).cast("long").alias("w"))
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    tri = (e1.join(e2, "y")
-           .join(und.select(F.col("a").alias("x"),
-                            F.col("b").alias("z")), ["x", "z"],
-                 "left_semi"))
-    n_nodes = nodes.count()
-    n_edges = und.count()
-    n_wedges = int(wedges.collect()[0]["w"] or 0)
-    n_tri = tri.count()
+           .select(F.col("s").alias("a"), F.col("d").alias("b"))
+           .persist())
+    try:
+        deg = (und.select(F.col("a").alias("_n"))
+               .unionAll(und.select(F.col("b").alias("_n")))
+               .groupBy("_n").agg(F.count("*").alias("_d")))
+        nodes = e.select(F.col("s").alias("_n")).distinct()
+        wedges = deg.agg(
+            F.sum(F.expr("_d * (_d - 1) DIV 2")).cast("long").alias("w"))
+        e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        tri = (e1.join(e2, "y")
+               .join(und.select(F.col("a").alias("x"),
+                                F.col("b").alias("z")), ["x", "z"],
+                     "left_semi"))
+        n_nodes = nodes.count()
+        n_edges = und.count()
+        n_wedges = int(wedges.collect()[0]["w"] or 0)
+        n_tri = tri.count()
+    finally:
+        und.unpersist()
     cc = 3.0 * float(n_tri) / float(n_wedges) if n_wedges else 0.0
     spark = graph.sparkSession
     return spark.createDataFrame(

@@ -288,27 +288,37 @@ def burst_windows(df: DataFrame, *, on: str = "ts",
     span / window_s, independent of event count), so the unpartitioned
     RANGE window is O(buckets), not O(events)."""
     div = int(window_s) * 1_000_000
-    fp, fq = factor
     counts = (df.select(F.expr(f"unix_micros({on}) DIV {div}")
                         .alias("bucket"))
               .groupBy("bucket")
               .agg(F.count("*").cast("long").alias("n_events")))
+    return burst_flags_from_counts(counts, lookback=lookback,
+                                   factor=factor)
+
+
+def burst_flags_from_counts(counts: DataFrame, *, lookback: int = 3,
+                            factor: tuple[int, int] = (2, 1)) -> DataFrame:
+    """The flagging stage of :func:`burst_windows`, exposed over an
+    already-bucketed ``(bucket, n_events)`` counts table so the
+    streaming rate monitor shares the exact expressions (RANGE frame,
+    warmup guard, cross-multiplied compare) instead of duplicating
+    them — one definition, batch and stream cannot diverge."""
+    fp, fq = factor
     wr = (Window.orderBy("bucket")
           .rangeBetween(-int(lookback), -1))
     wall = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-    out = (counts
-           .withColumn("prev_sum",
-                       F.coalesce(F.sum("n_events").over(wr), F.lit(0))
-                       .cast("long"))
-           .withColumn("_min_b", F.min("bucket").over(wall))
-           .select(F.col("bucket").cast("long").alias("bucket"),
-                   "n_events", "prev_sum",
-                   F.expr(f"CAST(CASE WHEN bucket - _min_b >= {lookback} "
-                          f"AND n_events * {lookback} * {fq} > "
-                          f"{fp} * prev_sum THEN 1 ELSE 0 END AS BIGINT)")
-                   .alias("is_burst")))
-    return out
+    return (counts
+            .withColumn("prev_sum",
+                        F.coalesce(F.sum("n_events").over(wr), F.lit(0))
+                        .cast("long"))
+            .withColumn("_min_b", F.min("bucket").over(wall))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "n_events", "prev_sum",
+                    F.expr(f"CAST(CASE WHEN bucket - _min_b >= {lookback} "
+                           f"AND n_events * {lookback} * {fq} > "
+                           f"{fp} * prev_sum THEN 1 ELSE 0 END AS BIGINT)")
+                    .alias("is_burst")))
 
 
 def burst_windows_sql(src_sql: str, *, on: str = "ts",

@@ -1701,7 +1701,14 @@ def vocab_gini(df: DataFrame, *, id_col: str = "doc_id",
     100 TB: bounded by the largest token count, with one row per
     distinct value actually present). Everything stays INTEGER until
     one final double expression; the window runs over the tiny
-    distinct-frequency table, never the vocab."""
+    distinct-frequency table, never the vocab.
+
+    Int64 envelope: the rank-sum ``Σ i·fᵢ`` is bounded by
+    vocab_size × total_tokens, so the exact path is safe while
+    V·T < 9.2·10¹⁸ (e.g. a 10⁸-term vocab over 10¹⁰ tokens); past
+    that — trillion-token corpora with extreme vocabularies — shard
+    the corpus (per-source Ginis are the drift-tracking use anyway)
+    or recompute the final sums in doubles."""
     d = _doc(df, id_col, text_col)
     toks = TOKS_SPARK.format(s="text")
     freq = (d.select(F.explode(F.expr(toks)).alias("w"))

@@ -171,7 +171,20 @@ def mrr_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
            .join(ann.select("qid", "nid",
                             F.col("rank").cast("long").alias("_rk")),
                  ["qid", "nid"]))
-    num = hit.agg(F.sum(F.expr("2520 DIV _rk")).alias("s")).collect()[0]["s"]
+    # the NULLIF guard keeps ANSI mode from raising DIVIDE_BY_ZERO on
+    # a rank-0 row before the range validation below can report it
+    agg = hit.agg(F.sum(F.expr("2520 DIV nullif(_rk, 0)")).alias("s"),
+                  F.min("_rk").alias("_rmin"),
+                  F.max("_rk").alias("_rmax")).collect()[0]
+    # data-level contract check (same reasoning as map_score): an
+    # out-of-range rank would silently break the exact arithmetic
+    if agg["_rmin"] is not None and (agg["_rmin"] < 1
+                                     or agg["_rmax"] > k):
+        raise ValueError(
+            f"mrr_score: ranks outside 1..{k} in ann "
+            f"(min={agg['_rmin']}, max={agg['_rmax']}) — ranks must "
+            "be 1-indexed and within k for the exact path")
+    num = agg["s"]
     nq = truth.select("qid").distinct().count()
     spark = ann.sparkSession
     mrr = float(num or 0) / (2520.0 * float(nq)) if nq else 0.0
@@ -179,7 +192,7 @@ def mrr_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
 
 
 def group_mmd(df: DataFrame, *, group_col: str = "label",
-              id_col: str = "id", vec_col: str = "vec",
+              vec_col: str = "vec",
               ndigits: int = 6) -> DataFrame:
     """Linear-kernel Maximum Mean Discrepancy between every pair of
     groups → ``(group_a, group_b, n_a, n_b, mmd2)`` for a < b — the
@@ -203,8 +216,7 @@ def group_mmd(df: DataFrame, *, group_col: str = "label",
             .agg(F.round(F.avg(F.col("x").cast("double")), ndigits)
                  .alias("val")))
     means = (dims.groupBy("grp")
-             .agg(F.count("*").alias("_nd"),
-                  F.expr("transform(array_sort(collect_list("
+             .agg(F.expr("transform(array_sort(collect_list("
                          "struct(dim, val))), s -> s.val)").alias("mv")))
     counts = d.groupBy("grp").agg(F.count("*").alias("n"))
     m = means.join(counts, "grp")
@@ -329,13 +341,28 @@ def map_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
                   ["qid", "nid"]))
     w = Window.partitionBy("qid").orderBy("_rk")
     perq = (hits.withColumn("_i", F.row_number().over(w))
-            .withColumn("_term", F.expr("(2520 DIV _rk) * _i"))
-            .groupBy("qid").agg(F.sum("_term").alias("_ap")))
+            .withColumn("_term",
+                        F.expr("(2520 DIV nullif(_rk, 0)) * _i"))
+            .groupBy("qid").agg(F.sum("_term").alias("_ap"),
+                                F.min("_rk").alias("_rmin"),
+                                F.max("_rk").alias("_rmax")))
     rel = truth.groupBy("qid").agg(F.count("*").alias("_nrel"))
     rows = (rel.join(perq, "qid", "left")
             .select("_nrel", F.coalesce(F.col("_ap"), F.lit(0))
-                    .alias("_ap"))
+                    .alias("_ap"),
+                    "_rmin", "_rmax")
             .collect())
+    # validate the DATA against the rational-exactness contract, not
+    # just the k parameter: an out-of-range rank (0-indexed input, or
+    # a top-20 list scored with k=10) would otherwise corrupt the
+    # integer arithmetic silently
+    bad = [r for r in rows if r["_rmin"] is not None
+           and (r["_rmin"] < 1 or r["_rmax"] > k)]
+    if bad:
+        raise ValueError(
+            f"map_score: ranks outside 1..{k} in ann (e.g. "
+            f"min={bad[0]['_rmin']}, max={bad[0]['_rmax']}) — ranks "
+            "must be 1-indexed and within k for the exact path")
     from fractions import Fraction
     spark = ann.sparkSession
     if not rows:
@@ -366,32 +393,43 @@ def hubness_moments(graph: DataFrame, *, src_col: str = "src",
 
     Scale shape: one map-side-combined groupBy(dst), an anti-join-free
     left join for degree-0 nodes, then a single 4-sum scalar agg; the
-    integer moments fit int64 up to ~10⁵ nodes at k ≤ 64 — past that
-    run the same formula over :func:`~cuvs_spark.operators.graph.
-    degree_histogram` output in doubles."""
+    distributed sums are per-degree CUBES (int64-safe for per-node
+    in-degrees < 2²¹ ≈ 2M — any kNN-family graph), and the moment
+    ALGEBRA (n²·s3, 2·s1³ — the terms that would wrap int64 silently
+    past ~1.6M edges) runs in Python arbitrary-precision integers on
+    the collected one-row sums, so no scale wraps silently; if the
+    exact moments themselves exceed int64 the function raises instead
+    of emitting a truncated row."""
+    import math
     node_ids = graph.select(F.col(src_col).cast("long").alias("_n")).distinct()
     deg = (graph.groupBy(F.col(dst_col).cast("long").alias("_n"))
            .agg(F.count("*").alias("_d")))
     per_node = (node_ids.join(deg, "_n", "left")
                 .select(F.coalesce(F.col("_d"), F.lit(0))
                         .cast("long").alias("_d")))
-    sums = per_node.agg(
+    row = per_node.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("_d").cast("long").alias("s1"),
         F.sum(F.expr("_d * _d")).cast("long").alias("s2"),
-        F.sum(F.expr("_d * _d * _d")).cast("long").alias("s3"))
-    return sums.select(
-        F.col("n").alias("n_nodes"),
-        F.col("s1").alias("sum_deg"),
-        F.expr("n * s2 - s1 * s1").alias("m2_scaled"),
-        F.expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
-         .alias("m3_scaled"),
-        F.expr(
-            "CASE WHEN n * s2 - s1 * s1 <= 0 THEN 0.0 ELSE "
-            "CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 "
-            "AS DOUBLE) / (CAST(n * s2 - s1 * s1 AS DOUBLE) * "
-            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) END")
-         .alias("skewness"))
+        F.sum(F.expr("_d * _d * _d")).cast("long").alias("s3")
+    ).collect()[0]
+    n, s1 = int(row["n"] or 0), int(row["s1"] or 0)
+    s2, s3 = int(row["s2"] or 0), int(row["s3"] or 0)
+    m2 = n * s2 - s1 * s1
+    m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    if not (-(2 ** 63) <= m2 < 2 ** 63 and -(2 ** 63) <= m3 < 2 ** 63):
+        raise ValueError(
+            "hubness_moments: exact integer moments exceed int64 at "
+            f"this graph size (n={n}, sum_deg={s1}); compute the "
+            "skew from degree_histogram() output in doubles instead")
+    # same three correctly-rounded ops as the SQL twin: CAST → × → ÷
+    skew = (float(m3) / (float(m2) * math.sqrt(float(m2)))
+            if m2 > 0 else 0.0)
+    spark = graph.sparkSession
+    return spark.createDataFrame(
+        [(n, s1, m2, m3, skew)],
+        "n_nodes bigint, sum_deg bigint, m2_scaled bigint, "
+        "m3_scaled bigint, skewness double")
 
 
 def hubness_moments_sql(graph_sql: str) -> str:
@@ -529,10 +567,14 @@ def rank_auc(df: DataFrame, score_col: str, label_expr: str) -> DataFrame:
     n_pos × n_neg pair join the textbook definition implies.
 
     Works for integer scores directly; for float scores quantize
-    first (ties must mean bit-equal on both engines)."""
-    g = (df.select(F.col(score_col).alias("_s"),
-                   F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
-                   .alias("_y"))
+    first (ties must mean bit-equal on both engines). NULL scores are
+    EXCLUDED — unscored rows carry no rank information, and leaving
+    them in would also diverge across engines (Spark windows sort
+    NULLS FIRST ascending, DuckDB NULLS LAST)."""
+    g = (df.filter(F.col(score_col).isNotNull())
+         .select(F.col(score_col).alias("_s"),
+                 F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
+                 .alias("_y"))
          .groupBy("_s")
          .agg(F.sum("_y").cast("long").alias("_np"),
               F.sum(F.expr("1 - _y")).cast("long").alias("_nn")))
@@ -557,9 +599,10 @@ def rank_auc(df: DataFrame, score_col: str, label_expr: str) -> DataFrame:
 
 def rank_auc_sql(src_sql: str, score_col: str, label_expr: str) -> str:
     """DuckDB twin of :func:`rank_auc` — same distinct-score rank-sum
-    integers, same single division."""
+    integers, same single division, same NULL-score exclusion."""
     return f"""
-WITH src AS ({src_sql}),
+WITH src AS (SELECT * FROM ({src_sql})
+             WHERE {score_col} IS NOT NULL),
 g AS (
   SELECT {score_col} AS _s,
          CAST(sum(CASE WHEN {label_expr} THEN 1 ELSE 0 END)

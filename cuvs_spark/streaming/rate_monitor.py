@@ -58,26 +58,12 @@ def burst_batch_against_state(batch: DataFrame, state_dir: str,
     merged = (spark.read.option("basePath", counts_dir).parquet(counts_dir)
               .groupBy("bucket")
               .agg(F.sum("n_events").cast("long").alias("n_events")))
-    # the batch operator (operators/temporal.burst_windows) re-buckets
-    # raw timestamps, so its window stage is replicated here on the
-    # already-bucketed merged counts — same expressions, same RANGE
-    # frame — and restricted to this batch's buckets.
-    from pyspark.sql.window import Window
-    fp, fq = factor
-    wr = Window.orderBy("bucket").rangeBetween(-int(lookback), -1)
-    wall = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    flags = (merged
-             .withColumn("prev_sum",
-                         F.coalesce(F.sum("n_events").over(wr), F.lit(0))
-                         .cast("long"))
-             .withColumn("_min_b", F.min("bucket").over(wall))
-             .select(F.col("bucket").cast("long").alias("bucket"),
-                     "n_events", "prev_sum",
-                     F.expr(f"CAST(CASE WHEN bucket - _min_b >= {lookback} "
-                            f"AND n_events * {lookback} * {fq} > "
-                            f"{fp} * prev_sum THEN 1 ELSE 0 END AS BIGINT)")
-                     .alias("is_burst")))
+    # the flagging stage is the batch operator's own, applied to the
+    # merged counts and restricted to this batch's buckets — one
+    # definition, so batch and stream cannot diverge
+    from cuvs_spark.operators.temporal import burst_flags_from_counts
+    flags = burst_flags_from_counts(merged, lookback=lookback,
+                                    factor=factor)
     return flags.join(mine.select("bucket"), "bucket", "left_semi")
 
 

@@ -150,3 +150,43 @@ def test_isotropy_sql_twin_bit_parity(spark, rng):
     want = set(con.sql(cosine_pair_histogram_sql(
         "SELECT vec_id, embedding FROM v", n_buckets=8)).fetchall())
     assert got == want
+
+
+def test_map_and_mrr_reject_out_of_range_ranks(spark):
+    """Ranks outside 1..k would silently corrupt the exact integer
+    arithmetic — both metrics must raise, not mis-score."""
+    import pytest as _pt
+    from cuvs_spark.stats.metrics import map_score, mrr_score
+    truth = spark.createDataFrame([(0, 1)], "qid long, nid long")
+    zero_idx = spark.createDataFrame([(0, 1, 0)],
+                                     "qid long, nid long, rank long")
+    too_deep = spark.createDataFrame([(0, 1, 11)],
+                                     "qid long, nid long, rank long")
+    for bad in (zero_idx, too_deep):
+        with _pt.raises(ValueError, match="ranks"):
+            map_score(bad, truth)
+        with _pt.raises(ValueError, match="ranks"):
+            mrr_score(bad, truth)
+
+
+def test_rank_auc_excludes_null_scores(spark):
+    """NULL scores carry no rank information and sort differently
+    across engines — they must be excluded, not counted."""
+    from cuvs_spark.stats.metrics import rank_auc
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (None, 1), (None, 0)], "s long, y int")
+    row = rank_auc(df, "s", "y = 1").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
+
+
+def test_hubness_raises_instead_of_wrapping(spark):
+    """A degree distribution whose exact MOMENTS exceed int64 must
+    raise cleanly even when every distributed cube term fits: 100
+    nodes, one absorbing 10⁵ edges → m3 ≈ n²·D³ ≈ 10¹⁹ > int64,
+    while s3 = 10¹⁵ passes the ANSI aggregation untouched."""
+    import pytest as _pt
+    from cuvs_spark.stats.metrics import hubness_moments
+    hub = (spark.range(100_000)
+           .selectExpr("id % 100 AS src", "CAST(0 AS LONG) AS dst"))
+    with _pt.raises(ValueError, match="int64"):
+        hubness_moments(hub)

@@ -258,7 +258,7 @@ def main() -> None:
                                           group_mmd)
     lab = emb.withColumn("label", F.expr("pmod(vec_id, 16)"))
     timed("group_mmd_sec",
-          lambda: group_mmd(lab, group_col="label", id_col="vec_id",
+          lambda: group_mmd(lab, group_col="label",
                             vec_col="embedding"))
     timed("norm_quantiles_sec",
           lambda: embedding_norm_quantiles(lab, group_col="label",
