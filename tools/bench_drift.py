@@ -1,0 +1,75 @@
+"""Attribute bench movement: compare two bench.py JSON lines.
+
+Usage: python tools/bench_drift.py OLD.json NEW.json [threshold]
+
+Prints, for every query present in both files, the raw new/old ratio
+AND the canary-normalized ratio (raw divided by the runs' median-canary
+ratio — host/JVM-session drift moves the canary too, a real plan
+regression does not), then flags queries whose NORMALIZED ratio exceeds
+the threshold (default 1.25, the r7-verdict bar). Old files without a
+`canary` key fall back to raw ratios with a warning. Exit code 1 when
+anything is flagged, so the check can gate scripts.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def _canary_median(doc: dict) -> float | None:
+    c = doc.get("canary")
+    if not c:
+        return None
+    vals = [v for v in c.values() if isinstance(v, (int, float))]
+    return statistics.median(vals) if vals else None
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+
+    def load(path):
+        doc = json.load(open(path))
+        # driver BENCH_r{N}.json files wrap the bench line in "parsed"
+        return doc.get("parsed", doc)
+
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+
+    co, cn = _canary_median(old), _canary_median(new)
+    host = (cn / co) if (co and cn) else None
+    if host is None:
+        print("WARN: no canary in one of the files — raw ratios only")
+
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    common = sorted(set(qo) & set(qn))
+    flagged = []
+    print(f"{'query':34s} {'old':>7s} {'new':>7s} {'raw':>6s} {'norm':>6s}")
+    for q in common:
+        if not qo[q]:
+            continue
+        raw = qn[q] / qo[q]
+        norm = raw / host if host else raw
+        mark = " <-- " if norm > thr else ""
+        print(f"{q:34s} {qo[q]:7.2f} {qn[q]:7.2f} {raw:6.2f} "
+              f"{norm:6.2f}{mark}")
+        if norm > thr:
+            flagged.append(q)
+    tot_o = sum(qo[q] for q in common)
+    tot_n = sum(qn[q] for q in common)
+    print(f"\ncommon total: {tot_o:.2f}s -> {tot_n:.2f}s "
+          f"(raw {tot_n / tot_o:.2f}x"
+          + (f", canary host factor {host:.2f}x, normalized "
+             f"{tot_n / tot_o / host:.2f}x" if host else "") + ")")
+    if flagged:
+        print(f"FLAGGED (normalized > {thr}x): {', '.join(flagged)}")
+        return 1
+    print(f"no query over the {thr}x normalized bar")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
