@@ -9,6 +9,9 @@ from cuvs_spark.operators.brute_force import (  # noqa: F401
 )
 from cuvs_spark.operators.graph import (  # noqa: F401
     all_neighbors_build,
+    degree_histogram,
+    reciprocal_rate,
+    triangle_stats,
     cagra_build,
     cagra_from_graph,
     cagra_build_ace,
@@ -24,6 +27,7 @@ from cuvs_spark.operators.ivf_flat import (  # noqa: F401
     ivf_flat_build,
     ivf_flat_extend,
     ivf_flat_search,
+    ivf_list_sizes,
 )
 from cuvs_spark.operators.ivf_pq import (  # noqa: F401
     ivf_bq_build,
