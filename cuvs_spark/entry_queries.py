@@ -3599,31 +3599,6 @@ register("events_asof_forward", _events_asof_forward,
          _events_asof_forward_sql())
 
 
-def _graph_degree_histogram(spark, sf_dir):
-    """In-degree histogram of the exact kNN graph (k=10) — the CAGRA
-    graph-quality audit (hub skew + the unreachable in_degree=0 row)."""
-    from cuvs_spark.operators.brute_force import knn_self
-    from cuvs_spark.operators.graph import degree_histogram
-    d = emb_dataset(spark, sf_dir)
-    g = knn_self(d, 10).select(F.col("qid").alias("src"),
-                               F.col("nid").alias("dst"))
-    return degree_histogram(g)
-
-
-def _graph_degree_histogram_sql():
-    from cuvs_spark.operators.graph import degree_histogram_sql
-    g = ("SELECT qid AS src, nid AS dst FROM ("
-         + O.knn_sql(_D_SQL, _D_SQL.replace("nid", "qid")
-                     .replace("dv", "qv"), 10, "sqeuclidean",
-                     with_distance=False,
-                     pair_where="q.qid <> d.nid").strip() + ")")
-    return degree_histogram_sql(g)
-
-
-register("graph_degree_histogram", _graph_degree_histogram,
-         _graph_degree_histogram_sql())
-
-
 def _knn_graph_edges(spark, sf_dir):
     from cuvs_spark.operators.brute_force import knn_self
     d = emb_dataset(spark, sf_dir)
@@ -3637,6 +3612,23 @@ def _knn_graph_edges_sql():
                         .replace("dv", "qv"), 10, "sqeuclidean",
                         with_distance=False,
                         pair_where="q.qid <> d.nid").strip() + ")")
+
+
+def _graph_degree_histogram(spark, sf_dir):
+    """In-degree histogram of the exact kNN graph (k=10) — the CAGRA
+    graph-quality audit (hub skew + the unreachable in_degree=0 row);
+    same shared edge construction as the other three graph gates."""
+    from cuvs_spark.operators.graph import degree_histogram
+    return degree_histogram(_knn_graph_edges(spark, sf_dir))
+
+
+def _graph_degree_histogram_sql():
+    from cuvs_spark.operators.graph import degree_histogram_sql
+    return degree_histogram_sql(_knn_graph_edges_sql())
+
+
+register("graph_degree_histogram", _graph_degree_histogram,
+         _graph_degree_histogram_sql())
 
 
 def _graph_reciprocal_rate(spark, sf_dir):

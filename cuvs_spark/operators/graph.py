@@ -690,11 +690,16 @@ def reciprocal_rate(graph: DataFrame, *, src_col: str = "src",
     table is n·k rows); counts are map-side-combined."""
     e = graph.select(F.col(src_col).cast("long").alias("src"),
                      F.col(dst_col).cast("long").alias("dst"))
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    recip = e.join(rev, ["src", "dst"], "left_semi")
-    # single-row aggregates: two cheap count jobs, then a literal row
-    n_edges = e.count()
-    n_recip = recip.count()
+    # distinct reverse side -> the left join matches each edge at most
+    # once (= the semi-join), and BOTH counts come from ONE scalar agg,
+    # so the (possibly expensive) edge lineage evaluates exactly once
+    rev = (e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+           .distinct().withColumn("_f", F.lit(1)))
+    agg = (e.join(rev, ["src", "dst"], "left")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.coalesce(F.col("_f"), F.lit(0))).alias("r"))
+           .collect()[0])
+    n_edges, n_recip = int(agg["n"]), int(agg["r"] or 0)
     rate = float(n_recip) / float(n_edges) if n_edges else 0.0
     spark = graph.sparkSession
     return spark.createDataFrame(
@@ -746,12 +751,11 @@ def triangle_stats(graph: DataFrame, *, src_col: str = "src",
     bounded by the mutual degree (≤ k for a kNN graph, so the wedge
     join is ≤ k² rows per node, never n²); the triangle-closing check
     is a semi-join against the edge table."""
+    # e feeds the mutualization twice (both join sides) plus the node
+    # count; und feeds five consumers — persist both across the actions
     e = graph.select(F.col(src_col).cast("long").alias("s"),
-                     F.col(dst_col).cast("long").alias("d"))
+                     F.col(dst_col).cast("long").alias("d")).persist()
     rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    # the mutualization semi-join feeds five consumers (degree union x2,
-    # edge count, and three copies inside the triangle join) — persist
-    # it once so the per-action recomputation doesn't multiply shuffles
     und = (e.join(rev, ["s", "d"], "left_semi")
            .filter(F.col("s") < F.col("d"))
            .select(F.col("s").alias("a"), F.col("d").alias("b"))
@@ -775,6 +779,7 @@ def triangle_stats(graph: DataFrame, *, src_col: str = "src",
         n_tri = tri.count()
     finally:
         und.unpersist()
+        e.unpersist()
     cc = 3.0 * float(n_tri) / float(n_wedges) if n_wedges else 0.0
     spark = graph.sparkSession
     return spark.createDataFrame(

@@ -64,8 +64,11 @@ def asof_join(left: DataFrame, right: DataFrame, *,
                                    "_side", "_pay")))
     order = [F.col(on).asc(), F.col("_side").asc(), F.col("_pay").asc()]
     if direction == "forward":
+        # _pay still ASCENDS: the running last() then picks the MAX
+        # payload among equal-timestamp right rows, matching the
+        # documented greater-payload tie rule in both directions
         order = [F.col(on).desc(), F.col("_side").asc(),
-                 F.col("_pay").desc()]
+                 F.col("_pay").asc()]
     w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
         .orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     matched = (both

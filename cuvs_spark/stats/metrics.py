@@ -167,10 +167,13 @@ def mrr_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
     if k > 10:
         raise ValueError("mrr_score: rational-exact path needs k <= 10 "
                          "(reciprocals scaled by lcm(1..10) = 2520)")
-    hit = (truth.select("qid", "nid")
-           .join(ann.select("qid", "nid",
-                            F.col("rank").cast("long").alias("_rk")),
-                 ["qid", "nid"]))
+    # the truth lineage can be an expensive exact-kNN job and feeds
+    # both the hit join and the query count — persist it across the
+    # two actions instead of recomputing it
+    t = truth.select("qid", "nid").persist()
+    hit = (t.join(ann.select("qid", "nid",
+                             F.col("rank").cast("long").alias("_rk")),
+                  ["qid", "nid"]))
     # the NULLIF guard keeps ANSI mode from raising DIVIDE_BY_ZERO on
     # a rank-0 row before the range validation below can report it
     agg = hit.agg(F.sum(F.expr("2520 DIV nullif(_rk, 0)")).alias("s"),
@@ -185,7 +188,8 @@ def mrr_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
             f"(min={agg['_rmin']}, max={agg['_rmax']}) — ranks must "
             "be 1-indexed and within k for the exact path")
     num = agg["s"]
-    nq = truth.select("qid").distinct().count()
+    nq = t.select("qid").distinct().count()
+    t.unpersist()
     spark = ann.sparkSession
     mrr = float(num or 0) / (2520.0 * float(nq)) if nq else 0.0
     return spark.createDataFrame([(mrr,)], "mrr double")
@@ -335,10 +339,13 @@ def map_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
     if k > 10:
         raise ValueError("map_score: rational-exact path needs k <= 10 "
                          "(precisions scaled by lcm(1..10) = 2520)")
-    hits = (truth.select("qid", "nid")
-            .join(ann.select("qid", "nid",
-                             F.col("rank").cast("long").alias("_rk")),
-                  ["qid", "nid"]))
+    # truth (often an exact-kNN job) feeds both the hit join and the
+    # per-query relevant counts — persist it so the single collected
+    # plan doesn't evaluate the lineage twice
+    t = truth.select("qid", "nid").persist()
+    hits = (t.join(ann.select("qid", "nid",
+                              F.col("rank").cast("long").alias("_rk")),
+                   ["qid", "nid"]))
     w = Window.partitionBy("qid").orderBy("_rk")
     perq = (hits.withColumn("_i", F.row_number().over(w))
             .withColumn("_term",
@@ -346,12 +353,13 @@ def map_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
             .groupBy("qid").agg(F.sum("_term").alias("_ap"),
                                 F.min("_rk").alias("_rmin"),
                                 F.max("_rk").alias("_rmax")))
-    rel = truth.groupBy("qid").agg(F.count("*").alias("_nrel"))
+    rel = t.groupBy("qid").agg(F.count("*").alias("_nrel"))
     rows = (rel.join(perq, "qid", "left")
             .select("_nrel", F.coalesce(F.col("_ap"), F.lit(0))
                     .alias("_ap"),
                     "_rmin", "_rmax")
             .collect())
+    t.unpersist()
     # validate the DATA against the rational-exactness contract, not
     # just the k parameter: an out-of-range rank (0-indexed input, or
     # a top-20 list scored with k=10) would otherwise corrupt the
@@ -411,10 +419,25 @@ def hubness_moments(graph: DataFrame, *, src_col: str = "src",
         F.count("*").cast("long").alias("n"),
         F.sum("_d").cast("long").alias("s1"),
         F.sum(F.expr("_d * _d")).cast("long").alias("s2"),
-        F.sum(F.expr("_d * _d * _d")).cast("long").alias("s3")
+        F.sum(F.expr("_d * _d * _d")).cast("long").alias("s3"),
+        # double shadow sums: a silent int64 wrap in the long sums
+        # (non-ANSI sessions; ANSI raises instead) shifts the value by
+        # ~2^64 while the double sum stays within ~2^-53 relative —
+        # the comparison below catches the wrap either way
+        F.sum(F.expr("CAST(_d AS DOUBLE) * _d * _d")).alias("s3d"),
+        F.sum(F.expr("CAST(_d AS DOUBLE) * _d")).alias("s2d")
     ).collect()[0]
     n, s1 = int(row["n"] or 0), int(row["s1"] or 0)
     s2, s3 = int(row["s2"] or 0), int(row["s3"] or 0)
+    for exact, shadow, name in ((s2, row["s2d"], "s2"),
+                                (s3, row["s3d"], "s3")):
+        if shadow is not None and abs(exact - float(shadow)) > max(
+                1.0, 1e-6 * abs(float(shadow))):
+            raise ValueError(
+                f"hubness_moments: distributed {name} sum wrapped "
+                "int64 (degree mass too large for the exact path); "
+                "compute the skew from degree_histogram() output in "
+                "doubles instead")
     m2 = n * s2 - s1 * s1
     m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
     if not (-(2 ** 63) <= m2 < 2 ** 63 and -(2 ** 63) <= m3 < 2 ** 63):
@@ -587,10 +610,13 @@ def rank_auc(df: DataFrame, score_col: str, label_expr: str) -> DataFrame:
                 F.sum("_nn").cast("long").alias("n_neg"),
                 F.sum(F.expr("_np * (2 * _cnb + _nn)")).cast("long")
                 .alias("auc_num2")))
-    return acc.select(
-        "n_pos", "n_neg",
+    acc = acc.select(
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
         F.coalesce(F.col("auc_num2"), F.lit(0)).cast("long")
-        .alias("auc_num2"),
+        .alias("auc_num2"))
+    return acc.select(
+        "n_pos", "n_neg", "auc_num2",
         F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE "
                "CAST(auc_num2 AS DOUBLE) / "
                "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) "
@@ -619,8 +645,8 @@ acc AS (
   FROM g
 ),
 s AS (
-  SELECT CAST(sum(_np) AS BIGINT) AS n_pos,
-         CAST(sum(_nn) AS BIGINT) AS n_neg,
+  SELECT CAST(COALESCE(sum(_np), 0) AS BIGINT) AS n_pos,
+         CAST(COALESCE(sum(_nn), 0) AS BIGINT) AS n_neg,
          CAST(COALESCE(sum(_np * (2 * _cnb + _nn)), 0) AS BIGINT)
            AS auc_num2
   FROM acc
@@ -654,7 +680,10 @@ def kendall_rank_agreement(rank_a: DataFrame,
     corpus-sized; the final sums are map-side-combined."""
     a = rank_a.select("qid", "nid", F.col("rank").cast("long").alias("_ra"))
     b = rank_b.select("qid", "nid", F.col("rank").cast("long").alias("_rb"))
-    both = a.join(b, ["qid", "nid"])
+    # both ranking lineages (BM25, kNN, ...) are expensive; the
+    # intersection feeds the item count AND the pair join — persist it
+    # across the two actions
+    both = a.join(b, ["qid", "nid"]).persist()
     p1 = both.select("qid", F.col("nid").alias("n1"),
                      F.col("_ra").alias("a1"), F.col("_rb").alias("b1"))
     p2 = both.select("qid", F.col("nid").alias("n2"),
@@ -669,6 +698,7 @@ def kendall_rank_agreement(rank_a: DataFrame,
     agg = pairs.agg(F.count("*").cast("long").alias("np"),
                     F.sum("_c").cast("long").alias("c"),
                     F.sum("_d").cast("long").alias("d")).collect()[0]
+    both.unpersist()
     np_, c, d = (int(agg["np"] or 0), int(agg["c"] or 0),
                  int(agg["d"] or 0))
     tau = float(c - d) / float(np_) if np_ else 0.0

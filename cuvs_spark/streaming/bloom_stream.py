@@ -68,7 +68,10 @@ def _state_versions(state_path: str) -> list[int]:
 
 def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
                                     m_bits: int = 63 * 16384,
-                                    k: int = 4) -> DataFrame:
+                                    k: int = 4,
+                                    epoch_id: int | None = None,
+                                    accepted_path: str | None = None
+                                    ) -> DataFrame:
     """One exact-dedup ingest step → the accepted subset of ``batch``.
 
     Reads the Bloom state (if any), drops batch-internal duplicate
@@ -78,9 +81,25 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     The merged filter is committed write-new-then-prune-old (see the
     module docstring): the previous version is deleted only after the
     new one has a ``_SUCCESS`` marker, so a crash anywhere in this
-    function leaves the last committed filter intact."""
+    function leaves the last committed filter intact.
+
+    **Exactly-once accepted output** needs BOTH extra arguments: with
+    ``epoch_id``, state versions are keyed by the epoch (so a
+    checkpoint-recovery replay of a committed epoch is DETECTED rather
+    than re-probed against a state that already contains the batch),
+    and with ``accepted_path`` the accepted rows are written there
+    (overwrite) BEFORE the state commit. Crash before the commit →
+    replay recomputes the identical accepted set against the unchanged
+    state and overwrites the same path; crash after → the committed
+    epoch version short-circuits the replay and the pre-commit output
+    is already durable. Without them the state stays replay-safe but
+    the caller's own output write is only at-most-once across the
+    commit boundary."""
     if m_bits % _BLOOM_WORD_BITS:
         raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD_BITS}")
+    if (epoch_id is None) != (accepted_path is None):
+        raise ValueError("epoch_id and accepted_path work as a pair: "
+                         "both or neither")
     spark = batch.sparkSession
     b = batch.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
@@ -92,6 +111,11 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
 
     state_path = os.path.join(state_dir, "bloom")
     versions = _state_versions(state_path)
+    if epoch_id is not None and int(epoch_id) in versions:
+        # replay of a fully committed epoch: the accepted output was
+        # written BEFORE that commit, so it is durable — return it
+        # instead of re-probing a state that already has this batch
+        return spark.read.parquet(accepted_path)
     if versions:
         cur = versions[-1]
         state = spark.read.parquet(os.path.join(state_path, f"v={cur}"))
@@ -110,15 +134,24 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
         cur = 0
         b2 = b1.localCheckpoint()
         merged = bloom_build(b2, m_bits=m_bits, k=k)
+    out = batch.join(b2.select("doc_id"), "doc_id", "left_semi")
+    if accepted_path is not None:
+        # exactly-once ordering: accepted output lands BEFORE the state
+        # commit (idempotent overwrite — a pre-commit crash replays to
+        # the same bytes), and the epoch-keyed version below makes a
+        # post-commit replay skip this whole path
+        out.write.mode("overwrite").parquet(accepted_path)
+        out = spark.read.parquet(accepted_path)
     # commit the new version first; only then prune older ones, so the
     # accumulated bits survive a crash at any point in between
+    new_v = int(epoch_id) if epoch_id is not None else cur + 1
     merged.write.mode("overwrite").parquet(
-        os.path.join(state_path, f"v={cur + 1}"))
+        os.path.join(state_path, f"v={new_v}"))
     for v in _state_versions(state_path):
-        if v <= cur:
+        if v < new_v:
             shutil.rmtree(os.path.join(state_path, f"v={v}"),
                           ignore_errors=True)
-    return batch.join(b2.select("doc_id"), "doc_id", "left_semi")
+    return out
 
 
 def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
@@ -132,19 +165,22 @@ def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
 
     Pass ``checkpoint_dir`` for restart-able ingest: after a stop or
     crash, restarting with the same checkpoint resumes from the first
-    uncommitted micro-batch; a replayed batch converges (the Bloom
-    merge is idempotent ``bit_or`` and the versioned state commit
-    never loses bits), so the accepted output stays exactly-once per
-    distinct text."""
+    uncommitted micro-batch and the accepted output stays exactly-once
+    per distinct text — per-epoch accepted directories are written
+    (idempotent overwrite) BEFORE each epoch-keyed state commit, so a
+    crash on either side of the commit replays to the same bytes (see
+    ``bloom_dedup_batch_against_state``'s exactly-once contract)."""
     stream = (spark.readStream
               .schema("doc_id long, text string").parquet(source_dir))
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ok = bloom_dedup_batch_against_state(
-            batch_df, state_dir, m_bits=m_bits, k=k)
-        ok.write.mode("append").parquet(accepted_dir)
+        bloom_dedup_batch_against_state(
+            batch_df, state_dir, m_bits=m_bits, k=k,
+            epoch_id=int(epoch_id),
+            accepted_path=os.path.join(accepted_dir,
+                                       f"epoch={int(epoch_id)}"))
 
     writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")
     if checkpoint_dir:

@@ -7,19 +7,24 @@ the micro-batch it arrives, before the data pollutes the corpus).
 Per micro-batch:
 1. the batch's events collapse to per-window-bucket counts (integer
    division of int64 epoch micros, the batch operator's bucketing);
-2. the counts land in the state store under ``batch=<epoch_id>/`` —
-   one directory per micro-batch, OVERWRITTEN on replay, so a
-   checkpoint-recovery re-run of the same epoch converges instead of
-   double-counting (idempotence by construction, the same discipline
-   as ``bloom_stream``'s versioned commits);
-3. the merged state (a groupBy-sum over all batch directories) runs
-   the exact batch ``burst_windows`` logic, restricted to the buckets
-   THIS batch touched — each window is judged against the trailing
-   baseline as of its own arrival.
+2. the MERGED counts (previous committed version + this batch) are
+   written as a new full table under ``counts/v=<epoch_id>/``
+   (``_SUCCESS``-gated, the same versioned-commit discipline as
+   ``bloom_stream``); versions older than the merge base are pruned
+   AFTER the commit, so at most two versions exist and a crash can
+   never lose accumulated counts. A checkpoint-recovery replay of an
+   already-committed epoch REUSES its version instead of re-merging —
+   counts never double and state never references a pruned base;
+3. the batch ``burst_windows`` flag stage
+   (``temporal.burst_flags_from_counts``) runs on the merged counts,
+   restricted to the buckets THIS batch touched — each window is
+   judged against the trailing baseline as of its own arrival.
 
-State size is O(time-span / window_s) rows — independent of event
-volume, like the Bloom filter's O(m) — and the per-batch flag job is
-one map-side-combined groupBy + a window over the counts table.
+State size is O(time-span / window_s) rows in ≤2 versions —
+independent of event volume AND of stream age (the per-batch-directory
+alternative grows a directory per trigger and re-reads all of them),
+like the Bloom filter's O(m) — and the per-batch flag job is one
+map-side-combined groupBy + a window over the counts table.
 """
 
 from __future__ import annotations
@@ -28,6 +33,23 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _count_versions(counts_dir: str) -> list[int]:
+    """Committed count versions (``v=<epoch>`` dirs with a Spark
+    ``_SUCCESS`` marker), ascending — bloom_stream's convention."""
+    if not os.path.isdir(counts_dir):
+        return []
+    out = []
+    for name in os.listdir(counts_dir):
+        if name.startswith("v="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(counts_dir, name, "_SUCCESS")):
+                out.append(v)
+    return sorted(out)
 
 
 def _bucket_counts(batch: DataFrame, on: str, window_s: int) -> DataFrame:
@@ -45,19 +67,42 @@ def burst_batch_against_state(batch: DataFrame, state_dir: str,
     """One micro-batch of the rate monitor → the burst table for the
     buckets this batch touched, judged against the merged state.
 
-    Replay-safe: the batch's counts are written to
-    ``state_dir/counts/batch=<epoch_id>`` with overwrite, so
-    re-processing an epoch after checkpoint recovery rewrites the same
-    rows. The merged view sums across batch directories (a bucket
-    split across micro-batches accumulates correctly)."""
+    Replay-safe and bounded: the merged counts commit as a full
+    ``counts/v=<epoch_id>`` version; a replayed epoch reuses its
+    committed version (no re-merge against a state that already
+    contains it), and versions older than the merge base are pruned
+    only after the new commit — at most two live at once."""
+    import shutil
+
     spark = batch.sparkSession
     counts_dir = os.path.join(state_dir, "counts")
-    mine = _bucket_counts(batch, on, window_s)
-    (mine.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(counts_dir, f"batch={int(epoch_id)}")))
-    merged = (spark.read.option("basePath", counts_dir).parquet(counts_dir)
-              .groupBy("bucket")
-              .agg(F.sum("n_events").cast("long").alias("n_events")))
+    mine = _bucket_counts(batch, on, window_s).localCheckpoint()
+    committed = _count_versions(counts_dir)
+    my_v = os.path.join(counts_dir, f"v={int(epoch_id)}")
+    if int(epoch_id) in committed:
+        # checkpoint-recovery replay of a fully committed epoch: the
+        # merge already happened; recompute only the (deterministic)
+        # flags from the committed version
+        merged = spark.read.parquet(my_v)
+    else:
+        bases = [v for v in committed if v < int(epoch_id)]
+        base_v = max(bases) if bases else None
+        merged = mine
+        if base_v is not None:
+            base = spark.read.parquet(
+                os.path.join(counts_dir, f"v={base_v}"))
+            merged = (base.unionByName(mine)
+                      .groupBy("bucket")
+                      .agg(F.sum("n_events").cast("long")
+                           .alias("n_events")))
+        merged.coalesce(1).write.mode("overwrite").parquet(my_v)
+        merged = spark.read.parquet(my_v)
+        # prune strictly-older-than-base versions (base stays until the
+        # NEXT epoch commits, so a crash here can never orphan state)
+        for v in committed:
+            if base_v is not None and v < base_v:
+                shutil.rmtree(os.path.join(counts_dir, f"v={v}"),
+                              ignore_errors=True)
     # the flagging stage is the batch operator's own, applied to the
     # merged counts and restricted to this batch's buckets — one
     # definition, so batch and stream cannot diverge

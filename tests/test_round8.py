@@ -555,3 +555,43 @@ def test_degree_histogram_zero_degree_and_counts(spark):
     out2 = {r["in_degree"]: r["n_nodes"]
             for r in degree_histogram(g, nodes=nodes).collect()}
     assert out2 == {0: 2, 2: 2}
+
+
+def test_bloom_exactly_once_epoch_replay(spark, tmp_path):
+    """Epoch-keyed ingest: the accepted output is written before the
+    state commit, and a replay of a committed epoch returns the SAME
+    accepted rows instead of re-probing a state that already contains
+    the batch (the crash-between-commit-and-output hole)."""
+    import os
+    from cuvs_spark.streaming import bloom_dedup_batch_against_state
+
+    state = str(tmp_path / "bstate")
+    acc = str(tmp_path / "accepted")
+    kw = dict(m_bits=63 * 256, k=4)
+    b0 = spark.createDataFrame(
+        [(0, "eo alpha"), (1, "eo beta")], "doc_id long, text string")
+    ok0 = bloom_dedup_batch_against_state(
+        b0, state, epoch_id=0,
+        accepted_path=os.path.join(acc, "epoch=0"), **kw)
+    assert sorted(r.doc_id for r in ok0.collect()) == [0, 1]
+    # replay of the committed epoch: same rows, no state double-merge
+    replay = bloom_dedup_batch_against_state(
+        b0, state, epoch_id=0,
+        accepted_path=os.path.join(acc, "epoch=0"), **kw)
+    assert sorted(r.doc_id for r in replay.collect()) == [0, 1]
+    # next epoch still rejects the epoch-0 texts
+    b1 = spark.createDataFrame(
+        [(10, "eo alpha"), (11, "eo gamma")], "doc_id long, text string")
+    ok1 = bloom_dedup_batch_against_state(
+        b1, state, epoch_id=1,
+        accepted_path=os.path.join(acc, "epoch=1"), **kw)
+    assert sorted(r.doc_id for r in ok1.collect()) == [11]
+
+
+def test_bloom_epoch_args_must_pair(spark, tmp_path):
+    import pytest as _pt
+    from cuvs_spark.streaming import bloom_dedup_batch_against_state
+    b = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="pair"):
+        bloom_dedup_batch_against_state(b, str(tmp_path / "s"),
+                                        m_bits=63 * 256, epoch_id=3)

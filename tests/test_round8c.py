@@ -278,3 +278,21 @@ def test_rate_monitor_bucket_split_across_batches(spark, tmp_path):
     f2 = {r.bucket - _H0: r for r in
           burst_batch_against_state(h3b, state, 2).collect()}
     assert f2[3].n_events == 13 and f2[3].is_burst == 1
+
+
+def test_rate_monitor_state_stays_bounded(spark, tmp_path):
+    """10 micro-batches leave at most 2 committed count versions on
+    disk (merge base + newest), and the merged counts stay correct."""
+    import os
+    from cuvs_spark.streaming import burst_batch_against_state
+    from cuvs_spark.streaming.rate_monitor import _count_versions
+    state = str(tmp_path / "rstate")
+    for ep in range(10):
+        b = _mk_events(spark, [(ep, ep + 1)])
+        burst_batch_against_state(b, state, ep)
+    counts_dir = os.path.join(state, "counts")
+    assert len(_count_versions(counts_dir)) <= 2
+    merged = {r.bucket - _H0: r.n_events
+              for r in spark.read.parquet(
+                  os.path.join(counts_dir, "v=9")).collect()}
+    assert merged == {h: h + 1 for h in range(10)}

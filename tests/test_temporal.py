@@ -88,3 +88,22 @@ def test_asof_single_shuffle(spark, trades, quotes):
     shuffles, _ = count_exchanges(out)
     assert shuffles == 1
     assert "CartesianProduct" not in plan_string(out)
+
+
+def test_asof_tie_break_greater_payload_both_directions(spark):
+    """Two right rows at the SAME matching timestamp: the documented
+    rule (greater payload struct wins) must hold in both scan
+    directions — the forward path used to pick the smaller one."""
+    import datetime as dt
+    from cuvs_spark.operators.temporal import asof_join
+    UTC = dt.timezone.utc
+    t = dt.datetime(2024, 1, 1, 12, tzinfo=UTC)
+    left = spark.createDataFrame([(1, 1, t)],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t, 5.0), (1, t, 9.0)],
+        "user_id long, ts timestamp, v double")
+    for direction in ("backward", "forward"):
+        out = asof_join(left, right, on="ts", by="user_id",
+                        direction=direction).collect()
+        assert out[0]["r_v"] == 9.0, direction

@@ -60,6 +60,10 @@ def main() -> int:
             flagged.append(q)
     tot_o = sum(qo[q] for q in common)
     tot_n = sum(qn[q] for q in common)
+    if not common or tot_o == 0:
+        print("no common queries (or zero old total) — nothing to "
+              "compare; check the entry names in both files")
+        return 2
     print(f"\ncommon total: {tot_o:.2f}s -> {tot_n:.2f}s "
           f"(raw {tot_n / tot_o:.2f}x"
           + (f", canary host factor {host:.2f}x, normalized "
