@@ -59,9 +59,25 @@ def main() -> None:
         return doc_fingerprints(docs, hash_fn="xxhash64")
 
     def bench_eps_blas():
+        # r9 re-base (r8 verdict #4): the old 2k-row entry took ~0.5 s
+        # dominated by fixed Arrow/python-worker startup, so its ratio
+        # vs the r2 anchor measured overhead, not the operator (which
+        # the 200k-row probe shows linear). 12× replication with
+        # per-replica perturbation → a 24k × 24k BLAS range join
+        # (~74 GFLOP of tile GEMM) where compute dominates; renamed
+        # eps_neighborhood_blas_24k so drift tooling treats it as a
+        # new entry instead of a 6× "regression".
         from cuvs_spark.operators import epsilon_neighborhood_blas
         d = emb_dataset(spark, sf_dir).select("id", "vec")
-        return epsilon_neighborhood_blas(d, None, 1.5, "sqeuclidean")
+        reps = spark.range(12).select(F.col("id").alias("_k"))
+        big = (d.crossJoin(reps)
+               .select((F.col("id") * 12 + F.col("_k")).alias("id"),
+                       F.expr("transform(vec, x -> x + CAST(_k AS FLOAT)"
+                              " * CAST(0.01 AS FLOAT))").alias("vec"))
+               # keep each worker's distance tile ~375×24k×8B ≈ 72 MB
+               # (one oversized Arrow batch would tile 10k×24k ≈ 2 GB)
+               .repartition(64))
+        return epsilon_neighborhood_blas(big, None, 0.5, "sqeuclidean")
 
     # vamana and cagra consume the SAME base kNN graph (degree 32, same
     # clustering params); build it once, materialized untimed like the
@@ -344,7 +360,7 @@ def main() -> None:
         "events_asof_join": bench_asof_join,
         "text_pii_scrub": bench_pii_scrub,
         "dedup_semantic_blas": bench_semantic_dedup,
-        "eps_neighborhood_blas": bench_eps_blas,
+        "eps_neighborhood_blas_24k": bench_eps_blas,
         "text_classifier_score": bench_classifier,
         "dedup_substrings": bench_substring_dedup,
         "text_chunk_documents": bench_chunk_documents,

@@ -32,7 +32,8 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               on: str = "ts", by: str | None = None,
               tolerance: float | None = None,
               left_prefix: str = "", right_prefix: str = "r_",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              max_keyless_rows: int | None = 10_000_000) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.on <= left.on`` (inclusive; ``direction="forward"`` flips
     to the earliest ``right.on >= left.on``).
@@ -43,9 +44,30 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     ``right_prefix``. Ties inside the right table on (by, on) are
     broken toward the greater payload struct (deterministic both
     engines; pre-aggregate the right side if you need another rule).
+
+    **Keyless bound: ``by=None`` runs a SINGLE-PARTITION window.** A
+    keyless as-of is inherently a global merge-scan over both tables
+    in timestamp order, so without ``by`` the running-``last`` window
+    has no partition key and every row passes through ONE task (Spark
+    also warns "No Partition Defined for Window"). That is fine for
+    dimension-sized inputs and wrong for 100-TB ones — pass ``by``
+    (any co-partitioning key present on both sides) to distribute.
+    ``max_keyless_rows`` (default 10M combined rows, the same
+    explicit-bound convention as ``single_linkage.max_driver_rows``)
+    raises a clear error instead of a silent one-task stall; set it to
+    ``None`` only when a single-reducer scan is genuinely intended.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    if by is None and max_keyless_rows is not None:
+        n = left.count() + right.count()
+        if n > max_keyless_rows:
+            raise ValueError(
+                f"asof_join without by= runs a single-partition window "
+                f"(global merge-scan): {n} combined rows > "
+                f"max_keyless_rows={max_keyless_rows}. Pass by=<key> "
+                f"to distribute, or raise/disable the bound only if a "
+                f"one-task scan is intended.")
     keys = [by] if by else []
     payload = [c for c in right.columns if c not in keys + [on]]
     l = left.withColumn("_side", F.lit(1)).withColumn("_pay", F.lit(None).cast(

@@ -171,25 +171,29 @@ def mrr_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
     # both the hit join and the query count — persist it across the
     # two actions instead of recomputing it
     t = truth.select("qid", "nid").persist()
-    hit = (t.join(ann.select("qid", "nid",
-                             F.col("rank").cast("long").alias("_rk")),
-                  ["qid", "nid"]))
-    # the NULLIF guard keeps ANSI mode from raising DIVIDE_BY_ZERO on
-    # a rank-0 row before the range validation below can report it
-    agg = hit.agg(F.sum(F.expr("2520 DIV nullif(_rk, 0)")).alias("s"),
-                  F.min("_rk").alias("_rmin"),
-                  F.max("_rk").alias("_rmax")).collect()[0]
-    # data-level contract check (same reasoning as map_score): an
-    # out-of-range rank would silently break the exact arithmetic
-    if agg["_rmin"] is not None and (agg["_rmin"] < 1
-                                     or agg["_rmax"] > k):
-        raise ValueError(
-            f"mrr_score: ranks outside 1..{k} in ann "
-            f"(min={agg['_rmin']}, max={agg['_rmax']}) — ranks must "
-            "be 1-indexed and within k for the exact path")
-    num = agg["s"]
-    nq = t.select("qid").distinct().count()
-    t.unpersist()
+    try:
+        hit = (t.join(ann.select("qid", "nid",
+                                 F.col("rank").cast("long").alias("_rk")),
+                      ["qid", "nid"]))
+        # the NULLIF guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+        # on a rank-0 row before the range validation below reports it
+        agg = hit.agg(F.sum(F.expr("2520 DIV nullif(_rk, 0)")).alias("s"),
+                      F.min("_rk").alias("_rmin"),
+                      F.max("_rk").alias("_rmax")).collect()[0]
+        # data-level contract check (same reasoning as map_score): an
+        # out-of-range rank would silently break the exact arithmetic
+        if agg["_rmin"] is not None and (agg["_rmin"] < 1
+                                         or agg["_rmax"] > k):
+            raise ValueError(
+                f"mrr_score: ranks outside 1..{k} in ann "
+                f"(min={agg['_rmin']}, max={agg['_rmax']}) — ranks must "
+                "be 1-indexed and within k for the exact path")
+        num = agg["s"]
+        nq = t.select("qid").distinct().count()
+    finally:
+        # unpersist on the error path too (triangle_stats's pattern) —
+        # the out-of-range raise above must not leak the cached truth
+        t.unpersist()
     spark = ann.sparkSession
     mrr = float(num or 0) / (2520.0 * float(nq)) if nq else 0.0
     return spark.createDataFrame([(mrr,)], "mrr double")

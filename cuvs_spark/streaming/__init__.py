@@ -7,6 +7,7 @@ from cuvs_spark.streaming.dedup_stream import (  # noqa: F401
     start_streaming_dedup,
 )
 from cuvs_spark.streaming.dynamic_batching import (  # noqa: F401
+    dispatch_assignments,
     start_dynamic_batching,
 )
 from cuvs_spark.streaming.rate_monitor import (  # noqa: F401

@@ -66,6 +66,40 @@ def _state_versions(state_path: str) -> list[int]:
     return sorted(out)
 
 
+def _check_state_mode(state_path: str, mode: str) -> None:
+    """Refuse mixed-mode state dirs: legacy calls number versions
+    1,2,…; epoch-keyed calls number them by epoch id. The two schemes
+    collide (an epoch-keyed run over legacy versions would treat epoch
+    1 as already committed and read a nonexistent accepted_path), so
+    the first commit stamps a ``MODE`` marker and every later call
+    must match it. A pre-marker state dir (versions but no marker) is
+    legacy by construction — an epoch-keyed call over one raises too."""
+    marker = os.path.join(state_path, "MODE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stored = fh.read().strip()
+        if stored != mode:
+            raise ValueError(
+                f"bloom state dir {state_path!r} was committed in "
+                f"{stored!r} mode but this call is {mode!r}-keyed — "
+                "mixing legacy and epoch-keyed version numbering "
+                "corrupts replay detection; use a fresh state_dir")
+    elif mode == "epoch" and _state_versions(state_path):
+        raise ValueError(
+            f"bloom state dir {state_path!r} holds versions committed "
+            "before epoch-keying (legacy numbering, no MODE marker); "
+            "an epoch-keyed call cannot tell its epochs apart from "
+            "them — use a fresh state_dir for epoch-keyed ingest")
+
+
+def _stamp_state_mode(state_path: str, mode: str) -> None:
+    marker = os.path.join(state_path, "MODE")
+    if not os.path.exists(marker):
+        os.makedirs(state_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(mode)
+
+
 def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
                                     m_bits: int = 63 * 16384,
                                     k: int = 4,
@@ -110,6 +144,13 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     b1 = b.join(canon, "doc_id", "left_semi")
 
     state_path = os.path.join(state_dir, "bloom")
+    mode = "epoch" if epoch_id is not None else "legacy"
+    _check_state_mode(state_path, mode)
+    # stamp BEFORE any commit: a crash between a version write and a
+    # later stamp would leave an epoch-keyed dir that the next call
+    # misreads as legacy; stamping first can at worst leave a marker
+    # with no versions, which constrains nothing incorrectly
+    _stamp_state_mode(state_path, mode)
     versions = _state_versions(state_path)
     if epoch_id is not None and int(epoch_id) in versions:
         # replay of a fully committed epoch: the accepted output was

@@ -30,6 +30,29 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def dispatch_assignments(q: DataFrame, max_batch_size: int, *,
+                         qid_col: str = "qid") -> DataFrame:
+    """The batcher's queue-splitting rule, factored out so the
+    correctness gate exercises the exact production expression: queued
+    queries in ``qid_col`` order are packed greedily into consecutive
+    dispatches of at most ``max_batch_size``
+    (``dynamic_batching.hpp:24-70``'s max_batch_size semantics) —
+    ``_dispatch = (row_number - 1) DIV max_batch_size``, pure integer.
+
+    The rank window is unpartitioned ON PURPOSE: it runs per
+    micro-batch over the QUEUE (bounded by source rows per trigger),
+    never over the corpus — the queue is the reference's in-memory
+    structure, dispatch-sized by construction."""
+    if max_batch_size < 1:
+        raise ValueError("max_batch_size must be >= 1")
+    w = Window.orderBy(qid_col)
+    return (q.withColumn("_rn", F.row_number().over(w) - 1)
+             .withColumn("_dispatch",
+                         F.expr(f"CAST(_rn DIV {int(max_batch_size)} "
+                                "AS BIGINT)"))
+             .drop("_rn"))
+
+
 def start_dynamic_batching(spark: SparkSession, source_dir: str,
                            schema: str, index, state: dict, *,
                            k: int = 10, n_probes: int = 8,
@@ -73,11 +96,7 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
         # split an oversize queue into ≤ max_batch_size dispatches:
         # rank over the queued qids (queue-sized, executor-side) — the
         # driver never sees a query row
-        w = Window.orderBy("qid")
-        q = q.withColumn(
-            "_dispatch",
-            ((F.row_number().over(w) - 1) / max_batch_size).cast("long")
-        ).localCheckpoint()
+        q = dispatch_assignments(q, max_batch_size).localCheckpoint()
         dispatches = int(q.agg(F.max("_dispatch")).head()[0]) + 1
         for c in range(dispatches):
             out = fn(index, q.filter(F.col("_dispatch") == c)

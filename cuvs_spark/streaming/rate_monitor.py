@@ -119,8 +119,11 @@ def start_streaming_rate_monitor(spark: SparkSession, source_dir: str,
                                  lookback: int = 3,
                                  factor: tuple[int, int] = (2, 1),
                                  trigger_once: bool = True):
-    """File-source stream → per-batch burst flags appended to
-    ``out_dir``. The foreachBatch body is exactly
+    """File-source stream → per-batch burst flags written exactly-once
+    to ``out_dir/epoch=<epoch_id>/`` (idempotent per-epoch overwrite;
+    read the whole flag table with ``spark.read.parquet(out_dir)`` —
+    the ``epoch=`` directory layer surfaces as a partition column).
+    The foreachBatch body is exactly
     :func:`burst_batch_against_state`, so batch tests cover the
     streaming semantics (the established pattern of dedup_stream /
     bloom_stream)."""
@@ -130,8 +133,16 @@ def start_streaming_rate_monitor(spark: SparkSession, source_dir: str,
         flags = burst_batch_against_state(
             batch, state_dir, epoch_id, on=on, window_s=window_s,
             lookback=lookback, factor=factor)
+        # exactly-once flag output (the bloom_stream discipline,
+        # bloom_dedup_batch_against_state): each epoch's flags land in
+        # their own subdirectory with an idempotent overwrite, so a
+        # checkpoint-recovery replay of a committed epoch rewrites the
+        # same bytes — flags are deterministic given the committed
+        # count version the replay reuses — instead of appending
+        # duplicates the way a flat mode("append") would
         (flags.withColumn("epoch_id", F.lit(int(epoch_id)))
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}")))
 
     writer = (src.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir))
