@@ -28,12 +28,80 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _asof_keyless_ranged(both: DataFrame, *, on: str, direction: str,
+                         num_partitions: int) -> DataFrame:
+    """Distributed keyless as-of scan: range-partition the unioned
+    sides on the timestamp, run the running-``last`` window PER RANGE
+    PARTITION, and repair rows that precede their partition's first
+    right row with a broadcast carry-in — the last right row of any
+    earlier partition (computed as one tiny per-partition max + an
+    O(num_partitions) driver prefix scan).
+
+    Correctness relies on two invariants: the range partitioner sends
+    EQUAL timestamps to one partition (so the greater-payload tie rule
+    never straddles a boundary), and partitions are contiguous in scan
+    order (so the carry-in IS the global running-last at partition
+    start). The union is localCheckpoint-ed first so the partition ids
+    the boundary job observed are byte-identical in the scan job.
+
+    Scale shape: one range exchange + one hash exchange on the
+    partition id (both O(n) rows, no single-reducer stage), one
+    ≤num_partitions-row collect, one broadcast. Heavy timestamp skew
+    (many rows sharing one exact timestamp) still lands in one
+    partition — inherent to keeping ties exact."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = both.sparkSession
+    # scan position: ascending (_ts, _side, _pay) reproduces the
+    # windowed order for both directions (forward negates the clock)
+    is_ts = dict(both.dtypes).get(on, "").startswith("timestamp")
+    t = (F.unix_micros(F.col(on).cast("timestamp")) if is_ts
+         else F.col(on).cast("double"))
+    if direction == "forward":
+        t = -t
+    b = (both.withColumn("_ts", t)
+         .repartitionByRange(int(num_partitions), "_ts")
+         .withColumn("_pid", F.spark_partition_id().cast("long"))
+         .localCheckpoint())
+    # per-partition carry-out: the right row greatest in scan order
+    # (struct max: _ts first, then _pay — the documented tie rule)
+    top = (b.filter(F.col("_side") == 0)
+           .groupBy("_pid")
+           .agg(F.max(F.struct(F.col("_ts"),
+                               F.col("_pay").alias("_pay"),
+                               F.col(on).alias("_on"))).alias("_top")))
+    tops = {r["_pid"]: r["_top"] for r in top.collect()}
+    cin_type = top.schema["_top"].dataType
+    rows, last = [], None
+    for pid in range(int(num_partitions)):
+        rows.append((pid, last))
+        if pid in tops:
+            last = tops[pid]
+    cin = spark.createDataFrame(
+        rows, StructType([StructField("_pid", LongType(), False),
+                          StructField("_cin", cin_type, True)]))
+    wp = (Window.partitionBy("_pid")
+          .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                   F.col("_pay").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (b.withColumn("_m", F.last("_pay", ignorenulls=True).over(wp))
+            .withColumn("_mt", F.last(
+                F.when(F.col("_side") == 0, F.col(on)),
+                ignorenulls=True).over(wp))
+            .join(F.broadcast(cin), "_pid", "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.col("_cin._pay")))
+            .withColumn("_mt", F.coalesce(F.col("_mt"), F.col("_cin._on")))
+            .filter(F.col("_side") == 1)
+            .drop("_cin", "_ts", "_pid"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, *,
               on: str = "ts", by: str | None = None,
               tolerance: float | None = None,
               left_prefix: str = "", right_prefix: str = "r_",
               direction: str = "backward",
-              max_keyless_rows: int | None = 10_000_000) -> DataFrame:
+              max_keyless_rows: int | None = 10_000_000,
+              keyless_partitions: int | None = None) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.on <= left.on`` (inclusive; ``direction="forward"`` flips
     to the earliest ``right.on >= left.on``).
@@ -45,13 +113,17 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     broken toward the greater payload struct (deterministic both
     engines; pre-aggregate the right side if you need another rule).
 
-    **Keyless bound: ``by=None`` runs a SINGLE-PARTITION window.** A
-    keyless as-of is inherently a global merge-scan over both tables
-    in timestamp order, so without ``by`` the running-``last`` window
-    has no partition key and every row passes through ONE task (Spark
-    also warns "No Partition Defined for Window"). That is fine for
-    dimension-sized inputs and wrong for 100-TB ones — pass ``by``
-    (any co-partitioning key present on both sides) to distribute.
+    **Keyless bound: ``by=None`` runs a SINGLE-PARTITION window by
+    default.** A keyless as-of is inherently a global merge-scan over
+    both tables in timestamp order, so without ``by`` the
+    running-``last`` window has no partition key and every row passes
+    through ONE task (Spark also warns "No Partition Defined for
+    Window"). That is fine for dimension-sized inputs and wrong for
+    100-TB ones — pass ``by`` (any co-partitioning key present on both
+    sides), or set ``keyless_partitions=N`` to run the distributed
+    keyless scan (range partition on the timestamp + broadcast
+    carry-in boundary repair — see :func:`_asof_keyless_ranged`;
+    identical results, no single-reducer stage).
     ``max_keyless_rows`` (default 10M combined rows, the same
     explicit-bound convention as ``single_linkage.max_driver_rows``)
     raises a clear error instead of a silent one-task stall; set it to
@@ -59,15 +131,16 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
-    if by is None and max_keyless_rows is not None:
+    if by is None and keyless_partitions is None \
+            and max_keyless_rows is not None:
         n = left.count() + right.count()
         if n > max_keyless_rows:
             raise ValueError(
                 f"asof_join without by= runs a single-partition window "
                 f"(global merge-scan): {n} combined rows > "
-                f"max_keyless_rows={max_keyless_rows}. Pass by=<key> "
-                f"to distribute, or raise/disable the bound only if a "
-                f"one-task scan is intended.")
+                f"max_keyless_rows={max_keyless_rows}. Pass by=<key> or "
+                f"keyless_partitions=N to distribute, or raise/disable "
+                f"the bound only if a one-task scan is intended.")
     keys = [by] if by else []
     payload = [c for c in right.columns if c not in keys + [on]]
     l = left.withColumn("_side", F.lit(1)).withColumn("_pay", F.lit(None).cast(
@@ -91,14 +164,18 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         # documented greater-payload tie rule in both directions
         order = [F.col(on).desc(), F.col("_side").asc(),
                  F.col("_pay").asc()]
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
-        .orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    matched = (both
-               .withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
-               .withColumn("_mt", F.last(
-                   F.when(F.col("_side") == 0, F.col(on)),
-                   ignorenulls=True).over(w))
-               .filter(F.col("_side") == 1))
+    if not keys and keyless_partitions:
+        matched = _asof_keyless_ranged(both, on=on, direction=direction,
+                                       num_partitions=keyless_partitions)
+    else:
+        w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+            .orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        matched = (both
+                   .withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+                   .withColumn("_mt", F.last(
+                       F.when(F.col("_side") == 0, F.col(on)),
+                       ignorenulls=True).over(w))
+                   .filter(F.col("_side") == 1))
     if tolerance is not None:
         gap = F.abs(F.col(on).cast("double") - F.col("_mt").cast("double"))
         matched = (matched

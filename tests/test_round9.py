@@ -207,6 +207,59 @@ def test_asof_keyed_path_ignores_keyless_bound(spark):
     assert out.count() == 8
 
 
+def test_asof_keyless_ranged_matches_single_partition(spark):
+    """The distributed keyless scan (range partition + carry-in
+    repair) must reproduce the single-partition window EXACTLY —
+    randomized timestamps with heavy duplicates (tie rule must not
+    straddle partition boundaries), both directions, with and without
+    tolerance, and left rows before the first right row (null carry)."""
+    import random
+
+    from cuvs_spark.operators.temporal import asof_join
+    rng = random.Random(17)
+
+    def ts(t):
+        return dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=t)
+
+    left = spark.createDataFrame(
+        [(i, ts(rng.randrange(0, 300))) for i in range(400)],
+        "lid long, ts timestamp")
+    # right offset by +10s so some left rows precede every right row
+    right = spark.createDataFrame(
+        [(j, ts(10 + rng.randrange(0, 290)), j % 7) for j in range(150)],
+        "rid long, ts timestamp, v long")
+    for direction in ("backward", "forward"):
+        for tol in (None, 45.0):
+            a = asof_join(left, right, direction=direction, tolerance=tol,
+                          max_keyless_rows=None)
+            b = asof_join(left, right, direction=direction, tolerance=tol,
+                          keyless_partitions=7)
+            got_a = sorted(map(tuple, a.collect()))
+            got_b = sorted(map(tuple, b.collect()))
+            assert got_a == got_b, (direction, tol)
+
+
+def test_asof_keyless_ranged_sparse_partitions(spark):
+    """More partitions than rows: empty range partitions and
+    right-row-free partitions must inherit the correct carry-in."""
+    from cuvs_spark.operators.temporal import asof_join
+
+    def ts(t):
+        return dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=t)
+
+    left = spark.createDataFrame(
+        [(i, ts(i * 13)) for i in range(12)], "lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(j, ts(j * 40), 100 + j) for j in range(4)],
+        "rid long, ts timestamp, v long")
+    got = {r.lid: r.r_v for r in
+           asof_join(left, right, keyless_partitions=50).collect()}
+    want = {r.lid: r.r_v for r in
+            asof_join(left, right, max_keyless_rows=None).collect()}
+    assert got == want
+    assert got[0] == 100 and got[11] == 103   # spot-check endpoints
+
+
 # ---------------------------------------------------------------------------
 # dynamic_batching dispatch formation (novel gate's unit twin)
 # ---------------------------------------------------------------------------
