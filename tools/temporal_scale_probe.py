@@ -62,6 +62,19 @@ def main() -> None:
     out["asof_s"] = round(time.time() - t0, 2)
     out["asof_matched"] = matched
 
+    # keyless as-of at scale (round 9): the distributed ranged scan —
+    # range partition on ts + broadcast carry-in — instead of the
+    # guarded single-partition window (global "latest feed value"
+    # attribution, no by= key exists)
+    kright = (ev.filter("is_click")
+                .groupBy("ts").agg(F.max("value").alias("click_value")))
+    t0 = time.time()
+    kres = asof_join(left.select("event_id", "ts", "value"), kright,
+                     on="ts", keyless_partitions=64)
+    out["asof_keyless_matched"] = kres.filter(
+        F.col("r_click_value").isNotNull()).count()
+    out["asof_keyless_s"] = round(time.time() - t0, 2)
+
     t0 = time.time()
     pairs = range_self_join(ev.select("event_id", "user_id", "ts"),
                             by="user_id", max_dt=300.0)
