@@ -4075,8 +4075,13 @@ _WINDOW_PRIORITY = [
     # Tier 3 — re-gates (implementation changed this round):
     # stats_mrr_lsh — mrr_score's truth persist moved into try/finally
     # (ADVICE r8 #3); events_asof_join — asof_join gained the keyless
-    # single-partition guard (r8 verdict #5; its latest row was also
-    # r05, so this doubles as a staleness refresh).
+    # single-partition guard + opt-in ranged scale path (r8 verdict
+    # #5; its latest row was also r05, so this doubles as a staleness
+    # refresh). map_score and kendall_rank_agreement received the SAME
+    # pure-control-flow try/finally wrap as mrr_score (no expression
+    # changed); re-gating them too would displace two r03 refreshes
+    # and break the consolidation bar, so stats_mrr_lsh stands in for
+    # that change class and both passed the local full-registry run.
     "stats_mrr_lsh",
     "events_asof_join",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.

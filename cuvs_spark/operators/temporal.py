@@ -131,6 +131,14 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    if keyless_partitions is not None:
+        if by is not None:
+            raise ValueError(
+                "keyless_partitions applies only to keyless joins "
+                "(by=None); a keyed as-of is already distributed by "
+                "the key window")
+        if int(keyless_partitions) < 1:
+            raise ValueError("keyless_partitions must be >= 1")
     if by is None and keyless_partitions is None \
             and max_keyless_rows is not None:
         n = left.count() + right.count()

@@ -347,23 +347,27 @@ def map_score(ann: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
     # per-query relevant counts — persist it so the single collected
     # plan doesn't evaluate the lineage twice
     t = truth.select("qid", "nid").persist()
-    hits = (t.join(ann.select("qid", "nid",
-                              F.col("rank").cast("long").alias("_rk")),
-                   ["qid", "nid"]))
-    w = Window.partitionBy("qid").orderBy("_rk")
-    perq = (hits.withColumn("_i", F.row_number().over(w))
-            .withColumn("_term",
-                        F.expr("(2520 DIV nullif(_rk, 0)) * _i"))
-            .groupBy("qid").agg(F.sum("_term").alias("_ap"),
-                                F.min("_rk").alias("_rmin"),
-                                F.max("_rk").alias("_rmax")))
-    rel = t.groupBy("qid").agg(F.count("*").alias("_nrel"))
-    rows = (rel.join(perq, "qid", "left")
-            .select("_nrel", F.coalesce(F.col("_ap"), F.lit(0))
-                    .alias("_ap"),
-                    "_rmin", "_rmax")
-            .collect())
-    t.unpersist()
+    try:
+        hits = (t.join(ann.select("qid", "nid",
+                                  F.col("rank").cast("long").alias("_rk")),
+                       ["qid", "nid"]))
+        w = Window.partitionBy("qid").orderBy("_rk")
+        perq = (hits.withColumn("_i", F.row_number().over(w))
+                .withColumn("_term",
+                            F.expr("(2520 DIV nullif(_rk, 0)) * _i"))
+                .groupBy("qid").agg(F.sum("_term").alias("_ap"),
+                                    F.min("_rk").alias("_rmin"),
+                                    F.max("_rk").alias("_rmax")))
+        rel = t.groupBy("qid").agg(F.count("*").alias("_nrel"))
+        rows = (rel.join(perq, "qid", "left")
+                .select("_nrel", F.coalesce(F.col("_ap"), F.lit(0))
+                        .alias("_ap"),
+                        "_rmin", "_rmax")
+                .collect())
+    finally:
+        # unpersist even when collect raises (ANSI arithmetic, lost
+        # executors) — the mrr_score error-path rule
+        t.unpersist()
     # validate the DATA against the rational-exactness contract, not
     # just the k parameter: an out-of-range rank (0-indexed input, or
     # a top-20 list scored with k=10) would otherwise corrupt the
@@ -688,21 +692,25 @@ def kendall_rank_agreement(rank_a: DataFrame,
     # intersection feeds the item count AND the pair join — persist it
     # across the two actions
     both = a.join(b, ["qid", "nid"]).persist()
-    p1 = both.select("qid", F.col("nid").alias("n1"),
-                     F.col("_ra").alias("a1"), F.col("_rb").alias("b1"))
-    p2 = both.select("qid", F.col("nid").alias("n2"),
-                     F.col("_ra").alias("a2"), F.col("_rb").alias("b2"))
-    pairs = (p1.join(p2, "qid")
-             .filter(F.col("n1") < F.col("n2"))
-             .select(F.expr("CASE WHEN (a1 - a2) * (b1 - b2) > 0 "
-                            "THEN 1 ELSE 0 END").alias("_c"),
-                     F.expr("CASE WHEN (a1 - a2) * (b1 - b2) < 0 "
-                            "THEN 1 ELSE 0 END").alias("_d")))
-    n_items = both.count()
-    agg = pairs.agg(F.count("*").cast("long").alias("np"),
-                    F.sum("_c").cast("long").alias("c"),
-                    F.sum("_d").cast("long").alias("d")).collect()[0]
-    both.unpersist()
+    try:
+        p1 = both.select("qid", F.col("nid").alias("n1"),
+                         F.col("_ra").alias("a1"), F.col("_rb").alias("b1"))
+        p2 = both.select("qid", F.col("nid").alias("n2"),
+                         F.col("_ra").alias("a2"), F.col("_rb").alias("b2"))
+        pairs = (p1.join(p2, "qid")
+                 .filter(F.col("n1") < F.col("n2"))
+                 .select(F.expr("CASE WHEN (a1 - a2) * (b1 - b2) > 0 "
+                                "THEN 1 ELSE 0 END").alias("_c"),
+                         F.expr("CASE WHEN (a1 - a2) * (b1 - b2) < 0 "
+                                "THEN 1 ELSE 0 END").alias("_d")))
+        n_items = both.count()
+        agg = pairs.agg(F.count("*").cast("long").alias("np"),
+                        F.sum("_c").cast("long").alias("c"),
+                        F.sum("_d").cast("long").alias("d")).collect()[0]
+    finally:
+        # unpersist even when an action raises (the mrr_score
+        # error-path rule)
+        both.unpersist()
     np_, c, d = (int(agg["np"] or 0), int(agg["c"] or 0),
                  int(agg["d"] or 0))
     tau = float(c - d) / float(np_) if np_ else 0.0

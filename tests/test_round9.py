@@ -239,6 +239,17 @@ def test_asof_keyless_ranged_matches_single_partition(spark):
             assert got_a == got_b, (direction, tol)
 
 
+def test_asof_keyless_partitions_validation(spark):
+    from cuvs_spark.operators.temporal import asof_join
+    le, ri = _asof_frames(spark)
+    with pytest.raises(ValueError, match="by=None"):
+        asof_join(le.withColumn("k", F.lit(1)),
+                  ri.withColumn("k", F.lit(1)),
+                  by="k", keyless_partitions=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        asof_join(le, ri, keyless_partitions=0)
+
+
 def test_asof_keyless_ranged_sparse_partitions(spark):
     """More partitions than rows: empty range partitions and
     right-row-free partitions must inherit the correct carry-in."""
