@@ -272,6 +272,26 @@ def test_asof_keyless_ranged_sparse_partitions(spark):
 
 
 # ---------------------------------------------------------------------------
+# round-9 gates at sf0.001 — a scale the driver window never exercises
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["events_rate_monitor_state",
+                                  "dynamic_batching_dispatch"])
+def test_round9_gates_match_duckdb_at_tiny_sf(spark, name):
+    import duckdb
+
+    from cuvs_spark.entry_queries import ORACLES, QUERIES
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    got = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+    want = sorted(map(tuple, con.sql(ORACLES[name]).fetchall()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # dynamic_batching dispatch formation (novel gate's unit twin)
 # ---------------------------------------------------------------------------
 
