@@ -9,14 +9,20 @@ Per micro-batch:
    accepted-state table (or duplicated inside the batch);
 2. MinHash signatures + LSH band keys vs the state table — candidates
    verified by exact shingle Jaccard, near-dups dropped;
-3. survivors appended to the state (Parquet, partitioned by band for
-   the band-key equi-join).
+3. survivors persisted to the state (Parquet, partitioned by band for
+   the band-key equi-join) — flat append in legacy calls, or one
+   ``features/epoch=<id>`` shard per micro-batch in epoch-keyed calls.
 
-State is two Parquet tables (digests, band keys + shingles), so the
-stream restarts idempotently alongside the checkpoint dir, and the
-band join stays an equi-join at any corpus size — identical physics to
-the batch ``minhash_lsh_pairs``, applied delta × corpus instead of
-corpus × corpus.
+With ``epoch_id``/``accepted_path`` (what ``start_streaming_dedup``
+passes), accepted output is EXACTLY-ONCE across checkpoint-recovery
+replays: each epoch's accepted rows are overwritten idempotently
+BEFORE the epoch's state shard commits (the shard's ``_SUCCESS`` is
+the commit record, the same discipline as ``bloom_stream``), a
+replayed committed epoch returns the durable output instead of
+re-probing a state that already contains it, and uncommitted partial
+shards are never read. The band join stays an equi-join at any corpus
+size — identical physics to the batch ``minhash_lsh_pairs``, applied
+delta × corpus instead of corpus × corpus.
 """
 
 from __future__ import annotations
@@ -62,28 +68,120 @@ def _featurize(docs: DataFrame, n_hashes: int, band_r: int) -> DataFrame:
                     F.col("bk.key").alias("key")))
 
 
+def _committed_feature_epochs(state_path: str) -> list[int]:
+    """Committed per-epoch feature shards (``epoch=<n>`` dirs holding
+    a Spark ``_SUCCESS`` marker), ascending."""
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in os.listdir(state_path):
+        if name.startswith("epoch="):
+            try:
+                e = int(name[6:])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(state_path, name, "_SUCCESS")):
+                out.append(e)
+    return sorted(out)
+
+
+def _check_dedup_state_mode(state_dir: str, mode: str) -> None:
+    """Refuse mixed-mode state dirs (the bloom_stream rule): legacy
+    calls append flat files under ``features/``; epoch-keyed calls
+    write ``features/epoch=<n>`` shards. The first commit stamps a
+    ``MODE`` marker at ``state_dir`` (one level above ``features/`` so
+    the legacy flat read never sees a non-parquet file); a pre-marker
+    dir with flat feature files is legacy by construction."""
+    marker = os.path.join(state_dir, "MODE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stored = fh.read().strip()
+        if stored != mode:
+            raise ValueError(
+                f"dedup state dir {state_dir!r} was committed in "
+                f"{stored!r} mode but this call is {mode!r}-keyed — "
+                "mixing flat-append and epoch-sharded feature layouts "
+                "corrupts replay detection; use a fresh state_dir")
+        return
+    feat_path = os.path.join(state_dir, "features")
+    if mode == "epoch" and os.path.isdir(feat_path) and any(
+            not n.startswith(("epoch=", "_", "."))
+            for n in os.listdir(feat_path)):
+        raise ValueError(
+            f"dedup state dir {state_dir!r} holds flat feature files "
+            "committed before epoch-keying (no MODE marker); an "
+            "epoch-keyed call cannot replay-detect against them — use "
+            "a fresh state_dir for epoch-keyed ingest")
+
+
+def _stamp_dedup_state_mode(state_dir: str, mode: str) -> None:
+    marker = os.path.join(state_dir, "MODE")
+    if not os.path.exists(marker):
+        os.makedirs(state_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(mode)
+
+
+_EMPTY_FEATURES = ("doc_id long, text_hash long, sh array<string>, "
+                   "band int, key string")
+
+
 def dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
                               jaccard_threshold: float = 0.8,
                               n_hashes: int = N_HASHES,
-                              band_r: int = BAND_R) -> DataFrame:
+                              band_r: int = BAND_R,
+                              epoch_id: int | None = None,
+                              accepted_path: str | None = None
+                              ) -> DataFrame:
     """One delta-vs-corpus dedup step → the accepted subset of
     ``batch`` (lowest doc_id wins inside the batch; anything matching
-    the existing state is dropped). Appends the survivors' features to
-    ``state_dir``. Usable directly in batch jobs and from foreachBatch.
-    """
+    the existing state is dropped). Persists the survivors' features
+    to ``state_dir``. Usable directly in batch jobs and foreachBatch.
+
+    **Exactly-once accepted output** needs BOTH extra arguments (the
+    ``bloom_dedup_batch_against_state`` contract): with ``epoch_id``
+    the survivors' features commit as a ``features/epoch=<id>`` shard
+    whose ``_SUCCESS`` marker doubles as the epoch's commit record,
+    and with ``accepted_path`` the accepted rows are overwritten there
+    BEFORE that commit. Crash before the shard commits → the replay
+    recomputes the identical accepted set against the committed-only
+    state (a partial shard has no ``_SUCCESS`` and is never read) and
+    overwrites the same path; crash after → the committed shard
+    short-circuits the replay and the pre-commit output is already
+    durable. Without them the call keeps the original flat-append
+    layout, which is at-least-once across restarts."""
+    if (epoch_id is None) != (accepted_path is None):
+        raise ValueError("epoch_id and accepted_path work as a pair: "
+                         "both or neither")
     spark = batch.sparkSession
+    mode = "epoch" if epoch_id is not None else "legacy"
+    _check_dedup_state_mode(state_dir, mode)
+    _stamp_dedup_state_mode(state_dir, mode)
+
+    state_path = os.path.join(state_dir, "features")
+    committed = _committed_feature_epochs(state_path)
+    if epoch_id is not None and int(epoch_id) in committed:
+        # replay of a fully committed epoch: the accepted output was
+        # written BEFORE the shard's _SUCCESS, so it is durable —
+        # return it instead of re-probing a state that already
+        # contains this batch's survivors
+        return spark.read.parquet(accepted_path)
+
     feat = _featurize(
         batch.select(F.col("doc_id").cast("long"), "text"),
         n_hashes, band_r).localCheckpoint()
 
-    state_path = os.path.join(state_dir, "features")
-    have_state = os.path.exists(state_path)
-    if have_state:
+    if epoch_id is not None:
+        if committed:
+            state = (spark.read.option("basePath", state_path)
+                     .parquet(*[os.path.join(state_path, f"epoch={e}")
+                                for e in committed]))
+        else:
+            state = spark.createDataFrame([], _EMPTY_FEATURES)
+    elif os.path.exists(state_path):
         state = spark.read.parquet(state_path)
     else:
-        state = spark.createDataFrame(
-            [], "doc_id long, text_hash long, sh array<string>, "
-                "band int, key string")
+        state = spark.createDataFrame([], _EMPTY_FEATURES)
 
     # 1. exact: batch-internal lowest-id per digest, then anti-join the
     # state's digest set
@@ -109,28 +207,48 @@ def dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     # 3. persist survivors' features (partitioned by band → the next
     # delta's state join prunes to matching band partitions)
     surv = feat.join(accepted, "doc_id", "left_semi").localCheckpoint()
-    surv.write.mode("append").partitionBy("band").parquet(state_path)
-    return batch.join(accepted, "doc_id", "left_semi")
+    out = batch.join(accepted, "doc_id", "left_semi")
+    if epoch_id is not None:
+        # exactly-once ordering: accepted output lands BEFORE the
+        # state shard's _SUCCESS (the epoch's commit record) — a crash
+        # on either side of that marker replays to the same bytes
+        out.write.mode("overwrite").parquet(accepted_path)
+        out = spark.read.parquet(accepted_path)
+        (surv.write.mode("overwrite").partitionBy("band")
+         .parquet(os.path.join(state_path, f"epoch={int(epoch_id)}")))
+    else:
+        surv.write.mode("append").partitionBy("band").parquet(state_path)
+    return out
 
 
 def start_streaming_dedup(spark: SparkSession, source_dir: str,
                           state_dir: str, accepted_dir: str, *,
                           jaccard_threshold: float = 0.8,
-                          trigger_seconds: float | None = None):
+                          trigger_seconds: float | None = None,
+                          checkpoint_dir: str | None = None):
     """Stream (doc_id, text) Parquet from ``source_dir``; per
-    micro-batch run the delta-vs-corpus dedup and append accepted docs
-    to ``accepted_dir``."""
+    micro-batch run the delta-vs-corpus dedup and write accepted docs
+    exactly-once to ``accepted_dir/epoch=<id>/`` (idempotent per-epoch
+    overwrite BEFORE the epoch's state-shard commit — the
+    ``bloom_stream`` discipline; read the whole accepted table with
+    ``spark.read.parquet(accepted_dir)``). Pass ``checkpoint_dir`` for
+    restart-able ingest: a replayed epoch is detected from its
+    committed state shard and rewrites the same accepted bytes."""
     stream = (spark.readStream
               .schema("doc_id long, text string").parquet(source_dir))
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ok = dedup_batch_against_state(
-            batch_df, state_dir, jaccard_threshold=jaccard_threshold)
-        ok.write.mode("append").parquet(accepted_dir)
+        dedup_batch_against_state(
+            batch_df, state_dir, jaccard_threshold=jaccard_threshold,
+            epoch_id=int(epoch_id),
+            accepted_path=os.path.join(accepted_dir,
+                                       f"epoch={int(epoch_id)}"))
 
     writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()

@@ -24,6 +24,7 @@ into ``state`` (small-queue debugging only).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -70,9 +71,13 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
     split into consecutive dispatches by a rank over the queue, so no
     dispatch exceeds the cap (the reference's queue semantics).
 
-    Results append to ``sink_dir`` as parquet (distributed write, one
-    ``epoch``/``dispatch`` column pair per batch) when given, else to
-    ``state["results"]`` (driver-collected inspection mode).  Batch
+    Results land exactly-once under
+    ``sink_dir/epoch=<id>/dispatch=<c>/`` as parquet (distributed
+    idempotent overwrite per dispatch — replays rewrite the same
+    bytes; read the whole sink with ``spark.read.parquet(sink_dir)``
+    and ``epoch``/``dispatch`` come back as partition columns) when
+    given, else results go to ``state["results"]`` (driver-collected
+    inspection mode).  Batch
     formation measurements go to ``state["batches"]``:
     ``{"epoch", "n_queries", "n_dispatches", "dispatch_sec"}``.
 
@@ -103,9 +108,17 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
                      .drop("_dispatch"), k, n_probes,
                      qid_col="qid", qvec_col="qv")
             if sink_dir is not None:
-                (out.withColumn("epoch", F.lit(int(epoch_id)))
-                    .withColumn("dispatch", F.lit(c))
-                    .write.mode("append").parquet(sink_dir))
+                # exactly-once results: each (epoch, dispatch) writes
+                # its own subdirectory with an idempotent overwrite
+                # (the rate-monitor/bloom discipline) — a checkpoint-
+                # recovery replay re-runs the same deterministic
+                # dispatch and rewrites the same bytes instead of
+                # appending duplicates; readers of sink_dir get epoch/
+                # dispatch back as partition columns
+                (out.write.mode("overwrite")
+                    .parquet(os.path.join(
+                        sink_dir, f"epoch={int(epoch_id)}",
+                        f"dispatch={c}")))
             else:
                 state.setdefault("results", []).append(out.collect())
         state.setdefault("batches", []).append(

@@ -148,6 +148,144 @@ def test_bloom_premarker_legacy_dir_refuses_epoch_calls(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# MinHash dedup stream: exactly-once accepted output (bloom contract)
+# ---------------------------------------------------------------------------
+
+_BASE_TXT = ("spark window merge sort table row filter key part batch "
+             "value line order data scan hash join group agg column")
+_NOVEL_TXT = ("totally different words about quick brown foxes jumping "
+              "over lazy dogs and rivers running deep under bridges")
+
+
+def test_dedup_stream_exactly_once_epoch_replay(spark, tmp_path):
+    from cuvs_spark.streaming import dedup_batch_against_state
+    state = str(tmp_path / "dstate")
+    acc = str(tmp_path / "acc")
+    b0 = spark.createDataFrame(
+        [(0, _BASE_TXT), (1, _NOVEL_TXT), (2, _BASE_TXT)],
+        "doc_id long, text string")
+    ok0 = dedup_batch_against_state(
+        b0, state, epoch_id=0, accepted_path=os.path.join(acc, "epoch=0"))
+    assert sorted(r.doc_id for r in ok0.collect()) == [0, 1]
+    # replay of the committed epoch: same rows, no state double-shard
+    replay = dedup_batch_against_state(
+        b0, state, epoch_id=0, accepted_path=os.path.join(acc, "epoch=0"))
+    assert sorted(r.doc_id for r in replay.collect()) == [0, 1]
+    # next epoch still rejects epoch-0 texts (exact AND near dup)
+    b1 = spark.createDataFrame(
+        [(10, _BASE_TXT), (11, _BASE_TXT + " zq1"),
+         (12, "entirely novel content with unique vocabulary nothing "
+              "shared with any earlier document in the stream")],
+        "doc_id long, text string")
+    ok1 = dedup_batch_against_state(
+        b1, state, jaccard_threshold=0.5,
+        epoch_id=1, accepted_path=os.path.join(acc, "epoch=1"))
+    assert sorted(r.doc_id for r in ok1.collect()) == [12]
+    # the whole accepted table reads back with epoch partition dirs
+    allacc = spark.read.parquet(acc)
+    assert sorted(r.doc_id for r in allacc.collect()) == [0, 1, 12]
+
+
+def test_dedup_stream_crash_before_state_commit_replays_identically(
+        spark, tmp_path):
+    """Kill between the accepted write and the state-shard _SUCCESS:
+    the replay must recompute against the committed-only state (the
+    partial shard is invisible) and land the same accepted bytes."""
+    from cuvs_spark.streaming import dedup_batch_against_state
+    from cuvs_spark.streaming.dedup_stream import _committed_feature_epochs
+    state = str(tmp_path / "dstate")
+    acc = str(tmp_path / "acc")
+    b0 = spark.createDataFrame(
+        [(0, _BASE_TXT), (1, _NOVEL_TXT)], "doc_id long, text string")
+    dedup_batch_against_state(
+        b0, state, epoch_id=0, accepted_path=os.path.join(acc, "epoch=0"))
+    succ = os.path.join(state, "features", "epoch=0", "_SUCCESS")
+    os.remove(succ)                      # simulate the pre-commit crash
+    assert _committed_feature_epochs(os.path.join(state, "features")) == []
+    ok = dedup_batch_against_state(
+        b0, state, epoch_id=0, accepted_path=os.path.join(acc, "epoch=0"))
+    assert sorted(r.doc_id for r in ok.collect()) == [0, 1]
+    assert os.path.exists(succ)          # shard re-committed
+    # and the state works for the next epoch
+    b1 = spark.createDataFrame([(10, _BASE_TXT)], "doc_id long, text string")
+    ok1 = dedup_batch_against_state(
+        b1, state, epoch_id=1, accepted_path=os.path.join(acc, "epoch=1"))
+    assert ok1.count() == 0
+
+
+def test_dedup_stream_mixed_mode_state_refused(spark, tmp_path):
+    from cuvs_spark.streaming import dedup_batch_against_state
+    b = spark.createDataFrame([(0, _BASE_TXT)], "doc_id long, text string")
+    # legacy commit → epoch-keyed call refuses
+    state = str(tmp_path / "dstate")
+    dedup_batch_against_state(b, state)
+    with pytest.raises(ValueError, match="legacy"):
+        dedup_batch_against_state(
+            b, state, epoch_id=1,
+            accepted_path=str(tmp_path / "a" / "epoch=1"))
+    # epoch commit → legacy call refuses
+    state2 = str(tmp_path / "dstate2")
+    dedup_batch_against_state(
+        b, state2, epoch_id=0,
+        accepted_path=str(tmp_path / "a2" / "epoch=0"))
+    with pytest.raises(ValueError, match="epoch"):
+        dedup_batch_against_state(b, state2)
+    # pre-marker flat dir (legacy files, no MODE) → epoch call refuses
+    state3 = str(tmp_path / "dstate3")
+    dedup_batch_against_state(b, state3)
+    os.remove(os.path.join(state3, "MODE"))
+    with pytest.raises(ValueError, match="MODE marker"):
+        dedup_batch_against_state(
+            b, state3, epoch_id=0,
+            accepted_path=str(tmp_path / "a3" / "epoch=0"))
+    with pytest.raises(ValueError, match="pair"):
+        dedup_batch_against_state(b, str(tmp_path / "dstate4"), epoch_id=2)
+
+
+def test_dedup_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """End-to-end: stop after batch 0, drop its streaming commit
+    marker (crash after output, before checkpoint commit), restart —
+    the replayed epoch rewrites the same accepted bytes and a novel
+    second file still dedups against the recovered state."""
+    from cuvs_spark.streaming import start_streaming_dedup
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    okdir = str(tmp_path / "ok")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        q = start_streaming_dedup(spark, src + "/*", state, okdir,
+                                  trigger_seconds=0.5,
+                                  checkpoint_dir=ckpt)
+        deadline = time.time() + 90
+        try:
+            while time.time() < deadline:
+                if os.path.exists(os.path.join(ckpt, "commits", "0")):
+                    time.sleep(1.0)     # let the in-flight batch settle
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    spark.createDataFrame(
+        [(0, _BASE_TXT), (1, _NOVEL_TXT), (2, _BASE_TXT)],
+        "doc_id long, text string").write.parquet(os.path.join(src, "b1"))
+    run_once()
+    first = sorted(r.doc_id for r in spark.read.parquet(okdir).collect())
+    assert first == [0, 1]
+    # crash window: streaming commit lost AFTER the epoch's output
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    again = sorted(r.doc_id for r in spark.read.parquet(okdir).collect())
+    assert again == [0, 1]               # no duplicate epoch rows
+
+
+# ---------------------------------------------------------------------------
 # mrr_score unpersists on the error path (ADVICE r8 #3)
 # ---------------------------------------------------------------------------
 
