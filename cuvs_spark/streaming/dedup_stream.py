@@ -23,6 +23,14 @@ re-probing a state that already contains it, and uncommitted partial
 shards are never read. The band join stays an equi-join at any corpus
 size — identical physics to the batch ``minhash_lsh_pairs``, applied
 delta × corpus instead of corpus × corpus.
+
+Bounds, stated plainly: the feature state is inherently O(accepted
+corpus) — that's what near-dup membership requires (the fixed-size
+alternative is the Bloom stream, which answers exact membership only)
+— and the epoch-sharded layout adds one directory per micro-batch
+(O(epochs) listings, cheap at any realistic trigger cadence; folding
+old shards would break committed-epoch replay detection, so shard
+count is traded for exactly-once).
 """
 
 from __future__ import annotations
