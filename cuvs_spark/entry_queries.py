@@ -3950,18 +3950,26 @@ def _rate_monitor_state(spark, sf_dir):
     committed counts as of that epoch, restricted to the buckets the
     epoch touched. Gates the versioned state merge + the shared batch
     flag stage end to end (previously pytest-only)."""
+    import shutil
     import tempfile
 
     from cuvs_spark.streaming.rate_monitor import burst_batch_against_state
     ev = events_table(spark, sf_dir).select("event_id", "ts")
     state = tempfile.mkdtemp(prefix="gate_ratemon_")
-    b0 = ev.filter(F.col("event_id") % 2 == 0).select("ts")
-    b1 = ev.filter(F.col("event_id") % 2 == 1).select("ts")
-    f0 = burst_batch_against_state(b0, state, 0)
-    f1 = burst_batch_against_state(b1, state, 1)
-    return (f0.withColumn("epoch", F.lit(0).cast("long"))
-            .unionByName(f1.withColumn("epoch", F.lit(1).cast("long")))
-            .select("epoch", "bucket", "n_events", "prev_sum", "is_burst"))
+    try:
+        b0 = ev.filter(F.col("event_id") % 2 == 0).select("ts")
+        b1 = ev.filter(F.col("event_id") % 2 == 1).select("ts")
+        f0 = burst_batch_against_state(b0, state, 0)
+        f1 = burst_batch_against_state(b1, state, 1)
+        # localCheckpoint materializes the union so the returned frame
+        # no longer reads the scratch state files pruned below
+        return (f0.withColumn("epoch", F.lit(0).cast("long"))
+                .unionByName(f1.withColumn("epoch", F.lit(1).cast("long")))
+                .select("epoch", "bucket", "n_events", "prev_sum",
+                        "is_burst")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
 
 
 def _rate_monitor_state_sql(window_s=3600, lookback=3, fp=2, fq=1):
@@ -4049,6 +4057,223 @@ FROM a GROUP BY dispatch
 register("dynamic_batching_dispatch", _dispatch_plan, _dispatch_plan_sql())
 
 
+def _events_asof_keyless(spark, sf_dir):
+    """Distributed KEYLESS as-of (``asof_join(keyless_partitions=8)``
+    — ``temporal.py:31``'s range-partition + broadcast carry-in scale
+    path, the r9 flagship previously pytest-only) vs DuckDB's native
+    ASOF: every event attaches the latest click at or before it,
+    corpus-wide with NO by key, so the whole join is one global
+    merge-scan distributed across 8 range partitions. Right side
+    pre-aggregates to unique ts so exact-tie winners are
+    engine-independent; unmatched rows surface as -1 sentinels
+    (null-free hashed output)."""
+    from cuvs_spark.operators.temporal import asof_join
+    ev = events_table(spark, sf_dir)
+    left = ev.select("event_id", "ts")
+    right = (ev.filter(F.col("event_type") == "click")
+               .groupBy("ts")
+               .agg(F.max("value").alias("click_value")))
+    out = asof_join(left, right, on="ts", keyless_partitions=8)
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("r_ts").cast("double"), F.lit(-1.0))
+         .alias("asof_ts"),
+        F.coalesce("r_click_value", F.lit(-1.0)).alias("click_value"))
+
+
+def _events_asof_keyless_sql():
+    from cuvs_spark.operators.temporal import asof_join_sql
+    return ("SELECT event_id, "
+            "COALESCE(epoch(r_ts), -1.0) AS asof_ts, "
+            "COALESCE(r_click_value, -1.0) AS click_value "
+            "FROM (" + asof_join_sql(
+                "SELECT event_id, ts FROM events",
+                "SELECT ts, max(value) AS click_value FROM events "
+                "WHERE event_type = 'click' GROUP BY ts",
+                on="ts", by=None,
+                left_cols=["event_id", "ts"],
+                right_cols=["click_value"]).strip() + ")")
+
+
+register("events_asof_keyless_ranged", _events_asof_keyless,
+         _events_asof_keyless_sql())
+
+
+# corpus for the dedup-stream composition gate: originals plus four
+# injected families chosen so every stream path fires — same-parity
+# exact copies (batch-internal exact dedup), cross-parity exact copies
+# (delta-vs-state digest drop), cross-parity near copies (LSH band join
+# delta × state + exact-Jaccard verify), and same-parity near copies
+# (the NEGATIVE case: batch-internal near-dups are by design not
+# checked, so they must survive)
+_DEDUP_STREAM_DOCS_SQL = """SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+UNION ALL SELECT doc_id + 100001 AS doc_id, text FROM documents WHERE doc_id >= 25 AND doc_id < 50
+UNION ALL SELECT doc_id + 200001 AS doc_id, text || ' zq1 zq2' AS text FROM documents WHERE doc_id >= 50 AND doc_id < 75
+UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zq1 zq2' AS text FROM documents WHERE doc_id >= 75 AND doc_id < 100"""
+
+
+def _dedup_stream_docs(spark, sf_dir):
+    d = doc_table(spark, sf_dir)
+    plus = F.concat(F.col("text"), F.lit(" zq1 zq2")).alias("text")
+    exact_same = (d.filter(F.col("doc_id") < 25)
+                  .select((F.col("doc_id") + 100000).alias("doc_id"),
+                          "text"))
+    exact_cross = (d.filter((F.col("doc_id") >= 25)
+                            & (F.col("doc_id") < 50))
+                   .select((F.col("doc_id") + 100001).alias("doc_id"),
+                           "text"))
+    near_cross = (d.filter((F.col("doc_id") >= 50)
+                           & (F.col("doc_id") < 75))
+                  .select((F.col("doc_id") + 200001).alias("doc_id"),
+                          plus))
+    near_same = (d.filter((F.col("doc_id") >= 75)
+                          & (F.col("doc_id") < 100))
+                 .select((F.col("doc_id") + 200000).alias("doc_id"),
+                         plus))
+    return (d.unionByName(exact_same).unionByName(exact_cross)
+            .unionByName(near_cross).unionByName(near_same))
+
+
+def _dedup_stream_epochs(spark, sf_dir):
+    """Two-epoch exactly-once composition of the MinHash dedup stream
+    (``dedup_stream.dedup_batch_against_state`` — the exact
+    foreachBatch body ``start_streaming_dedup`` runs, with the same
+    epoch-keyed state commits, run binding, and durable accepted
+    output): docs split by doc_id parity arrive as epoch 0 then epoch
+    1 against a fresh state dir, and epoch 0 is then REPLAYED — the
+    committed-epoch short-circuit must return the identical durable
+    rows (replay=1 twin of the replay=0 epoch-0 block). The oracle
+    recomputes the full composition in SQL: per-epoch batch-internal
+    exact dedup, delta-vs-state digest drop, and the LSH band join ×
+    exact shingle-Jaccard near-dup stage (all templates shared with
+    the driver-proven ``dedup_minhash_lsh_pairs`` gate). The scratch
+    state dir is removed after localCheckpoint materializes the
+    result."""
+    import os
+    import shutil
+    import tempfile
+
+    from cuvs_spark.streaming.dedup_stream import dedup_batch_against_state
+    docs = _dedup_stream_docs(spark, sf_dir)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="gate_dedupstream_")
+    try:
+        state = os.path.join(root, "state")
+        acc = os.path.join(root, "acc")
+
+        def step(batch, epoch):
+            return dedup_batch_against_state(
+                batch, state, jaccard_threshold=0.5, epoch_id=epoch,
+                accepted_path=os.path.join(acc, f"epoch={epoch}"),
+                run_id="gate-run")
+
+        a0 = step(b0, 0)
+        a1 = step(b1, 1)
+        r0 = step(b0, 0)      # replay: committed-epoch short-circuit
+
+        def tag(df, e, rp):
+            return df.select(
+                F.lit(e).cast("long").alias("epoch"),
+                F.lit(rp).cast("long").alias("replay"),
+                F.col("doc_id").cast("long").alias("doc_id"))
+
+        return (tag(a0, 0, 0).unionByName(tag(a1, 1, 0))
+                .unionByName(tag(r0, 0, 1)).localCheckpoint())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _dedup_stream_epochs_sql(thr=0.5):
+    """DuckDB twin of the two-epoch dedup-stream composition, built
+    from the same shingle/hash/signature/band templates as the
+    driver-proven ``dedup_minhash_lsh_pairs`` oracle: epoch-0 accepted
+    = batch-internal exact survivors (state empty), epoch-1 accepted =
+    batch-internal exact survivors, minus state digests, minus LSH
+    band candidates (delta × state only — batch-internal near-dups are
+    NOT checked, mirroring the stream) verified by exact shingle
+    Jaccard ≥ thr; the replay block duplicates epoch 0."""
+    from cuvs_spark.pipeline.dedup import (
+        BAND_R,
+        H32_DUCK,
+        H64_DUCK,
+        N_HASHES,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+        _check_bands,
+        _sig_exprs_duck,
+    )
+    n_bands = _check_bands(N_HASHES, BAND_R)
+    sh = SHINGLES_DUCK.format(t=TOKS_DUCK.format(s="text"))
+    hs = "list_transform(sh, s -> " + H32_DUCK.format(s="s") + ")"
+    exprs = ", ".join(f"({e})" for e in _sig_exprs_duck(n_hashes=N_HASHES))
+
+    def bands(src):
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '-' || ".join(
+                f"CAST(sig[{b * BAND_R + r + 1}] AS VARCHAR)"
+                for r in range(BAND_R))
+            + f" AS key FROM {src}"
+            for b in range(n_bands))
+
+    jac = ("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+           "/ len(list_distinct(a.sh || b.sh))")
+    return f"""
+WITH docs AS ({_DEDUP_STREAM_DOCS_SQL}),
+d1 AS (SELECT doc_id, {H64_DUCK.format(s='text')} AS text_hash,
+              {sh} AS sh FROM docs),
+d2 AS (SELECT doc_id, text_hash, sh, {hs} AS hs FROM d1),
+feat AS (SELECT doc_id, text_hash, sh, [{exprs}] AS sig FROM d2),
+e0 AS (SELECT * FROM feat WHERE doc_id % 2 = 0),
+e1 AS (SELECT * FROM feat WHERE doc_id % 2 = 1),
+acc0 AS (
+  SELECT f.* FROM e0 f
+  JOIN (SELECT text_hash, min(doc_id) AS doc_id FROM e0
+        GROUP BY text_hash) c
+    ON f.doc_id = c.doc_id
+),
+e1c AS (
+  SELECT f.* FROM e1 f
+  JOIN (SELECT text_hash, min(doc_id) AS doc_id FROM e1
+        GROUP BY text_hash) c
+    ON f.doc_id = c.doc_id
+),
+e1x AS (
+  SELECT * FROM e1c
+  WHERE text_hash NOT IN (SELECT text_hash FROM acc0)
+),
+b1 AS ({bands('e1x')}),
+b0 AS ({bands('acc0')}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d, y.doc_id AS s
+  FROM b1 x JOIN b0 y ON x.band = y.band AND x.key = y.key
+),
+near AS (
+  SELECT DISTINCT c.d AS doc_id
+  FROM cand c JOIN e1x a ON a.doc_id = c.d
+              JOIN acc0 b ON b.doc_id = c.s
+  WHERE {jac} >= {thr}
+),
+acc1 AS (
+  SELECT * FROM e1x WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS replay,
+       CAST(doc_id AS BIGINT) AS doc_id FROM acc0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS replay,
+       CAST(doc_id AS BIGINT) AS doc_id FROM acc1
+UNION ALL
+SELECT CAST(0 AS BIGINT) AS epoch, CAST(1 AS BIGINT) AS replay,
+       CAST(doc_id AS BIGINT) AS doc_id FROM acc0
+"""
+
+
+register("dedup_stream_minhash_epochs", _dedup_stream_epochs,
+         _dedup_stream_epochs_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -4059,84 +4284,87 @@ register("dynamic_batching_dispatch", _dispatch_plan, _dispatch_plan_sql())
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-9 WINDOW — THE CONSOLIDATION ROUND the r8 verdict ordered
-    # (next #1): 43 r03-stale refreshes + 2 canaries fill 45 slots, and
-    # the novel/re-gate budget is capped at 5 (spent: 2 novels + 2
-    # re-gates + 1 extra staleness row).  After this round no
-    # oracle-backed gate's latest driver row predates r05.
+    # ROUND-10 WINDOW — closes the r05 staleness tier the way r9
+    # closed r03 (r9 verdict next #1): 39 r05-stale refreshes + 2
+    # canaries fill 41 slots; the ≤8 novel/re-gate budget spends 7
+    # (2 novels + 5 re-gates); the 2 remaining slots start the r06
+    # tier.  After this round no oracle-backed gate's latest driver
+    # row predates r06.
     #
-    # Tier 2 — round-9 novel gates (the r8 verdict's #6 gate-visibility
-    # candidates): the streaming rate monitor's batch-twin composition
-    # (two-epoch burst_batch_against_state vs a DuckDB union-groupBy
-    # twin) and the dynamic_batching dispatch-formation plan — both §2
-    # rows that previously rested on pytest only.
+    # Tier 2 — round-10 novel gates (r9 verdict next #2/#3): the
+    # distributed keyless as-of (asof_join(keyless_partitions=8) vs
+    # DuckDB's native ASOF — the r9 scale path, previously
+    # pytest-only) and the MinHash dedup stream's two-epoch
+    # exactly-once composition incl. a committed-epoch replay (full
+    # SQL oracle: exact + LSH-near-dup stages share the
+    # dedup_minhash_lsh_pairs templates).
+    "events_asof_keyless_ranged",
+    "dedup_stream_minhash_epochs",
+    # Tier 3 — re-gates (implementation or gate construction changed
+    # this round, plus the two r9-deferred hygiene rows the verdict's
+    # next #5 asked for): stats_map_lsh / stats_rank_corr_kendall got
+    # the same try/finally persist wrap as mrr_score in r9 (change
+    # class so far represented only by stats_mrr_lsh);
+    # events_asof_join — asof_join's keyless guard trigger changed
+    # (plan-stats shortcut + single union count, ADVICE r9 #2);
+    # events_rate_monitor_state — the gate now localCheckpoints and
+    # removes its scratch state dir (ADVICE r9 #4);
+    # dynamic_batching_dispatch — the module's sink gained the atomic
+    # per-epoch staging-rename commit (ADVICE r9 #3).
+    "stats_map_lsh",
+    "stats_rank_corr_kendall",
+    "events_asof_join",
     "events_rate_monitor_state",
     "dynamic_batching_dispatch",
-    # Tier 3 — re-gates (implementation changed this round):
-    # stats_mrr_lsh — mrr_score's truth persist moved into try/finally
-    # (ADVICE r8 #3); events_asof_join — asof_join gained the keyless
-    # single-partition guard + opt-in ranged scale path (r8 verdict
-    # #5; its latest row was also r05, so this doubles as a staleness
-    # refresh). map_score and kendall_rank_agreement received the SAME
-    # pure-control-flow try/finally wrap as mrr_score (no expression
-    # changed); re-gating them too would displace two r03 refreshes
-    # and break the consolidation bar, so stats_mrr_lsh stands in for
-    # that change class and both passed the local full-registry run.
-    "stats_mrr_lsh",
-    "events_asof_join",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5a — ALL 43 r03-stale rows, in registry order (the whole
-    # remaining r03 tier — this closes it, as the r8 verdict's "no
-    # latest row predates r05 after r9" bar requires):
-    "ivf_flat_search",
-    "dedup_simhash_near_dup",
-    "preprocess_scalar_roundtrip",
-    "preprocess_binary_quantize",
-    "preprocess_pq_roundtrip",
-    "stats_silhouette_samples",
-    "stats_silhouette_score",
-    "stats_trustworthiness",
-    "stats_recall_ivf_vs_exact",
-    "ivf_pq_search",
-    "ivf_sq_search",
-    "all_neighbors_graph",
-    "cagra_optimize",
-    "sparse_knn",
-    "sparse_pairwise_inner_product",
-    "tiered_search",
-    "events_windowed_counts",
-    "events_sessionize",
-    "cagra_merge",
-    "knn_custom_udf_metric",
-    "knn_bitwise_hamming",
-    "knn_minkowski_p3",
-    "pairwise_haversine",
-    "gram_linear",
-    "gram_rbf",
-    "gram_tanh",
-    "knn_bf_jensenshannon",
-    "knn_bf_kl_divergence",
-    "ivf_pq_search_refined",
-    "ivf_bq_search",
-    "pipeline_curate_stats",
-    "scann_soar_labels",
-    "scann_search_reorder",
-    "scann_search_pq",
-    "vamana_build",
-    "ivf_rabitq_search",
-    "kde_exponential",
-    "kde_tophat",
-    "kde_linear",
-    "kde_cosine_kernel",
-    "ivf_flat_search_blas",
-    "scann_search_reorder_blas",
-    "ivf_rabitq_search_blas",
-    # Tier 5b — the last slot goes to the oldest r05 row in registry
-    # order (the r05 tier — 40 remaining rows — is round 10's
-    # staleness rotation):
-    "dedup_ngram_jaccard_lsh",
+    # Tier 5a — ALL 39 remaining r05-stale rows, in registry order
+    # (closing the r05 tier):
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_c4_line_filter",
+    "text_lm_score",
+    "text_gopher_quality",
+    "sample_deterministic",
+    "sample_hash_split",
+    "pipeline_pack_sequences",
+    "sample_mixture",
+    "text_classifier_score",
+    "text_dsir_importance",
+    "mine_hard_negatives",
+    "dedup_semantic",
+    "preprocess_vpq_transform",
+    "preprocess_vpq_roundtrip",
+    "ivf_pq_extend_search",
+    "ivf_sq_extend_search",
+    "sparse_knn_cosine",
+    "sparse_knn_cityblock",
+    "sparse_pairwise_canberra",
+    "sparse_pairwise_jaccard",
+    "events_range_join",
+    "agglomerative_mutual_reachability",
+    "pipeline_curate_gopher",
+    "pipeline_curate_gopher_rules",
+    "pipeline_curate_semantic",
+    "ivf_flat_search_broadcast",
+    "ivf_flat_search_prefilter",
+    "ivf_pq_search_residual",
+    "ivf_pq_transform_codes",
+    "bf_save_load_search",
+    "ivf_pq_save_load_search",
+    "ivf_sq_save_load_search",
+    "groundtruth_files_roundtrip",
+    "cagra_vpq_decode",
+    "mg_sharded_search",
+    "mg_replicated_search",
+    "knn_precomputed_metric",
+    "ball_cover_knn",
+    # Tier 5b — the last two slots start the r06 tier (45 rows — the
+    # r11 staleness rotation) with its two oldest rows in registry
+    # order:
+    "knn_bf_sqeuclidean",
+    "knn_bf_cosine",
 ]
 
 

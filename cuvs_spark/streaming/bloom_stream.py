@@ -41,6 +41,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cuvs_spark.streaming.commit import check_run_marker, checkpoint_run_id
+
 from cuvs_spark.pipeline.dedup import (
     H64_SPARK,
     _BLOOM_WORD_BITS,
@@ -104,7 +106,8 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
                                     m_bits: int = 63 * 16384,
                                     k: int = 4,
                                     epoch_id: int | None = None,
-                                    accepted_path: str | None = None
+                                    accepted_path: str | None = None,
+                                    run_id: str | None = None
                                     ) -> DataFrame:
     """One exact-dedup ingest step → the accepted subset of ``batch``.
 
@@ -128,12 +131,21 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     epoch version short-circuits the replay and the pre-commit output
     is already durable. Without them the state stays replay-safe but
     the caller's own output write is only at-most-once across the
-    commit boundary."""
+    commit boundary.
+
+    ``run_id`` (what ``start_streaming_bloom_dedup`` passes: the
+    checkpoint's stable stream UUID) binds the state dir to one stream
+    lineage — a restart with a FRESH checkpoint restarts epoch ids at
+    0, which would misread this state's committed epoch versions as
+    its own; the marker turns that silent loss into a loud error (see
+    ``streaming.commit``)."""
     if m_bits % _BLOOM_WORD_BITS:
         raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD_BITS}")
     if (epoch_id is None) != (accepted_path is None):
         raise ValueError("epoch_id and accepted_path work as a pair: "
                          "both or neither")
+    if run_id is not None and epoch_id is None:
+        raise ValueError("run_id only applies to epoch-keyed calls")
     spark = batch.sparkSession
     b = batch.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
@@ -151,6 +163,8 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     # misreads as legacy; stamping first can at worst leave a marker
     # with no versions, which constrains nothing incorrectly
     _stamp_state_mode(state_path, mode)
+    if run_id is not None:
+        check_run_marker(state_path, run_id, what="bloom")
     versions = _state_versions(state_path)
     if epoch_id is not None and int(epoch_id) in versions:
         # replay of a fully committed epoch: the accepted output was
@@ -204,13 +218,23 @@ def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
     micro-batch run the Bloom exact-dedup ingest and append accepted
     docs to ``accepted_dir``.
 
-    Pass ``checkpoint_dir`` for restart-able ingest: after a stop or
-    crash, restarting with the same checkpoint resumes from the first
-    uncommitted micro-batch and the accepted output stays exactly-once
-    per distinct text — per-epoch accepted directories are written
+    ``checkpoint_dir`` is REQUIRED: after a stop or crash, restarting
+    with the same checkpoint resumes from the first uncommitted
+    micro-batch and the accepted output stays exactly-once per
+    distinct text — per-epoch accepted directories are written
     (idempotent overwrite) BEFORE each epoch-keyed state commit, so a
     crash on either side of the commit replays to the same bytes (see
-    ``bloom_dedup_batch_against_state``'s exactly-once contract)."""
+    ``bloom_dedup_batch_against_state``'s exactly-once contract). The
+    checkpoint's stable stream UUID is stamped on the state dir, so a
+    fresh checkpoint against existing state raises instead of
+    misreading its committed epochs."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "start_streaming_bloom_dedup requires checkpoint_dir: the "
+            "exactly-once state is keyed by epoch id, which only a "
+            "checkpointed stream keeps meaningful across restarts "
+            "(a fresh run would restart epochs at 0 and misread the "
+            "state's committed epoch versions as its own)")
     stream = (spark.readStream
               .schema("doc_id long, text string").parquet(source_dir))
 
@@ -221,11 +245,11 @@ def start_streaming_bloom_dedup(spark: SparkSession, source_dir: str,
             batch_df, state_dir, m_bits=m_bits, k=k,
             epoch_id=int(epoch_id),
             accepted_path=os.path.join(accepted_dir,
-                                       f"epoch={int(epoch_id)}"))
+                                       f"epoch={int(epoch_id)}"),
+            run_id=checkpoint_run_id(checkpoint_dir))
 
     writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()

@@ -40,6 +40,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cuvs_spark.streaming.commit import check_run_marker, checkpoint_run_id
+
 from cuvs_spark.pipeline.dedup import (
     BAND_R,
     H32_SPARK,
@@ -139,8 +141,8 @@ def dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
                               n_hashes: int = N_HASHES,
                               band_r: int = BAND_R,
                               epoch_id: int | None = None,
-                              accepted_path: str | None = None
-                              ) -> DataFrame:
+                              accepted_path: str | None = None,
+                              run_id: str | None = None) -> DataFrame:
     """One delta-vs-corpus dedup step → the accepted subset of
     ``batch`` (lowest doc_id wins inside the batch; anything matching
     the existing state is dropped). Persists the survivors' features
@@ -157,14 +159,25 @@ def dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     overwrites the same path; crash after → the committed shard
     short-circuits the replay and the pre-commit output is already
     durable. Without them the call keeps the original flat-append
-    layout, which is at-least-once across restarts."""
+    layout, which is at-least-once across restarts.
+
+    ``run_id`` (what ``start_streaming_dedup`` passes: the checkpoint's
+    stable stream UUID) binds the state dir to one stream lineage —
+    epoch ids are only meaningful within the checkpoint that issued
+    them, so a restart with a FRESH checkpoint (epoch ids back at 0)
+    against this state raises instead of silently short-circuiting new
+    batches as "already committed" (see ``streaming.commit``)."""
     if (epoch_id is None) != (accepted_path is None):
         raise ValueError("epoch_id and accepted_path work as a pair: "
                          "both or neither")
+    if run_id is not None and epoch_id is None:
+        raise ValueError("run_id only applies to epoch-keyed calls")
     spark = batch.sparkSession
     mode = "epoch" if epoch_id is not None else "legacy"
     _check_dedup_state_mode(state_dir, mode)
     _stamp_dedup_state_mode(state_dir, mode)
+    if run_id is not None:
+        check_run_marker(state_dir, run_id, what="dedup")
 
     state_path = os.path.join(state_dir, "features")
     committed = _committed_feature_epochs(state_path)
@@ -239,9 +252,20 @@ def start_streaming_dedup(spark: SparkSession, source_dir: str,
     exactly-once to ``accepted_dir/epoch=<id>/`` (idempotent per-epoch
     overwrite BEFORE the epoch's state-shard commit — the
     ``bloom_stream`` discipline; read the whole accepted table with
-    ``spark.read.parquet(accepted_dir)``). Pass ``checkpoint_dir`` for
-    restart-able ingest: a replayed epoch is detected from its
-    committed state shard and rewrites the same accepted bytes."""
+    ``spark.read.parquet(accepted_dir)``). ``checkpoint_dir`` is
+    REQUIRED: replay detection keys the state by epoch id, and epoch
+    ids are only meaningful within one checkpoint lineage — the
+    checkpoint's stable stream UUID is stamped on the state dir, so
+    restarting from the SAME checkpoint replays exactly-once while a
+    fresh checkpoint against this state raises instead of silently
+    misreading committed epochs."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "start_streaming_dedup requires checkpoint_dir: the "
+            "exactly-once state is keyed by epoch id, which only a "
+            "checkpointed stream keeps meaningful across restarts "
+            "(a fresh run would restart epochs at 0 and misread the "
+            "state's committed epochs as its own)")
     stream = (spark.readStream
               .schema("doc_id long, text string").parquet(source_dir))
 
@@ -252,11 +276,11 @@ def start_streaming_dedup(spark: SparkSession, source_dir: str,
             batch_df, state_dir, jaccard_threshold=jaccard_threshold,
             epoch_id=int(epoch_id),
             accepted_path=os.path.join(accepted_dir,
-                                       f"epoch={int(epoch_id)}"))
+                                       f"epoch={int(epoch_id)}"),
+            run_id=checkpoint_run_id(checkpoint_dir))
 
     writer = stream.writeStream.foreachBatch(on_batch).outputMode("append")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()

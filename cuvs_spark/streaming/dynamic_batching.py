@@ -25,6 +25,7 @@ into ``state`` (small-queue debugging only).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -72,14 +73,22 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
     dispatch exceeds the cap (the reference's queue semantics).
 
     Results land exactly-once under
-    ``sink_dir/epoch=<id>/dispatch=<c>/`` as parquet (distributed
-    idempotent overwrite per dispatch — replays rewrite the same
-    bytes; read the whole sink with ``spark.read.parquet(sink_dir)``
-    and ``epoch``/``dispatch`` come back as partition columns) when
-    given, else results go to ``state["results"]`` (driver-collected
-    inspection mode).  Batch
+    ``sink_dir/epoch=<id>/dispatch=<c>/`` as parquet when given, else
+    results go to ``state["results"]`` (driver-collected inspection
+    mode). The epoch commits ATOMICALLY: every dispatch writes under a
+    hidden ``sink_dir/_tmp_epoch=<id>/`` staging path (Spark readers
+    skip ``_``-prefixed dirs), and one directory rename publishes the
+    whole epoch — so sink readers never see a half-written epoch, and
+    a checkpoint-recovery replay of a committed epoch is DETECTED from
+    the published directory and skipped outright (no determinism
+    assumption on ``search_fn``; the committed bytes are simply kept —
+    the ``_SUCCESS``-gated discipline of the other streaming sinks,
+    with the rename as the commit record). Atomic rename holds on
+    local/HDFS sink paths; object stores without atomic dir rename
+    should point ``sink_dir`` at a rename-capable tier. Batch
     formation measurements go to ``state["batches"]``:
-    ``{"epoch", "n_queries", "n_dispatches", "dispatch_sec"}``.
+    ``{"epoch", "n_queries", "n_dispatches", "dispatch_sec"}``
+    (``{"epoch", "replayed": True}`` for a skipped committed replay).
 
     **Pass ``sink_dir`` in production.** The no-sink fallback collects
     every dispatch's results into driver memory — it exists for tests
@@ -92,6 +101,16 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
+        final = (os.path.join(sink_dir, f"epoch={int(epoch_id)}")
+                 if sink_dir is not None else None)
+        if final is not None and os.path.isdir(final):
+            # checkpoint-recovery replay of a committed epoch: the
+            # rename below is the commit record, so the published dir
+            # IS the epoch's exactly-once output — keep it, don't
+            # re-run the searches (fn may not be deterministic)
+            state.setdefault("batches", []).append(
+                {"epoch": int(epoch_id), "replayed": True})
+            return
         q = (batch_df.select(F.col(qid_col).cast("long").alias("qid"),
                              F.col(qvec_col).alias("qv"))
              .localCheckpoint())
@@ -103,24 +122,28 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
         # driver never sees a query row
         q = dispatch_assignments(q, max_batch_size).localCheckpoint()
         dispatches = int(q.agg(F.max("_dispatch")).head()[0]) + 1
+        staging = (os.path.join(sink_dir, f"_tmp_epoch={int(epoch_id)}")
+                   if sink_dir is not None else None)
+        if staging is not None and os.path.isdir(staging):
+            # leftovers from a crash mid-epoch: replays recompute from
+            # scratch, so stale partial dispatches never leak through
+            shutil.rmtree(staging, ignore_errors=True)
         for c in range(dispatches):
             out = fn(index, q.filter(F.col("_dispatch") == c)
                      .drop("_dispatch"), k, n_probes,
                      qid_col="qid", qvec_col="qv")
-            if sink_dir is not None:
-                # exactly-once results: each (epoch, dispatch) writes
-                # its own subdirectory with an idempotent overwrite
-                # (the rate-monitor/bloom discipline) — a checkpoint-
-                # recovery replay re-runs the same deterministic
-                # dispatch and rewrites the same bytes instead of
-                # appending duplicates; readers of sink_dir get epoch/
-                # dispatch back as partition columns
+            if staging is not None:
+                # dispatches land under the hidden staging dir (Spark
+                # readers skip "_" paths); nothing is visible to sink
+                # readers until the whole epoch renames into place
                 (out.write.mode("overwrite")
-                    .parquet(os.path.join(
-                        sink_dir, f"epoch={int(epoch_id)}",
-                        f"dispatch={c}")))
+                    .parquet(os.path.join(staging, f"dispatch={c}")))
             else:
                 state.setdefault("results", []).append(out.collect())
+        if staging is not None:
+            # the commit: one atomic directory rename publishes every
+            # dispatch of the epoch at once
+            os.rename(staging, final)
         state.setdefault("batches", []).append(
             {"epoch": int(epoch_id), "n_queries": int(n),
              "n_dispatches": dispatches,

@@ -184,7 +184,7 @@ def test_streaming_dedup_stream_smoke(spark, tmp_path):
         "doc_id long, text string").write.parquet(src)
     q = start_streaming_dedup(
         spark, src, str(tmp_path / "state2"), str(tmp_path / "ok"),
-        trigger_seconds=0.5)
+        trigger_seconds=0.5, checkpoint_dir=str(tmp_path / "ckpt"))
     try:
         deadline = time.time() + 60
         n = -1

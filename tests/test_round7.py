@@ -920,7 +920,8 @@ def test_bloom_stream_smoke(spark, tmp_path):
         "doc_id long, text string").write.parquet(src)
     q = start_streaming_bloom_dedup(
         spark, src, str(tmp_path / "bstate2"), str(tmp_path / "bok"),
-        m_bits=63 * 256, trigger_seconds=0.5)
+        m_bits=63 * 256, trigger_seconds=0.5,
+        checkpoint_dir=str(tmp_path / "bckpt"))
     try:
         deadline = time.time() + 60
         n = -1
