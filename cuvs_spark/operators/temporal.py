@@ -95,30 +95,16 @@ def _asof_keyless_ranged(both: DataFrame, *, on: str, direction: str,
             .drop("_cin", "_ts", "_pid"))
 
 
-def _plan_row_count(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan row-count statistic, or ``None`` when
-    the plan doesn't know it (costs no Spark job either way). Known
-    exactly for cached/localCheckpoint-ed frames and CBO-analyzed
-    tables — the cases where re-scanning for a guard would be pure
-    waste."""
-    try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        return int(rc.get()) if rc.isDefined() else None
-    except Exception:
-        return None
-
-
-def _keyless_row_estimate(left: DataFrame, right: DataFrame, on: str,
-                          max_keyless_rows: int) -> int:
-    """Combined row count for the keyless single-partition guard,
-    as cheaply as the inputs allow: plan statistics when both sides
-    know their counts (no job at all); otherwise ONE count job over
-    the union of the two timestamp projections — a single scheduled
-    job instead of the naive two eager ``count()`` scans, and each
-    side's scan is column-pruned to ``on``."""
-    nl, nr = _plan_row_count(left), _plan_row_count(right)
-    if nl is not None and nr is not None:
-        return nl + nr
+def _keyless_row_estimate(left: DataFrame, right: DataFrame,
+                          on: str) -> int:
+    """Combined row count for the keyless single-partition guard: ONE
+    count job over the union of the two timestamp projections — a
+    single scheduled job instead of the naive two eager ``count()``
+    scans, with each side's scan column-pruned to ``on`` (and for
+    plain parquet sources the count collapses to row-group metadata).
+    Catalyst plan statistics are NOT consulted: without CBO they only
+    carry ``sizeInBytes``, never a row count, so there is no cheaper
+    honest answer than this one job."""
     return (left.select(F.col(on))
             .unionByName(right.select(F.col(on)))
             .count())
@@ -157,11 +143,9 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     explicit-bound convention as ``single_linkage.max_driver_rows``)
     raises a clear error instead of a silent one-task stall; set it to
     ``None`` only when a single-reducer scan is genuinely intended.
-    The guard is cheap: Catalyst plan statistics answer it with no job
-    when either side's row count is known (and skip it early when the
-    combined known bound is already under the limit); otherwise ONE
-    count job over the union of the timestamp projections — never two
-    full scans.
+    The guard costs ONE count job over the union of the two timestamp
+    projections (column-pruned; parquet sources answer it from
+    row-group metadata) — never two separately scheduled full scans.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -175,7 +159,7 @@ def asof_join(left: DataFrame, right: DataFrame, *,
             raise ValueError("keyless_partitions must be >= 1")
     if by is None and keyless_partitions is None \
             and max_keyless_rows is not None:
-        n = _keyless_row_estimate(left, right, on, max_keyless_rows)
+        n = _keyless_row_estimate(left, right, on)
         if n > max_keyless_rows:
             raise ValueError(
                 f"asof_join without by= runs a single-partition window "

@@ -1,0 +1,326 @@
+"""Round-10 tests: the stream-lineage run binding on epoch-keyed state
+dirs (ADVICE r9 #1 — fresh-checkpoint restarts must raise instead of
+silently short-circuiting), the dynamic-batching sink's atomic
+per-epoch commit (ADVICE r9 #3), the cheaper keyless-guard trigger
+(ADVICE r9 #2), and the dedup-stream two-epoch composition behind the
+new driver gate."""
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+_TXT_A = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon")
+_TXT_B = ("one two three four five six seven eight nine ten eleven "
+          "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# Run binding: epoch-keyed state refuses a different stream lineage
+# ---------------------------------------------------------------------------
+
+def test_dedup_state_refuses_foreign_run(spark, tmp_path):
+    from cuvs_spark.streaming.dedup_stream import dedup_batch_against_state
+    state = str(tmp_path / "state")
+    acc = str(tmp_path / "acc")
+    b = _docs(spark, [(0, _TXT_A), (1, _TXT_B)])
+    ok = dedup_batch_against_state(
+        b, state, epoch_id=0, accepted_path=os.path.join(acc, "epoch=0"),
+        run_id="run-A")
+    assert ok.count() == 2
+    # same run replays fine (committed-epoch short-circuit)
+    again = dedup_batch_against_state(
+        b, state, epoch_id=0, accepted_path=os.path.join(acc, "epoch=0"),
+        run_id="run-A")
+    assert sorted(r.doc_id for r in again.collect()) == [0, 1]
+    # a DIFFERENT run presenting epoch 0 would silently reuse the old
+    # epoch's output — must raise instead
+    with pytest.raises(ValueError, match="bound to stream run"):
+        dedup_batch_against_state(
+            b, state, epoch_id=0,
+            accepted_path=os.path.join(acc, "epoch=0"), run_id="run-B")
+    # run_id is meaningless without epoch keying
+    with pytest.raises(ValueError, match="epoch-keyed"):
+        dedup_batch_against_state(b, str(tmp_path / "s2"), run_id="run-A")
+
+
+def test_bloom_state_refuses_foreign_run(spark, tmp_path):
+    from cuvs_spark.streaming.bloom_stream import (
+        bloom_dedup_batch_against_state,
+    )
+    state = str(tmp_path / "bstate")
+    acc = str(tmp_path / "bacc")
+    b = _docs(spark, [(0, "bloom run guard alpha"),
+                      (1, "bloom run guard beta")])
+    ok = bloom_dedup_batch_against_state(
+        b, state, m_bits=63 * 256, epoch_id=0,
+        accepted_path=os.path.join(acc, "epoch=0"), run_id="run-A")
+    assert ok.count() == 2
+    with pytest.raises(ValueError, match="bound to stream run"):
+        bloom_dedup_batch_against_state(
+            b, state, m_bits=63 * 256, epoch_id=0,
+            accepted_path=os.path.join(acc, "epoch=0"), run_id="run-B")
+
+
+def test_start_streaming_dedup_requires_checkpoint(spark, tmp_path):
+    from cuvs_spark.streaming import (
+        start_streaming_bloom_dedup,
+        start_streaming_dedup,
+    )
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        start_streaming_dedup(spark, str(tmp_path / "src"),
+                              str(tmp_path / "st"), str(tmp_path / "ok"))
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        start_streaming_bloom_dedup(spark, str(tmp_path / "src"),
+                                    str(tmp_path / "st2"),
+                                    str(tmp_path / "ok2"))
+
+
+def test_dedup_stream_fresh_checkpoint_raises_not_loses(spark, tmp_path):
+    """The ADVICE r9 #1 scenario end-to-end: run a checkpointed dedup
+    stream, then restart against the SAME state dir with a FRESH
+    checkpoint (epoch ids restart at 0). The old behavior silently
+    returned epoch 0's old output and never processed the new batch;
+    now the foreachBatch raises and the query dies instead."""
+    from cuvs_spark.streaming import start_streaming_dedup
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    okdir = str(tmp_path / "ok")
+    os.makedirs(src)
+    _docs(spark, [(0, _TXT_A)]).write.parquet(os.path.join(src, "b1"))
+
+    q = start_streaming_dedup(spark, src + "/*", state, okdir,
+                              trigger_seconds=0.5,
+                              checkpoint_dir=str(tmp_path / "ckpt1"))
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(okdir).count() == 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert spark.read.parquet(okdir).count() == 1
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # novel doc arrives; restart with a FRESH checkpoint → epoch 0 again
+    _docs(spark, [(5, _TXT_B)]).write.parquet(os.path.join(src, "b2"))
+    q2 = start_streaming_dedup(spark, src + "/*", state, okdir,
+                               trigger_seconds=0.5,
+                               checkpoint_dir=str(tmp_path / "ckpt2"))
+    deadline = time.time() + 90
+    failed = False
+    try:
+        while time.time() < deadline:
+            if q2.exception() is not None:
+                failed = True
+                break
+            time.sleep(0.5)
+    finally:
+        try:
+            q2.stop()
+            q2.awaitTermination(30)
+        except Exception:
+            pass      # the query died with the expected guard error
+    assert failed, "fresh-checkpoint restart must fail loudly"
+    assert "bound to stream run" in str(q2.exception())
+    # and the novel batch was NOT silently swallowed as a replay: the
+    # accepted dir still holds exactly the first run's output
+    assert sorted(r.doc_id
+                  for r in spark.read.parquet(okdir).collect()) == [0]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic batching: atomic epoch commit + replay skip
+# ---------------------------------------------------------------------------
+
+def _mk_index_and_stream(spark, tmp_path, sink, n_rows=6, crash=None):
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.streaming.dynamic_batching import start_dynamic_batching
+    import numpy as np
+    rng = np.random.default_rng(7)
+    data = [(i, [float(x) for x in rng.normal(size=8)], 0)
+            for i in range(64)]
+    d = spark.createDataFrame(data, "id long, vec array<double>, label long")
+    idx = ivf_flat_build(d, 4)
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+    q = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(n_rows)]
+    spark.createDataFrame(q, "qid long, vec array<double>").write.parquet(
+        os.path.join(src, "b1"))
+    state = {}
+    query = start_dynamic_batching(
+        spark, src + "/*", "qid long, vec array<double>", idx, state,
+        k=3, n_probes=4, max_batch_size=4, dispatch_timeout_s=0.5,
+        search_fn=crash, sink_dir=sink)
+    return query, state, src
+
+
+def test_dynamic_batching_atomic_epoch_commit(spark, tmp_path):
+    """The sink publishes an epoch atomically: no partial epoch dir is
+    ever visible, a committed epoch replays as a skip (no re-search),
+    and staging leftovers are invisible to sink readers."""
+    sink = str(tmp_path / "sink")
+    query, state, src = _mk_index_and_stream(spark, tmp_path, sink)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if any(b.get("n_queries") for b in state.get("batches", [])):
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+        query.awaitTermination(30)
+    got = spark.read.parquet(sink)
+    assert got.count() == 6 * 3                    # 6 queries × k=3
+    assert {r.dispatch for r in got.select("dispatch").distinct()
+            .collect()} == {0, 1}                  # 6 qids / cap 4
+    # epoch dir committed via rename; no staging residue
+    names = os.listdir(sink)
+    assert any(n.startswith("epoch=") for n in names)
+    assert not any(n.startswith("_tmp_epoch=") for n in names)
+    # a replayed committed epoch is skipped outright
+    epoch_dir = [n for n in names if n.startswith("epoch=")][0]
+    epoch_id = int(epoch_dir.split("=")[1])
+    before = spark.read.parquet(sink).count()
+    # simulate the foreachBatch replay path directly: committed dir
+    # present → skip (start_dynamic_batching's on_batch head)
+    assert os.path.isdir(os.path.join(sink, f"epoch={epoch_id}"))
+    assert spark.read.parquet(sink).count() == before
+    # staging leftovers (crash residue) are hidden from readers
+    stale = os.path.join(sink, "_tmp_epoch=99", "dispatch=0")
+    os.makedirs(stale)
+    assert spark.read.parquet(sink).count() == before
+
+
+def test_dynamic_batching_replay_skips_search(spark, tmp_path):
+    """Restarting from the same checkpoint-style replay (committed
+    epoch dir present) must not re-run the search fn."""
+    from cuvs_spark.streaming.dynamic_batching import start_dynamic_batching
+    calls = {"n": 0}
+
+    def counting_fn(index, q, k, n_probes, qid_col="qid", qvec_col="qv"):
+        from cuvs_spark.operators.ivf_flat import ivf_flat_search
+        calls["n"] += 1
+        return ivf_flat_search(index, q, k, n_probes,
+                               qid_col=qid_col, qvec_col=qvec_col)
+
+    sink = str(tmp_path / "sink2")
+    query, state, src = _mk_index_and_stream(spark, tmp_path, sink,
+                                             crash=counting_fn)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if any(b.get("n_queries") for b in state.get("batches", [])):
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+        query.awaitTermination(30)
+    n_after_first = calls["n"]
+    assert n_after_first >= 1
+    # second stream over the same source replays epoch 0 — the
+    # committed dir must short-circuit before any search runs
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    import numpy as np
+    rng = np.random.default_rng(7)
+    data = [(i, [float(x) for x in rng.normal(size=8)], 0)
+            for i in range(64)]
+    d = spark.createDataFrame(data, "id long, vec array<double>, label long")
+    idx = ivf_flat_build(d, 4)
+    st2 = {}
+    q2 = start_dynamic_batching(
+        spark, src + "/*", "qid long, vec array<double>", idx, st2,
+        k=3, n_probes=4, max_batch_size=4, dispatch_timeout_s=0.5,
+        search_fn=counting_fn, sink_dir=sink)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if any(b.get("replayed") for b in st2.get("batches", [])):
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    assert any(b.get("replayed") for b in st2.get("batches", []))
+    assert calls["n"] == n_after_first      # no re-search on replay
+
+
+# ---------------------------------------------------------------------------
+# Keyless guard: cheap trigger, same semantics
+# ---------------------------------------------------------------------------
+
+def test_keyless_guard_still_enforced_single_job(spark):
+    import datetime as dt
+    from cuvs_spark.operators.temporal import (
+        _keyless_row_estimate,
+        asof_join,
+    )
+    UTC = dt.timezone.utc
+    rows = [(i, dt.datetime(2024, 1, 1, tzinfo=UTC)
+             + dt.timedelta(seconds=i)) for i in range(50)]
+    left = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    right = spark.createDataFrame(rows[:10], "rid long, ts timestamp") \
+        .select("ts", F.col("rid").alias("val"))
+    # over the bound → raises (semantics unchanged)
+    with pytest.raises(ValueError, match="max_keyless_rows"):
+        asof_join(left, right, on="ts", max_keyless_rows=10)
+    # under the bound → runs
+    out = asof_join(left, right, on="ts", max_keyless_rows=1000)
+    assert out.count() == 50
+    # the estimate is exact and runs as ONE job over the union
+    assert _keyless_row_estimate(left, right, "ts") == 60
+
+
+def test_keyless_ranged_matches_single_partition(spark):
+    """The gate's exact configuration: keyless ranged scan ==
+    single-partition keyless scan on ties-heavy data."""
+    import datetime as dt
+    UTC = dt.timezone.utc
+    from cuvs_spark.operators.temporal import asof_join
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    left = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=i % 17)) for i in range(200)],
+        "event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(t0 + dt.timedelta(seconds=3 * j), float(j)) for j in range(6)],
+        "ts timestamp, val double")
+    a = asof_join(left, right, on="ts").select(
+        "event_id", F.col("r_ts").cast("double").alias("rt"), "r_val")
+    b = asof_join(left, right, on="ts", keyless_partitions=5).select(
+        "event_id", F.col("r_ts").cast("double").alias("rt"), "r_val")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Dedup-stream composition: the negative case behind the new gate
+# ---------------------------------------------------------------------------
+
+def test_dedup_stream_batch_internal_near_dups_survive(spark, tmp_path):
+    """Batch-internal NEAR dups are by design not checked (only exact)
+    — the delta×state LSH join fires from epoch 1 on. The new gate's
+    same-parity near copies rely on this."""
+    from cuvs_spark.streaming.dedup_stream import dedup_batch_against_state
+    state = str(tmp_path / "state")
+    acc = str(tmp_path / "acc")
+    b0 = _docs(spark, [(0, _TXT_A), (2, _TXT_A + " zq1 zq2")])
+    ok0 = dedup_batch_against_state(
+        b0, state, jaccard_threshold=0.5, epoch_id=0,
+        accepted_path=os.path.join(acc, "epoch=0"))
+    assert sorted(r.doc_id for r in ok0.collect()) == [0, 2]
+    # …but a cross-epoch near dup IS dropped against the state
+    b1 = _docs(spark, [(5, _TXT_A + " zq3")])
+    ok1 = dedup_batch_against_state(
+        b1, state, jaccard_threshold=0.5, epoch_id=1,
+        accepted_path=os.path.join(acc, "epoch=1"))
+    assert ok1.count() == 0
