@@ -83,9 +83,11 @@ def start_dynamic_batching(spark: SparkSession, source_dir: str,
     the published directory and skipped outright (no determinism
     assumption on ``search_fn``; the committed bytes are simply kept —
     the ``_SUCCESS``-gated discipline of the other streaming sinks,
-    with the rename as the commit record). Atomic rename holds on
-    local/HDFS sink paths; object stores without atomic dir rename
-    should point ``sink_dir`` at a rename-capable tier. Batch
+    with the rename as the commit record). The rename is
+    ``os.rename`` — atomic on a local/NFS POSIX ``sink_dir`` (this
+    engine's execution model); pointing the sink at an object store
+    or an ``hdfs://`` URI needs the commit step swapped for that
+    store's atomic-publish primitive. Batch
     formation measurements go to ``state["batches"]``:
     ``{"epoch", "n_queries", "n_dispatches", "dispatch_sec"}``
     (``{"epoch", "replayed": True}`` for a skipped committed replay).
