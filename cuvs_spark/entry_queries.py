@@ -4110,7 +4110,7 @@ _DEDUP_STREAM_DOCS_SQL = """SELECT doc_id, text FROM documents
 UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
 UNION ALL SELECT doc_id + 100001 AS doc_id, text FROM documents WHERE doc_id >= 25 AND doc_id < 50
 UNION ALL SELECT doc_id + 200001 AS doc_id, text || ' zq1 zq2' AS text FROM documents WHERE doc_id >= 50 AND doc_id < 75
-UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zq1 zq2' AS text FROM documents WHERE doc_id >= 75 AND doc_id < 100"""
+UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zq1 zq2' AS text FROM documents WHERE doc_id >= 75 AND doc_id < 100"""
 
 
 def _dedup_stream_docs(spark, sf_dir):
@@ -4127,9 +4127,12 @@ def _dedup_stream_docs(spark, sf_dir):
                            & (F.col("doc_id") < 75))
                   .select((F.col("doc_id") + 200001).alias("doc_id"),
                           plus))
+    # +300000 (not +200000): 74+200001 == 75+200000 would collide
+    # two injected doc_ids, and duplicate ids fan out differently
+    # through semi-joins than through the oracle's GROUP BY
     near_same = (d.filter((F.col("doc_id") >= 75)
                           & (F.col("doc_id") < 100))
-                 .select((F.col("doc_id") + 200000).alias("doc_id"),
+                 .select((F.col("doc_id") + 300000).alias("doc_id"),
                          plus))
     return (d.unionByName(exact_same).unionByName(exact_cross)
             .unionByName(near_cross).unionByName(near_same))
@@ -4274,6 +4277,120 @@ register("dedup_stream_minhash_epochs", _dedup_stream_epochs,
          _dedup_stream_epochs_sql())
 
 
+def _bloom_stream_epochs(spark, sf_dir):
+    """Two-epoch exactly-once composition of the streaming Bloom dedup
+    (``bloom_stream.bloom_dedup_batch_against_state`` — the exact
+    foreachBatch body ``start_streaming_bloom_dedup`` runs, with the
+    epoch-keyed versioned state commit, run binding, and durable
+    accepted output): the injected-dup corpus split by doc_id parity
+    arrives as epoch 0 then epoch 1, and epoch 1 — the LATEST
+    committed epoch, the only one a checkpointed stream can replay
+    under the ≤2-versions prune — is then REPLAYED (the
+    committed-epoch short-circuit must return the identical durable
+    rows). The filter is deliberately SMALL (63·64 = 4032 bits for
+    ~1.4k set bits) so false positives REALLY occur and both engines
+    must agree on them — the md5 bit positions are deterministic, and
+    a probe's word-AND-mask test is exactly set-membership of its bit
+    position in the positions the state's texts set (the
+    ``dedup_against_bloom`` parity, composed across epochs). Scratch
+    state removed after localCheckpoint materializes the result."""
+    import os
+    import shutil
+    import tempfile
+
+    from cuvs_spark.streaming.bloom_stream import (
+        bloom_dedup_batch_against_state,
+    )
+    docs = _dedup_stream_docs(spark, sf_dir)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="gate_bloomstream_")
+    try:
+        state = os.path.join(root, "state")
+        acc = os.path.join(root, "acc")
+
+        def step(batch, epoch):
+            return bloom_dedup_batch_against_state(
+                batch, state, m_bits=63 * 64, k=4, epoch_id=epoch,
+                accepted_path=os.path.join(acc, f"epoch={epoch}"),
+                run_id="gate-run")
+
+        a0 = step(b0, 0)
+        a1 = step(b1, 1)
+        r1 = step(b1, 1)      # replay of the LATEST committed epoch
+
+        def tag(df, e, rp):
+            return df.select(
+                F.lit(e).cast("long").alias("epoch"),
+                F.lit(rp).cast("long").alias("replay"),
+                F.col("doc_id").cast("long").alias("doc_id"))
+
+        return (tag(a0, 0, 0).unionByName(tag(a1, 1, 0))
+                .unionByName(tag(r1, 1, 1)).localCheckpoint())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bloom_stream_epochs_sql(m_bits=63 * 64, k=4):
+    """DuckDB twin of the two-epoch Bloom-stream composition: epoch-0
+    accepted = batch-internal exact survivors (lowest doc_id per md5
+    digest; the filter starts empty), epoch-1 accepted = batch-internal
+    exact survivors whose k probe positions are NOT ALL in the set of
+    positions epoch-0's accepted texts set (bit-or of masks = the SET
+    of positions, so word-AND-mask ≠ 0 ⟺ position membership — false
+    positives reproduce exactly); the replay block duplicates epoch 1
+    (the latest committed epoch, the only in-contract replay under the
+    ≤2-versions prune)."""
+    from cuvs_spark.pipeline.dedup import H64_DUCK
+
+    def positions(src):
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {H64_DUCK.format(s=h)} % {m_bits} AS p "
+            f"FROM {src}"
+            for i in range(k)
+            for h in [f"(text || '#bloom{i}')"])
+
+    return f"""
+WITH docs AS ({_DEDUP_STREAM_DOCS_SQL}),
+d AS (SELECT doc_id, text, {H64_DUCK.format(s='text')} AS text_hash
+      FROM docs),
+e0 AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+e1 AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+acc0 AS (
+  SELECT f.doc_id, f.text FROM e0 f
+  JOIN (SELECT text_hash, min(doc_id) AS doc_id FROM e0
+        GROUP BY text_hash) c
+    ON f.doc_id = c.doc_id
+),
+e1c AS (
+  SELECT f.doc_id, f.text FROM e1 f
+  JOIN (SELECT text_hash, min(doc_id) AS doc_id FROM e1
+        GROUP BY text_hash) c
+    ON f.doc_id = c.doc_id
+),
+pos0 AS (SELECT DISTINCT p FROM ({positions('acc0')})),
+probes AS ({positions('e1c')}),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN p IN (SELECT p FROM pos0) THEN 1 ELSE 0 END AS hit
+  FROM probes
+),
+acc1 AS (SELECT doc_id FROM hits GROUP BY doc_id HAVING min(hit) = 0)
+SELECT CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS replay,
+       CAST(doc_id AS BIGINT) AS doc_id FROM acc0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS replay,
+       CAST(doc_id AS BIGINT) AS doc_id FROM acc1
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS epoch, CAST(1 AS BIGINT) AS replay,
+       CAST(doc_id AS BIGINT) AS doc_id FROM acc1
+"""
+
+
+register("bloom_stream_exact_epochs", _bloom_stream_epochs,
+         _bloom_stream_epochs_sql())
+
+
 # --- driver-window ordering ------------------------------------------------
 # The verify harness checks queries() in dict-insertion order and (as of
 # round 2) records only the first 50 rows in CORRECTNESS_r{N}.json.  Round 2
@@ -4286,20 +4403,24 @@ register("dedup_stream_minhash_epochs", _dedup_stream_epochs,
 _WINDOW_PRIORITY = [
     # ROUND-10 WINDOW — closes the r05 staleness tier the way r9
     # closed r03 (r9 verdict next #1): 39 r05-stale refreshes + 2
-    # canaries fill 41 slots; the ≤8 novel/re-gate budget spends 7
-    # (2 novels + 5 re-gates); the 2 remaining slots start the r06
+    # canaries fill 41 slots; the ≤8 novel/re-gate budget spends all
+    # 8 (3 novels + 5 re-gates); the 1 remaining slot starts the r06
     # tier.  After this round no oracle-backed gate's latest driver
     # row predates r06.
     #
-    # Tier 2 — round-10 novel gates (r9 verdict next #2/#3): the
-    # distributed keyless as-of (asof_join(keyless_partitions=8) vs
-    # DuckDB's native ASOF — the r9 scale path, previously
-    # pytest-only) and the MinHash dedup stream's two-epoch
-    # exactly-once composition incl. a committed-epoch replay (full
-    # SQL oracle: exact + LSH-near-dup stages share the
-    # dedup_minhash_lsh_pairs templates).
+    # Tier 2 — round-10 novel gates (r9 verdict next #2/#3, plus the
+    # third streaming sink): the distributed keyless as-of
+    # (asof_join(keyless_partitions=8) vs DuckDB's native ASOF — the
+    # r9 scale path, previously pytest-only), the MinHash dedup
+    # stream's two-epoch exactly-once composition incl. a
+    # committed-epoch replay (full SQL oracle: exact + LSH-near-dup
+    # stages share the dedup_minhash_lsh_pairs templates), and the
+    # Bloom stream's two-epoch composition (deliberately small filter
+    # so false positives occur and must agree across engines) — all
+    # three durable streaming sinks are now driver-gated end to end.
     "events_asof_keyless_ranged",
     "dedup_stream_minhash_epochs",
+    "bloom_stream_exact_epochs",
     # Tier 3 — re-gates (implementation or gate construction changed
     # this round, plus the two r9-deferred hygiene rows the verdict's
     # next #5 asked for): stats_map_lsh / stats_rank_corr_kendall got
@@ -4360,11 +4481,9 @@ _WINDOW_PRIORITY = [
     "mg_replicated_search",
     "knn_precomputed_metric",
     "ball_cover_knn",
-    # Tier 5b — the last two slots start the r06 tier (45 rows — the
-    # r11 staleness rotation) with its two oldest rows in registry
-    # order:
+    # Tier 5b — the last slot starts the r06 tier (45 rows — the r11
+    # staleness rotation) with its oldest row in registry order:
     "knn_bf_sqeuclidean",
-    "knn_bf_cosine",
 ]
 
 

@@ -123,9 +123,12 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
     **Exactly-once accepted output** needs BOTH extra arguments: with
     ``epoch_id``, state versions are keyed by the epoch (so a
     checkpoint-recovery replay of a committed epoch is DETECTED rather
-    than re-probed against a state that already contains the batch),
-    and with ``accepted_path`` the accepted rows are written there
-    (overwrite) BEFORE the state commit. Crash before the commit →
+    than re-probed against a state that already contains the batch —
+    detection covers the LATEST committed epoch, the only one a
+    checkpointed stream can replay; older epoch ids raise, since the
+    ≤2-versions prune makes their commit status unknowable), and with
+    ``accepted_path`` the accepted rows are written there (overwrite)
+    BEFORE the state commit. Crash before the commit →
     replay recomputes the identical accepted set against the unchanged
     state and overwrites the same path; crash after → the committed
     epoch version short-circuits the replay and the pre-commit output
@@ -171,6 +174,20 @@ def bloom_dedup_batch_against_state(batch: DataFrame, state_dir: str, *,
         # written BEFORE that commit, so it is durable — return it
         # instead of re-probing a state that already has this batch
         return spark.read.parquet(accepted_path)
+    if epoch_id is not None and versions and int(epoch_id) < versions[-1]:
+        # the version this epoch committed was pruned when a LATER
+        # epoch superseded it (the ≤2-live-versions bound): whether it
+        # committed is no longer knowable, and re-probing would
+        # double-drop against a state that already contains the batch
+        # AND clobber its durable accepted output. Structured
+        # Streaming never replays below the latest commit, so this is
+        # out of the streaming replay contract — refuse loudly.
+        raise ValueError(
+            f"bloom epoch {int(epoch_id)} is older than the latest "
+            f"committed state version v={versions[-1]} (its own "
+            "version, if any, was pruned by the O(m) ≤2-versions "
+            "bound) — only the latest epoch can replay; an older "
+            "epoch id here means a corrupted or foreign stream")
     if versions:
         cur = versions[-1]
         state = spark.read.parquet(os.path.join(state_path, f"v={cur}"))

@@ -69,6 +69,32 @@ def test_bloom_state_refuses_foreign_run(spark, tmp_path):
             accepted_path=os.path.join(acc, "epoch=0"), run_id="run-B")
 
 
+def test_bloom_refuses_pruned_old_epoch(spark, tmp_path):
+    """The ≤2-versions prune makes an OLD epoch's commit status
+    unknowable: replaying it would re-probe against a state that
+    already contains the batch (double-drop) and clobber its durable
+    output. Only the latest epoch can replay; older ids must raise."""
+    from cuvs_spark.streaming.bloom_stream import (
+        bloom_dedup_batch_against_state,
+    )
+    state = str(tmp_path / "state")
+    acc = str(tmp_path / "acc")
+
+    def step(rows, epoch):
+        return bloom_dedup_batch_against_state(
+            _docs(spark, rows), state, m_bits=63 * 256, epoch_id=epoch,
+            accepted_path=os.path.join(acc, f"epoch={epoch}"))
+
+    assert step([(0, "prune guard alpha")], 0).count() == 1
+    assert step([(1, "prune guard beta")], 1).count() == 1
+    # latest epoch replays exactly-once
+    assert sorted(r.doc_id for r in step([(1, "prune guard beta")], 1)
+                  .collect()) == [1]
+    # an older epoch's version was pruned — loud refusal, not re-probe
+    with pytest.raises(ValueError, match="older than the latest"):
+        step([(0, "prune guard alpha")], 0)
+
+
 def test_start_streaming_dedup_requires_checkpoint(spark, tmp_path):
     from cuvs_spark.streaming import (
         start_streaming_bloom_dedup,
