@@ -14,7 +14,10 @@ Per micro-batch:
    AFTER the commit, so at most two versions exist and a crash can
    never lose accumulated counts. A checkpoint-recovery replay of an
    already-committed epoch REUSES its version instead of re-merging —
-   counts never double and state never references a pruned base;
+   counts never double and state never references a pruned base; an
+   epoch OLDER than the latest committed version raises (its version,
+   if any, was pruned, so its commit status is unknowable — same
+   guard as bloom_stream);
 3. the batch ``burst_windows`` flag stage
    (``temporal.burst_flags_from_counts``) runs on the merged counts,
    restricted to the buckets THIS batch touched — each window is
@@ -84,6 +87,19 @@ def burst_batch_against_state(batch: DataFrame, state_dir: str,
         # merge already happened; recompute only the (deterministic)
         # flags from the committed version
         merged = spark.read.parquet(my_v)
+    elif committed and int(epoch_id) < committed[-1]:
+        # this epoch's version (if it ever committed) was pruned when
+        # a later epoch superseded it: re-merging would judge the
+        # batch against a baseline missing everything it had merged,
+        # and commit a bogus version. Structured Streaming never
+        # replays below the latest commit — refuse loudly (the same
+        # guard as bloom_stream's pruned-epoch rule).
+        raise ValueError(
+            f"rate-monitor epoch {int(epoch_id)} is older than the "
+            f"latest committed counts version v={committed[-1]} (its "
+            "own version, if any, was pruned by the ≤2-versions "
+            "bound) — only the latest epoch can replay; an older "
+            "epoch id here means a corrupted or foreign stream")
     else:
         bases = [v for v in committed if v < int(epoch_id)]
         base_v = max(bases) if bases else None

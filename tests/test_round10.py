@@ -95,6 +95,28 @@ def test_bloom_refuses_pruned_old_epoch(spark, tmp_path):
         step([(0, "prune guard alpha")], 0)
 
 
+def test_rate_monitor_refuses_pruned_old_epoch(spark, tmp_path):
+    """Same contract as the bloom guard: after later epochs prune an
+    old counts version, replaying that old epoch would re-merge
+    against a baseline missing its own contribution — refuse."""
+    import datetime as dt
+    from cuvs_spark.streaming.rate_monitor import burst_batch_against_state
+    UTC = dt.timezone.utc
+    state = str(tmp_path / "rstate")
+
+    def batch(h):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, tzinfo=UTC),)], "ts timestamp")
+
+    burst_batch_against_state(batch(0), state, 0)
+    burst_batch_against_state(batch(1), state, 1)
+    burst_batch_against_state(batch(2), state, 2)   # prunes v=0
+    # latest epoch replays fine (committed-version reuse)
+    assert burst_batch_against_state(batch(2), state, 2).count() >= 1
+    with pytest.raises(ValueError, match="older than the latest"):
+        burst_batch_against_state(batch(0), state, 0)
+
+
 def test_start_streaming_dedup_requires_checkpoint(spark, tmp_path):
     from cuvs_spark.streaming import (
         start_streaming_bloom_dedup,
