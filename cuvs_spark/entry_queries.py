@@ -1541,6 +1541,36 @@ def _cagra_search(spark, sf_dir):
 register("cagra_search", _cagra_search)  # rows-only: iterative
 
 
+def _cagra_search_beam(spark, sf_dir):
+    """Fixed-iteration beam search with an EXACT unrolled SQL oracle —
+    the flagship graph-ANN search (``cagra_search.cuh:137``) gated
+    value-hash-exact, not just rows-only/recall-clamped: the graph is
+    the driver-proven knn_self→cagra_optimize composition, seeds are
+    md5-ordered (identical hex on both engines), and the 3 beam rounds
+    unroll into CTEs (``G.cagra_search_sql``). Any divergence in
+    frontier choice, expansion, anti-join dedup, pool reselection, or
+    the expanded-flag bookkeeping hash-mismatches."""
+    from cuvs_spark.operators import knn_self
+    d = emb_dataset(spark, sf_dir)
+    g = knn_self(d, 12).select(F.col("qid").alias("src"),
+                               F.col("nid").alias("dst"), "distance")
+    edges = G.cagra_optimize(g, graph_degree=6)
+    q = emb_queries(spark, sf_dir, 15)
+    seed_ids = (d.select(F.col("id").alias("nid"))
+                .orderBy(F.md5(F.col("nid").cast("string")), "nid")
+                .limit(8))
+    seeds = q.select("qid").crossJoin(F.broadcast(seed_ids))
+    return G.cagra_search(edges, d, q, 5, itopk=12, search_width=4,
+                          max_iterations=3, qvec_col="qv", seeds=seeds)
+
+
+register("cagra_search_beam", _cagra_search_beam,
+         G.cagra_search_sql(_D_SQL, _Q_SQL.format(nq=15),
+                            G.cagra_optimize_sql(_KNN_GRAPH_SQL, 6),
+                            5, itopk=12, search_width=4,
+                            max_iterations=3, n_seeds=8))
+
+
 def _cagra_recall(spark, sf_dir):
     """Beam-search quality as an oracle-backed scalar (the reference's
     universal ANN pass criterion, ``ann_utils.py:130``): recall@10 of
@@ -4403,24 +4433,29 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 _WINDOW_PRIORITY = [
     # ROUND-10 WINDOW — closes the r05 staleness tier the way r9
     # closed r03 (r9 verdict next #1): 39 r05-stale refreshes + 2
-    # canaries fill 41 slots; the ≤8 novel/re-gate budget spends all
-    # 8 (3 novels + 5 re-gates); the 1 remaining slot starts the r06
-    # tier.  After this round no oracle-backed gate's latest driver
-    # row predates r06.
+    # canaries fill 41 slots; the remaining 9 go to novels/re-gates
+    # (4 novels + 5 re-gates).  After this round no oracle-backed
+    # gate's latest driver row predates r06.
     #
     # Tier 2 — round-10 novel gates (r9 verdict next #2/#3, plus the
-    # third streaming sink): the distributed keyless as-of
-    # (asof_join(keyless_partitions=8) vs DuckDB's native ASOF — the
-    # r9 scale path, previously pytest-only), the MinHash dedup
-    # stream's two-epoch exactly-once composition incl. a
-    # committed-epoch replay (full SQL oracle: exact + LSH-near-dup
-    # stages share the dedup_minhash_lsh_pairs templates), and the
-    # Bloom stream's two-epoch composition (deliberately small filter
-    # so false positives occur and must agree across engines) — all
-    # three durable streaming sinks are now driver-gated end to end.
+    # third streaming sink and the beam-search oracle): the
+    # distributed keyless as-of (asof_join(keyless_partitions=8) vs
+    # DuckDB's native ASOF — the r9 scale path, previously
+    # pytest-only), the MinHash dedup stream's two-epoch exactly-once
+    # composition incl. a committed-epoch replay (full SQL oracle:
+    # exact + LSH-near-dup stages share the dedup_minhash_lsh_pairs
+    # templates), the Bloom stream's two-epoch composition
+    # (deliberately small filter so false positives occur and must
+    # agree across engines) — all three durable streaming sinks are
+    # now driver-gated end to end — and cagra_search_beam: the
+    # flagship graph-ANN beam search, fixed-iteration with
+    # md5-ordered seeds vs an UNROLLED SQL twin (G.cagra_search_sql),
+    # converting the search from rows-only/recall-clamped to
+    # value-hash-exact.
     "events_asof_keyless_ranged",
     "dedup_stream_minhash_epochs",
     "bloom_stream_exact_epochs",
+    "cagra_search_beam",
     # Tier 3 — re-gates (implementation or gate construction changed
     # this round, plus the two r9-deferred hygiene rows the verdict's
     # next #5 asked for): stats_map_lsh / stats_rank_corr_kendall got
@@ -4481,9 +4516,9 @@ _WINDOW_PRIORITY = [
     "mg_replicated_search",
     "knn_precomputed_metric",
     "ball_cover_knn",
-    # Tier 5b — the last slot starts the r06 tier (45 rows — the r11
-    # staleness rotation) with its oldest row in registry order:
-    "knn_bf_sqeuclidean",
+    # (knn_bf_sqeuclidean held this last slot until the fourth novel
+    # landed mid-round — tier 2 outranks staleness per the standing
+    # policy; it returns to the r11 staleness tier, now 45 r06 rows.)
 ]
 
 

@@ -448,6 +448,77 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
     return out
 
 
+def cagra_search_sql(dataset_sql: str, queries_sql: str, edges_sql: str,
+                     k: int, *, itopk: int = 32, search_width: int = 8,
+                     max_iterations: int = 2, n_seeds: int = 16,
+                     metric: str = "sqeuclidean") -> str:
+    """DuckDB oracle for a FIXED-ITERATION ``cagra_search`` run — the
+    beam loop (``cagra_search.cuh:137`` semantics) unrolled into
+    ``max_iterations`` rounds of frontier → expand → score → reselect
+    CTEs. Exactly mirrors :func:`cagra_search` when the Spark side
+    passes the same graph and an explicit md5-ordered shared seed set
+    (``seeds=``): seed ids are the ``n_seeds`` smallest by
+    ``md5(CAST(nid AS VARCHAR))`` — both engines produce identical hex
+    digests for identical integer strings, so the entry points match
+    bit-for-bit, and the distance folds are the parity-proven
+    templates, so every frontier/pool ordering agrees.
+
+    ``dataset_sql`` → ``(nid, dv)``; ``queries_sql`` → ``(qid, qv)``;
+    ``edges_sql`` → at least ``(src, dst)``. An empty frontier round
+    degenerates to a no-op here exactly as the Spark loop's ``break``
+    does (no candidates, pool unchanged)."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    dist = distance_sql_duckdb(metric, "q.qv", "d.dv")
+    parts = [f"""
+WITH d AS ({dataset_sql}), q AS ({queries_sql}),
+edges AS (SELECT src, dst FROM ({edges_sql})),
+seed_ids AS (
+  SELECT nid FROM d
+  ORDER BY md5(CAST(nid AS VARCHAR)) ASC, nid ASC
+  LIMIT {n_seeds}),
+pool0 AS (
+  SELECT q.qid, d.nid, {dist} AS distance, FALSE AS expanded
+  FROM q CROSS JOIN seed_ids s JOIN d ON d.nid = s.nid)"""]
+    prev = "pool0"
+    for i in range(1, max_iterations + 1):
+        parts.append(f""",
+front{i} AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY distance ASC, nid ASC) rn
+    FROM {prev} WHERE NOT expanded) WHERE rn <= {search_width}),
+cand{i} AS (
+  SELECT DISTINCT f.qid, e.dst AS nid
+  FROM front{i} f JOIN edges e ON e.src = f.nid
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.qid = f.qid AND p.nid = e.dst)),
+scored{i} AS (
+  SELECT c.qid, c.nid, {dist} AS distance, FALSE AS expanded
+  FROM cand{i} c JOIN d ON d.nid = c.nid JOIN q ON q.qid = c.qid),
+merged{i} AS (
+  SELECT p.qid, p.nid, p.distance,
+         (p.expanded OR f.nid IS NOT NULL) AS expanded
+  FROM {prev} p LEFT JOIN front{i} f
+       ON f.qid = p.qid AND f.nid = p.nid
+  UNION ALL
+  SELECT qid, nid, distance, expanded FROM scored{i}),
+pool{i} AS (
+  SELECT qid, nid, distance, expanded FROM (
+    SELECT qid, nid, distance, expanded,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY distance ASC, nid ASC) rn
+    FROM merged{i}) WHERE rn <= {itopk})""")
+        prev = f"pool{i}"
+    parts.append(f"""
+SELECT qid, nid, distance, rank FROM (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY distance ASC, nid ASC) rank
+  FROM {prev}) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
 def cagra_extend(graph: DataFrame, dataset: DataFrame,
                  new_rows: DataFrame, graph_degree: int = 16, *,
                  metric: str = "sqeuclidean", id_col: str = "id",

@@ -372,3 +372,51 @@ def test_dedup_stream_batch_internal_near_dups_survive(spark, tmp_path):
         b1, state, jaccard_threshold=0.5, epoch_id=1,
         accepted_path=os.path.join(acc, "epoch=1"))
     assert ok1.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Beam-search gate: full cross-engine equality at sf0.001 + unrolled-oracle
+# equivalence properties
+# ---------------------------------------------------------------------------
+
+def test_cagra_search_beam_gate_matches_duckdb_at_tiny_sf(spark):
+    """The fixed-iteration beam search (cagra_search_beam gate) matches
+    its unrolled DuckDB oracle row-for-row at sf0.001 — the same
+    composition the driver checks at sf0.01."""
+    import duckdb
+
+    from cuvs_spark.entry_queries import ORACLES, QUERIES
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    got = sorted(map(tuple, QUERIES["cagra_search_beam"](spark, sf_dir).collect()))
+    want = sorted(map(tuple, con.sql(ORACLES["cagra_search_beam"]).fetchall()))
+    assert got == want
+    assert len(got) == 15 * 5
+
+
+def test_cagra_search_explicit_seeds_match_default_rule(spark):
+    """Passing seeds= built with the operator's own xxhash64 rule must
+    equal the default path — the gate's explicit-seed construction is
+    behaviorally identical, only the hash differs."""
+    from cuvs_spark.operators import graph as G
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "id long, vec array<float>")
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(5)],
+        "qid long, vec array<float>")
+    edges = G.cagra_build(d, graph_degree=6, n_clusters=2,
+                          overlap_factor=2, kmeans_n_iters=2)
+    seed_ids = (d.select(F.col("id").alias("nid"))
+                .orderBy(F.xxhash64("nid"), "nid").limit(8))
+    seeds = q.select("qid").crossJoin(F.broadcast(seed_ids))
+    a = G.cagra_search(edges, d, q, 4, itopk=10, search_width=3,
+                       max_iterations=2, n_seeds=8)
+    b = G.cagra_search(edges, d, q, 4, itopk=10, search_width=3,
+                       max_iterations=2, seeds=seeds)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
