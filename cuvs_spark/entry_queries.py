@@ -1528,6 +1528,26 @@ def _nn_descent(spark, sf_dir):
 register("nn_descent_graph", _nn_descent)  # rows-only: iterative
 
 
+def _nn_descent_fixed(spark, sf_dir):
+    """Fixed-iteration NN-Descent with an EXACT unrolled SQL oracle:
+    md5-ranked init both engines compute identically
+    (``G.nn_descent_md5_init`` ↔ the init CTE), two
+    neighbor-of-neighbor rounds unrolled (``G.nn_descent_sql``), and
+    ``termination_threshold=0.0`` so the Spark loop breaks only at a
+    fixed point — where further unrolled rounds are no-ops, keeping
+    early termination and full unrolling equal. Any divergence in the
+    round body (reverse edges, candidate join, distinct, top-k
+    reselect) hash-mismatches."""
+    d = emb_dataset(spark, sf_dir)
+    ig = G.nn_descent_md5_init(d, 6)
+    return G.nn_descent_build(d, 6, max_iterations=2,
+                              termination_threshold=0.0, init_graph=ig)
+
+
+register("nn_descent_fixed", _nn_descent_fixed,
+         G.nn_descent_sql(_D_SQL, 6, max_iterations=2))
+
+
 def _cagra_search(spark, sf_dir):
     """Iterative beam search (non-SQL) — rows-only; recall in tests."""
     d = emb_dataset(spark, sf_dir).limit(300)
@@ -4451,11 +4471,16 @@ _WINDOW_PRIORITY = [
     # flagship graph-ANN beam search, fixed-iteration with
     # md5-ordered seeds vs an UNROLLED SQL twin (G.cagra_search_sql),
     # converting the search from rows-only/recall-clamped to
-    # value-hash-exact.
+    # value-hash-exact.  nn_descent_fixed: same conversion for
+    # NN-Descent — md5-ranked init both engines compute
+    # (G.nn_descent_md5_init ↔ the init CTE), two unrolled
+    # neighbor-of-neighbor rounds (G.nn_descent_sql),
+    # termination_threshold=0 so early-break == full unroll.
     "events_asof_keyless_ranged",
     "dedup_stream_minhash_epochs",
     "bloom_stream_exact_epochs",
     "cagra_search_beam",
+    "nn_descent_fixed",
     # Tier 3 — re-gates (implementation or gate construction changed
     # this round, plus the two r9-deferred hygiene rows the verdict's
     # next #5 asked for): stats_map_lsh / stats_rank_corr_kendall got
@@ -4467,8 +4492,12 @@ _WINDOW_PRIORITY = [
     # removes its scratch state dir (ADVICE r9 #4);
     # dynamic_batching_dispatch — the module's sink gained the atomic
     # per-epoch staging-rename commit (ADVICE r9 #3).
+    # (stats_rank_corr_kendall — the second try/finally hygiene row —
+    # deferred to the r11 rotation per the r9 verdict #5's explicit
+    # alternative, to make room for the fifth novel; stats_map_lsh +
+    # the r9-green stats_mrr_lsh stay as the change-class
+    # representatives in-window.)
     "stats_map_lsh",
-    "stats_rank_corr_kendall",
     "events_asof_join",
     "events_rate_monitor_state",
     "dynamic_batching_dispatch",

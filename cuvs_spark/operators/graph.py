@@ -169,33 +169,46 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
                      termination_threshold: float = 0.001,
                      metric: str = "sqeuclidean", id_col: str = "id",
                      vec_col: str = "vec", score_method: str = "expr",
-                     sample_per_node: int | None = None) -> DataFrame:
+                     sample_per_node: int | None = None,
+                     init_graph: DataFrame | None = None) -> DataFrame:
     """NN-Descent (``nn_descent.pyx:210``): start from a deterministic
     pseudo-random graph, iterate (neighbors-of-neighbors join →
     distance → per-node top-k) until < threshold of edges change.
 
     Each round is one self-join on the bounded edge table (n·k rows) —
-    never on the full pair space; lineage is cut per round."""
+    never on the full pair space; lineage is cut per round.
+
+    ``init_graph``: caller-provided ``(src, dst)`` starting edges in
+    place of the default pseudo-random bucketed init — the oracle hook
+    (:func:`nn_descent_sql` reproduces an md5-ranked init both engines
+    can compute) and the warm-start hook (resume descent from a saved
+    graph)."""
     d = (dataset.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
          .persist())
     n = d.count()
-    # init: k pseudo-random distinct neighbors WITHOUT an n² cross join —
-    # two INDEPENDENT hash bucketings of ~4k members are equi-joined, so
-    # each node draws its ~4k candidates from an unrelated slice of the
-    # whole dataset (O(n·k) pairs, no bucket-local connectivity trap)
-    n_buckets = max(1, n // (4 * k))
-    bx = d.select("id", (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_buckets)))
-                  .alias("_b"))
-    by = d.select("id", (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_buckets)))
-                  .alias("_b"))
-    init = (bx.alias("x")
-            .join(by.alias("y"), (F.col("x._b") == F.col("y._b"))
-                  & (F.col("x.id") != F.col("y.id")))
-            .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
-            .withColumn("_h", F.xxhash64("src", "dst")))
-    init = select_k(init, "src", "_h", k, tie_cols=["dst"], rank_col=None) \
-        .select("src", "dst")
+    if init_graph is not None:
+        init = init_graph.select(F.col("src").cast("long"),
+                                 F.col("dst").cast("long"))
+    else:
+        # init: k pseudo-random distinct neighbors WITHOUT an n² cross
+        # join — two INDEPENDENT hash bucketings of ~4k members are
+        # equi-joined, so each node draws its ~4k candidates from an
+        # unrelated slice of the whole dataset (O(n·k) pairs, no
+        # bucket-local connectivity trap)
+        n_buckets = max(1, n // (4 * k))
+        bx = d.select("id", (F.pmod(F.xxhash64("id", F.lit(1)),
+                                    F.lit(n_buckets))).alias("_b"))
+        by = d.select("id", (F.pmod(F.xxhash64("id", F.lit(2)),
+                                    F.lit(n_buckets))).alias("_b"))
+        init = (bx.alias("x")
+                .join(by.alias("y"), (F.col("x._b") == F.col("y._b"))
+                      & (F.col("x.id") != F.col("y.id")))
+                .select(F.col("x.id").alias("src"),
+                        F.col("y.id").alias("dst"))
+                .withColumn("_h", F.xxhash64("src", "dst")))
+        init = select_k(init, "src", "_h", k, tie_cols=["dst"],
+                        rank_col=None).select("src", "dst")
     from cuvs_spark.operators.pairwise import score_pairs
 
     def with_dist(edges: DataFrame) -> DataFrame:
@@ -233,6 +246,88 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
             break
     d.unpersist()
     return select_k(g, "src", "distance", k, tie_cols=["dst"])
+
+
+def nn_descent_sql(dataset_sql: str, k: int, *, max_iterations: int = 2,
+                   metric: str = "sqeuclidean") -> str:
+    """DuckDB oracle for a FIXED-ITERATION NN-Descent run — the
+    neighbor-of-neighbor rounds (``nn_descent.pyx:210`` semantics)
+    unrolled into ``max_iterations`` CTE rounds over an md5-ranked
+    init graph both engines compute identically (per src, the ``k``
+    smallest ``md5(src || '_' || dst)`` — same hex on both engines).
+
+    Exactly mirrors :func:`nn_descent_build` when the Spark side
+    passes the same md5 init via ``init_graph=`` and
+    ``termination_threshold=0.0``: the Spark loop then breaks only at
+    a fixed point, where every further unrolled round here is a no-op
+    by construction (``cand`` depends only on ``g``), so early
+    termination and full unrolling agree.
+
+    ``dataset_sql`` → ``(nid, dv)``."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    dist = distance_sql_duckdb(metric, "a.dv", "b.dv")
+    parts = [f"""
+WITH d AS ({dataset_sql}),
+init AS (
+  SELECT src, dst FROM (
+    SELECT a.nid AS src, b.nid AS dst,
+           row_number() OVER (PARTITION BY a.nid
+             ORDER BY md5(CAST(a.nid AS VARCHAR) || '_' ||
+                          CAST(b.nid AS VARCHAR)) ASC, b.nid ASC) rn
+    FROM d a JOIN d b ON a.nid <> b.nid) WHERE rn <= {k}),
+g0 AS (
+  SELECT src, dst, distance FROM (
+    SELECT i.src, i.dst, {dist} AS distance,
+           row_number() OVER (PARTITION BY i.src
+                              ORDER BY {dist} ASC, i.dst ASC) rn
+    FROM init i JOIN d a ON a.nid = i.src JOIN d b ON b.nid = i.dst)
+  WHERE rn <= {k})"""]
+    prev = "g0"
+    for i in range(1, max_iterations + 1):
+        parts.append(f""",
+und{i} AS (
+  SELECT src, dst FROM {prev}
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM {prev}),
+cand{i} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT x.src AS src, y.dst AS dst
+    FROM und{i} x JOIN und{i} y ON x.dst = y.src
+    WHERE x.src <> y.dst
+    UNION ALL
+    SELECT src, dst FROM {prev})),
+g{i} AS (
+  SELECT src, dst, distance FROM (
+    SELECT c.src, c.dst, {dist} AS distance,
+           row_number() OVER (PARTITION BY c.src
+                              ORDER BY {dist} ASC, c.dst ASC) rn
+    FROM cand{i} c JOIN d a ON a.nid = c.src JOIN d b ON b.nid = c.dst)
+  WHERE rn <= {k})""")
+        prev = f"g{i}"
+    parts.append(f"""
+SELECT src, dst, distance, rank FROM (
+  SELECT src, dst, distance,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY distance ASC, dst ASC) rank
+  FROM {prev}) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+def nn_descent_md5_init(dataset: DataFrame, k: int, *,
+                        id_col: str = "id") -> DataFrame:
+    """The Spark twin of :func:`nn_descent_sql`'s init CTE: per src the
+    ``k`` smallest ``md5(src || '_' || dst)`` over all distinct pairs.
+    O(n²) hashing — a gate/small-corpus construction; the operator's
+    default bucketed init is the at-scale path."""
+    ids = dataset.select(F.col(id_col).cast("long").alias("id"))
+    a = ids.select(F.col("id").alias("src"))
+    b = ids.select(F.col("id").alias("dst"))
+    pairs = (a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+             .withColumn("_h", F.md5(F.concat_ws(
+                 "_", F.col("src").cast("string"),
+                 F.col("dst").cast("string")))))
+    return select_k(pairs, "src", "_h", k, tie_cols=["dst"],
+                    rank_col=None).select("src", "dst")
 
 
 def cagra_optimize(edges: DataFrame, graph_degree: int = 16, *,

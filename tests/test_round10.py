@@ -420,3 +420,49 @@ def test_cagra_search_explicit_seeds_match_default_rule(spark):
     b = G.cagra_search(edges, d, q, 4, itopk=10, search_width=3,
                        max_iterations=2, seeds=seeds)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_nn_descent_fixed_gate_matches_duckdb_at_tiny_sf(spark):
+    """The fixed-iteration NN-Descent gate matches its unrolled DuckDB
+    oracle row-for-row at sf0.001."""
+    import duckdb
+
+    from cuvs_spark.entry_queries import ORACLES, QUERIES
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    got = sorted(map(tuple, QUERIES["nn_descent_fixed"](spark, sf_dir).collect()))
+    want = sorted(map(tuple, con.sql(ORACLES["nn_descent_fixed"]).fetchall()))
+    assert got == want
+
+
+def test_nn_descent_init_graph_matches_default_rule(spark):
+    """init_graph= wired through: passing an init built with the
+    operator's own xxhash64 bucketed rule equals the default path."""
+    import numpy as np
+
+    from cuvs_spark.operators import graph as G
+    from cuvs_spark.operators.select_k import select_k
+
+    rng = np.random.default_rng(3)
+    d = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(80)],
+        "id long, vec array<float>")
+    k = 5
+    n = d.count()
+    n_buckets = max(1, n // (4 * k))
+    bx = d.select("id", F.pmod(F.xxhash64("id", F.lit(1)),
+                               F.lit(n_buckets)).alias("_b"))
+    by = d.select("id", F.pmod(F.xxhash64("id", F.lit(2)),
+                               F.lit(n_buckets)).alias("_b"))
+    init = (bx.alias("x")
+            .join(by.alias("y"), (F.col("x._b") == F.col("y._b"))
+                  & (F.col("x.id") != F.col("y.id")))
+            .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+            .withColumn("_h", F.xxhash64("src", "dst")))
+    ig = select_k(init, "src", "_h", k, tie_cols=["dst"],
+                  rank_col=None).select("src", "dst")
+    a = G.nn_descent_build(d, k, max_iterations=2)
+    b = G.nn_descent_build(d, k, max_iterations=2, init_graph=ig)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
