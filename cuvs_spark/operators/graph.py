@@ -619,7 +619,8 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
                  metric: str = "sqeuclidean", id_col: str = "id",
                  vec_col: str = "vec", itopk: int = 32,
                  search_width: int = 8, max_iterations: int = 4,
-                 score_method: str = "expr") -> tuple[DataFrame, DataFrame]:
+                 score_method: str = "expr",
+                 seeds: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """``cagra.extend`` (``cagra.hpp:1255``, ``cagra.pyx:1065``): add a
     batch of vectors to a built graph without a full rebuild.
 
@@ -645,7 +646,8 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
                          graph_degree, itopk=itopk,
                          search_width=search_width,
                          max_iterations=max_iterations, metric=metric,
-                         qvec_col="vec", score_method=score_method)
+                         qvec_col="vec", score_method=score_method,
+                         seeds=seeds)
     splice = found.select(F.col("qid").alias("src"),
                           F.col("nid").alias("dst"), "distance")
     intra = (knn_self(new, graph_degree, metric)
@@ -656,6 +658,44 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
               .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
     return (cagra_optimize(merged, graph_degree),
             d.unionByName(new))
+
+
+def cagra_extend_sql(dataset_sql: str, new_sql: str, graph_sql: str,
+                     graph_degree: int, *, itopk: int = 32,
+                     search_width: int = 8, max_iterations: int = 4,
+                     n_seeds: int = 16,
+                     metric: str = "sqeuclidean") -> str:
+    """DuckDB oracle for :func:`cagra_extend`'s extended GRAPH — the
+    full splice composition: fixed-iteration beam search of the old
+    graph for every new row (:func:`cagra_search_sql` with the
+    md5-ordered seed rule over the BASE dataset), brute-force kNN
+    within the new batch, union + per-edge min with the old edges, and
+    the optimize re-bound (:func:`cagra_optimize_sql`). Mirrors the
+    Spark operator exactly when it is called with the matching
+    ``seeds=`` (new qids × md5-top-``n_seeds`` base ids).
+
+    ``dataset_sql``/``new_sql`` → ``(nid, dv)``; ``graph_sql`` →
+    ``(src, dst, distance)``."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    beam = cagra_search_sql(
+        dataset_sql, f"SELECT nid AS qid, dv AS qv FROM ({new_sql})",
+        graph_sql, graph_degree, itopk=itopk, search_width=search_width,
+        max_iterations=max_iterations, n_seeds=n_seeds, metric=metric)
+    intra_dist = distance_sql_duckdb(metric, "a.dv", "b.dv")
+    merged = f"""
+SELECT src, dst, min(distance) AS distance FROM (
+  SELECT src, dst, distance FROM ({graph_sql})
+  UNION ALL
+  SELECT qid AS src, nid AS dst, distance FROM ({beam})
+  UNION ALL
+  SELECT src, dst, distance FROM (
+    SELECT a.nid AS src, b.nid AS dst, {intra_dist} AS distance,
+           row_number() OVER (PARTITION BY a.nid
+                              ORDER BY {intra_dist} ASC, b.nid ASC) rn
+    FROM ({new_sql}) a JOIN ({new_sql}) b ON a.nid <> b.nid)
+  WHERE rn <= {graph_degree}
+) GROUP BY src, dst"""
+    return cagra_optimize_sql(merged, graph_degree)
 
 
 def cagra_merge(graphs: list[DataFrame], graph_degree: int = 16, *,

@@ -102,3 +102,52 @@ def test_nn_descent_matches_unrolled_sql(spark, seed, k, iters):
     want = sorted(map(tuple, con.sql(sql).fetchall()))
     assert got == want
     assert len(got) == N * k
+
+
+def test_cagra_extend_matches_composed_sql(spark):
+    """cagra_extend's extended graph equals the composed DuckDB oracle
+    (beam splice + intra-batch kNN + min-union + optimize) when called
+    with the oracle's md5 seed rule — the r11 gate candidate's
+    end-to-end equivalence, proven here without a registry slot."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 12, size=(30, DIM)).astype(np.float64)
+    newv = rng.integers(0, 12, size=(8, DIM)).astype(np.float64)
+    edges = []
+    for s in range(30):
+        for dd in rng.choice([x for x in range(30) if x != s], size=4,
+                             replace=False):
+            edges.append((s, int(dd), float(rng.integers(0, 50))))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "id long, vec array<float>")
+    new = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(newv)],
+        "id long, vec array<float>")
+    g = spark.createDataFrame(edges, "src long, dst long, distance double")
+    seed_ids = (d.select(F.col("id").alias("nid"))
+                .orderBy(F.md5(F.col("nid").cast("string")), "nid")
+                .limit(5))
+    seeds = (new.select(F.col("id").alias("qid"))
+             .crossJoin(F.broadcast(seed_ids)))
+    got_graph, got_ds = G.cagra_extend(
+        g, d, new, 4, itopk=8, search_width=3, max_iterations=2,
+        seeds=seeds)
+    got = sorted(map(tuple, got_graph.collect()))
+    assert got_ds.count() == 38
+
+    con = duckdb.connect()
+    con.register("base_pd", pd.DataFrame(
+        {"nid": np.arange(30, dtype=np.int64), "dv": list(map(list, base))}))
+    con.register("new_pd", pd.DataFrame(
+        {"nid": np.arange(100, 108, dtype=np.int64),
+         "dv": list(map(list, newv))}))
+    con.register("eg_pd", pd.DataFrame(
+        {"src": np.array([e[0] for e in edges], np.int64),
+         "dst": np.array([e[1] for e in edges], np.int64),
+         "distance": np.array([e[2] for e in edges], np.float64)}))
+    sql = G.cagra_extend_sql(
+        "SELECT nid, dv FROM base_pd", "SELECT nid, dv FROM new_pd",
+        "SELECT src, dst, distance FROM eg_pd", 4, itopk=8,
+        search_width=3, max_iterations=2, n_seeds=5)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want

@@ -466,3 +466,77 @@ def test_nn_descent_init_graph_matches_default_rule(spark):
     a = G.nn_descent_build(d, k, max_iterations=2)
     b = G.nn_descent_build(d, k, max_iterations=2, init_graph=ig)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_tiered_compaction_two_epoch_composition_matches_sql(spark):
+    """r11 gate candidate (tiered_compaction_search) proven end to end
+    without a registry slot: two tiered_extend epochs — epoch 0 stays
+    in the delta tier (below min_ann_rows), epoch 1 crosses it and
+    COMPACTS into the ANN tier — each followed by a search. The DuckDB
+    twin reproduces epoch 0 as ivf(old) ∪ brute-force(delta) merged
+    top-k and epoch 1 as pure IVF probing over the full corpus with
+    the frozen centroids (ivf_flat_extend assigns to the nearest
+    frozen center, so the post-compaction inverted file equals a
+    fixed-centroid build over the union)."""
+    import duckdb
+
+    from cuvs_spark.entry_queries import (_fixed_centroids, emb_dataset,
+                                          emb_queries)
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import (TieredIndex, tiered_extend,
+                                             tiered_search)
+    from cuvs_spark.plans import oracle as O
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_lists, n_probes, k = 16, 4, 10
+    d = emb_dataset(spark, sf_dir)
+    old = d.filter(F.col("id") < 300)
+    ann = ivf_flat_build(old, n_lists,
+                         centroids=_fixed_centroids(spark, sf_dir, n_lists))
+    idx = TieredIndex(ann=ann,
+                      delta=spark.createDataFrame(
+                          [], "id long, vec array<float>"),
+                      min_ann_rows=150)
+    q = emb_queries(spark, sf_dir, 20)
+    idx = tiered_extend(idx, d.filter((F.col("id") >= 300)
+                                      & (F.col("id") < 400)))
+    assert idx.delta.count() == 100          # below min_ann_rows: no fold
+    s0 = tiered_search(idx, q, k, n_probes, qvec_col="qv")
+    idx = tiered_extend(idx, d.filter(F.col("id") >= 400))
+    assert idx.delta.isEmpty()               # 200 >= 150: compacted
+    s1 = tiered_search(idx, q, k, n_probes, qvec_col="qv")
+
+    def tag(df, e):
+        return df.select(F.lit(e).cast("long").alias("epoch"),
+                         "qid", "nid", "distance", "rank")
+
+    got = sorted(map(tuple, tag(s0, 0).unionByName(tag(s1, 1)).collect()))
+
+    cent = ("SELECT vec_id AS label, embedding AS cv FROM embeddings "
+            f"WHERE vec_id < {n_lists}")
+    qsql = ("SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 20")
+    e0 = f"""
+WITH ann AS ({O.ivf_flat_search_sql(
+        "SELECT vec_id AS id, embedding AS dv FROM embeddings WHERE vec_id < 300",
+        qsql, cent, k, n_probes)}),
+delta AS ({O.knn_sql(
+        "SELECT vec_id AS nid, embedding AS dv FROM embeddings "
+        "WHERE vec_id >= 300 AND vec_id < 400", qsql, k, "sqeuclidean")}),
+merged AS (SELECT qid, nid, distance FROM ann
+           UNION ALL SELECT qid, nid, distance FROM delta)
+SELECT qid, nid, distance,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY distance ASC, nid ASC) AS rank
+FROM merged QUALIFY rank <= {k}"""
+    e1 = O.ivf_flat_search_sql(
+        "SELECT vec_id AS id, embedding AS dv FROM embeddings", qsql,
+        cent, k, n_probes)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    want = sorted(map(tuple, con.sql(
+        f"SELECT CAST(0 AS BIGINT) AS epoch, * FROM ({e0}) "
+        f"UNION ALL SELECT CAST(1 AS BIGINT) AS epoch, * FROM ({e1})"
+    ).fetchall()))
+    assert got == want
