@@ -267,15 +267,15 @@ def nn_descent_sql(dataset_sql: str, k: int, *, max_iterations: int = 2,
     from cuvs_spark.functions.distance import distance_sql_duckdb
     dist = distance_sql_duckdb(metric, "a.dv", "b.dv")
     parts = [f"""
-WITH d AS ({dataset_sql}),
-init AS (
+WITH d AS MATERIALIZED ({dataset_sql}),
+init AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.nid AS src, b.nid AS dst,
            row_number() OVER (PARTITION BY a.nid
              ORDER BY md5(CAST(a.nid AS VARCHAR) || '_' ||
                           CAST(b.nid AS VARCHAR)) ASC, b.nid ASC) rn
     FROM d a JOIN d b ON a.nid <> b.nid) WHERE rn <= {k}),
-g0 AS (
+g0 AS MATERIALIZED (
   SELECT src, dst, distance FROM (
     SELECT i.src, i.dst, {dist} AS distance,
            row_number() OVER (PARTITION BY i.src
@@ -285,18 +285,18 @@ g0 AS (
     prev = "g0"
     for i in range(1, max_iterations + 1):
         parts.append(f""",
-und{i} AS (
+und{i} AS MATERIALIZED (
   SELECT src, dst FROM {prev}
   UNION ALL
   SELECT dst AS src, src AS dst FROM {prev}),
-cand{i} AS (
+cand{i} AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT x.src AS src, y.dst AS dst
     FROM und{i} x JOIN und{i} y ON x.dst = y.src
     WHERE x.src <> y.dst
     UNION ALL
     SELECT src, dst FROM {prev})),
-g{i} AS (
+g{i} AS MATERIALIZED (
   SELECT src, dst, distance FROM (
     SELECT c.src, c.dst, {dist} AS distance,
            row_number() OVER (PARTITION BY c.src
@@ -565,30 +565,30 @@ def cagra_search_sql(dataset_sql: str, queries_sql: str, edges_sql: str,
     from cuvs_spark.functions.distance import distance_sql_duckdb
     dist = distance_sql_duckdb(metric, "q.qv", "d.dv")
     parts = [f"""
-WITH d AS ({dataset_sql}), q AS ({queries_sql}),
-edges AS (SELECT src, dst FROM ({edges_sql})),
-seed_ids AS (
+WITH d AS MATERIALIZED ({dataset_sql}), q AS MATERIALIZED ({queries_sql}),
+edges AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})),
+seed_ids AS MATERIALIZED (
   SELECT nid FROM d
   ORDER BY md5(CAST(nid AS VARCHAR)) ASC, nid ASC
   LIMIT {n_seeds}),
-pool0 AS (
+pool0 AS MATERIALIZED (
   SELECT q.qid, d.nid, {dist} AS distance, FALSE AS expanded
   FROM q CROSS JOIN seed_ids s JOIN d ON d.nid = s.nid)"""]
     prev = "pool0"
     for i in range(1, max_iterations + 1):
         parts.append(f""",
-front{i} AS (
+front{i} AS MATERIALIZED (
   SELECT qid, nid FROM (
     SELECT qid, nid,
            row_number() OVER (PARTITION BY qid
                               ORDER BY distance ASC, nid ASC) rn
     FROM {prev} WHERE NOT expanded) WHERE rn <= {search_width}),
-cand{i} AS (
+cand{i} AS MATERIALIZED (
   SELECT DISTINCT f.qid, e.dst AS nid
   FROM front{i} f JOIN edges e ON e.src = f.nid
   WHERE NOT EXISTS (SELECT 1 FROM {prev} p
                     WHERE p.qid = f.qid AND p.nid = e.dst)),
-scored{i} AS (
+scored{i} AS MATERIALIZED (
   SELECT c.qid, c.nid, {dist} AS distance, FALSE AS expanded
   FROM cand{i} c JOIN d ON d.nid = c.nid JOIN q ON q.qid = c.qid),
 merged{i} AS (
@@ -598,7 +598,7 @@ merged{i} AS (
        ON f.qid = p.qid AND f.nid = p.nid
   UNION ALL
   SELECT qid, nid, distance, expanded FROM scored{i}),
-pool{i} AS (
+pool{i} AS MATERIALIZED (
   SELECT qid, nid, distance, expanded FROM (
     SELECT qid, nid, distance, expanded,
            row_number() OVER (PARTITION BY qid
