@@ -2611,7 +2611,10 @@ _register_ivf_pq_transform()
 # dir, load, search — hash-equal to the direct-search oracle.
 def _bf_save_load(spark, sf_dir):
     """brute_force save→load→search must equal a direct exact knn
-    (``brute_force.pyx:266,304``)."""
+    (``brute_force.pyx:266,304``). The scratch index dir is removed
+    once localCheckpoint has materialized the search off it (the
+    ratemon-gate cleanup discipline, ADVICE r9 #4 class)."""
+    import shutil
     import tempfile
 
     from cuvs_spark.operators.brute_force import bf_build
@@ -2619,10 +2622,13 @@ def _bf_save_load(spark, sf_dir):
     d = emb_dataset(spark, sf_dir)
     idx = bf_build(d.select("id", "vec"), "sqeuclidean")
     path = tempfile.mkdtemp(prefix="gate_bf_")
-    save_index(idx, path)
-    idx2 = load_index(spark, path)
-    q = emb_queries(spark, sf_dir, 20)
-    return idx2.search(q, 10, qvec_col="qv")
+    try:
+        save_index(idx, path)
+        idx2 = load_index(spark, path)
+        q = emb_queries(spark, sf_dir, 20)
+        return idx2.search(q, 10, qvec_col="qv").localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 register("bf_save_load_search", _bf_save_load,
@@ -2630,6 +2636,7 @@ register("bf_save_load_search", _bf_save_load,
 
 
 def _ivf_pq_save_load(spark, sf_dir):
+    import shutil
     import tempfile
 
     from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
@@ -2639,13 +2646,18 @@ def _ivf_pq_save_load(spark, sf_dir):
                        centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
                        codebook=_pq_fixed_codebook(spark, sf_dir))
     path = tempfile.mkdtemp(prefix="gate_ivf_pq_")
-    save_ivf_pq(idx, path)
-    idx2 = load_ivf_pq(spark, path)
-    q = emb_queries(spark, sf_dir, 20)
-    return ivf_pq_search(idx2, q, 10, _IVF_PROBES, qvec_col="qv")
+    try:
+        save_ivf_pq(idx, path)
+        idx2 = load_ivf_pq(spark, path)
+        q = emb_queries(spark, sf_dir, 20)
+        return ivf_pq_search(idx2, q, 10, _IVF_PROBES,
+                             qvec_col="qv").localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _ivf_sq_save_load(spark, sf_dir):
+    import shutil
     import tempfile
 
     from cuvs_spark.operators.ivf_pq import ivf_sq_build, ivf_sq_search
@@ -2655,10 +2667,14 @@ def _ivf_sq_save_load(spark, sf_dir):
                        centroids=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
                        lo=-0.5, hi=0.5)
     path = tempfile.mkdtemp(prefix="gate_ivf_sq_")
-    save_ivf_sq(idx, path)
-    idx2 = load_ivf_sq(spark, path)
-    q = emb_queries(spark, sf_dir, 20)
-    return ivf_sq_search(idx2, q, 10, _IVF_PROBES, qvec_col="qv")
+    try:
+        save_ivf_sq(idx, path)
+        idx2 = load_ivf_sq(spark, path)
+        q = emb_queries(spark, sf_dir, 20)
+        return ivf_sq_search(idx2, q, 10, _IVF_PROBES,
+                             qvec_col="qv").localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _register_save_load_gates():
@@ -2684,6 +2700,7 @@ def _groundtruth_files(spark, sf_dir):
     (``cuvs_bench/generate_groundtruth/__main__.py``, ``_bin_format.py``).
     Distances are float32-truncated on disk, so they are pytest-verified
     (test_groundtruth.py) rather than hash-gated."""
+    import shutil
     import tempfile
 
     import numpy as np
@@ -2693,20 +2710,25 @@ def _groundtruth_files(spark, sf_dir):
                                                 write_bin_dataset)
     from cuvs_spark.sources.index_store import read_bin_dataset
     out = tempfile.mkdtemp(prefix="gate_gt_")
-    d = emb_dataset(spark, sf_dir).select("id", "vec")
-    write_bin_dataset(d, f"{out}/base.fbin")
-    base = read_bin_dataset(spark, f"{out}/base.fbin")
-    q = emb_queries(spark, sf_dir, 20).select(
-        "qid", F.col("qv").alias("vec"))
-    generate_groundtruth(spark, base, k=10, queries=q, output_dir=out)
-    path = f"{out}/groundtruth.neighbors.ibin"
-    n, k, hdr = read_bin_header(path, 4)
-    with open(path, "rb") as f:
-        f.seek(hdr)
-        N = np.frombuffer(f.read(), dtype=np.int32).reshape(n, k)
-    rows = [(int(qi), int(N[qi, r]), r + 1)
-            for qi in range(n) for r in range(k)]
-    return spark.createDataFrame(rows, "qid long, nid long, rank int")
+    try:
+        d = emb_dataset(spark, sf_dir).select("id", "vec")
+        write_bin_dataset(d, f"{out}/base.fbin")
+        base = read_bin_dataset(spark, f"{out}/base.fbin")
+        q = emb_queries(spark, sf_dir, 20).select(
+            "qid", F.col("qv").alias("vec"))
+        generate_groundtruth(spark, base, k=10, queries=q, output_dir=out)
+        path = f"{out}/groundtruth.neighbors.ibin"
+        n, k, hdr = read_bin_header(path, 4)
+        with open(path, "rb") as f:
+            f.seek(hdr)
+            N = np.frombuffer(f.read(), dtype=np.int32).reshape(n, k)
+        rows = [(int(qi), int(N[qi, r]), r + 1)
+                for qi in range(n) for r in range(k)]
+        # rows live on the driver — the scratch files can go before the
+        # DataFrame is ever evaluated
+        return spark.createDataFrame(rows, "qid long, nid long, rank int")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 register("groundtruth_files_roundtrip", _groundtruth_files,
