@@ -1519,13 +1519,10 @@ register("cagra_optimize", _cagra_optimize,
          G.cagra_optimize_sql(_KNN_GRAPH_SQL, 6))
 
 
-def _nn_descent(spark, sf_dir):
-    """Iterative (non-SQL) — rows-only; recall asserted in tests."""
-    d = emb_dataset(spark, sf_dir).limit(300)
-    return G.nn_descent_build(d, _AN_K, max_iterations=4)
-
-
-register("nn_descent_graph", _nn_descent)  # rows-only: iterative
+# (nn_descent_graph — the rows-only NN-Descent smoke — was retired in
+# r11 per the r10 verdict #5: its loop body is hash-gated by
+# nn_descent_fixed below and its quality by stats_recall_nn_descent +
+# tests/test_graph.py::test_nn_descent_recall.)
 
 
 def _nn_descent_fixed(spark, sf_dir):
@@ -1548,17 +1545,10 @@ register("nn_descent_fixed", _nn_descent_fixed,
          G.nn_descent_sql(_D_SQL, 6, max_iterations=2))
 
 
-def _cagra_search(spark, sf_dir):
-    """Iterative beam search (non-SQL) — rows-only; recall in tests."""
-    d = emb_dataset(spark, sf_dir).limit(300)
-    graph = G.cagra_build(d, graph_degree=8, n_clusters=4,
-                          overlap_factor=2, kmeans_n_iters=4)
-    q = emb_queries(spark, sf_dir, 10)
-    return G.cagra_search(graph, d, q, 5, itopk=24, search_width=6,
-                          max_iterations=5, qvec_col="qv")
-
-
-register("cagra_search", _cagra_search)  # rows-only: iterative
+# (cagra_search — the rows-only beam-search smoke — was retired in r11
+# per the r10 verdict #5: its loop body is hash-gated by
+# cagra_search_beam below and its quality by stats_recall_cagra_vs_exact
+# + tests/test_graph.py::test_cagra_search_recall.)
 
 
 def _cagra_search_beam(spark, sf_dir):
@@ -1569,7 +1559,14 @@ def _cagra_search_beam(spark, sf_dir):
     md5-ordered (identical hex on both engines), and the 3 beam rounds
     unroll into CTEs (``G.cagra_search_sql``). Any divergence in
     frontier choice, expansion, anti-join dedup, pool reselection, or
-    the expanded-flag bookkeeping hash-mismatches."""
+    the expanded-flag bookkeeping hash-mismatches.
+
+    r11: ``stop_on_empty=False`` — the fixed-iteration call drops the
+    per-round empty-frontier driver job (r10 verdict #9); an empty
+    frontier already makes every remaining round a no-op, so results
+    are unchanged (pinned by
+    tests/test_round11.py::test_cagra_search_stop_on_empty_same_result
+    and the no-isEmpty-job plan test)."""
     from cuvs_spark.operators import knn_self
     d = emb_dataset(spark, sf_dir)
     g = knn_self(d, 12).select(F.col("qid").alias("src"),
@@ -1581,7 +1578,8 @@ def _cagra_search_beam(spark, sf_dir):
                 .limit(8))
     seeds = q.select("qid").crossJoin(F.broadcast(seed_ids))
     return G.cagra_search(edges, d, q, 5, itopk=12, search_width=4,
-                          max_iterations=3, qvec_col="qv", seeds=seeds)
+                          max_iterations=3, qvec_col="qv", seeds=seeds,
+                          stop_on_empty=False)
 
 
 register("cagra_search_beam", _cagra_search_beam,
@@ -1754,6 +1752,70 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) AS rank
   FROM merged)
 SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
+""")
+
+
+def _tiered_compaction(spark, sf_dir):
+    """Two ``tiered_extend`` epochs with the COMPACTION transition gated
+    (``tiered_index.hpp:59-65``, ``tiered_index.pyx:326`` semantics):
+    epoch 0's batch stays in the delta tier (100 rows < min_ann_rows),
+    epoch 1's crosses the bar and folds the delta into the ANN tier
+    via ``ivf_flat_extend`` (nearest-frozen-center assignment, so the
+    post-compaction inverted file equals a fixed-centroid build over
+    the union). Each epoch is searched; the DuckDB twin reproduces
+    epoch 0 as ivf(old) ∪ brute-force(delta) merged top-k and epoch 1
+    as pure IVF over the full corpus — proven end to end by
+    tests/test_round10.py::test_tiered_compaction_two_epoch_composition_matches_sql."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import (TieredIndex, tiered_extend,
+                                             tiered_search)
+    d = emb_dataset(spark, sf_dir)
+    old = d.filter(F.col("id") < 300)
+    ann = ivf_flat_build(old, _IVF_LISTS,
+                         centroids=_fixed_centroids(spark, sf_dir,
+                                                    _IVF_LISTS))
+    idx = TieredIndex(ann=ann,
+                      delta=spark.createDataFrame(
+                          [], "id long, vec array<float>"),
+                      min_ann_rows=150)
+    q = emb_queries(spark, sf_dir, 20)
+    idx = tiered_extend(idx, d.filter((F.col("id") >= 300)
+                                      & (F.col("id") < 400)))
+    s0 = tiered_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+    idx = tiered_extend(idx, d.filter(F.col("id") >= 400))
+    s1 = tiered_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+    def tag(df, e):
+        return df.select(F.lit(e).cast("long").alias("epoch"),
+                         "qid", "nid", "distance", "rank")
+
+    return tag(s0, 0).unionByName(tag(s1, 1))
+
+
+_TC_E0 = f"""
+WITH ann AS ({O.ivf_flat_search_sql(
+    "SELECT vec_id AS id, embedding AS dv FROM embeddings WHERE vec_id < 300",
+    _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES)}),
+delta AS ({O.knn_sql(
+    "SELECT vec_id AS nid, embedding AS dv FROM embeddings "
+    "WHERE vec_id >= 300 AND vec_id < 400",
+    _Q_SQL.format(nq=20), 10, "sqeuclidean")}),
+merged AS (SELECT qid, nid, distance FROM ann
+           UNION ALL SELECT qid, nid, distance FROM delta)
+SELECT qid, nid, distance,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY distance ASC, nid ASC) AS rank
+FROM merged QUALIFY rank <= 10"""
+_TC_E1 = O.ivf_flat_search_sql(
+    "SELECT vec_id AS id, embedding AS dv FROM embeddings",
+    _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES)
+
+register(
+    "tiered_compaction_search", _tiered_compaction,
+    f"""
+SELECT CAST(0 AS BIGINT) AS epoch, qid, nid, distance, rank FROM ({_TC_E0})
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS epoch, qid, nid, distance, rank FROM ({_TC_E1})
 """)
 
 
@@ -2410,19 +2472,66 @@ def _register_ivf_rabitq():
 _register_ivf_rabitq()
 
 
-# --- CAGRA extend: splice a batch into a built graph (rows-only) -----------
-def _cagra_extend(spark, sf_dir):
-    """Iterative (beam search inside) — rows-only; recall-vs-rebuild
-    asserted in tests/test_graph.py."""
-    d = emb_dataset(spark, sf_dir).limit(300)
-    old = d.filter(F.col("id") >= 50)
-    g = G.cagra_build(old, graph_degree=8, n_clusters=4, overlap_factor=2,
-                      kmeans_n_iters=4)
-    g2, _d2 = G.cagra_extend(g, old, d.filter(F.col("id") < 50), 8)
+# --- CAGRA extend: splice a batch into a built graph (hash-exact) ----------
+# (cagra_extend_graph — the rows-only extend smoke — was retired in r11
+# per the r10 verdict #5: the full splice composition is hash-gated by
+# cagra_extend_fixed below and its quality by stats_recall_cagra_extend
+# + tests/test_graph.py::test_cagra_extend_matches_rebuild.)
+_CE_BASE, _CE_DEG, _CE_SEEDS = 460, 6, 6
+_CE_DIST = O.distance_sql_duckdb("sqeuclidean", "a.embedding",
+                                 "b.embedding")
+_KNN_GRAPH_BASE_SQL = f"""
+SELECT src, dst, distance FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_CE_DIST} AS distance,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_CE_DIST} ASC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {_CE_BASE} AND b.vec_id < {_CE_BASE}
+) WHERE rn <= 12
+"""
+
+
+def _cagra_extend_fixed(spark, sf_dir):
+    """``cagra.extend`` (``cagra.hpp:1255``, ``cagra.pyx:1065``) gated
+    value-hash-exact via the composed DuckDB oracle landed in r10
+    (``G.cagra_extend_sql``: fixed-iteration beam splice + intra-batch
+    kNN + per-edge min-union + optimize re-bound), end-to-end
+    equivalence already proven by
+    tests/test_properties_round10.py::test_cagra_extend_matches_composed_sql.
+    Base graph is the driver-proven knn_self→cagra_optimize composition
+    over the first {_CE_BASE} vectors; the extend batch is the rest;
+    seeds follow the oracle's md5 rule (new qids × md5-top-{_CE_SEEDS}
+    BASE ids). Any divergence in the beam splice, the intra-batch kNN,
+    the min-union, or the optimize re-bound hash-mismatches."""
+    from cuvs_spark.operators import knn_self
+    d = emb_dataset(spark, sf_dir)
+    base = d.filter(F.col("id") < _CE_BASE)
+    new = d.filter(F.col("id") >= _CE_BASE)
+    g = knn_self(base, 12).select(F.col("qid").alias("src"),
+                                  F.col("nid").alias("dst"), "distance")
+    edges = G.cagra_optimize(g, _CE_DEG)
+    seed_ids = (base.select(F.col("id").alias("nid"))
+                .orderBy(F.md5(F.col("nid").cast("string")), "nid")
+                .limit(_CE_SEEDS))
+    seeds = (new.select(F.col("id").alias("qid"))
+             .crossJoin(F.broadcast(seed_ids)))
+    g2, _d2 = G.cagra_extend(edges, base, new, _CE_DEG, itopk=10,
+                             search_width=3, max_iterations=2,
+                             seeds=seeds, stop_on_empty=False)
     return g2
 
 
-register("cagra_extend_graph", _cagra_extend)  # rows-only: iterative
+register(
+    "cagra_extend_fixed", _cagra_extend_fixed,
+    G.cagra_extend_sql(
+        "SELECT vec_id AS nid, embedding AS dv FROM embeddings "
+        f"WHERE vec_id < {_CE_BASE}",
+        "SELECT vec_id AS nid, embedding AS dv FROM embeddings "
+        f"WHERE vec_id >= {_CE_BASE}",
+        G.cagra_optimize_sql(_KNN_GRAPH_BASE_SQL, _CE_DEG),
+        _CE_DEG, itopk=10, search_width=3, max_iterations=2,
+        n_seeds=_CE_SEEDS))
 
 
 # --- KDE: remaining kernel family (distance.hpp:93-100, 6 kernels) ---------
@@ -4473,103 +4582,90 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-10 WINDOW — closes the r05 staleness tier the way r9
-    # closed r03 (r9 verdict next #1): 39 r05-stale refreshes + 2
-    # canaries fill 41 slots; the remaining 9 go to novels/re-gates
-    # (4 novels + 5 re-gates).  After this round no oracle-backed
-    # gate's latest driver row predates r06.
+    # ROUND-11 WINDOW — closes the r06 staleness tier the way r10
+    # closed r05 (r10 verdict next #1): 2 novels + 2 re-gates + 2
+    # canaries + 44 r06-stale refreshes = 50 exactly.  One planned
+    # displacement (noted below and in CLAUDE.md): cagra_search_beam
+    # re-gates because its gate now exercises the new
+    # stop_on_empty=False fixed-iteration path (r10 verdict #9),
+    # displacing stats_recall_cagra_vs_exact — the lowest-risk row of
+    # the tier (a clamp-to-1.0 constant-oracle scalar whose Spark side
+    # uses the UNCHANGED default stop_on_empty=True dataflow, and the
+    # quality twin of the very gate taking its slot).  It returns at
+    # the head of the r12 staleness tier.
     #
-    # Tier 2 — round-10 novel gates (r9 verdict next #2/#3, plus the
-    # third streaming sink and the beam-search oracle): the
-    # distributed keyless as-of (asof_join(keyless_partitions=8) vs
-    # DuckDB's native ASOF — the r9 scale path, previously
-    # pytest-only), the MinHash dedup stream's two-epoch exactly-once
-    # composition incl. a committed-epoch replay (full SQL oracle:
-    # exact + LSH-near-dup stages share the dedup_minhash_lsh_pairs
-    # templates), the Bloom stream's two-epoch composition
-    # (deliberately small filter so false positives occur and must
-    # agree across engines) — all three durable streaming sinks are
-    # now driver-gated end to end — and cagra_search_beam: the
-    # flagship graph-ANN beam search, fixed-iteration with
-    # md5-ordered seeds vs an UNROLLED SQL twin (G.cagra_search_sql),
-    # converting the search from rows-only/recall-clamped to
-    # value-hash-exact.  nn_descent_fixed: same conversion for
-    # NN-Descent — md5-ranked init both engines compute
-    # (G.nn_descent_md5_init ↔ the init CTE), two unrolled
-    # neighbor-of-neighbor rounds (G.nn_descent_sql),
-    # termination_threshold=0 so early-break == full unroll.
-    "events_asof_keyless_ranged",
-    "dedup_stream_minhash_epochs",
-    "bloom_stream_exact_epochs",
+    # Tier 2 — round-11 novel gates (both composed oracles landed and
+    # equivalence-tested in r10, registered now per the r10 verdict
+    # next #2/#3): cagra_extend_fixed — cagra.extend's full splice
+    # composition (fixed-iteration beam splice + intra-batch kNN +
+    # per-edge min-union + optimize re-bound, G.cagra_extend_sql) with
+    # the md5 seed rule, converting extend from rows-only to
+    # value-hash-exact; tiered_compaction_search — two tiered_extend
+    # epochs with the delta→ANN compaction transition crossed between
+    # the searches, vs the epoch-0 ivf∪bf merge + epoch-1 pure-IVF
+    # DuckDB twin — the streaming-compaction story gated end to end.
+    "cagra_extend_fixed",
+    "tiered_compaction_search",
+    # Tier 3 — re-gates: stats_rank_corr_kendall — the second
+    # try/finally persist hygiene row of the r9 class, deferred from
+    # the packed r10 window per the r9 verdict #5's explicit
+    # alternative (r10 verdict next #4 — closing the class);
+    # cagra_search_beam — the gate body changed this round
+    # (stop_on_empty=False drops the per-round empty-frontier driver
+    # job, r10 verdict #9; result-equality pinned in
+    # tests/test_round11.py).
+    "stats_rank_corr_kendall",
     "cagra_search_beam",
-    "nn_descent_fixed",
-    # Tier 3 — re-gates (implementation or gate construction changed
-    # this round, plus the two r9-deferred hygiene rows the verdict's
-    # next #5 asked for): stats_map_lsh / stats_rank_corr_kendall got
-    # the same try/finally persist wrap as mrr_score in r9 (change
-    # class so far represented only by stats_mrr_lsh);
-    # events_asof_join — asof_join's keyless guard trigger changed
-    # (plan-stats shortcut + single union count, ADVICE r9 #2);
-    # events_rate_monitor_state — the gate now localCheckpoints and
-    # removes its scratch state dir (ADVICE r9 #4);
-    # dynamic_batching_dispatch — the module's sink gained the atomic
-    # per-epoch staging-rename commit (ADVICE r9 #3).
-    # (stats_rank_corr_kendall — the second try/finally hygiene row —
-    # deferred to the r11 rotation per the r9 verdict #5's explicit
-    # alternative, to make room for the fifth novel; stats_map_lsh +
-    # the r9-green stats_mrr_lsh stay as the change-class
-    # representatives in-window.)
-    "stats_map_lsh",
-    "events_asof_join",
-    "events_rate_monitor_state",
-    "dynamic_batching_dispatch",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5a — ALL 39 remaining r05-stale rows, in registry order
-    # (closing the r05 tier):
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_c4_line_filter",
-    "text_lm_score",
-    "text_gopher_quality",
-    "sample_deterministic",
-    "sample_hash_split",
-    "pipeline_pack_sequences",
-    "sample_mixture",
-    "text_classifier_score",
-    "text_dsir_importance",
-    "mine_hard_negatives",
-    "dedup_semantic",
-    "preprocess_vpq_transform",
-    "preprocess_vpq_roundtrip",
-    "ivf_pq_extend_search",
-    "ivf_sq_extend_search",
-    "sparse_knn_cosine",
-    "sparse_knn_cityblock",
-    "sparse_pairwise_canberra",
-    "sparse_pairwise_jaccard",
-    "events_range_join",
-    "agglomerative_mutual_reachability",
-    "pipeline_curate_gopher",
-    "pipeline_curate_gopher_rules",
-    "pipeline_curate_semantic",
-    "ivf_flat_search_broadcast",
-    "ivf_flat_search_prefilter",
-    "ivf_pq_search_residual",
-    "ivf_pq_transform_codes",
-    "bf_save_load_search",
-    "ivf_pq_save_load_search",
-    "ivf_sq_save_load_search",
-    "groundtruth_files_roundtrip",
-    "cagra_vpq_decode",
-    "mg_sharded_search",
-    "mg_replicated_search",
-    "knn_precomputed_metric",
-    "ball_cover_knn",
-    # (knn_bf_sqeuclidean held this last slot until the fourth novel
-    # landed mid-round — tier 2 outranks staleness per the standing
-    # policy; it returns to the r11 staleness tier, now 45 r06 rows.)
+    # Tier 5 — the r06 staleness tier, in the CLAUDE.md-enumerated
+    # registry order, minus the displaced stats_recall_cagra_vs_exact
+    # (44 rows; closing r06):
+    "knn_bf_sqeuclidean",
+    "knn_bf_cosine",
+    "knn_bf_inner_product",
+    "knn_merge_parts",
+    "pairwise_jaccard",
+    "pairwise_dice",
+    "pairwise_russellrao",
+    "pairwise_hamming",
+    "pairwise_hellinger",
+    "eps_neighborhood",
+    "eps_neighborhood_degrees",
+    "kde_epanechnikov",
+    "refine_sqeuclidean",
+    "refine_cosine",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_wide",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_lm_score_bigram",
+    "text_chunk_documents",
+    "text_tfidf_keywords",
+    "sample_cap_per_source",
+    "sample_cap_per_source_threshold",
+    "dedup_keep_best",
+    "sample_dsir_topk",
+    "sample_dsir_threshold",
+    "stats_bpe_roundtrip",
+    "text_decontaminate_semantic",
+    "text_nfc_normalize",
+    "preprocess_scalar_quantize",
+    "dedup_connected_components",
+    "kde_gaussian",
+    "hnsw_from_cagra_view",
+    "stats_recall_near_dup_ann",
+    "stats_recall_nn_descent",
+    "stats_recall_ivf_trained",
+    "stats_recall_cagra_extend",
+    "stats_recall_cagra_ace",
+    "stats_purity_spectral",
+    "stats_pca_recon",
+    "stats_recall_hnsw_vs_exact",
 ]
 
 

@@ -29,8 +29,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuvs_spark.cluster.kmeans import kmeans_fit
-from cuvs_spark.functions.distance import distance_sql_spark
+from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
 from cuvs_spark.operators.select_k import select_k
+
+
+def _require_min_close(metric: str, where: str) -> None:
+    """The graph family (descent rounds, beam pools, optimize re-bounds
+    and their unrolled SQL twins) orders every candidate pool ASC — the
+    min-close convention (``distance.hpp:72-85``). A max-close metric
+    (inner_product family) would invert the pool ordering on the Spark
+    side while ``knn_self``/``knn`` keep the k LARGEST, silently
+    composing worst-neighbor graphs. Fail loudly instead; directional
+    support is a tracked follow-up (flip select_k/ORDER BY + min↔max
+    merges together, both engines)."""
+    if not is_min_close(metric):
+        raise ValueError(
+            f"{where}: metric {metric!r} is max-close; the graph family "
+            "orders pools min-close only. Use a min-close metric (e.g. "
+            "sqeuclidean/cosine) or negate scores upstream.")
 
 
 def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
@@ -51,6 +67,7 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
     applyInPandas GEMM tile with a bounded top-k before the merge
     (~20× the per-pair throughput of the interpreted expression path;
     the 100 TB batch shape). ``"expr"`` stays oracle-exact."""
+    _require_min_close(metric, "all_neighbors_build")
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -142,6 +159,7 @@ def all_neighbors_sql(dataset_sql: str, cent_sql: str, k: int,
                       metric: str = "sqeuclidean") -> str:
     """DuckDB oracle for the fixed-centroid all_neighbors pipeline."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
+    _require_min_close(metric, "all_neighbors_sql")
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb(metric, "a.dv", "b.dv")
     return f"""
@@ -183,6 +201,7 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
     (:func:`nn_descent_sql` reproduces an md5-ranked init both engines
     can compute) and the warm-start hook (resume descent from a saved
     graph)."""
+    _require_min_close(metric, "nn_descent_build")
     d = (dataset.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
          .persist())
@@ -265,6 +284,7 @@ def nn_descent_sql(dataset_sql: str, k: int, *, max_iterations: int = 2,
 
     ``dataset_sql`` → ``(nid, dv)``."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
+    _require_min_close(metric, "nn_descent_sql")
     dist = distance_sql_duckdb(metric, "a.dv", "b.dv")
     parts = [f"""
 WITH d AS MATERIALIZED ({dataset_sql}),
@@ -463,7 +483,8 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                  qid_col: str = "qid", qvec_col: str = "vec",
                  n_seeds: int = 16, score_method: str = "expr",
                  prefilter: DataFrame | None = None,
-                 seeds: DataFrame | None = None) -> DataFrame:
+                 seeds: DataFrame | None = None,
+                 stop_on_empty: bool = True) -> DataFrame:
     """Batched beam search over the graph (``cagra_search.cuh:137``):
     per query keep an ``itopk`` candidate pool; each round expands the
     best ``search_width`` unexpanded nodes through the edge table,
@@ -475,7 +496,18 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
     bitset analog). Reference semantics (filtered CAGRA search): the
     graph is traversed UNFILTERED so connectivity through removed nodes
     survives; only the result pool is filtered. Size ``itopk`` above
-    ``k / keep-fraction`` to hold recall."""
+    ``k / keep-fraction`` to hold recall.
+
+    ``stop_on_empty=False`` drops the per-round empty-frontier check —
+    one eager driver job per beam round that fixed-iteration callers
+    (small ``max_iterations``, e.g. the hash-exact gates) don't
+    need: an empty frontier
+    makes every remaining round a no-op by construction (no candidates,
+    pool unchanged), so skipping the check never changes the result,
+    only trades ≤``max_iterations`` wasted no-op rounds for
+    ``max_iterations`` saved Spark jobs. Keep the default ``True`` when
+    ``max_iterations`` is large relative to the expected convergence."""
+    _require_min_close(metric, "cagra_search")
     d = (dataset.select(F.col(id_col).cast("long").alias("nid"),
                         F.col(vec_col).alias("_dv")).persist())
     q = (queries.select(F.col(qid_col).cast("long").alias("qid"),
@@ -516,7 +548,7 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
         frontier = select_k(pool.filter(~F.col("expanded")),
                             "qid", "distance", search_width,
                             tie_cols=["nid"], rank_col=None)
-        if frontier.isEmpty():
+        if stop_on_empty and frontier.isEmpty():
             break
         expanded_now = frontier.select("qid", "nid",
                                        F.lit(True).alias("expanded"))
@@ -563,6 +595,7 @@ def cagra_search_sql(dataset_sql: str, queries_sql: str, edges_sql: str,
     degenerates to a no-op here exactly as the Spark loop's ``break``
     does (no candidates, pool unchanged)."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
+    _require_min_close(metric, "cagra_search_sql")
     dist = distance_sql_duckdb(metric, "q.qv", "d.dv")
     parts = [f"""
 WITH d AS MATERIALIZED ({dataset_sql}), q AS MATERIALIZED ({queries_sql}),
@@ -620,7 +653,8 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
                  vec_col: str = "vec", itopk: int = 32,
                  search_width: int = 8, max_iterations: int = 4,
                  score_method: str = "expr",
-                 seeds: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+                 seeds: DataFrame | None = None,
+                 stop_on_empty: bool = True) -> tuple[DataFrame, DataFrame]:
     """``cagra.extend`` (``cagra.hpp:1255``, ``cagra.pyx:1065``): add a
     batch of vectors to a built graph without a full rebuild.
 
@@ -637,6 +671,7 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
     new batch. This is the CAGRA tier's compaction step for the
     streaming/tiered ingestion path (``tiered.py``)."""
     from cuvs_spark.operators.brute_force import knn_self
+    _require_min_close(metric, "cagra_extend")
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
     new = new_rows.select(F.col(id_col).cast("long").alias("id"),
@@ -647,7 +682,7 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
                          search_width=search_width,
                          max_iterations=max_iterations, metric=metric,
                          qvec_col="vec", score_method=score_method,
-                         seeds=seeds)
+                         seeds=seeds, stop_on_empty=stop_on_empty)
     splice = found.select(F.col("qid").alias("src"),
                           F.col("nid").alias("dst"), "distance")
     intra = (knn_self(new, graph_degree, metric)
@@ -675,8 +710,15 @@ def cagra_extend_sql(dataset_sql: str, new_sql: str, graph_sql: str,
     ``seeds=`` (new qids × md5-top-``n_seeds`` base ids).
 
     ``dataset_sql``/``new_sql`` → ``(nid, dv)``; ``graph_sql`` →
-    ``(src, dst, distance)``."""
+    ``(src, dst, distance)``.
+
+    Min-close metrics only (guarded): the intra-batch kNN here orders
+    ASC while the Spark twin's ``knn_self`` honors ``is_min_close`` —
+    for a max-close metric the two would silently diverge (and the
+    splice/optimize stages' ASC ordering would compose worst-neighbor
+    edges on both engines)."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
+    _require_min_close(metric, "cagra_extend_sql")
     beam = cagra_search_sql(
         dataset_sql, f"SELECT nid AS qid, dv AS qv FROM ({new_sql})",
         graph_sql, graph_degree, itopk=itopk, search_width=search_width,

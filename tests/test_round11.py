@@ -1,0 +1,138 @@
+"""Round-11 pins.
+
+1. The graph family's min-close guard (ADVICE r10 #1): every
+   descent/beam/extend operator and unrolled-SQL generator orders
+   candidate pools ASC; a max-close metric (inner_product family) must
+   fail loudly instead of silently composing worst-neighbor graphs
+   (the Spark side would keep k smallest dot products while
+   ``knn_self`` inside ``cagra_extend`` keeps k largest — incoherent).
+2. ``cagra_search(stop_on_empty=False)`` (r10 verdict #9): the
+   fixed-iteration path drops the per-round empty-frontier driver job
+   without changing results — pinned both as result-equality against
+   the default path and as a no-``isEmpty``-call property.
+3. The two r11 novel gates (``cagra_extend_fixed``,
+   ``tiered_compaction_search``) run green against their registered
+   DuckDB oracles at sf0.001 — the same comparison the driver makes at
+   sf0.01 (their compositions were equivalence-proven in r10;
+   tests/test_properties_round10.py and tests/test_round10.py).
+"""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuvs_spark.operators import graph as G
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+# --- 1. min-close guard ----------------------------------------------------
+
+def test_graph_sql_generators_reject_max_close_metric():
+    for gen, args in [
+            (G.cagra_search_sql, ("SELECT 1", "SELECT 1", "SELECT 1", 3)),
+            (G.nn_descent_sql, ("SELECT 1", 3)),
+            (G.cagra_extend_sql, ("SELECT 1", "SELECT 1", "SELECT 1", 3)),
+            (G.all_neighbors_sql, ("SELECT 1", "SELECT 1", 3)),
+    ]:
+        with pytest.raises(ValueError, match="max-close"):
+            gen(*args, metric="inner_product")
+
+
+def test_graph_operators_reject_max_close_metric(spark, vectors_df,
+                                                 queries_df):
+    g = vectors_df.select(F.col("id").alias("src"),
+                          (F.col("id") + 1).alias("dst"),
+                          F.lit(1.0).alias("distance"))
+    with pytest.raises(ValueError, match="max-close"):
+        G.nn_descent_build(vectors_df, 3, metric="inner_product")
+    with pytest.raises(ValueError, match="max-close"):
+        G.cagra_search(g, vectors_df, queries_df, 3,
+                       metric="inner_product")
+    with pytest.raises(ValueError, match="max-close"):
+        G.cagra_extend(g, vectors_df, vectors_df, 3,
+                       metric="inner_product")
+    with pytest.raises(ValueError, match="max-close"):
+        G.all_neighbors_build(vectors_df, 3, metric="inner_product")
+
+
+def test_min_close_metrics_still_accepted():
+    # the guard must not reject any min-close metric the family took
+    # before r11 (cosine/euclidean gates, sqeuclidean defaults)
+    for m in ("sqeuclidean", "euclidean", "cosine"):
+        sql = G.nn_descent_sql("SELECT 1 AS nid, [1.0] AS dv", 2, metric=m)
+        assert "row_number" in sql
+
+
+# --- 2. stop_on_empty ------------------------------------------------------
+
+def _beam_fixture(spark, vectors_df, queries_df):
+    from cuvs_spark.operators import knn_self
+    g = knn_self(vectors_df, 6).select(F.col("qid").alias("src"),
+                                       F.col("nid").alias("dst"),
+                                       "distance")
+    edges = G.cagra_optimize(g, 4)
+    seed_ids = (vectors_df.select(F.col("id").alias("nid"))
+                .orderBy(F.md5(F.col("nid").cast("string")), "nid")
+                .limit(5))
+    seeds = (queries_df.select("qid").crossJoin(F.broadcast(seed_ids)))
+    return edges, seeds
+
+
+def test_cagra_search_stop_on_empty_same_result(spark, vectors_df,
+                                                queries_df):
+    """Skipping the empty-frontier check never changes results: an
+    empty frontier makes every remaining round a no-op (no candidates,
+    pool unchanged). max_iterations is oversized so the default path
+    actually breaks early while the fixed path runs all rounds."""
+    edges, seeds = _beam_fixture(spark, vectors_df, queries_df)
+    kw = dict(k=4, itopk=8, search_width=3, max_iterations=12,
+              qvec_col="vec", seeds=seeds)
+    a = G.cagra_search(edges, vectors_df, queries_df, **kw)
+    b = G.cagra_search(edges, vectors_df, queries_df,
+                       stop_on_empty=False, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple,
+                                                         b.collect()))
+
+
+def test_cagra_search_fixed_runs_no_isempty_job(spark, vectors_df,
+                                                queries_df,
+                                                monkeypatch):
+    """The r10 verdict #9 done-criterion: the gated fixed-iteration
+    call shape (explicit seeds, small max_iterations,
+    stop_on_empty=False) must never issue the per-round
+    ``DataFrame.isEmpty`` driver job."""
+    edges, seeds = _beam_fixture(spark, vectors_df, queries_df)
+
+    def _boom(self):
+        raise AssertionError("isEmpty job issued on the fixed path")
+
+    monkeypatch.setattr(DataFrame, "isEmpty", _boom)
+    out = G.cagra_search(edges, vectors_df, queries_df, 4, itopk=8,
+                         search_width=3, max_iterations=3,
+                         qvec_col="vec", seeds=seeds,
+                         stop_on_empty=False)
+    assert out.count() > 0
+
+
+# --- 3. the r11 novel gates vs their registered oracles --------------------
+
+def _oracle_compare(spark, name):
+    from cuvs_spark.entry_queries import ORACLES, QUERIES
+    got = sorted(map(tuple, QUERIES[name](spark, SF_TINY).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_TINY}/embeddings.parquet'")
+    want = sorted(map(tuple, con.sql(ORACLES[name]).fetchall()))
+    assert got == want
+    assert got, f"{name}: empty result"
+
+
+def test_cagra_extend_fixed_gate_matches_oracle(spark):
+    _oracle_compare(spark, "cagra_extend_fixed")
+
+
+def test_tiered_compaction_gate_matches_oracle(spark):
+    _oracle_compare(spark, "tiered_compaction_search")
