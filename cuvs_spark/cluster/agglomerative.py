@@ -161,6 +161,63 @@ def build_dendrogram(edges: DataFrame, ids: list[int]) -> Dendrogram:
                       n_leaves=len(ids))
 
 
+def single_linkage_sql(d_sql: str, q_sql: str, n_clusters: int, k: int, *,
+                       n_rows: int, metric: str = "sqeuclidean") -> str:
+    """DuckDB oracle for :func:`single_linkage` labels at gate scale —
+    the conversion of the dendrogram family from rows-only to
+    value-hash-exact (``agglomerative.hpp:107,251``).
+
+    Why this is exact: whenever ``n_rows <= finish_components`` (every
+    gate-scale call), :func:`_mst_edges` takes the serial-finish path
+    on the FIRST round, where the contracted per-(comp, comp) minimum
+    over singleton components is simply the full directed kNN edge
+    table — so the whole operator degenerates to Kruskal over the
+    edges in ``(distance, src, dst)`` ascending order, followed by a
+    cut that replays the same accepted-edge sequence until
+    ``n_clusters`` components remain. That single sequential process
+    is reproduced here as one recursive CTE: the union-find is a flat
+    root-label list carried in the recursion's single state row
+    (union relabels every occurrence, so lookups are O(1) and roots
+    are always the component's minimum id — exactly
+    ``_UnionFind.union``'s smaller-root rule, which also makes the
+    final root THE ``min-member-id`` label the operator emits).
+
+    Requires contiguous ids ``0..n_rows-1`` (the list index IS the
+    id); ``d_sql``/``q_sql`` → ``(nid, dv)`` / ``(qid, qv)`` over the
+    same rows. The kNN stage reuses the driver-proven
+    ``knn_sql(pair_where=qid<>nid)`` ↔ ``knn_self`` template pair."""
+    from cuvs_spark.plans.oracle import knn_sql
+    knn = knn_sql(d_sql, q_sql, k, metric, pair_where="q.qid <> d.nid")
+    ra = "kr.lab[CAST(e.src AS BIGINT) + 1]"
+    rb = "kr.lab[CAST(e.dst AS BIGINT) + 1]"
+    return f"""
+WITH RECURSIVE g AS MATERIALIZED ({knn}),
+edges AS MATERIALIZED (
+  SELECT qid AS src, nid AS dst, distance,
+         row_number() OVER (ORDER BY distance ASC, qid ASC, nid ASC) AS i
+  FROM g),
+kr AS (
+  SELECT CAST(0 AS BIGINT) AS i,
+         (SELECT list(CAST(v AS BIGINT) ORDER BY v)
+          FROM range({n_rows}) t(v)) AS lab,
+         CAST({n_rows} AS BIGINT) AS comps
+  UNION ALL
+  SELECT e.i,
+         CASE WHEN {ra} <> {rb}
+              THEN list_transform(kr.lab,
+                     v -> CASE WHEN v = greatest({ra}, {rb})
+                               THEN least({ra}, {rb}) ELSE v END)
+              ELSE kr.lab END,
+         CASE WHEN {ra} <> {rb} THEN kr.comps - 1 ELSE kr.comps END
+  FROM kr JOIN edges e
+    ON e.i = kr.i + 1 AND kr.comps > {n_clusters}
+)
+SELECT CAST(t.v AS BIGINT) AS id, f.lab[CAST(t.v AS BIGINT) + 1] AS label
+FROM range({n_rows}) t(v),
+     (SELECT lab FROM kr ORDER BY i DESC LIMIT 1) f
+"""
+
+
 def mutual_reachability_graph(dataset: DataFrame, k: int = 5, *,
                               metric: str = "sqeuclidean",
                               id_col: str = "id",

@@ -104,17 +104,12 @@ FROM exploded GROUP BY label, dim
 """
 
 
-def kmeans_fit_sql(dataset_sql: str, cent_sql: str, n_iters: int,
-                   metric: str = "sqeuclidean", ndigits: int = 6) -> str:
-    """Full fixed-init Lloyd fit → exploded ``(label, dim, val)``.
-
-    Chains ``n_iters`` assign→means steps as CTEs. Matches
-    ``kmeans_fit(init=<fixed>, tol=0.0, update_method="expr",
-    centroid_round=ndigits)``: each iteration's centroids are rounded to
-    ``ndigits`` on BOTH engines, so shuffle-order FP noise in the means
-    cannot compound across iterations. Empty clusters carry the previous
-    (rounded) centroid via the LEFT JOIN / COALESCE, mirroring
-    ``_update_means``'s nonempty mask."""
+def _kmeans_chain_parts(dataset_sql: str, cent_sql: str, n_iters: int,
+                        metric: str, ndigits: int) -> list[str]:
+    """The chained-Lloyd CTE list shared by :func:`kmeans_fit_sql`
+    (exploded centroid output) and :func:`kmeans_fit_cent_sql`
+    (centroid-table output for downstream composition). The final CTE
+    is ``cent_{n_iters} (label, cv)``."""
     rnd = f"list_transform(c.cv, v -> ROUND(CAST(v AS DOUBLE), {ndigits}))"
     parts = [f"d AS ({dataset_sql})",
              f"cent_0 AS (SELECT label, cv FROM ({cent_sql}))"]
@@ -141,10 +136,49 @@ def kmeans_fit_sql(dataset_sql: str, cent_sql: str, n_iters: int,
   SELECT c.label AS label, COALESCE(n.cv, {rnd}) AS cv
   FROM cent_{i - 1} c LEFT JOIN newc_{i} n ON c.label = n.label
 )""")
+    return parts
+
+
+def kmeans_fit_sql(dataset_sql: str, cent_sql: str, n_iters: int,
+                   metric: str = "sqeuclidean", ndigits: int = 6) -> str:
+    """Full fixed-init Lloyd fit → exploded ``(label, dim, val)``.
+
+    Chains ``n_iters`` assign→means steps as CTEs. Matches
+    ``kmeans_fit(init=<fixed>, tol=0.0, update_method="expr",
+    centroid_round=ndigits)``: each iteration's centroids are rounded to
+    ``ndigits`` on BOTH engines, so shuffle-order FP noise in the means
+    cannot compound across iterations. Empty clusters carry the previous
+    (rounded) centroid via the LEFT JOIN / COALESCE, mirroring
+    ``_update_means``'s nonempty mask."""
+    parts = _kmeans_chain_parts(dataset_sql, cent_sql, n_iters, metric,
+                                ndigits)
     return f"""
 WITH {', '.join(parts)}
 SELECT label, CAST(generate_subscripts(cv, 1) AS BIGINT) - 1 AS dim,
        ROUND(CAST(unnest(cv) AS DOUBLE), {ndigits}) AS val
+FROM cent_{n_iters}
+"""
+
+
+def kmeans_fit_cent_sql(dataset_sql: str, cent_sql: str, n_iters: int,
+                        metric: str = "sqeuclidean",
+                        ndigits: int = 6) -> str:
+    """The trained centroid TABLE ``(label, cv array<float>)`` of the
+    same chained-Lloyd fit — for composing trained-quantizer oracles
+    (e.g. :func:`ivf_flat_search_sql` with a TRAINED ``cent_sql``).
+
+    The float cast is load-bearing: the Spark operators hand trained
+    centroids downstream through ``array<float>`` DataFrames
+    (``_centroid_df`` / ``ivf_flat_search``'s cent frame), so the
+    engines only agree if DuckDB narrows the rounded doubles to float32
+    the same way — IEEE round-to-nearest on identical inputs yields
+    identical bits, and the distance folds then match exactly as they
+    do for raw parquet float32 vectors."""
+    parts = _kmeans_chain_parts(dataset_sql, cent_sql, n_iters, metric,
+                                ndigits)
+    return f"""
+WITH {', '.join(parts)}
+SELECT label, list_transform(cv, v -> CAST(v AS FLOAT)) AS cv
 FROM cent_{n_iters}
 """
 

@@ -136,3 +136,81 @@ def test_cagra_extend_fixed_gate_matches_oracle(spark):
 
 def test_tiered_compaction_gate_matches_oracle(spark):
     _oracle_compare(spark, "tiered_compaction_search")
+
+
+# --- 4. r12 gate candidate proven without a registry slot ------------------
+
+def test_ivf_trained_search_matches_composed_sql(spark):
+    """The TRAINED coarse quantizer end to end, value-hash-exact: a
+    reproducible chained-Lloyd fit (fixed init, tol=0, expr updates,
+    per-iteration centroid_round — the driver-proven
+    kmeans_fit_centroids recipe) feeds ivf_flat_build/search, and the
+    DuckDB twin composes O.kmeans_fit_cent_sql (the fit chain's
+    centroid TABLE, narrowed to float32 exactly as the Spark operators'
+    array<float> hand-off narrows it) into O.ivf_flat_search_sql as a
+    trained cent_sql. Converts ivf_flat_search_trained's class from
+    rows-only to hash-exact — the r12 gate candidate, proven here
+    without spending a registry slot (the r11 window is packed)."""
+    from cuvs_spark.cluster import kmeans_fit
+    from cuvs_spark.entry_queries import (_fixed_centroids, emb_dataset,
+                                          emb_queries)
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
+    from cuvs_spark.plans import oracle as O
+
+    n_lists, iters, k, probes = 16, 2, 10, 4
+    d = emb_dataset(spark, SF_TINY)
+    model = kmeans_fit(d, n_lists, max_iter=iters, tol=0.0,
+                       init=_fixed_centroids(spark, SF_TINY, n_lists),
+                       update_method="expr", centroid_round=6)
+    idx = ivf_flat_build(d, n_lists, centroids=model.centroids)
+    q = emb_queries(spark, SF_TINY, 20)
+    got = sorted(map(tuple, ivf_flat_search(idx, q, k, probes,
+                                            qvec_col="qv").collect()))
+
+    cent = O.kmeans_fit_cent_sql(
+        "SELECT vec_id AS id, embedding AS dv FROM embeddings",
+        "SELECT vec_id AS label, embedding AS cv FROM embeddings "
+        f"WHERE vec_id < {n_lists}", iters)
+    sql = O.ivf_flat_search_sql(
+        "SELECT vec_id AS id, embedding AS dv FROM embeddings",
+        "SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+        "WHERE vec_id < 20",
+        cent, k, probes)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_TINY}/embeddings.parquet'")
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert len(got) == 20 * k
+
+
+def test_single_linkage_matches_recursive_kruskal_sql(spark):
+    """The dendrogram family's rows-only → hash-exact conversion, the
+    second r12 gate candidate: at gate scale (n <= finish_components)
+    single_linkage is exactly Kruskal over the directed kNN edges in
+    (distance, src, dst) order with an early-stopped cut, and
+    single_linkage_sql reproduces that as one recursive CTE carrying a
+    flat union-find. Exercised at two cuts plus a
+    disconnected-graph-shaped tiny k."""
+    from cuvs_spark.cluster.agglomerative import (single_linkage,
+                                                  single_linkage_sql)
+    from cuvs_spark.entry_queries import emb_dataset
+
+    n_rows = 200
+    d = emb_dataset(spark, SF_TINY).filter(F.col("id") < n_rows)
+    d_sql = ("SELECT vec_id AS nid, embedding AS dv FROM embeddings "
+             f"WHERE vec_id < {n_rows}")
+    q_sql = ("SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+             f"WHERE vec_id < {n_rows}")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_TINY}/embeddings.parquet'")
+    for n_clusters, k in [(10, 10), (3, 8), (25, 2)]:
+        got = sorted(map(tuple,
+                         single_linkage(d, n_clusters, k=k).collect()))
+        sql = single_linkage_sql(d_sql, q_sql, n_clusters, k,
+                                 n_rows=n_rows)
+        want = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == want, (n_clusters, k)
+        assert len(got) == n_rows
+
