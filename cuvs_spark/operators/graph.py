@@ -831,12 +831,21 @@ def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
                     overlap_factor: int = 2, metric: str = "sqeuclidean",
                     id_col: str = "id", vec_col: str = "vec",
                     kmeans_n_iters: int = 4, seed: int = 42,
-                    method: str = "expr", **builder_kw) -> DataFrame:
+                    method: str = "expr",
+                    centroids: np.ndarray | None = None,
+                    builder_centroids: np.ndarray | None = None,
+                    **builder_kw) -> DataFrame:
     """Partitioned CAGRA build: balanced k-means split into
     ``npartitions`` overlapping shards, per-shard graph build (spilled
     to ``spill_dir`` as parquet when given), physical merge +
     optimize. ``overlap_factor`` shards per row supplies the
-    cross-partition edges the merge needs."""
+    cross-partition edges the merge needs.
+
+    ``centroids`` pins the PARTITIONER and ``builder_centroids`` the
+    per-shard all_neighbors batching (the reference's Array-init
+    analog, same hook as ``ivf_flat_build``): with both fixed, the
+    whole composition is deterministic and SQL-expressible
+    (:func:`cagra_ace_sql`)."""
     import os
     import tempfile
 
@@ -847,17 +856,21 @@ def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
-    model = kmeans_fit(d, npartitions, max_iter=kmeans_n_iters, seed=seed,
-                      balanced=True)
+    if centroids is None:
+        model = kmeans_fit(d, npartitions, max_iter=kmeans_n_iters,
+                           seed=seed, balanced=True)
+        centroids = model.centroids
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c])
-         for i, c in enumerate(model.centroids)],
+         for i, c in enumerate(centroids)],
         "part int, cv array<float>")
     pdist = F.expr(_dss("sqeuclidean", "vec", "cv"))
     asg = _sk(d.join(F.broadcast(cent)).select(
         "id", "part", pdist.alias("_d")),
         "id", "_d", min(overlap_factor, npartitions),
         tie_cols=["part"], rank_col=None).select("id", "part")
+    if builder_centroids is not None:
+        builder_kw = {**builder_kw, "centroids": builder_centroids}
     spill = spill_dir or tempfile.mkdtemp(prefix="cagra_ace_")
     parts = []
     for p in range(npartitions):
@@ -870,6 +883,50 @@ def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
         g.write.mode("overwrite").parquet(path)
         parts.append(spark.read.parquet(path))
     return cagra_merge(parts, graph_degree)
+
+
+def cagra_ace_sql(dataset_sql: str, part_cent_sql: str, an_cent_sql: str,
+                  graph_degree: int, *, npartitions: int,
+                  overlap_factor: int = 2, an_overlap: int = 2,
+                  metric: str = "sqeuclidean") -> str:
+    """DuckDB oracle for the FIXED-CENTROID :func:`cagra_build_ace`
+    composition (``cagra.pyx`` ACE / partitioned spill build): the
+    partition assignment (top-``overlap_factor`` partition centroids
+    per row — :func:`select_k`'s window shape), one
+    :func:`all_neighbors_sql` + :func:`cagra_optimize_sql` per shard
+    (exactly ``cagra_build``'s default builder with the shard's rows
+    and the shared fixed builder centroids), then the physical merge:
+    union + per-edge min + optimize — :func:`cagra_merge`. Exactly
+    mirrors ``cagra_build_ace(centroids=…, builder_centroids=…)``; the
+    parquet spill round-trips longs/doubles losslessly so the spilled
+    and in-plan shard graphs are identical.
+
+    ``dataset_sql`` → ``(id, dv)``; ``part_cent_sql`` →
+    ``(part, cv)``; ``an_cent_sql`` → ``(label, cv)``."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb
+    _require_min_close(metric, "cagra_ace_sql")
+    pdist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
+    o = min(overlap_factor, npartitions)
+    pasg = f"""
+SELECT id, part FROM (
+  SELECT d.id AS id, c.part AS part,
+         row_number() OVER (PARTITION BY d.id
+                            ORDER BY {pdist} ASC, c.part ASC) rn
+  FROM ({dataset_sql}) d CROSS JOIN ({part_cent_sql}) c) WHERE rn <= {o}"""
+    shard_graphs = []
+    for p in range(npartitions):
+        shard = f"""
+SELECT dd.id AS id, dd.dv AS dv FROM ({dataset_sql}) dd
+JOIN ({pasg}) pa ON pa.id = dd.id AND pa.part = {p}"""
+        an = all_neighbors_sql(shard, an_cent_sql, 2 * graph_degree,
+                               an_overlap, metric=metric)
+        shard_graphs.append(cagra_optimize_sql(
+            f"SELECT src, dst, distance FROM ({an})", graph_degree))
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, distance FROM ({g})" for g in shard_graphs)
+    merged = (f"SELECT src, dst, min(distance) AS distance FROM ({union}) "
+              "GROUP BY src, dst")
+    return cagra_optimize_sql(merged, graph_degree)
 
 
 def degree_histogram(graph: DataFrame, *, nodes: DataFrame | None = None,

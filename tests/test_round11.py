@@ -184,6 +184,38 @@ def test_ivf_trained_search_matches_composed_sql(spark):
     assert len(got) == 20 * k
 
 
+def test_cagra_ace_matches_composed_sql(spark):
+    """The ACE partitioned spill build, rows-only → hash-exact: with
+    fixed partitioner AND builder centroids (the new centroids= /
+    builder_centroids= hooks), cagra_build_ace is a composition of
+    driver-proven templates — overlap partition assign, per-shard
+    all_neighbors + optimize, spill round-trip, min-union merge +
+    optimize — reproduced by G.cagra_ace_sql. An r12 gate candidate."""
+    from cuvs_spark.entry_queries import _fixed_centroids, emb_dataset
+
+    npart, deg = 4, 6
+    d = emb_dataset(spark, SF_TINY)
+    pc = _fixed_centroids(spark, SF_TINY, npart)
+    bc = _fixed_centroids(spark, SF_TINY, 8)
+    got = sorted(map(tuple, G.cagra_build_ace(
+        d, deg, npartitions=npart, overlap_factor=2,
+        centroids=pc, builder_centroids=bc).collect()))
+
+    sql = G.cagra_ace_sql(
+        "SELECT vec_id AS id, embedding AS dv FROM embeddings",
+        "SELECT vec_id AS part, embedding AS cv FROM embeddings "
+        f"WHERE vec_id < {npart}",
+        "SELECT vec_id AS label, embedding AS cv FROM embeddings "
+        "WHERE vec_id < 8",
+        deg, npartitions=npart, overlap_factor=2)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_TINY}/embeddings.parquet'")
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert got
+
+
 def test_single_linkage_matches_recursive_kruskal_sql(spark):
     """The dendrogram family's rows-only → hash-exact conversion, the
     second r12 gate candidate: at gate scale (n <= finish_components)
