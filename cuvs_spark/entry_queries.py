@@ -4583,16 +4583,19 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
     # ROUND-11 WINDOW — closes the r06 staleness tier the way r10
-    # closed r05 (r10 verdict next #1): 2 novels + 2 re-gates + 2
-    # canaries + 44 r06-stale refreshes = 50 exactly.  One planned
-    # displacement (noted below and in CLAUDE.md): cagra_search_beam
-    # re-gates because its gate now exercises the new
-    # stop_on_empty=False fixed-iteration path (r10 verdict #9),
-    # displacing stats_recall_cagra_vs_exact — the lowest-risk row of
-    # the tier (a clamp-to-1.0 constant-oracle scalar whose Spark side
-    # uses the UNCHANGED default stop_on_empty=True dataflow, and the
-    # quality twin of the very gate taking its slot).  It returns at
-    # the head of the r12 staleness tier.
+    # closed r05 (r10 verdict next #1): 2 novels + 3 re-gates + 2
+    # canaries + 43 r06-stale refreshes = 50 exactly.  Two planned
+    # displacements (noted below and in CLAUDE.md), each by the
+    # standing rule (lowest-risk clamp scalar, quality twin of the
+    # gate taking its slot): cagra_search_beam re-gates (its gate now
+    # exercises the stop_on_empty=False fixed-iteration path, r10
+    # verdict #9) displacing stats_recall_cagra_vs_exact;
+    # nn_descent_fixed re-gates (directional max-close support, ADVICE
+    # r10 #1's "flip" arm, parameterized its loop's select_k calls —
+    # min-close plans fold to the previous constants, pinned
+    # cross-engine in tests/test_directional.py) displacing
+    # stats_recall_nn_descent.  Both displaced scalars return at the
+    # head of the r12 staleness tier.
     #
     # Tier 2 — round-11 novel gates (both composed oracles landed and
     # equivalence-tested in r10, registered now per the r10 verdict
@@ -4613,15 +4616,21 @@ _WINDOW_PRIORITY = [
     # cagra_search_beam — the gate body changed this round
     # (stop_on_empty=False drops the per-round empty-frontier driver
     # job, r10 verdict #9; result-equality pinned in
-    # tests/test_round11.py).
+    # tests/test_round11.py); nn_descent_fixed — its operator's top-k
+    # calls were parameterized for directional support this round
+    # (select_min=is_min_close(metric), identical plans for the gated
+    # sqeuclidean; tests/test_directional.py pins both directions
+    # cross-engine).
     "stats_rank_corr_kendall",
     "cagra_search_beam",
+    "nn_descent_fixed",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
     # Tier 5 — the r06 staleness tier, in the CLAUDE.md-enumerated
     # registry order, minus the displaced stats_recall_cagra_vs_exact
-    # (44 rows; closing r06):
+    # and stats_recall_nn_descent (43 rows; closing r06 up to the two
+    # displacements):
     "knn_bf_sqeuclidean",
     "knn_bf_cosine",
     "knn_bf_inner_product",
@@ -4659,7 +4668,6 @@ _WINDOW_PRIORITY = [
     "kde_gaussian",
     "hnsw_from_cagra_view",
     "stats_recall_near_dup_ann",
-    "stats_recall_nn_descent",
     "stats_recall_ivf_trained",
     "stats_recall_cagra_extend",
     "stats_recall_cagra_ace",

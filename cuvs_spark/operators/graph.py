@@ -34,19 +34,23 @@ from cuvs_spark.operators.select_k import select_k
 
 
 def _require_min_close(metric: str, where: str) -> None:
-    """The graph family (descent rounds, beam pools, optimize re-bounds
-    and their unrolled SQL twins) orders every candidate pool ASC — the
-    min-close convention (``distance.hpp:72-85``). A max-close metric
-    (inner_product family) would invert the pool ordering on the Spark
-    side while ``knn_self``/``knn`` keep the k LARGEST, silently
-    composing worst-neighbor graphs. Fail loudly instead; directional
-    support is a tracked follow-up (flip select_k/ORDER BY + min↔max
-    merges together, both engines)."""
+    """Guard for the batch-partitioned all_neighbors build (and its ACE
+    composition): its local-kNN/merge stages order ASC and its k-means
+    batching is L2-shaped, so a max-close metric (inner_product family)
+    would silently compose worst-neighbor shard graphs. The rest of the
+    graph family (NN-Descent, beam search, extend, optimize, merge)
+    supports both directions since r11 — every pool/merge flips with
+    ``is_min_close(metric)`` on BOTH engines (select_k's ``select_min``
+    ↔ the unrolled twins' ORDER BY direction and min↔max edge folds),
+    matching the reference's metric surface (``cagra.pyx:250``,
+    ``nn_descent.pyx:48`` list inner_product). Directional
+    all_neighbors is the remaining follow-up."""
     if not is_min_close(metric):
         raise ValueError(
-            f"{where}: metric {metric!r} is max-close; the graph family "
-            "orders pools min-close only. Use a min-close metric (e.g. "
-            "sqeuclidean/cosine) or negate scores upstream.")
+            f"{where}: metric {metric!r} is max-close; the partitioned "
+            "all_neighbors build orders pools min-close only. Use a "
+            "min-close metric (e.g. sqeuclidean/cosine), negate scores "
+            "upstream, or build via build_algo='nn_descent'.")
 
 
 def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
@@ -200,8 +204,13 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
     place of the default pseudo-random bucketed init — the oracle hook
     (:func:`nn_descent_sql` reproduces an md5-ranked init both engines
     can compute) and the warm-start hook (resume descent from a saved
-    graph)."""
-    _require_min_close(metric, "nn_descent_build")
+    graph).
+
+    Direction follows ``is_min_close(metric)`` (``distance.hpp:72-85``;
+    the reference's NN-Descent accepts inner_product,
+    ``nn_descent.pyx:48``): every per-node top-k keeps the k best —
+    smallest for min-close metrics, largest for inner_product."""
+    close = is_min_close(metric)
     d = (dataset.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
          .persist())
@@ -233,7 +242,7 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
     def with_dist(edges: DataFrame) -> DataFrame:
         return score_pairs(edges, d, metric=metric, method=score_method)
 
-    g = select_k(with_dist(init), "src", "distance", k,
+    g = select_k(with_dist(init), "src", "distance", k, select_min=close,
                  tie_cols=["dst"], rank_col=None).localCheckpoint()
     for it in range(max_iterations):
         fwd = g.select("src", "dst")
@@ -257,14 +266,16 @@ def nn_descent_build(dataset: DataFrame, k: int = 10, *,
                 .unionByName(fwd)
                 .distinct())
         new_g = select_k(with_dist(cand), "src", "distance", k,
-                         tie_cols=["dst"], rank_col=None).localCheckpoint()
+                         select_min=close, tie_cols=["dst"],
+                         rank_col=None).localCheckpoint()
         changed = (new_g.select("src", "dst")
                    .exceptAll(g.select("src", "dst")).count())
         g = new_g
         if changed <= termination_threshold * n * k:
             break
     d.unpersist()
-    return select_k(g, "src", "distance", k, tie_cols=["dst"])
+    return select_k(g, "src", "distance", k, select_min=close,
+                    tie_cols=["dst"])
 
 
 def nn_descent_sql(dataset_sql: str, k: int, *, max_iterations: int = 2,
@@ -282,9 +293,12 @@ def nn_descent_sql(dataset_sql: str, k: int, *, max_iterations: int = 2,
     by construction (``cand`` depends only on ``g``), so early
     termination and full unrolling agree.
 
-    ``dataset_sql`` → ``(nid, dv)``."""
+    ``dataset_sql`` → ``(nid, dv)``. Distance orderings follow
+    ``is_min_close(metric)`` exactly as the Spark side's ``select_k``
+    calls do (DESC for inner_product); the md5 init ranking is
+    direction-independent."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
-    _require_min_close(metric, "nn_descent_sql")
+    dirn = "ASC" if is_min_close(metric) else "DESC"
     dist = distance_sql_duckdb(metric, "a.dv", "b.dv")
     parts = [f"""
 WITH d AS MATERIALIZED ({dataset_sql}),
@@ -299,7 +313,7 @@ g0 AS MATERIALIZED (
   SELECT src, dst, distance FROM (
     SELECT i.src, i.dst, {dist} AS distance,
            row_number() OVER (PARTITION BY i.src
-                              ORDER BY {dist} ASC, i.dst ASC) rn
+                              ORDER BY {dist} {dirn}, i.dst ASC) rn
     FROM init i JOIN d a ON a.nid = i.src JOIN d b ON b.nid = i.dst)
   WHERE rn <= {k})"""]
     prev = "g0"
@@ -320,7 +334,7 @@ g{i} AS MATERIALIZED (
   SELECT src, dst, distance FROM (
     SELECT c.src, c.dst, {dist} AS distance,
            row_number() OVER (PARTITION BY c.src
-                              ORDER BY {dist} ASC, c.dst ASC) rn
+                              ORDER BY {dist} {dirn}, c.dst ASC) rn
     FROM cand{i} c JOIN d a ON a.nid = c.src JOIN d b ON b.nid = c.dst)
   WHERE rn <= {k})""")
         prev = f"g{i}"
@@ -328,7 +342,7 @@ g{i} AS MATERIALIZED (
 SELECT src, dst, distance, rank FROM (
   SELECT src, dst, distance,
          row_number() OVER (PARTITION BY src
-                            ORDER BY distance ASC, dst ASC) rank
+                            ORDER BY distance {dirn}, dst ASC) rank
   FROM {prev}) WHERE rank <= {k}""")
     return "".join(parts)
 
@@ -351,41 +365,49 @@ def nn_descent_md5_init(dataset: DataFrame, k: int, *,
 
 
 def cagra_optimize(edges: DataFrame, graph_degree: int = 16, *,
-                   intermediate_degree: int | None = None) -> DataFrame:
+                   intermediate_degree: int | None = None,
+                   select_min: bool = True) -> DataFrame:
     """CAGRA graph optimize (``cagra.hpp:3300``, ``graph_core.cuh``):
     bound out-degree, add reverse edges for reachability, re-bound.
-    Pure edge-table transforms → ``(src, dst, distance, rank)``."""
+    Pure edge-table transforms → ``(src, dst, distance, rank)``.
+    ``select_min=False`` keeps the LARGEST distances (pass
+    ``is_min_close(metric)`` — inner_product graphs, r11) and folds
+    duplicate edges with max instead of min."""
+    best = F.min if select_min else F.max
     inter = intermediate_degree or 2 * graph_degree
     e = edges.select("src", "dst", "distance")
-    fwd = select_k(e, "src", "distance", inter, tie_cols=["dst"],
-                   rank_col=None)
+    fwd = select_k(e, "src", "distance", inter, select_min=select_min,
+                   tie_cols=["dst"], rank_col=None)
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                      "distance")
     merged = (fwd.unionByName(rev)
-              .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
+              .groupBy("src", "dst").agg(best("distance").alias("distance")))
     return select_k(merged, "src", "distance", graph_degree,
-                    tie_cols=["dst"])
+                    select_min=select_min, tie_cols=["dst"])
 
 
 def cagra_optimize_sql(edges_sql: str, graph_degree: int,
-                       intermediate_degree: int | None = None) -> str:
+                       intermediate_degree: int | None = None,
+                       select_min: bool = True) -> str:
     inter = intermediate_degree or 2 * graph_degree
+    dirn = "ASC" if select_min else "DESC"
+    best = "min" if select_min else "max"
     return f"""
 WITH e AS ({edges_sql}),
 fwd AS (
   SELECT src, dst, distance FROM (
     SELECT src, dst, distance,
-           row_number() OVER (PARTITION BY src ORDER BY distance ASC, dst ASC) rn
+           row_number() OVER (PARTITION BY src ORDER BY distance {dirn}, dst ASC) rn
     FROM e) WHERE rn <= {inter}),
 merged AS (
-  SELECT src, dst, min(distance) AS distance FROM (
+  SELECT src, dst, {best}(distance) AS distance FROM (
     SELECT src, dst, distance FROM fwd
     UNION ALL
     SELECT dst AS src, src AS dst, distance FROM fwd
   ) GROUP BY src, dst),
 ranked AS (
   SELECT src, dst, distance,
-         row_number() OVER (PARTITION BY src ORDER BY distance ASC, dst ASC) rank
+         row_number() OVER (PARTITION BY src ORDER BY distance {dirn}, dst ASC) rank
   FROM merged)
 SELECT src, dst, distance, rank FROM ranked WHERE rank <= {graph_degree}
 """
@@ -409,7 +431,8 @@ def cagra_build(dataset: DataFrame, graph_degree: int = 16, *,
     else:
         g = all_neighbors_build(dataset, inter, metric=metric, id_col=id_col,
                                 vec_col=vec_col, **builder_kw)
-    return cagra_optimize(g.drop("rank"), graph_degree)
+    return cagra_optimize(g.drop("rank"), graph_degree,
+                          select_min=is_min_close(metric))
 
 
 def cagra_build_iterative(dataset: DataFrame, graph_degree: int = 16, *,
@@ -432,6 +455,7 @@ def cagra_build_iterative(dataset: DataFrame, graph_degree: int = 16, *,
     :func:`cagra_optimize` (reverse edges + degree bound). Lineage is
     cut per round. NN-Descent-style convergence, but the candidate
     generator is the searchable index itself."""
+    close = is_min_close(metric)
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec")).persist()
     n = d.count()
@@ -447,8 +471,9 @@ def cagra_build_iterative(dataset: DataFrame, graph_degree: int = 16, *,
                      F.expr(distance_sql_spark(metric, "_sv", "_dv"))
                      .alias("distance")))
     seed = select_k(pairs, "src", "distance", 2 * graph_degree,
-                    tie_cols=["dst"], rank_col=None)
-    g = cagra_optimize(seed, graph_degree).localCheckpoint()
+                    select_min=close, tie_cols=["dst"], rank_col=None)
+    g = cagra_optimize(seed, graph_degree,
+                       select_min=close).localCheckpoint()
     q = d.select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
     for _ in range(max(0, n_iters)):
         found = cagra_search(
@@ -461,7 +486,8 @@ def cagra_build_iterative(dataset: DataFrame, graph_degree: int = 16, *,
                      .select(F.col("qid").alias("src"),
                              F.col("nid").alias("dst"), "distance"))
         merged = g.select("src", "dst", "distance").unionByName(new_edges)
-        g = cagra_optimize(merged, graph_degree).localCheckpoint()
+        g = cagra_optimize(merged, graph_degree,
+                           select_min=close).localCheckpoint()
     d.unpersist()
     return g
 
@@ -506,8 +532,12 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
     pool unchanged), so skipping the check never changes the result,
     only trades ≤``max_iterations`` wasted no-op rounds for
     ``max_iterations`` saved Spark jobs. Keep the default ``True`` when
-    ``max_iterations`` is large relative to the expected convergence."""
-    _require_min_close(metric, "cagra_search")
+    ``max_iterations`` is large relative to the expected convergence.
+
+    Direction follows ``is_min_close(metric)`` (``cagra.pyx:250`` lists
+    inner_product): frontier choice, pool reselection and the final
+    top-k all keep the k best — largest for max-close metrics."""
+    close = is_min_close(metric)
     d = (dataset.select(F.col(id_col).cast("long").alias("nid"),
                         F.col(vec_col).alias("_dv")).persist())
     q = (queries.select(F.col(qid_col).cast("long").alias("qid"),
@@ -547,7 +577,8 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
     for _ in range(max_iterations):
         frontier = select_k(pool.filter(~F.col("expanded")),
                             "qid", "distance", search_width,
-                            tie_cols=["nid"], rank_col=None)
+                            select_min=close, tie_cols=["nid"],
+                            rank_col=None)
         if stop_on_empty and frontier.isEmpty():
             break
         expanded_now = frontier.select("qid", "nid",
@@ -565,12 +596,14 @@ def cagra_search(graph: DataFrame, dataset: DataFrame, queries: DataFrame,
                           F.coalesce("_e", F.col("expanded")).alias("expanded"))
                   .unionByName(scored))
         pool = select_k(merged, "qid", "distance", itopk,
-                        tie_cols=["nid"], rank_col=None).localCheckpoint()
+                        select_min=close, tie_cols=["nid"],
+                        rank_col=None).localCheckpoint()
     results = pool.select("qid", "nid", "distance")
     if prefilter is not None:
         allowed = prefilter.select(F.col("id").cast("long").alias("nid"))
         results = results.join(F.broadcast(allowed), "nid", "left_semi")
-    out = select_k(results, "qid", "distance", k, tie_cols=["nid"])
+    out = select_k(results, "qid", "distance", k, select_min=close,
+                   tie_cols=["nid"])
     d.unpersist(); q.unpersist(); edges.unpersist()
     return out
 
@@ -593,9 +626,12 @@ def cagra_search_sql(dataset_sql: str, queries_sql: str, edges_sql: str,
     ``dataset_sql`` → ``(nid, dv)``; ``queries_sql`` → ``(qid, qv)``;
     ``edges_sql`` → at least ``(src, dst)``. An empty frontier round
     degenerates to a no-op here exactly as the Spark loop's ``break``
-    does (no candidates, pool unchanged)."""
+    does (no candidates, pool unchanged). Distance orderings follow
+    ``is_min_close(metric)`` exactly as the Spark side's ``select_k``
+    calls do (DESC for inner_product); md5 seed ranking is
+    direction-independent."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
-    _require_min_close(metric, "cagra_search_sql")
+    dirn = "ASC" if is_min_close(metric) else "DESC"
     dist = distance_sql_duckdb(metric, "q.qv", "d.dv")
     parts = [f"""
 WITH d AS MATERIALIZED ({dataset_sql}), q AS MATERIALIZED ({queries_sql}),
@@ -614,7 +650,7 @@ front{i} AS MATERIALIZED (
   SELECT qid, nid FROM (
     SELECT qid, nid,
            row_number() OVER (PARTITION BY qid
-                              ORDER BY distance ASC, nid ASC) rn
+                              ORDER BY distance {dirn}, nid ASC) rn
     FROM {prev} WHERE NOT expanded) WHERE rn <= {search_width}),
 cand{i} AS MATERIALIZED (
   SELECT DISTINCT f.qid, e.dst AS nid
@@ -635,14 +671,14 @@ pool{i} AS MATERIALIZED (
   SELECT qid, nid, distance, expanded FROM (
     SELECT qid, nid, distance, expanded,
            row_number() OVER (PARTITION BY qid
-                              ORDER BY distance ASC, nid ASC) rn
+                              ORDER BY distance {dirn}, nid ASC) rn
     FROM merged{i}) WHERE rn <= {itopk})""")
         prev = f"pool{i}"
     parts.append(f"""
 SELECT qid, nid, distance, rank FROM (
   SELECT qid, nid, distance,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY distance ASC, nid ASC) rank
+                            ORDER BY distance {dirn}, nid ASC) rank
   FROM {prev}) WHERE rank <= {k}""")
     return "".join(parts)
 
@@ -669,9 +705,14 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
     Scale notes: the only work proportional to the index is the beam
     search (bounded frontier joins); everything else is sized by the
     new batch. This is the CAGRA tier's compaction step for the
-    streaming/tiered ingestion path (``tiered.py``)."""
+    streaming/tiered ingestion path (``tiered.py``).
+
+    Direction follows ``is_min_close(metric)``: the intra-batch kNN
+    (``knn_self``), the per-edge fold (min for min-close, max for
+    inner_product) and the optimize re-bound all flip together."""
     from cuvs_spark.operators.brute_force import knn_self
-    _require_min_close(metric, "cagra_extend")
+    close = is_min_close(metric)
+    best = F.min if close else F.max
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
     new = new_rows.select(F.col(id_col).cast("long").alias("id"),
@@ -690,8 +731,8 @@ def cagra_extend(graph: DataFrame, dataset: DataFrame,
                      F.col("nid").alias("dst"), "distance"))
     merged = (graph.select("src", "dst", "distance")
               .unionByName(splice).unionByName(intra)
-              .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
-    return (cagra_optimize(merged, graph_degree),
+              .groupBy("src", "dst").agg(best("distance").alias("distance")))
+    return (cagra_optimize(merged, graph_degree, select_min=close),
             d.unionByName(new))
 
 
@@ -712,20 +753,21 @@ def cagra_extend_sql(dataset_sql: str, new_sql: str, graph_sql: str,
     ``dataset_sql``/``new_sql`` → ``(nid, dv)``; ``graph_sql`` →
     ``(src, dst, distance)``.
 
-    Min-close metrics only (guarded): the intra-batch kNN here orders
-    ASC while the Spark twin's ``knn_self`` honors ``is_min_close`` —
-    for a max-close metric the two would silently diverge (and the
-    splice/optimize stages' ASC ordering would compose worst-neighbor
-    edges on both engines)."""
+    Direction follows ``is_min_close(metric)`` (r11, per ADVICE r10
+    #1): the intra-batch kNN ordering matches ``knn_self``'s
+    directional top-k, the per-edge fold flips min↔max, and the beam /
+    optimize stages inherit the flip from their own generators."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
-    _require_min_close(metric, "cagra_extend_sql")
+    close = is_min_close(metric)
+    dirn = "ASC" if close else "DESC"
+    best = "min" if close else "max"
     beam = cagra_search_sql(
         dataset_sql, f"SELECT nid AS qid, dv AS qv FROM ({new_sql})",
         graph_sql, graph_degree, itopk=itopk, search_width=search_width,
         max_iterations=max_iterations, n_seeds=n_seeds, metric=metric)
     intra_dist = distance_sql_duckdb(metric, "a.dv", "b.dv")
     merged = f"""
-SELECT src, dst, min(distance) AS distance FROM (
+SELECT src, dst, {best}(distance) AS distance FROM (
   SELECT src, dst, distance FROM ({graph_sql})
   UNION ALL
   SELECT qid AS src, nid AS dst, distance FROM ({beam})
@@ -733,30 +775,34 @@ SELECT src, dst, min(distance) AS distance FROM (
   SELECT src, dst, distance FROM (
     SELECT a.nid AS src, b.nid AS dst, {intra_dist} AS distance,
            row_number() OVER (PARTITION BY a.nid
-                              ORDER BY {intra_dist} ASC, b.nid ASC) rn
+                              ORDER BY {intra_dist} {dirn}, b.nid ASC) rn
     FROM ({new_sql}) a JOIN ({new_sql}) b ON a.nid <> b.nid)
   WHERE rn <= {graph_degree}
 ) GROUP BY src, dst"""
-    return cagra_optimize_sql(merged, graph_degree)
+    return cagra_optimize_sql(merged, graph_degree, select_min=close)
 
 
 def cagra_merge(graphs: list[DataFrame], graph_degree: int = 16, *,
-                strategy: str = "physical") -> DataFrame:
+                strategy: str = "physical",
+                select_min: bool = True) -> DataFrame:
     """Merge CAGRA indexes (``cagra.hpp:2477``; ``MergeStrategy``
     PHYSICAL/LOGICAL, ``common.hpp:129``).
 
     PHYSICAL: union the edge tables and re-optimize (what the reference
     does to the underlying graphs). LOGICAL merging happens at *search*
     time — union of per-index search results + top-k — which in Spark
-    is ``knn_merge_parts`` and needs no operator here."""
+    is ``knn_merge_parts`` and needs no operator here.
+    ``select_min=False`` folds duplicate edges with max and keeps the
+    largest distances (inner_product graphs)."""
     if strategy != "physical":
         raise ValueError("logical merge = search both + knn_merge_parts")
+    best = F.min if select_min else F.max
     merged = graphs[0].select("src", "dst", "distance")
     for g in graphs[1:]:
         merged = merged.unionByName(g.select("src", "dst", "distance"))
     merged = (merged.groupBy("src", "dst")
-              .agg(F.min("distance").alias("distance")))
-    return cagra_optimize(merged, graph_degree)
+              .agg(best("distance").alias("distance")))
+    return cagra_optimize(merged, graph_degree, select_min=select_min)
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +928,8 @@ def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
         path = os.path.join(spill, f"part={p}")
         g.write.mode("overwrite").parquet(path)
         parts.append(spark.read.parquet(path))
-    return cagra_merge(parts, graph_degree)
+    return cagra_merge(parts, graph_degree,
+                       select_min=is_min_close(metric))
 
 
 def cagra_ace_sql(dataset_sql: str, part_cent_sql: str, an_cent_sql: str,

@@ -85,7 +85,8 @@ def tiered_search(index: TieredIndex, queries: DataFrame, k: int = 10,
     if not index.delta.isEmpty():
         parts.append(knn(index.delta, queries, k, metric,
                          qid_col=qid_col, qvec_col=qvec_col))
-    return knn_merge_parts(parts, k)
+    from cuvs_spark.functions.distance import is_min_close
+    return knn_merge_parts(parts, k, select_min=is_min_close(metric))
 
 
 def composite_search(indexes: list, queries: DataFrame, k: int = 10,
@@ -94,4 +95,8 @@ def composite_search(indexes: list, queries: DataFrame, k: int = 10,
     search every sub-index, merge results — a union + top-k."""
     parts = [ivf_flat_search(ix, queries, k, n_probes, **kw)
              for ix in indexes]
-    return knn_merge_parts(parts, k)
+    from cuvs_spark.functions.distance import is_min_close
+    return knn_merge_parts(
+        parts, k,
+        select_min=is_min_close(getattr(indexes[0], "metric",
+                                        "sqeuclidean")))

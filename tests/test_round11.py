@@ -1,11 +1,11 @@
 """Round-11 pins.
 
-1. The graph family's min-close guard (ADVICE r10 #1): every
-   descent/beam/extend operator and unrolled-SQL generator orders
-   candidate pools ASC; a max-close metric (inner_product family) must
-   fail loudly instead of silently composing worst-neighbor graphs
-   (the Spark side would keep k smallest dot products while
-   ``knn_self`` inside ``cagra_extend`` keeps k largest — incoherent).
+1. The min-close guard (ADVICE r10 #1), r11 final form: the
+   batch-partitioned ``all_neighbors`` build and its ACE composition
+   stay min-close-only (their k-means batching is L2-shaped), while
+   NN-Descent / beam search / extend / optimize / merge gained full
+   directional support — the "flip" arm of the ADVICE, pinned
+   cross-engine in tests/test_directional.py.
 2. ``cagra_search(stop_on_empty=False)`` (r10 verdict #9): the
    fixed-iteration path drops the per-round empty-frontier driver job
    without changing results — pinned both as result-equality against
@@ -30,40 +30,26 @@ SF_TINY = "/root/testdata/sf0.001"
 
 # --- 1. min-close guard ----------------------------------------------------
 
-def test_graph_sql_generators_reject_max_close_metric():
-    for gen, args in [
-            (G.cagra_search_sql, ("SELECT 1", "SELECT 1", "SELECT 1", 3)),
-            (G.nn_descent_sql, ("SELECT 1", 3)),
-            (G.cagra_extend_sql, ("SELECT 1", "SELECT 1", "SELECT 1", 3)),
-            (G.all_neighbors_sql, ("SELECT 1", "SELECT 1", 3)),
-    ]:
-        with pytest.raises(ValueError, match="max-close"):
-            gen(*args, metric="inner_product")
-
-
-def test_graph_operators_reject_max_close_metric(spark, vectors_df,
-                                                 queries_df):
-    g = vectors_df.select(F.col("id").alias("src"),
-                          (F.col("id") + 1).alias("dst"),
-                          F.lit(1.0).alias("distance"))
-    with pytest.raises(ValueError, match="max-close"):
-        G.nn_descent_build(vectors_df, 3, metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        G.cagra_search(g, vectors_df, queries_df, 3,
-                       metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        G.cagra_extend(g, vectors_df, vectors_df, 3,
-                       metric="inner_product")
+def test_all_neighbors_family_rejects_max_close_metric(vectors_df):
+    """Only the batch-partitioned build stays guarded (see
+    tests/test_directional.py for the rest of the family's directional
+    support); the error routes callers to build_algo='nn_descent'."""
+    with pytest.raises(ValueError, match="nn_descent"):
+        G.all_neighbors_sql("SELECT 1", "SELECT 1", 3,
+                            metric="inner_product")
     with pytest.raises(ValueError, match="max-close"):
         G.all_neighbors_build(vectors_df, 3, metric="inner_product")
 
 
 def test_min_close_metrics_still_accepted():
-    # the guard must not reject any min-close metric the family took
-    # before r11 (cosine/euclidean gates, sqeuclidean defaults)
+    # directional support must not change any min-close metric the
+    # family took before r11 (cosine/euclidean gates, sqeuclidean
+    # defaults) — and their SQL twins must still order ASC
     for m in ("sqeuclidean", "euclidean", "cosine"):
         sql = G.nn_descent_sql("SELECT 1 AS nid, [1.0] AS dv", 2, metric=m)
-        assert "row_number" in sql
+        assert "row_number" in sql and "DESC" not in sql
+    assert "DESC" in G.nn_descent_sql("SELECT 1 AS nid, [1.0] AS dv", 2,
+                                      metric="inner_product")
 
 
 # --- 2. stop_on_empty ------------------------------------------------------
