@@ -202,6 +202,59 @@ def test_cagra_ace_matches_composed_sql(spark):
     assert got
 
 
+def test_pca_power_fit_matches_unrolled_sql(spark):
+    """The eigensolver family's rows-only → hash-exact conversion path
+    (the LAST family without one): fixed-iteration power iteration with
+    Rayleigh deflation over a per-step-ROUNDed covariance (the
+    driver-proven chained-Lloyd parity recipe) from a deterministic
+    integer-arithmetic init, vs the unrolled DuckDB twin
+    pca_power_sql. An r12/r13 gate candidate, proven here without
+    spending a registry slot (the r11 window is packed)."""
+    from cuvs_spark.entry_queries import emb_dataset
+    from cuvs_spark.preprocessing.pca import pca_power_fit, pca_power_sql
+
+    d = emb_dataset(spark, SF_TINY)
+    got = sorted(map(tuple, pca_power_fit(d, 2, 3).collect()))
+    sql = pca_power_sql(
+        "SELECT vec_id AS id, embedding AS dv FROM embeddings", 2, 3)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_TINY}/embeddings.parquet'")
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    dim = len(d.select("vec").head()["vec"])
+    assert len(got) == 2 * (dim + 1)   # per component: dim entries + λ
+
+
+def test_pca_power_converges_to_planted_component(spark):
+    """Numerical sanity for the power path itself: on a rank-1 spike +
+    small noise, the iterated vector aligns with the planted direction
+    and the Rayleigh row (dim = -1) approaches the top eigenvalue of
+    the exact NumPy covariance."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    direction = rng.normal(size=16)
+    direction /= np.linalg.norm(direction)
+    X = (rng.normal(size=(300, 1)) * 3.0) @ direction[None, :] \
+        + rng.normal(size=(300, 16)) * 0.05
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id long, vec array<float>")
+    from cuvs_spark.preprocessing.pca import pca_power_fit
+    rows = pca_power_fit(d, 1, 8).collect()
+    v = np.zeros(16)
+    lam = None
+    for r in rows:
+        if r["dim"] == -1:
+            lam = r["val"]
+        else:
+            v[r["dim"]] = r["val"]
+    cov = np.cov(np.asarray(X, np.float64).T, bias=True)
+    top = np.linalg.eigh(cov)[0][-1]
+    assert abs(np.dot(v, direction)) > 0.99
+    assert abs(lam - top) < 0.02 * top
+
+
 def test_single_linkage_matches_recursive_kruskal_sql(spark):
     """The dendrogram family's rows-only → hash-exact conversion, the
     second r12 gate candidate: at gate scale (n <= finish_components)
