@@ -289,6 +289,238 @@ def spectral_embedding(dataset: DataFrame, n_components: int = 2, *,
     return spark.createDataFrame(rows, "id long, embedding array<float>")
 
 
+# Integer grids for the power-iteration chain (see
+# preprocessing/pca.py for why EXACT INTEGER STATE — not per-step
+# ROUND — is required for cross-engine hash equality of iterated
+# float chains). _NG scales the normalized-adjacency weights and the
+# analytic trivial eigenvector; _VG the iterated vector.
+_NG = 1_000_000
+_VG = 10_000
+
+
+def spectral_power_embed(edges: DataFrame, n_components: int = 1,
+                         n_iter: int = 3, *, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration spectral embedding by power iteration on the
+    shifted operator ``M = I + D^{-1/2} A D^{-1/2}`` of a PREBUILT
+    connectivity edge table → ``(component, i, val)`` rows plus one
+    ``i = -1`` Laplacian-eigenvalue row per component (``λ_L = 2 −
+    λ_M``). Component 0 is the first NON-trivial eigenvector: the
+    trivial one is ``D^{1/2}·1`` ANALYTICALLY (``M(D^{1/2}1) =
+    2·D^{1/2}1`` exactly for a connected, eps-free graph), so it is
+    deflated by exact Gram–Schmidt against the known vector rather
+    than found iteratively.
+
+    Reference semantics: ``spectral_embedding.hpp:118`` (Laplacian
+    eigenmaps over a kNN connectivity graph; its LOBPCG is an
+    iterative eigensolver whose iteration budget is part of the
+    contract). The at-scale default stays :func:`spectral_embedding`
+    (edge-array Lanczos / distributed block operator); THIS path is
+    the oracle/gate construction (:func:`spectral_power_sql` is its
+    unrolled DuckDB twin, the eigensolver family's rows-only →
+    hash-exact conversion).
+
+    Parity design — exact integer state end to end: degrees are exact
+    BIGINT counts of the symmetrized, de-duplicated, loop-free edge
+    set; the per-edge normalized weight ``floor(_NG /
+    sqrt(cnt_i·cnt_j) + 0.5)`` and the trivial vector
+    ``floor(sqrt(cnt_i)·_NG + 0.5)`` are per-entry float ops on
+    identical integers (both engines produce identical doubles →
+    identical floors); every matvec and inner product is an exact
+    int64 / decimal(38,0)↔HUGEINT sum (order-independent); the only
+    re-quantizations (`floor(x + 0.5)`) consume per-entry doubles
+    computed from identical integers. eps-coupling is intentionally 0
+    here — the gate assumes a connected graph (kNN graphs at gate
+    scale are; the production path keeps the implicit rank-one
+    eps term). Isolated vertices never enter (no edges)."""
+    e = (edges.select(F.col(src_col).cast("long").alias("i"),
+                      F.col(dst_col).cast("long").alias("j"))
+         .filter(F.col("i") != F.col("j")))
+    sym = (e.unionByName(e.select(F.col("j").alias("i"),
+                                  F.col("i").alias("j")))
+           .distinct().localCheckpoint())
+    cnt = sym.groupBy("i").agg(F.count("*").alias("cnt")).localCheckpoint()
+    u = cnt.select("i", F.floor(
+        F.sqrt(F.col("cnt").cast("double")) * _NG + F.lit(0.5))
+        .cast("long").alias("u")).localCheckpoint()
+    ci = cnt.select(F.col("i"), F.col("cnt").alias("_ci"))
+    cj = cnt.select(F.col("i").alias("j"), F.col("cnt").alias("_cj"))
+    nw = (sym.join(ci, "i").join(cj, "j")
+          .select("i", "j", F.floor(
+              F.lit(float(_NG))
+              / F.sqrt((F.col("_ci") * F.col("_cj")).cast("double"))
+              + F.lit(0.5)).cast("long").alias("w"))
+          .localCheckpoint())
+    dec = "decimal(19,0)"
+
+    def matvec(v: DataFrame) -> DataFrame:
+        # Y on the _NG·_VG grid: Y_i = V_i·_NG + Σ_j w_ij·V_j (exact)
+        s = (nw.join(v.withColumnRenamed("i", "j"), "j")
+             .groupBy("i").agg(F.sum(F.col("w") * F.col("v")).alias("s")))
+        return (v.join(s, "i")
+                .select("i", (F.col("v") * _NG + F.col("s")).alias("y")))
+
+    prev: list[DataFrame] = []
+    out = None
+    for comp in range(n_components):
+        v = cnt.select(
+            "i", (((F.col("i") * 37 + 11) % 97 + 1) * (_VG // 100))
+            .cast("long").alias("v"))
+        for _ in range(n_iter):
+            y = matvec(v)
+            # exact Gram–Schmidt vs the analytic trivial vector
+            # (grid _NG): Z = Y − (ΣUY/ΣU²)·U, per-entry double floor
+            c0 = (y.join(u, "i")
+                  .agg(F.sum(F.col("u").cast(dec) * F.col("y").cast(dec))
+                       .alias("_n"),
+                       F.sum(F.col("u") * F.col("u")).alias("_d"))
+                  .select((F.col("_n").cast("double")
+                           / F.col("_d").cast("double")).alias("c")))
+            z = (y.join(u, "i").crossJoin(F.broadcast(c0))
+                 .select("i", F.floor(
+                     F.col("y").cast("double")
+                     - F.col("c") * F.col("u").cast("double")
+                     + F.lit(0.5)).cast("long").alias("z")))
+            for p in prev:
+                # …and vs each already-found component (grid _VG):
+                # Z ← Z − (ΣPZ/ΣP²)·P·_NG (P in Z's units is P·_NG)
+                cp = (z.join(p, "i")
+                      .agg(F.sum(F.col("p").cast(dec)
+                                 * F.col("z").cast(dec)).alias("_n"),
+                           F.sum(F.col("p") * F.col("p")).alias("_d"))
+                      .select((F.col("_n").cast("double")
+                               / (F.col("_d").cast("double") * float(_NG)))
+                              .alias("c")))
+                z = (z.join(p, "i").crossJoin(F.broadcast(cp))
+                     .select("i", F.floor(
+                         F.col("z").cast("double")
+                         - F.col("c") * F.col("p").cast("double")
+                         * float(_NG) + F.lit(0.5)).cast("long")
+                         .alias("z")))
+            ss = z.agg(F.sum(F.col("z").cast(dec) * F.col("z").cast(dec))
+                       .alias("ss"))
+            v = (z.crossJoin(F.broadcast(ss))
+                 .select("i", F.floor(
+                     F.col("z").cast("double") * _VG
+                     / F.sqrt(F.col("ss").cast("double")) + F.lit(0.5))
+                     .cast("long").alias("v"))
+                 .localCheckpoint())
+        yf = matvec(v)
+        lam = (yf.join(v, "i")
+               .agg(F.sum(F.col("v").cast(dec) * F.col("y").cast(dec))
+                    .alias("_n"),
+                    F.sum(F.col("v") * F.col("v")).alias("_d"))
+               .select((F.lit(2.0) - F.col("_n").cast("double")
+                        / (F.col("_d").cast("double") * float(_NG)))
+                       .alias("lam")))
+        rows = (v.select(F.lit(comp).cast("long").alias("component"),
+                         F.col("i").cast("long").alias("i"),
+                         (F.col("v").cast("double") / float(_VG))
+                         .alias("val"))
+                .unionByName(
+                    lam.select(F.lit(comp).cast("long").alias("component"),
+                               F.lit(-1).cast("long").alias("i"),
+                               F.col("lam").alias("val"))))
+        out = rows if out is None else out.unionByName(rows)
+        prev.append(v.withColumnRenamed("v", "p"))
+    return out
+
+
+def spectral_power_sql(edges_sql: str, n_components: int = 1,
+                       n_iter: int = 3) -> str:
+    """DuckDB twin of :func:`spectral_power_embed` (unrolled per
+    component × iteration; HUGEINT is the int128 analog of the Spark
+    side's decimal(38,0) sums). ``edges_sql`` → ``(src, dst)``."""
+    parts = [f"""e0 AS (
+  SELECT CAST(src AS BIGINT) AS i, CAST(dst AS BIGINT) AS j
+  FROM ({edges_sql}) WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT DISTINCT i, j FROM (
+    SELECT i, j FROM e0 UNION ALL SELECT j AS i, i AS j FROM e0)),
+cnt AS MATERIALIZED (SELECT i, count(*) AS cnt FROM sym GROUP BY i),
+u AS MATERIALIZED (
+  SELECT i, CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * {_NG} + 0.5)
+                 AS BIGINT) AS u
+  FROM cnt),
+nw AS MATERIALIZED (
+  SELECT s.i AS i, s.j AS j,
+         CAST(floor({float(_NG)!r}
+                    / sqrt(CAST(ci.cnt * cj.cnt AS DOUBLE)) + 0.5)
+              AS BIGINT) AS w
+  FROM sym s JOIN cnt ci ON ci.i = s.i JOIN cnt cj ON cj.i = s.j)"""]
+    selects = []
+    prev = []
+    for comp in range(n_components):
+        parts.append(f"""
+v_{comp}_0 AS MATERIALIZED (
+  SELECT i, CAST(((i * 37 + 11) % 97 + 1) * {_VG // 100} AS BIGINT) AS v
+  FROM cnt)""")
+        for t in range(1, n_iter + 1):
+            vp = f"v_{comp}_{t - 1}"
+            parts.append(f"""
+y_{comp}_{t} AS MATERIALIZED (
+  SELECT vv.i AS i, vv.v * {_NG} + s.s AS y
+  FROM {vp} vv JOIN (
+    SELECT nw.i AS i, CAST(sum(nw.w * vj.v) AS BIGINT) AS s
+    FROM nw JOIN {vp} vj ON vj.i = nw.j GROUP BY nw.i) s
+  ON s.i = vv.i),
+c0_{comp}_{t} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(u.u AS HUGEINT) * y.y) AS DOUBLE)
+         / CAST(sum(CAST(u.u AS HUGEINT) * u.u) AS DOUBLE) AS c
+  FROM y_{comp}_{t} y JOIN u ON u.i = y.i),
+z0_{comp}_{t} AS MATERIALIZED (
+  SELECT y.i AS i,
+         CAST(floor(CAST(y.y AS DOUBLE)
+                    - (SELECT c FROM c0_{comp}_{t})
+                      * CAST(u.u AS DOUBLE) + 0.5) AS BIGINT) AS z
+  FROM y_{comp}_{t} y JOIN u ON u.i = y.i)""")
+            zname = f"z0_{comp}_{t}"
+            for pi, pname in enumerate(prev):
+                parts.append(f"""
+cp{pi}_{comp}_{t} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(p.v AS HUGEINT) * z.z) AS DOUBLE)
+         / (CAST(sum(CAST(p.v AS HUGEINT) * p.v) AS DOUBLE)
+            * {float(_NG)!r}) AS c
+  FROM {zname} z JOIN {pname} p ON p.i = z.i),
+z{pi + 1}_{comp}_{t} AS MATERIALIZED (
+  SELECT z.i AS i,
+         CAST(floor(CAST(z.z AS DOUBLE)
+                    - (SELECT c FROM cp{pi}_{comp}_{t})
+                      * CAST(p.v AS DOUBLE) * {float(_NG)!r} + 0.5)
+              AS BIGINT) AS z
+  FROM {zname} z JOIN {pname} p ON p.i = z.i)""")
+                zname = f"z{pi + 1}_{comp}_{t}"
+            parts.append(f"""
+ss_{comp}_{t} AS MATERIALIZED (
+  SELECT sum(CAST(z AS HUGEINT) * z) AS ss FROM {zname}),
+v_{comp}_{t} AS MATERIALIZED (
+  SELECT i, CAST(floor(CAST(z AS DOUBLE) * {_VG}
+    / sqrt(CAST((SELECT ss FROM ss_{comp}_{t}) AS DOUBLE)) + 0.5)
+    AS BIGINT) AS v
+  FROM {zname})""")
+        vf = f"v_{comp}_{n_iter}"
+        parts.append(f"""
+yf_{comp} AS MATERIALIZED (
+  SELECT vv.i AS i, vv.v * {_NG} + s.s AS y
+  FROM {vf} vv JOIN (
+    SELECT nw.i AS i, CAST(sum(nw.w * vj.v) AS BIGINT) AS s
+    FROM nw JOIN {vf} vj ON vj.i = nw.j GROUP BY nw.i) s
+  ON s.i = vv.i),
+lam_{comp} AS MATERIALIZED (
+  SELECT 2.0 - CAST(sum(CAST(v.v AS HUGEINT) * y.y) AS DOUBLE)
+               / (CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS DOUBLE)
+                  * {float(_NG)!r}) AS lam
+  FROM yf_{comp} y JOIN {vf} v ON v.i = y.i)""")
+        selects.append(f"""
+SELECT CAST({comp} AS BIGINT) AS component, CAST(i AS BIGINT) AS i,
+       CAST(v AS DOUBLE) / {float(_VG)!r} AS val FROM {vf}
+UNION ALL
+SELECT CAST({comp} AS BIGINT) AS component, CAST(-1 AS BIGINT) AS i,
+       lam AS val FROM lam_{comp}""")
+        prev.append(vf)
+    return ("WITH " + ",".join(parts) + "\nUNION ALL\n".join(selects))
+
+
 def spectral_fit_predict(dataset: DataFrame, n_clusters: int, *,
                          k: int = 10, seed: int = 42, id_col: str = "id",
                          vec_col: str = "vec", n_init: int = 4,

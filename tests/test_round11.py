@@ -255,6 +255,76 @@ def test_pca_power_converges_to_planted_component(spark):
     assert abs(lam - top) < 0.02 * top
 
 
+def test_spectral_power_embed_matches_unrolled_sql(spark):
+    """The spectral half of the eigensolver conversion: fixed-iteration
+    power iteration on M = I + D^{-1/2}AD^{-1/2} of the kNN
+    connectivity graph, analytic-trivial-vector deflation, exact
+    integer state — vs the unrolled DuckDB twin spectral_power_sql
+    composed over the driver-proven kNN-graph template. With this and
+    pca_power_*, every rows-only family has a test-proven hash-exact
+    path."""
+    from cuvs_spark.cluster.spectral import (spectral_power_embed,
+                                             spectral_power_sql)
+    from cuvs_spark.entry_queries import emb_dataset
+    from cuvs_spark.operators import knn_self
+    from cuvs_spark.plans import oracle as O
+
+    d = emb_dataset(spark, SF_TINY)
+    g = knn_self(d, 8).select(F.col("qid").alias("src"),
+                              F.col("nid").alias("dst"))
+    dist = O.distance_sql_duckdb("sqeuclidean", "a.embedding",
+                                 "b.embedding")
+    edges_sql = f"""
+SELECT src, dst FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {dist} ASC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rn <= 8"""
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_TINY}/embeddings.parquet'")
+    sql = spectral_power_sql(edges_sql, 2, 3)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    for rep in range(2):
+        got = sorted(map(tuple, spectral_power_embed(g, 2, 3).collect()))
+        assert got == want, rep
+    n = d.count()
+    assert len(want) == 2 * (n + 1)
+
+
+def test_spectral_power_fiedler_splits_planted_clusters(spark):
+    """Numerical sanity: on two well-separated blobs, component 0 (the
+    Fiedler vector of the kNN graph) signs the two clusters apart, and
+    its Laplacian eigenvalue is near zero."""
+    import numpy as np
+    from cuvs_spark.cluster.spectral import spectral_power_embed
+    from cuvs_spark.operators import knn_self
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 0.3, size=(60, 6))
+    b = rng.normal(4.0, 0.3, size=(60, 6))
+    X = np.vstack([a, b])
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "id long, vec array<float>")
+    g = knn_self(d, 6).select(F.col("qid").alias("src"),
+                              F.col("nid").alias("dst"))
+    rows = spectral_power_embed(g, 1, 20).collect()
+    vals = np.zeros(120)
+    lam = None
+    for r in rows:
+        if r["i"] == -1:
+            lam = r["val"]
+        else:
+            vals[r["i"]] = r["val"]
+    member = np.array([0] * 60 + [1] * 60)
+    side = (vals > 0).astype(int)
+    agree = max((side == member).mean(), (side != member).mean())
+    assert agree > 0.95
+    assert 0.0 <= lam < 0.2
+
+
 def test_single_linkage_matches_recursive_kruskal_sql(spark):
     """The dendrogram family's rows-only → hash-exact conversion, the
     second r12 gate candidate: at gate scale (n <= finish_components)
