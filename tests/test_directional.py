@@ -220,6 +220,58 @@ def test_all_neighbors_still_guards_max_close(spark):
                         npartitions=2, metric="inner_product")
 
 
+def test_cagra_search_directional_corner_width_exceeds_pool(spark):
+    """The r10 property-test corner (width > unexpanded pool, n_seeds >
+    itopk) exercised in the max-close direction."""
+    vecs, qvecs = _data(57)
+    edges = _random_edges(57, out_degree=3)
+    d, q = _spark_ds(spark, vecs, qvecs)
+    g = spark.createDataFrame(edges, "src long, dst long")
+    seed_ids = (d.select(F.col("id").alias("nid"))
+                .orderBy(F.md5(F.col("nid").cast("string")), "nid")
+                .limit(8))
+    seeds = q.select("qid").crossJoin(F.broadcast(seed_ids))
+    got = sorted(map(tuple, G.cagra_search(
+        g, d, q, 2, itopk=5, search_width=5, max_iterations=2,
+        seeds=seeds, metric="inner_product").collect()))
+    sql = G.cagra_search_sql(
+        "SELECT nid, dv FROM ds_pd", "SELECT qid, qv FROM qs_pd",
+        "SELECT src, dst FROM eg_pd", 2, itopk=5, search_width=5,
+        max_iterations=2, n_seeds=8, metric="inner_product")
+    con = _duck(vecs, qvecs, edges)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+
+
+def test_hnsw_inner_product_end_to_end(spark):
+    """hnsw_build already forwards builder kwargs to cagra_build, so
+    the reference-supported inner_product index works through the
+    whole stack (nn_descent base layer, directional upper-layer M-NN,
+    layer-descent + base beam in hnsw_search) — recall vs the exact
+    max-dot kNN clears the reference's own pass bar."""
+    from cuvs_spark.operators.brute_force import knn
+    from cuvs_spark.sources.graph_export import hnsw_build, hnsw_search
+
+    vecs, qvecs = _data(73)
+    d, q = _spark_ds(spark, vecs, qvecs)
+    layers = hnsw_build(d, graph_degree=8, metric="inner_product",
+                        hierarchy="cpu", build_algo="nn_descent",
+                        max_iterations=3)
+    got = hnsw_search(layers, d, q, 5, ef=24, metric="inner_product")
+    exact = knn(d, q, 5, "inner_product", qvec_col="vec")
+    hit = (got.select("qid", "nid")
+           .intersect(exact.select("qid", "nid")).count())
+    assert hit / (NQ * 5) >= 0.8
+    # directional ordering: rank 1 carries the LARGEST dot per query
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["distance"]))
+    for qid, pairs in by_q.items():
+        ranked = [dist for _, dist in sorted(pairs)]
+        assert ranked == sorted(ranked, reverse=True), qid
+
+
 def test_cagra_build_nn_descent_inner_product_end_to_end(spark):
     """cagra_build(build_algo='nn_descent', metric='inner_product') —
     the reference's supported combination (cagra.pyx:250) — runs end to
