@@ -9,4 +9,6 @@ from cuvs_spark.cluster.spectral import (  # noqa: F401
     spectral_embedding,
     spectral_embedding_from_edges,
     spectral_fit_predict,
+    spectral_power_embed,
+    spectral_power_sql,
 )

@@ -13,4 +13,9 @@ from cuvs_spark.preprocessing.pq import (  # noqa: F401
     vpq_residuals,
     vpq_transform,
 )
-from cuvs_spark.preprocessing.pca import pca_fit, pca_transform  # noqa: F401
+from cuvs_spark.preprocessing.pca import (  # noqa: F401
+    pca_fit,
+    pca_power_fit,
+    pca_power_sql,
+    pca_transform,
+)
