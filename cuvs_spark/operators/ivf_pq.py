@@ -43,6 +43,25 @@ from cuvs_spark.operators.select_k import select_k
 from cuvs_spark.preprocessing.pq import PQCodebook, _subvecs, pq_build
 
 
+def _require_min_close_quant(metric: str, where: str) -> None:
+    """Entry-only guard (the graph family's r11 pattern, same rationale
+    as ADVICE r10 #1): the quantized-index scoring here is min-close by
+    construction — IVF-PQ's LUT accumulates SQUARED residual distances
+    (``ivf_pq_search.cuh`` L2 tables) and IVF-SQ's local top-k / merge
+    order ASC — so a max-close metric (inner_product family) would
+    silently keep the WORST k. Fail loudly; the directional flip
+    (argpartition on −D + select_min/merge direction on both the Spark
+    and oracle sides together) is the tracked r12 follow-up alongside
+    directional all_neighbors."""
+    from cuvs_spark.functions.distance import is_min_close
+    if not is_min_close(metric):
+        raise ValueError(
+            f"{where}: metric {metric!r} is max-close; the quantized IVF "
+            "paths score min-close only. Use a min-close metric (e.g. "
+            "sqeuclidean/cosine), negate scores upstream, or use "
+            "ivf_flat/brute_force/cagra, which are directional.")
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ
 # ---------------------------------------------------------------------------
@@ -102,6 +121,7 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
     keeps recall up at realistic ``n_lists`` — the residual energy is
     much smaller than the raw vector's. Rotation runs only on the
     ``method="blas"`` path (a matmul has no sane SQL form)."""
+    _require_min_close_quant(metric, "ivf_pq_build")
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -243,6 +263,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     Prefer it when codes ≫ queries; the cogroup wins when both sides
     are small (its two shuffles are cheaper than the collect+broadcast
     round-trip)."""
+    _require_min_close_quant(index.metric, "ivf_pq_search")
     spark = queries.sparkSession
     # bitset-filter analog (filters.pyx applies to every index type):
     # boolean Column over the codes table, applied before scoring
@@ -590,6 +611,7 @@ def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
                  lo: float = -1.0, hi: float = 1.0) -> IVFSQIndex:
     """IVF + int8 residual scalar quantization (``ivf_sq.pyx:41-48``).
     Residual range [lo, hi] is fixed 8-bit as in the reference."""
+    _require_min_close_quant(metric, "ivf_sq_build")
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -646,6 +668,7 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
     int8 codes decode to a NumPy block (center + lo + (q+128)·step) and
     score via one GEMM tile with local top-k (the throughput fine
     stage, same shape as ivf_flat's)."""
+    _require_min_close_quant(index.metric, "ivf_sq_search")
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
@@ -706,6 +729,7 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
 def ivf_sq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
                       k: int, n_probes: int, lo: float, hi: float,
                       metric: str = "sqeuclidean") -> str:
+    _require_min_close_quant(metric, "ivf_sq_search_sql")
     from cuvs_spark.functions.distance import distance_sql_duckdb
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")

@@ -272,6 +272,34 @@ def test_hnsw_inner_product_end_to_end(spark):
         assert ranked == sorted(ranked, reverse=True), qid
 
 
+def test_quantized_ivf_guards_max_close(spark):
+    """The directional audit's remaining restrict-arm stopgaps: IVF-PQ
+    (its LUT accumulates squared residual distances — L2 by
+    construction) and IVF-SQ (decoded scoring is directional but its
+    local top-k / merge order ASC) must fail loudly on a max-close
+    metric instead of silently keeping the worst k. The flip is the
+    tracked r12 follow-up."""
+    from dataclasses import replace
+
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_build, ivf_sq_build,
+                                             ivf_sq_search,
+                                             ivf_sq_search_sql)
+
+    vecs, qvecs = _data(91)
+    d, q = _spark_ds(spark, vecs, qvecs)
+    with pytest.raises(ValueError, match="max-close"):
+        ivf_pq_build(d, 2, 1, metric="inner_product")
+    with pytest.raises(ValueError, match="max-close"):
+        ivf_sq_build(d, 2, metric="inner_product")
+    with pytest.raises(ValueError, match="max-close"):
+        ivf_sq_search_sql("a", "b", "c", 1, 1, -1.0, 1.0,
+                          metric="inner_product")
+    idx = ivf_sq_build(d, 2)
+    with pytest.raises(ValueError, match="max-close"):
+        ivf_sq_search(replace(idx, metric="inner_product"), q, 2, 1,
+                      qvec_col="vec")
+
+
 def test_cagra_build_nn_descent_inner_product_end_to_end(spark):
     """cagra_build(build_algo='nn_descent', metric='inner_product') —
     the reference's supported combination (cagra.pyx:250) — runs end to
