@@ -370,10 +370,14 @@ def spectral_power_embed(edges: DataFrame, n_components: int = 1,
             y = matvec(v)
             # exact Gram–Schmidt vs the analytic trivial vector
             # (grid _NG): Z = Y − (ΣUY/ΣU²)·U, per-entry double floor
+            # _d in decimal(38,0) like _n (↔ the twin's HUGEINT,
+            # ADVICE r11 #1): a plain long sum of u² wraps silently
+            # near ~1e6 vertices where DuckDB keeps exact int128
             c0 = (y.join(u, "i")
                   .agg(F.sum(F.col("u").cast(dec) * F.col("y").cast(dec))
                        .alias("_n"),
-                       F.sum(F.col("u") * F.col("u")).alias("_d"))
+                       F.sum(F.col("u").cast(dec) * F.col("u").cast(dec))
+                       .alias("_d"))
                   .select((F.col("_n").cast("double")
                            / F.col("_d").cast("double")).alias("c")))
             z = (y.join(u, "i").crossJoin(F.broadcast(c0))
@@ -387,7 +391,8 @@ def spectral_power_embed(edges: DataFrame, n_components: int = 1,
                 cp = (z.join(p, "i")
                       .agg(F.sum(F.col("p").cast(dec)
                                  * F.col("z").cast(dec)).alias("_n"),
-                           F.sum(F.col("p") * F.col("p")).alias("_d"))
+                           F.sum(F.col("p").cast(dec) * F.col("p").cast(dec))
+                           .alias("_d"))
                       .select((F.col("_n").cast("double")
                                / (F.col("_d").cast("double") * float(_NG)))
                               .alias("c")))
@@ -409,7 +414,8 @@ def spectral_power_embed(edges: DataFrame, n_components: int = 1,
         lam = (yf.join(v, "i")
                .agg(F.sum(F.col("v").cast(dec) * F.col("y").cast(dec))
                     .alias("_n"),
-                    F.sum(F.col("v") * F.col("v")).alias("_d"))
+                    F.sum(F.col("v").cast(dec) * F.col("v").cast(dec))
+                    .alias("_d"))
                .select((F.lit(2.0) - F.col("_n").cast("double")
                         / (F.col("_d").cast("double") * float(_NG)))
                        .alias("lam")))

@@ -92,11 +92,17 @@ def tiered_search(index: TieredIndex, queries: DataFrame, k: int = 10,
 def composite_search(indexes: list, queries: DataFrame, k: int = 10,
                      n_probes: int = 8, **kw) -> DataFrame:
     """``composite::index`` (``cpp/src/neighbors/composite/index.cu``):
-    search every sub-index, merge results — a union + top-k."""
+    search every sub-index, merge results — a union + top-k. All
+    sub-indexes must share one metric (the reference's composite has
+    the same same-metric assumption): a mixed min-close/max-close list
+    would merge incomparable scores, so it fails loudly here (r11
+    verdict #1 / ADVICE r11 #3)."""
+    metrics = {getattr(ix, "metric", "sqeuclidean") for ix in indexes}
+    if len(metrics) > 1:
+        raise ValueError("composite_search: sub-indexes disagree on "
+                         f"metric ({sorted(metrics)}); their scores are "
+                         "not merge-comparable")
     parts = [ivf_flat_search(ix, queries, k, n_probes, **kw)
              for ix in indexes]
     from cuvs_spark.functions.distance import is_min_close
-    return knn_merge_parts(
-        parts, k,
-        select_min=is_min_close(getattr(indexes[0], "metric",
-                                        "sqeuclidean")))
+    return knn_merge_parts(parts, k, select_min=is_min_close(metrics.pop()))

@@ -116,6 +116,26 @@ _SC2 = _SC * _SC       # second-moment / covariance grid (1e10)
 _VG = 10_000           # vector grid
 
 
+def _power_headroom_guard(cov: DataFrame, dim: int, where: str) -> None:
+    """ADVICE r11 #1: the power chain's matvec is an exact int64 sum
+    (``|y| ≤ dim·max|c|·_VG``) and the square sum that normalizes it
+    goes through decimal(38,0)↔HUGEINT (``Σy² ≤ dim·y_max²``). Past
+    those bounds Spark (non-ANSI) wraps/nulls silently while the DuckDB
+    twin errors — a silent cross-engine divergence. Enforce the proven
+    headroom loudly instead, on EVERY cov epoch (deflation mutates the
+    magnitudes); the at-scale default stays :func:`pca_fit`
+    (mapInPandas GEMM + driver eigh — no integer grid at all)."""
+    mx = cov.agg(F.max(F.abs(F.col("c")))).first()[0] or 0
+    y_max = float(dim) * float(mx) * float(_VG)
+    if y_max >= float(2 ** 62) or float(dim) * y_max * y_max >= 9e37:
+        raise ValueError(
+            f"{where}: quantized covariance magnitude {mx} at dim {dim} "
+            "exceeds the exact-integer headroom (matvecs must stay inside "
+            "int64 and square sums inside decimal(38,0)/HUGEINT; the "
+            "DuckDB twin would error where Spark wraps). Reduce the "
+            "dimensionality/magnitudes or use pca_fit for at-scale PCA.")
+
+
 def pca_power_fit(df: DataFrame, n_components: int = 2, n_iter: int = 3,
                   *, vec_col: str = "vec",
                   id_col: str = "id") -> DataFrame:
@@ -165,6 +185,8 @@ def pca_power_fit(df: DataFrame, n_components: int = 2, n_iter: int = 3,
                    (F.col("s") - F.col("_mi") * F.col("_mj")).alias("c"))
            .localCheckpoint())
     dims = means.select("i")
+    dim = d.select(F.size("vec")).first()[0]
+    _power_headroom_guard(cov, dim, "pca_power_fit")
     dec = "decimal(19,0)"
     out = None
     for comp in range(n_components):
@@ -215,6 +237,7 @@ def pca_power_fit(df: DataFrame, n_components: int = 2, n_iter: int = 3,
                                * F.lit(scale) + F.lit(0.5)).cast("long"))
                            .alias("c"))
                    .localCheckpoint())
+            _power_headroom_guard(cov, dim, "pca_power_fit (deflated)")
     return out
 
 

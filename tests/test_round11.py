@@ -205,9 +205,11 @@ def test_cagra_ace_matches_composed_sql(spark):
 def test_pca_power_fit_matches_unrolled_sql(spark):
     """The eigensolver family's rows-only → hash-exact conversion path
     (the LAST family without one): fixed-iteration power iteration with
-    Rayleigh deflation over a per-step-ROUNDed covariance (the
-    driver-proven chained-Lloyd parity recipe) from a deterministic
-    integer-arithmetic init, vs the unrolled DuckDB twin
+    Rayleigh deflation over ONCE-QUANTIZED exact-integer moments (the
+    per-step-ROUND chained-Lloyd recipe is explicitly rejected here —
+    pca.py documents observed 6-dp cross-engine flips when chained
+    decimal-grid products land on round-off midpoints) from a
+    deterministic integer-arithmetic init, vs the unrolled DuckDB twin
     pca_power_sql. An r12/r13 gate candidate, proven here without
     spending a registry slot (the r11 window is packed)."""
     from cuvs_spark.entry_queries import emb_dataset
