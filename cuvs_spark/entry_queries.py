@@ -1251,6 +1251,27 @@ def _pca_transform_rows(spark, sf_dir):
 register("preprocess_pca_transform", _pca_transform_rows)  # rows-only
 
 
+def _pca_power(spark, sf_dir):
+    """The eigensolver family's hash-exact path (r12 registration of
+    the r11-proven conversion, tests/test_round11.py::
+    test_pca_power_fit_matches_unrolled_sql + a 9-run stress):
+    fixed-iteration power iteration with Rayleigh deflation over
+    ONCE-QUANTIZED exact-integer moments (per-step ROUND is unsafe for
+    chained decimal-grid products — see pca.py), vs the unrolled DuckDB
+    twin. The at-scale PCA default stays pca_fit (mapInPandas GEMM +
+    driver eigh); this is the gate-construction path."""
+    from cuvs_spark.preprocessing.pca import pca_power_fit
+    return pca_power_fit(emb_dataset(spark, sf_dir), 2, 3)
+
+
+def _pca_power_oracle():
+    from cuvs_spark.preprocessing.pca import pca_power_sql
+    return pca_power_sql(_DA_SQL, 2, 3)
+
+
+register("preprocess_pca_power", _pca_power, _pca_power_oracle())
+
+
 # --- VQ+PQ composite quantizer (pq.pyx use_vq/vq_n_centers) ----------------
 _VQ_K = 8
 _VQ_SQL = (f"SELECT CAST(vec_id AS INT) AS vlabel, embedding AS vcent "
@@ -1951,14 +1972,32 @@ _register_temporal_gates()
 
 # --- agglomerative clustering + CAGRA merge (SURVEY §2.6/2.8) -------------
 def _single_linkage(spark, sf_dir):
-    """kNN-graph single-linkage (iterative MST) — rows-only; exactness
-    vs a Kruskal oracle in tests/test_agglomerative.py."""
+    """kNN-graph single-linkage, value-hash-exact since r12 (the r11
+    rows-only → hash-exact conversion, tests/test_round11.py::
+    test_single_linkage_matches_recursive_kruskal_sql): at gate scale
+    (n ≤ finish_components) the operator is exactly Kruskal over the
+    directed kNN edges in (distance, src, dst) order with an
+    early-stopped cut, and the twin reproduces that as one recursive
+    CTE carrying a flat union-find. filter(id < 200), NOT limit(200) —
+    limit is order-nondeterministic. NumPy exactness still pinned in
+    tests/test_agglomerative.py."""
     from cuvs_spark.cluster.agglomerative import single_linkage
-    d = emb_dataset(spark, sf_dir).limit(200)
+    d = emb_dataset(spark, sf_dir).filter(F.col("id") < 200)
     return single_linkage(d, n_clusters=10, k=10)
 
 
-register("agglomerative_single_linkage", _single_linkage)  # rows-only
+def _single_linkage_oracle():
+    from cuvs_spark.cluster.agglomerative import single_linkage_sql
+    return single_linkage_sql(
+        "SELECT vec_id AS nid, embedding AS dv FROM embeddings "
+        "WHERE vec_id < 200",
+        "SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+        "WHERE vec_id < 200",
+        10, 10, n_rows=200)
+
+
+register("agglomerative_single_linkage", _single_linkage,
+         _single_linkage_oracle())
 
 
 def _mutual_reachability(spark, sf_dir):
@@ -2025,6 +2064,43 @@ def _spectral_predict(spark, sf_dir):
 
 
 register("spectral_fit_predict", _spectral_predict)  # rows-only
+
+
+def _spectral_power(spark, sf_dir):
+    """The spectral half of the eigensolver family's hash-exact path
+    (r12 registration of the r11-proven conversion,
+    tests/test_round11.py::test_spectral_power_embed_matches_unrolled_sql
+    + the two-blob Fiedler sanity test): fixed-iteration power
+    iteration on M = I + D^{-1/2}AD^{-1/2} of the kNN connectivity
+    graph, EXACT Gram–Schmidt deflation against the ANALYTIC trivial
+    vector D^{1/2}·1, exact integer state end to end (eps=0 +
+    connected-graph assumption documented in spectral.py). The at-scale
+    default stays spectral_embedding; this is the gate-construction
+    path."""
+    from cuvs_spark.cluster.spectral import spectral_power_embed
+    from cuvs_spark.operators import knn_self
+    d = emb_dataset(spark, sf_dir)
+    g = knn_self(d, 8).select(F.col("qid").alias("src"),
+                              F.col("nid").alias("dst"))
+    return spectral_power_embed(g, 2, 3)
+
+
+def _spectral_power_oracle():
+    from cuvs_spark.cluster.spectral import spectral_power_sql
+    dist = O.distance_sql_duckdb("sqeuclidean", "a.embedding",
+                                 "b.embedding")
+    edges_sql = f"""
+SELECT src, dst FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {dist} ASC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rn <= 8"""
+    return spectral_power_sql(edges_sql, 2, 3)
+
+
+register("spectral_power_embed", _spectral_power,
+         _spectral_power_oracle())
 
 
 # --- remaining metric family + Gram matrices (SURVEY §2.3) -----------------
@@ -2151,16 +2227,36 @@ for _metric in ["jensenshannon", "kl_divergence"]:
 
 
 def _ivf_trained(spark, sf_dir):
-    """Trained coarse quantizer (iterative k-means) — rows-only gate;
-    recall floor asserted in tests/test_kmeans_ivf.py."""
+    """Trained coarse quantizer end to end, value-hash-exact since r12
+    (the r11 rows-only → hash-exact conversion,
+    tests/test_round11.py::test_ivf_trained_search_matches_composed_sql):
+    a reproducible chained-Lloyd fit (fixed init, tol=0, expr updates,
+    per-iteration centroid_round — the driver-proven
+    kmeans_fit_centroids recipe) feeds ivf_flat_build/search; the twin
+    composes O.kmeans_fit_cent_sql into O.ivf_flat_search_sql as a
+    trained cent_sql. The float32 narrowing of the chained-Lloyd
+    centroid table is the load-bearing detail (the Spark operators hand
+    centroids through array<float>); recall floor still asserted in
+    tests/test_kmeans_ivf.py."""
+    from cuvs_spark.cluster import kmeans_fit
     from cuvs_spark.operators.ivf_flat import ivf_flat_build, ivf_flat_search
     d = emb_dataset(spark, sf_dir)
-    idx = ivf_flat_build(d, 16, kmeans_n_iters=8, seed=5)
+    model = kmeans_fit(d, _IVF_LISTS, max_iter=2, tol=0.0,
+                       init=_fixed_centroids(spark, sf_dir, _IVF_LISTS),
+                       update_method="expr", centroid_round=6)
+    idx = ivf_flat_build(d, _IVF_LISTS, centroids=model.centroids)
     q = emb_queries(spark, sf_dir, 20)
-    return ivf_flat_search(idx, q, 10, 6, qvec_col="qv")
+    return ivf_flat_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
 
 
-register("ivf_flat_search_trained", _ivf_trained)  # rows-only: iterative
+_IVF_TRAINED_CENT_SQL = O.kmeans_fit_cent_sql(
+    _DA_SQL,
+    f"SELECT vec_id AS label, embedding AS cv FROM embeddings "
+    f"WHERE vec_id < {_IVF_LISTS}", 2)
+
+register("ivf_flat_search_trained", _ivf_trained,
+         O.ivf_flat_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                               _IVF_TRAINED_CENT_SQL, 10, _IVF_PROBES))
 
 
 # --- §3.3 quality-tiered pipeline: IVF-PQ candidates → exact refine --------
@@ -2898,17 +2994,35 @@ register("mg_replicated_search", _mg_replicated,
 
 
 # --- ACE partitioned CAGRA build (cagra.pyx:127-175) -----------------------
+_ACE_NPART, _ACE_DEG = 4, 6
+
+
 def _cagra_ace(spark, sf_dir):
-    """Rows-only (trained partitioner + per-shard builds are
-    iterative); recall + spill-layout asserted in tests/test_graph.py."""
+    """ACE partitioned spill build, value-hash-exact since r12 (the r11
+    rows-only → hash-exact conversion, tests/test_round11.py::
+    test_cagra_ace_matches_composed_sql): with fixed partitioner AND
+    builder centroids (the r11 centroids=/builder_centroids= hooks),
+    cagra_build_ace is a composition of driver-proven templates —
+    overlap partition assign, per-shard all_neighbors + optimize,
+    parquet spill round-trip, per-edge min-union merge + optimize —
+    reproduced by G.cagra_ace_sql. Recall + spill layout still asserted
+    in tests/test_graph.py."""
     from cuvs_spark.operators.graph import cagra_build_ace
-    d = emb_dataset(spark, sf_dir).limit(300)
-    return cagra_build_ace(d, graph_degree=8, npartitions=2,
-                           overlap_factor=2, n_clusters=2,
-                           kmeans_n_iters=3)
+    d = emb_dataset(spark, sf_dir)
+    pc = _fixed_centroids(spark, sf_dir, _ACE_NPART)
+    bc = _fixed_centroids(spark, sf_dir, 8)
+    return cagra_build_ace(d, _ACE_DEG, npartitions=_ACE_NPART,
+                           overlap_factor=2, centroids=pc,
+                           builder_centroids=bc)
 
 
-register("cagra_ace_graph", _cagra_ace)  # rows-only: iterative
+register("cagra_ace_graph", _cagra_ace, G.cagra_ace_sql(
+    _DA_SQL,
+    f"SELECT vec_id AS part, embedding AS cv FROM embeddings "
+    f"WHERE vec_id < {_ACE_NPART}",
+    "SELECT vec_id AS label, embedding AS cv FROM embeddings "
+    "WHERE vec_id < 8",
+    _ACE_DEG, npartitions=_ACE_NPART, overlap_factor=2))
 
 
 # --- Precomputed metric / ball_cover API / HNSW view gates -----------------
