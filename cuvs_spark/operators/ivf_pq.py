@@ -43,23 +43,24 @@ from cuvs_spark.operators.select_k import select_k
 from cuvs_spark.preprocessing.pq import PQCodebook, _subvecs, pq_build
 
 
-def _require_min_close_quant(metric: str, where: str) -> None:
-    """Entry-only guard (the graph family's r11 pattern, same rationale
-    as ADVICE r10 #1): the quantized-index scoring here is min-close by
-    construction — IVF-PQ's LUT accumulates SQUARED residual distances
-    (``ivf_pq_search.cuh`` L2 tables) and IVF-SQ's local top-k / merge
-    order ASC — so a max-close metric (inner_product family) would
-    silently keep the WORST k. Fail loudly; the directional flip
-    (argpartition on −D + select_min/merge direction on both the Spark
-    and oracle sides together) is the tracked r12 follow-up alongside
-    directional all_neighbors."""
-    from cuvs_spark.functions.distance import is_min_close
-    if not is_min_close(metric):
+def _pq_metric(metric: str) -> str:
+    """IVF-PQ scores through a per-subspace LUT, so the index metric
+    must decompose ADDITIVELY over the subspaces: ``sqeuclidean``
+    (``||q−x̂||² = Σ_sub ||q_sub − ĉ_sub||²`` — the reference's L2
+    tables, ``ivf_pq_search.cuh``) or ``inner_product`` (``q·x̂ =
+    Σ_sub q_sub·ĉ_sub``; with residual encoding ``q·(c+r̂) = q·c +
+    Σ_sub q_sub·r̂_sub`` — the reference's IP support,
+    ``ivf_pq.pyx:40-172`` metric surface). DIRECTIONAL since r12 (the
+    r11 entry guards' tracked flip, r11 verdict #2): every local top-k
+    and merge follows ``is_min_close(metric)`` on BOTH engines. A
+    non-decomposable metric (cosine etc.) fails loudly here — use
+    ivf_flat/brute_force, which take any metric."""
+    if metric not in ("sqeuclidean", "inner_product"):
         raise ValueError(
-            f"{where}: metric {metric!r} is max-close; the quantized IVF "
-            "paths score min-close only. Use a min-close metric (e.g. "
-            "sqeuclidean/cosine), negate scores upstream, or use "
-            "ivf_flat/brute_force/cagra, which are directional.")
+            f"ivf_pq: metric {metric!r} does not decompose additively "
+            "over PQ subspaces; use sqeuclidean or inner_product (or "
+            "ivf_flat/brute_force/cagra, which take any metric).")
+    return metric
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +122,7 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
     keeps recall up at realistic ``n_lists`` — the residual energy is
     much smaller than the raw vector's. Rotation runs only on the
     ``method="blas"`` path (a matmul has no sane SQL form)."""
-    _require_min_close_quant(metric, "ivf_pq_build")
+    _pq_metric(metric)
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -240,6 +241,35 @@ def ivf_pq_transform(index: IVFPQIndex, dataset: DataFrame, *,
     return _pq_encode(enc_in, index.codebook_df, index.pq_dim, method)
 
 
+def _pq_lut_score(Q, C, CB, S, w, cent_vec, rot, ip):
+    """Per-list LUT scoring shared by the blas/broadcast paths →
+    the (p, m) score matrix for queries ``Q`` against the list's code
+    matrix ``C``. L2: the reference LUT (shift the query by the list
+    center for residual encoding, then per-subspace squared
+    distances). IP: ``q·x̂ = Σ_sub q_sub·ĉ_sub``; for residual
+    encoding the query is rotated but NOT shifted and the per-list
+    constant ``q·c`` is added — ``q·(c + Rᵀr̂) = q·c + (Rq)·r̂``."""
+    qc = None
+    if ip:
+        if cent_vec is not None:
+            qc = Q @ cent_vec
+            if rot is not None:
+                Q = Q @ rot.T
+        Q3 = Q[:, :S * w].reshape(len(Q), S, w)
+        LUT = (Q3[:, :, None, :] * CB[None]).sum(-1)
+    else:
+        if cent_vec is not None:
+            Q = Q - cent_vec[None, :]
+            if rot is not None:
+                Q = Q @ rot.T
+        Q3 = Q[:, :S * w].reshape(len(Q), S, w)
+        LUT = ((Q3[:, :, None, :] - CB[None]) ** 2).sum(-1)
+    D = LUT[:, np.arange(S)[None, :], C].sum(-1)
+    if qc is not None:
+        D = D + qc[:, None]
+    return D
+
+
 def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                   n_probes: int = 8, *, qid_col: str = "qid",
                   qvec_col: str = "vec", method: str = "expr",
@@ -263,7 +293,10 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     Prefer it when codes ≫ queries; the cogroup wins when both sides
     are small (its two shuffles are cheaper than the collect+broadcast
     round-trip)."""
-    _require_min_close_quant(index.metric, "ivf_pq_search")
+    from cuvs_spark.functions.distance import is_min_close
+    metric = _pq_metric(index.metric)
+    minimize = is_min_close(metric)
+    ip = metric == "inner_product"
     spark = queries.sparkSession
     # bitset-filter analog (filters.pyx applies to every index type):
     # boolean Column over the codes table, applied before scoring
@@ -318,15 +351,13 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                     qids, Q = hit
                     C = np.vstack(rows["codes"].to_numpy()).astype(np.int64)
                     ids = rows["id"].to_numpy(np.int64)
-                    if cent_np is not None:
-                        Q = Q - cent_np[int(lid)][None, :]
-                        if rot is not None:
-                            Q = Q @ rot.T
-                    Q3 = Q[:, :S * w].reshape(len(Q), S, w)
-                    LUT = ((Q3[:, :, None, :] - CB[None]) ** 2).sum(-1)
-                    D = LUT[:, np.arange(S)[None, :], C].sum(-1)
+                    D = _pq_lut_score(
+                        Q, C, CB, S, w,
+                        cent_np[int(lid)] if cent_np is not None else None,
+                        rot, ip)
                     kk = min(k, D.shape[1])
-                    part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    part = np.argpartition(D if minimize else -D,
+                                           kk - 1, axis=1)[:, :kk]
                     outs.append(pd.DataFrame({
                         "qid": np.repeat(qids, kk),
                         "nid": np.take_along_axis(
@@ -339,7 +370,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
 
         local = codes_t.select("list_id", "id", "codes").mapInPandas(
             score_parts, "qid long, nid long, distance double")
-        return knn_merge_parts(local, k)
+        return knn_merge_parts(local, k, select_min=minimize)
     if method == "blas":
         import pandas as pd
 
@@ -362,19 +393,17 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             ids = rows["id"].to_numpy(np.int64)
             Q = np.vstack(qp["_qv"].to_numpy()).astype(np.float64)
             qids = qp["qid"].to_numpy(np.int64)
-            if cent_np is not None:
-                # residual LUT: per probed list the query shifts by the
-                # list center (then the build-time rotation, if any)
-                Q = Q - cent_np[int(key[0])][None, :]
-                if rot is not None:
-                    Q = Q @ rot.T
-            # floor-width slice: keep parity with _subvecs when dim % S != 0
-            Q3 = Q[:, :S * w].reshape(len(Q), S, w)
-            # per-query LUT (p, S, n_codes), then gather along codes
-            LUT = ((Q3[:, :, None, :] - CB[None]) ** 2).sum(-1)
-            D = LUT[:, np.arange(S)[None, :], C].sum(-1)   # (p, m)
+            # L2 residual: per probed list the query shifts by the list
+            # center (then the build-time rotation); IP residual: the
+            # per-list q·c constant instead. Floor-width slicing inside
+            # keeps parity with _subvecs when dim % S != 0.
+            D = _pq_lut_score(
+                Q, C, CB, S, w,
+                cent_np[int(key[0])] if cent_np is not None else None,
+                rot, ip)
             kk = min(k, D.shape[1])
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            part = np.argpartition(D if minimize else -D,
+                                   kk - 1, axis=1)[:, :kk]
             return pd.DataFrame({
                 "qid": np.repeat(qids, kk),
                 "nid": np.take_along_axis(
@@ -385,9 +414,45 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                  .cogroup(qside.groupBy("list_id"))
                  .applyInPandas(score,
                                 "qid long, nid long, distance double"))
-        return knn_merge_parts(local, k)
+        return knn_merge_parts(local, k, select_min=minimize)
     pq_dim = index.pq_dim
-    sdist = F.expr(distance_sql_spark("sqeuclidean", "qsub", "centroid"))
+    # per-subspace LUT term in the INDEX metric (L2 squared residuals
+    # or subspace dot products — _pq_metric guarantees decomposability)
+    sdist = F.expr(distance_sql_spark(metric, "qsub", "centroid"))
+    if residual and ip:
+        if index.rotation is not None:
+            raise ValueError("rotation requires method='blas'")
+        # IP residual: q·(c + r̂) = q·c + Σ_sub q_sub·r̂_sub — the LUT
+        # is per-QUERY only (subspace dots of the UNSHIFTED query, like
+        # the raw path) and the per-(query, probed list) constant q·c
+        # joins in after the fold. list_id is carried through the
+        # grouping (each row lives in exactly one list, so it's free).
+        qsub = _subvecs(q.withColumnRenamed("qid", "id"), pq_dim,
+                        id_col="id", vec_col="_qv") \
+            .withColumnRenamed("id", "qid") \
+            .withColumnRenamed("subvec", "qsub")
+        lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
+               .select("qid", "sub", "code", sdist.alias("subdist")))
+        qc = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
+              .select("qid", "list_id",
+                      F.expr(distance_sql_spark("inner_product", "_qv",
+                                                "centroid")).alias("_qc")))
+        probed = (codes_t.join(F.broadcast(probes), "list_id")
+                  .select("qid", "list_id", "id",
+                          F.posexplode("codes").alias("sub", "code")))
+        folded = (probed.join(F.broadcast(lut), ["qid", "sub", "code"])
+                  .groupBy("qid", "list_id", F.col("id").alias("nid"))
+                  .agg(F.array_sort(
+                      F.collect_list(F.struct("sub", "subdist")))
+                      .alias("_sd"))
+                  .select("qid", "list_id", "nid", F.expr(
+                      "aggregate(_sd, CAST(0 AS DOUBLE), "
+                      "(acc, x) -> acc + x.subdist)").alias("_acc")))
+        scored = (folded.join(F.broadcast(qc), ["qid", "list_id"])
+                  .select("qid", "nid",
+                          (F.col("_acc") + F.col("_qc")).alias("distance")))
+        return select_k(scored, "qid", "distance", k, tie_cols=["nid"],
+                        select_min=minimize)
     if residual:
         if index.rotation is not None:
             raise ValueError("rotation requires method='blas'")
@@ -421,7 +486,8 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                   .select("qid", "nid", F.expr(
                       "aggregate(_sd, CAST(0 AS DOUBLE), "
                       "(acc, x) -> acc + x.subdist)").alias("distance")))
-        return select_k(scored, "qid", "distance", k, tie_cols=["nid"])
+        return select_k(scored, "qid", "distance", k, tie_cols=["nid"],
+                        select_min=minimize)
     # raw path — LUT: (qid, sub, code, subdist), n_queries × pq_dim ×
     # n_codes rows (tiny, broadcast)
     qsub = _subvecs(q.withColumnRenamed("qid", "id"), pq_dim,
@@ -440,19 +506,26 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
               .select("qid", "nid", F.expr(
                   "aggregate(_sd, CAST(0 AS DOUBLE), (acc, x) -> acc + x.subdist)")
                   .alias("distance")))
-    return select_k(scored, "qid", "distance", k, tie_cols=["nid"])
+    return select_k(scored, "qid", "distance", k, tie_cols=["nid"],
+                    select_min=minimize)
 
 
 def ivf_pq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
                       codebook_sql: str, k: int, n_probes: int,
-                      pq_dim: int) -> str:
+                      pq_dim: int, metric: str = "sqeuclidean") -> str:
     """DuckDB oracle for the full IVF-PQ pipeline (fixed centroids +
-    codebook): assign → encode → probe → LUT-join → ordered fold."""
-    from cuvs_spark.functions.distance import distance_sql_duckdb
+    codebook): assign → encode → probe → LUT-join → ordered fold.
+    Directional since r12: the LUT term runs in the index metric and
+    the final rank flips with ``is_min_close``; assignment, encoding
+    and probe selection stay on the L2 quantizer geometry like the
+    Spark side."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
+    _pq_metric(metric)
+    order = "ASC" if is_min_close(metric) else "DESC"
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
     edist = distance_sql_duckdb("sqeuclidean", "sv.subvec", "cb.centroid")
-    ldist = distance_sql_duckdb("sqeuclidean", "qs.qsub", "cb.centroid")
+    ldist = distance_sql_duckdb(metric, "qs.qsub", "cb.centroid")
     w = f"(len(d.dv) // {pq_dim})"
     wq = f"(len(q.qv) // {pq_dim})"
     return f"""
@@ -499,7 +572,7 @@ scored AS (
   GROUP BY pr.qid, pr.id),
 ranked AS (
   SELECT qid, nid, distance,
-         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+         row_number() OVER (PARTITION BY qid ORDER BY distance {order}, nid ASC) rank
   FROM scored)
 SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
 """
@@ -507,21 +580,80 @@ SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
 
 def ivf_pq_residual_search_sql(dataset_sql: str, queries_sql: str,
                                cent_sql: str, codebook_sql: str, k: int,
-                               n_probes: int, pq_dim: int) -> str:
+                               n_probes: int, pq_dim: int,
+                               metric: str = "sqeuclidean") -> str:
     """DuckDB oracle for the residual-encoded IVF-PQ pipeline (fixed
     centroids + codebook, no rotation): assign → encode residuals →
-    probe → per-(query, list) residual LUT → ordered fold."""
-    from cuvs_spark.functions.distance import distance_sql_duckdb
+    probe → per-(query, list) residual LUT → ordered fold. For
+    ``inner_product`` (directional since r12) the LUT comes from the
+    UNSHIFTED query's subspace dots and the per-(query, probed list)
+    constant ``q·c`` adds in after the fold — ``q·(c+r̂) = q·c +
+    Σ_sub q_sub·r̂_sub`` — mirroring :func:`ivf_pq_search`'s IP
+    residual branch; the final rank flips with ``is_min_close``."""
+    from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
+    _pq_metric(metric)
+    ip = metric == "inner_product"
+    order = "ASC" if is_min_close(metric) else "DESC"
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
     edist = distance_sql_duckdb("sqeuclidean", "sv.subvec", "cb.centroid")
-    ldist = distance_sql_duckdb("sqeuclidean", "qs.qsub", "cb.centroid")
+    ldist = distance_sql_duckdb(metric, "qs.qsub", "cb.centroid")
     res_d = ("list_transform(list_zip(d.dv, c.cv), p -> "
              "CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
     res_q = ("list_transform(list_zip(q.qv, c.cv), p -> "
              "CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
     w = f"(len(r.res) // {pq_dim})"
     wq = f"(len(qr.res) // {pq_dim})"
+    if ip:
+        wq = f"(len(q.qv) // {pq_dim})"
+        qcdist = distance_sql_duckdb("inner_product", "q.qv", "c.cv")
+        lut_and_score = f"""qs AS (
+  SELECT q.qid AS qid, s.sub AS sub,
+         q.qv[(s.sub * {wq} + 1):((s.sub + 1) * {wq})] AS qsub
+  FROM q, (SELECT unnest(range({pq_dim})) AS sub) s),
+lut AS (
+  SELECT qs.qid, qs.sub, cb.code, {ldist} AS subdist
+  FROM qs JOIN cb ON qs.sub = cb.sub),
+qc AS (
+  SELECT p.qid AS qid, p.list_id AS list_id, {qcdist} AS qc
+  FROM probes p JOIN q ON q.qid = p.qid JOIN c ON c.label = p.list_id),
+probed AS (
+  SELECT p.qid, e.list_id, e.id, e.sub, e.code
+  FROM probes p JOIN enc e ON e.list_id = p.list_id),
+folded AS (
+  SELECT pr.qid AS qid, pr.list_id AS list_id, pr.id AS nid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
+                          x -> x[2])), (acc, v) -> acc + v) AS acc
+  FROM probed pr JOIN lut l
+    ON l.qid = pr.qid AND l.sub = pr.sub AND l.code = pr.code
+  GROUP BY pr.qid, pr.list_id, pr.id),
+scored AS (
+  SELECT f.qid AS qid, f.nid AS nid, f.acc + qc.qc AS distance
+  FROM folded f JOIN qc ON qc.qid = f.qid AND qc.list_id = f.list_id),"""
+    else:
+        lut_and_score = f"""qr AS (
+  SELECT p.qid AS qid, p.list_id AS list_id, {res_q} AS res
+  FROM probes p JOIN q ON q.qid = p.qid JOIN c ON c.label = p.list_id),
+qs AS (
+  SELECT qr.qid AS qid, qr.list_id AS list_id, s.sub AS sub,
+         qr.res[(s.sub * {wq} + 1):((s.sub + 1) * {wq})] AS qsub
+  FROM qr, (SELECT unnest(range({pq_dim})) AS sub) s),
+lut AS (
+  SELECT qs.qid, qs.list_id, qs.sub, cb.code, {ldist} AS subdist
+  FROM qs JOIN cb ON qs.sub = cb.sub),
+probed AS (
+  SELECT p.qid, e.list_id, e.id, e.sub, e.code
+  FROM probes p JOIN enc e ON e.list_id = p.list_id),
+scored AS (
+  SELECT pr.qid AS qid, pr.id AS nid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
+                          x -> x[2])), (acc, v) -> acc + v) AS distance
+  FROM probed pr JOIN lut l
+    ON l.qid = pr.qid AND l.list_id = pr.list_id
+   AND l.sub = pr.sub AND l.code = pr.code
+  GROUP BY pr.qid, pr.id),"""
     return f"""
 WITH d AS ({dataset_sql}), q AS ({queries_sql}), c AS ({cent_sql}),
 cb AS ({codebook_sql}),
@@ -548,31 +680,10 @@ probes AS (
     SELECT q.qid, c.label AS list_id,
            row_number() OVER (PARTITION BY q.qid ORDER BY {pdist} ASC, c.label ASC) rn
     FROM q CROSS JOIN c) WHERE rn <= {n_probes}),
-qr AS (
-  SELECT p.qid AS qid, p.list_id AS list_id, {res_q} AS res
-  FROM probes p JOIN q ON q.qid = p.qid JOIN c ON c.label = p.list_id),
-qs AS (
-  SELECT qr.qid AS qid, qr.list_id AS list_id, s.sub AS sub,
-         qr.res[(s.sub * {wq} + 1):((s.sub + 1) * {wq})] AS qsub
-  FROM qr, (SELECT unnest(range({pq_dim})) AS sub) s),
-lut AS (
-  SELECT qs.qid, qs.list_id, qs.sub, cb.code, {ldist} AS subdist
-  FROM qs JOIN cb ON qs.sub = cb.sub),
-probed AS (
-  SELECT p.qid, e.list_id, e.id, e.sub, e.code
-  FROM probes p JOIN enc e ON e.list_id = p.list_id),
-scored AS (
-  SELECT pr.qid AS qid, pr.id AS nid,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
-                          x -> x[2])), (acc, v) -> acc + v) AS distance
-  FROM probed pr JOIN lut l
-    ON l.qid = pr.qid AND l.list_id = pr.list_id
-   AND l.sub = pr.sub AND l.code = pr.code
-  GROUP BY pr.qid, pr.id),
+{lut_and_score}
 ranked AS (
   SELECT qid, nid, distance,
-         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+         row_number() OVER (PARTITION BY qid ORDER BY distance {order}, nid ASC) rank
   FROM scored)
 SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
 """
@@ -610,8 +721,12 @@ def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
                  centroids: np.ndarray | None = None,
                  lo: float = -1.0, hi: float = 1.0) -> IVFSQIndex:
     """IVF + int8 residual scalar quantization (``ivf_sq.pyx:41-48``).
-    Residual range [lo, hi] is fixed 8-bit as in the reference."""
-    _require_min_close_quant(metric, "ivf_sq_build")
+    Residual range [lo, hi] is fixed 8-bit as in the reference.
+    Directional since r12 (the r11 entry guard's tracked flip): decode
+    is metric-agnostic, so any metric the distance module knows works —
+    assignment stays on the L2 quantizer geometry, search scores the
+    decoded vectors in the index metric and keeps the best-k in its
+    ``is_min_close`` direction (``ivf_sq.pyx`` metric surface)."""
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -667,8 +782,10 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
     ``method="blas"`` cogroups each list with its probing queries —
     int8 codes decode to a NumPy block (center + lo + (q+128)·step) and
     score via one GEMM tile with local top-k (the throughput fine
-    stage, same shape as ivf_flat's)."""
-    _require_min_close_quant(index.metric, "ivf_sq_search")
+    stage, same shape as ivf_flat's). Directional: every local top-k
+    and the merge follow ``is_min_close(index.metric)``."""
+    from cuvs_spark.functions.distance import is_min_close
+    minimize = is_min_close(index.metric)
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
@@ -703,7 +820,8 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
             qids = qpdf["qid"].to_numpy().astype(np.int64)
             D = _pairwise_np(Q, X, metric)
             kk = min(k, D.shape[1])
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            part = np.argpartition(D if minimize else -D,
+                                   kk - 1, axis=1)[:, :kk]
             return pd.DataFrame({
                 "qid": np.repeat(qids, kk),
                 "nid": np.take_along_axis(
@@ -714,7 +832,7 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
                  .cogroup(probing_q.groupBy("list_id"))
                  .applyInPandas(score,
                                 schema="qid long, nid long, distance double"))
-        return knn_merge_parts(local, k)
+        return knn_merge_parts(local, k, select_min=minimize)
     dec = _sq_dec("rcodes", "centroid", index.lo, index.hi)
     fine = (index.rcodes.join(F.broadcast(probes), "list_id")
             .join(F.broadcast(cent), "list_id")
@@ -723,14 +841,15 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
                     F.expr(dec).alias("_dec"), "_qv"))
     fdist = F.expr(distance_sql_spark(index.metric, "_qv", "_dec"))
     pairs = fine.select("qid", "nid", fdist.alias("distance"))
-    return select_k(pairs, "qid", "distance", k, tie_cols=["nid"])
+    return select_k(pairs, "qid", "distance", k, tie_cols=["nid"],
+                    select_min=minimize)
 
 
 def ivf_sq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
                       k: int, n_probes: int, lo: float, hi: float,
                       metric: str = "sqeuclidean") -> str:
-    _require_min_close_quant(metric, "ivf_sq_search_sql")
-    from cuvs_spark.functions.distance import distance_sql_duckdb
+    from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
+    order = "ASC" if is_min_close(metric) else "DESC"
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
     enc = (f"list_transform(list_zip(d.dv, c.cv), p -> "
@@ -766,7 +885,7 @@ pairs AS (
        JOIN dec ON dec.list_id = p.list_id),
 ranked AS (
   SELECT qid, nid, distance,
-         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, nid ASC) rank
+         row_number() OVER (PARTITION BY qid ORDER BY distance {order}, nid ASC) rank
   FROM pairs)
 SELECT qid, nid, distance, rank FROM ranked WHERE rank <= {k}
 """

@@ -272,32 +272,131 @@ def test_hnsw_inner_product_end_to_end(spark):
         assert ranked == sorted(ranked, reverse=True), qid
 
 
-def test_quantized_ivf_guards_max_close(spark):
-    """The directional audit's remaining restrict-arm stopgaps: IVF-PQ
-    (its LUT accumulates squared residual distances — L2 by
-    construction) and IVF-SQ (decoded scoring is directional but its
-    local top-k / merge order ASC) must fail loudly on a max-close
-    metric instead of silently keeping the worst k. The flip is the
-    tracked r12 follow-up."""
-    from dataclasses import replace
+def _pq_fixtures(spark, vecs, qvecs, pq_dim=2, n_codes=4):
+    """Fixed coarse centroids (vecs[:2]) + fixed per-subspace codebook
+    (subvectors of vecs[:n_codes]) on both engines — integer-valued so
+    float32 (Spark) and float64 (DuckDB) inputs are identical."""
+    d, q = _spark_ds(spark, vecs, qvecs)
+    w = DIM // pq_dim
+    cb_rows = [(s, c, [float(x) for x in vecs[c][s * w:(s + 1) * w]])
+               for s in range(pq_dim) for c in range(n_codes)]
+    cb = spark.createDataFrame(cb_rows,
+                               "sub int, code int, centroid array<float>")
+    con = _duck(vecs, qvecs)
+    con.register("cb_pd", pd.DataFrame(
+        {"sub": np.array([r[0] for r in cb_rows], np.int64),
+         "code": np.array([r[1] for r in cb_rows], np.int64),
+         "centroid": [r[2] for r in cb_rows]}))
+    return d, q, cb, con
 
-    from cuvs_spark.operators.ivf_pq import (ivf_pq_build, ivf_sq_build,
-                                             ivf_sq_search,
+
+_PQ_D_SQL = "SELECT nid AS id, dv FROM ds_pd"
+_PQ_Q_SQL = "SELECT qid, qv FROM qs_pd"
+_PQ_C_SQL = "SELECT nid AS label, dv AS cv FROM ds_pd WHERE nid < 2"
+_PQ_CB_SQL = "SELECT sub, code, centroid FROM cb_pd"
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_ivf_sq_directional_matches_sql(spark, metric):
+    """IVF-SQ, directional since r12 (the r11 entry guard's tracked
+    flip, r11 verdict #2): decode-then-score in the index metric,
+    best-k kept in its is_min_close direction on BOTH engines. The
+    sqeuclidean row is the regression anchor (identical to the pre-r12
+    plan); inner_product proves the flip — before r12 a max-close
+    search would have silently kept the WORST k."""
+    from cuvs_spark.operators.ivf_pq import (ivf_sq_build, ivf_sq_search,
                                              ivf_sq_search_sql)
-
     vecs, qvecs = _data(91)
     d, q = _spark_ds(spark, vecs, qvecs)
-    with pytest.raises(ValueError, match="max-close"):
-        ivf_pq_build(d, 2, 1, metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        ivf_sq_build(d, 2, metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        ivf_sq_search_sql("a", "b", "c", 1, 1, -1.0, 1.0,
-                          metric="inner_product")
-    idx = ivf_sq_build(d, 2)
-    with pytest.raises(ValueError, match="max-close"):
-        ivf_sq_search(replace(idx, metric="inner_product"), q, 2, 1,
-                      qvec_col="vec")
+    idx = ivf_sq_build(d, 2, centroids=vecs[:2], lo=-16.0, hi=16.0,
+                       metric=metric)
+    got = sorted(map(tuple,
+                     ivf_sq_search(idx, q, 5, 2, qvec_col="vec").collect()))
+    sql = ivf_sq_search_sql(_PQ_D_SQL, _PQ_Q_SQL, _PQ_C_SQL, 5, 2,
+                            -16.0, 16.0, metric=metric)
+    con = _duck(vecs, qvecs)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert len(got) == NQ * 5
+    # the blas fine stage agrees on ids+rank (GEMM floats aren't
+    # bit-pinned, the ordering is)
+    blas = sorted(map(tuple, ivf_sq_search(idx, q, 5, 2, qvec_col="vec",
+                                           method="blas")
+                      .select("qid", "nid", "rank").collect()))
+    assert blas == sorted((g[0], g[1], g[3]) for g in got)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+@pytest.mark.parametrize("encode", ["raw", "residual"])
+def test_ivf_pq_directional_matches_sql(spark, metric, encode):
+    """IVF-PQ, directional since r12: the per-subspace LUT term runs in
+    the index metric (L2 squared distances or subspace dots — the two
+    metrics that decompose additively over subspaces) and for the IP
+    residual encoding the per-(query, probed list) constant q·c adds in
+    after the fold (q·(c+r̂) = q·c + Σ_sub q_sub·r̂_sub). sqeuclidean
+    rows anchor the unchanged min-close plans; inner_product rows prove
+    the flip cross-engine hash-exact for both encodings."""
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_build, ivf_pq_search,
+                                             ivf_pq_residual_search_sql,
+                                             ivf_pq_search_sql)
+    vecs, qvecs = _data(92)
+    d, q, cb, con = _pq_fixtures(spark, vecs, qvecs)
+    idx = ivf_pq_build(d, 2, 2, centroids=vecs[:2], codebook=cb,
+                       encode=encode, metric=metric)
+    got = sorted(map(tuple,
+                     ivf_pq_search(idx, q, 4, 2, qvec_col="vec").collect()))
+    twin = (ivf_pq_residual_search_sql if encode == "residual"
+            else ivf_pq_search_sql)
+    sql = twin(_PQ_D_SQL, _PQ_Q_SQL, _PQ_C_SQL, _PQ_CB_SQL, 4, 2, 2,
+               metric=metric)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert len(got) == NQ * 4
+    if metric == "inner_product":
+        # rank 1 carries the LARGEST approximate dot per query
+        by_q = {}
+        for qid, nid, dist, rank in got:
+            by_q.setdefault(qid, []).append((rank, dist))
+        for qid, pairs in by_q.items():
+            ranked = [x for _, x in sorted(pairs)]
+            assert ranked == sorted(ranked, reverse=True), qid
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_ivf_pq_blas_broadcast_agree_directional(spark, metric):
+    """The NumPy throughput paths (cogroup blas + broadcast) keep the
+    same per-rank scores as the expr/oracle path in both directions —
+    the argpartition sign flip and the merge direction are the
+    load-bearing bits. Compared on (qid, rank, distance): a 4-code
+    codebook yields heavily TIED approximate distances (≤16 distinct
+    values) and argpartition keeps an arbitrary member of a tie group,
+    so nids permute within ties while the distance at every rank is
+    identical (integer-valued data → the sums are exact in double)."""
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    vecs, qvecs = _data(93)
+    d, q, cb, _ = _pq_fixtures(spark, vecs, qvecs)
+    idx = ivf_pq_build(d, 2, 2, centroids=vecs[:2], codebook=cb,
+                       encode="residual", metric=metric)
+    expr = sorted(map(tuple, ivf_pq_search(idx, q, 4, 2, qvec_col="vec")
+                      .select("qid", "rank", "distance").collect()))
+    for m in ("blas", "broadcast"):
+        alt = sorted(map(tuple, ivf_pq_search(idx, q, 4, 2, qvec_col="vec",
+                                              method=m)
+                         .select("qid", "rank", "distance").collect()))
+        assert alt == expr, m
+
+
+def test_pq_metric_rejects_nondecomposable(spark):
+    """Cosine does not decompose additively over PQ subspaces — the
+    r12 flip keeps that honest with a loud error instead of silently
+    scoring an L2 LUT under a cosine label."""
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search_sql
+    vecs, qvecs = _data(94)
+    d, _ = _spark_ds(spark, vecs, qvecs)
+    with pytest.raises(ValueError, match="decompose"):
+        ivf_pq_build(d, 2, 1, metric="cosine")
+    with pytest.raises(ValueError, match="decompose"):
+        ivf_pq_search_sql("a", "b", "c", "d", 1, 1, 1, metric="cosine")
 
 
 def test_cagra_build_nn_descent_inner_product_end_to_end(spark):
