@@ -33,26 +33,6 @@ from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
 from cuvs_spark.operators.select_k import select_k
 
 
-def _require_min_close(metric: str, where: str) -> None:
-    """Guard for the batch-partitioned all_neighbors build (and its ACE
-    composition): its local-kNN/merge stages order ASC and its k-means
-    batching is L2-shaped, so a max-close metric (inner_product family)
-    would silently compose worst-neighbor shard graphs. The rest of the
-    graph family (NN-Descent, beam search, extend, optimize, merge)
-    supports both directions since r11 — every pool/merge flips with
-    ``is_min_close(metric)`` on BOTH engines (select_k's ``select_min``
-    ↔ the unrolled twins' ORDER BY direction and min↔max edge folds),
-    matching the reference's metric surface (``cagra.pyx:250``,
-    ``nn_descent.pyx:48`` list inner_product). Directional
-    all_neighbors is the remaining follow-up."""
-    if not is_min_close(metric):
-        raise ValueError(
-            f"{where}: metric {metric!r} is max-close; the partitioned "
-            "all_neighbors build orders pools min-close only. Use a "
-            "min-close metric (e.g. sqeuclidean/cosine), negate scores "
-            "upstream, or build via build_algo='nn_descent'.")
-
-
 def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
                         n_clusters: int = 8, overlap_factor: int = 2,
                         metric: str = "sqeuclidean",
@@ -70,8 +50,15 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
     ``method="blas"`` computes each cluster's local kNN as one
     applyInPandas GEMM tile with a bounded top-k before the merge
     (~20× the per-pair throughput of the interpreted expression path;
-    the 100 TB batch shape). ``"expr"`` stays oracle-exact."""
-    _require_min_close(metric, "all_neighbors_build")
+    the 100 TB batch shape). ``"expr"`` stays oracle-exact.
+
+    DIRECTIONAL since r12 (r11 verdict #3, the graph family's last
+    min-close guard): the overlap batching stays on the L2 k-means
+    geometry — exactly the reference's batch partitioner,
+    ``all_neighbors.pyx:66-140`` — while local scoring, the duplicate
+    fold and the final top-k follow ``is_min_close(metric)``, matching
+    how the reference's per-batch builders accept inner_product."""
+    close = is_min_close(metric)
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -129,8 +116,10 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
             for s in range(0, m, chunk):
                 D = _pairwise_np(X[s:s + chunk], X, metric)
                 c = D.shape[0]
-                D[np.arange(c), np.arange(s, s + c)] = np.inf
-                part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                D[np.arange(c), np.arange(s, s + c)] = (np.inf if close
+                                                        else -np.inf)
+                part = np.argpartition(D if close else -D,
+                                       kk - 1, axis=1)[:, :kk]
                 outs.append(pd.DataFrame({
                     "src": np.repeat(ids[s:s + c], kk),
                     "dst": ids[part].ravel(),
@@ -145,25 +134,36 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
         local = (asg.repartition(max(32, n_clusters), "cl")
                  .groupBy("cl").applyInPandas(
                      local_knn, schema="src long, dst long, distance double"))
+        # best-edge fold for pairs sharing several clusters (GEMM tile
+        # floats aren't bit-pinned across tiles, so the fold direction
+        # matters here; on the expr path the duplicates are identical)
+        best = F.min if close else F.max
         pairs = (local.groupBy("src", "dst")
-                 .agg(F.min("distance").alias("distance")))
-        return select_k(pairs, "src", "distance", k, tie_cols=["dst"])
+                 .agg(best("distance").alias("distance")))
+        return select_k(pairs, "src", "distance", k, tie_cols=["dst"],
+                        select_min=close)
     a = asg.select(F.col("id").alias("src"), "cl", F.col("vec").alias("_va"))
     b = asg.select(F.col("id").alias("dst"), "cl", F.col("vec").alias("_vb"))
     dist = F.expr(distance_sql_spark(metric, "_va", "_vb"))
+    best = F.min if close else F.max
     pairs = (a.join(b, "cl")
              .filter(F.col("src") != F.col("dst"))
              .select("src", "dst", dist.alias("distance"))
-             .groupBy("src", "dst").agg(F.min("distance").alias("distance")))
-    return select_k(pairs, "src", "distance", k, tie_cols=["dst"])
+             .groupBy("src", "dst").agg(best("distance").alias("distance")))
+    return select_k(pairs, "src", "distance", k, tie_cols=["dst"],
+                    select_min=close)
 
 
 def all_neighbors_sql(dataset_sql: str, cent_sql: str, k: int,
                       overlap_factor: int = 2,
                       metric: str = "sqeuclidean") -> str:
-    """DuckDB oracle for the fixed-centroid all_neighbors pipeline."""
+    """DuckDB oracle for the fixed-centroid all_neighbors pipeline.
+    Directional since r12: assignment stays on the L2 batching
+    geometry, the duplicate fold and the rank flip with
+    ``is_min_close(metric)`` like the Spark side."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
-    _require_min_close(metric, "all_neighbors_sql")
+    best = "min" if is_min_close(metric) else "max"
+    order = "ASC" if is_min_close(metric) else "DESC"
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb(metric, "a.dv", "b.dv")
     return f"""
@@ -174,13 +174,13 @@ asg AS (
            row_number() OVER (PARTITION BY d.id ORDER BY {adist} ASC, c.label ASC) rn
     FROM d CROSS JOIN c) WHERE rn <= {overlap_factor}),
 pairs AS (
-  SELECT x.id AS src, y.id AS dst, min({pdist}) AS distance
+  SELECT x.id AS src, y.id AS dst, {best}({pdist}) AS distance
   FROM asg x JOIN asg y ON x.cl = y.cl AND x.id <> y.id
        JOIN d a ON a.id = x.id JOIN d b ON b.id = y.id
   GROUP BY x.id, y.id),
 ranked AS (
   SELECT src, dst, distance,
-         row_number() OVER (PARTITION BY src ORDER BY distance ASC, dst ASC) rank
+         row_number() OVER (PARTITION BY src ORDER BY distance {order}, dst ASC) rank
   FROM pairs)
 SELECT src, dst, distance, rank FROM ranked WHERE rank <= {k}
 """
@@ -949,9 +949,12 @@ def cagra_ace_sql(dataset_sql: str, part_cent_sql: str, an_cent_sql: str,
     and in-plan shard graphs are identical.
 
     ``dataset_sql`` → ``(id, dv)``; ``part_cent_sql`` →
-    ``(part, cv)``; ``an_cent_sql`` → ``(label, cv)``."""
+    ``(part, cv)``; ``an_cent_sql`` → ``(label, cv)``. Directional
+    since r12: the partition assignment stays L2, the per-shard
+    builds, the min/max-union merge and the optimize passes follow
+    ``is_min_close(metric)`` like :func:`cagra_build_ace`."""
     from cuvs_spark.functions.distance import distance_sql_duckdb
-    _require_min_close(metric, "cagra_ace_sql")
+    close = is_min_close(metric)
     pdist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     o = min(overlap_factor, npartitions)
     pasg = f"""
@@ -968,12 +971,14 @@ JOIN ({pasg}) pa ON pa.id = dd.id AND pa.part = {p}"""
         an = all_neighbors_sql(shard, an_cent_sql, 2 * graph_degree,
                                an_overlap, metric=metric)
         shard_graphs.append(cagra_optimize_sql(
-            f"SELECT src, dst, distance FROM ({an})", graph_degree))
+            f"SELECT src, dst, distance FROM ({an})", graph_degree,
+            select_min=close))
     union = "\nUNION ALL\n".join(
         f"SELECT src, dst, distance FROM ({g})" for g in shard_graphs)
-    merged = (f"SELECT src, dst, min(distance) AS distance FROM ({union}) "
+    best = "min" if close else "max"
+    merged = (f"SELECT src, dst, {best}(distance) AS distance FROM ({union}) "
               "GROUP BY src, dst")
-    return cagra_optimize_sql(merged, graph_degree)
+    return cagra_optimize_sql(merged, graph_degree, select_min=close)
 
 
 def degree_histogram(graph: DataFrame, *, nodes: DataFrame | None = None,

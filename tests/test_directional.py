@@ -204,20 +204,21 @@ def test_cagra_merge_directional_keeps_best_edge(spark):
     assert want_min[(0, 1)] == 2.0     # default unchanged
 
 
-def test_all_neighbors_still_guards_max_close(spark):
-    """The batch-partitioned all_neighbors build (and its ACE SQL
-    composition) stays min-close-only — its k-means batching is
-    L2-shaped; the error routes callers to build_algo='nn_descent'."""
-    d = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
-                              "id long, vec array<float>")
-    with pytest.raises(ValueError, match="max-close"):
-        G.all_neighbors_build(d, 1, metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        G.all_neighbors_sql("SELECT 1", "SELECT 1", 3,
-                            metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        G.cagra_ace_sql("SELECT 1", "SELECT 1", "SELECT 1", 3,
-                        npartitions=2, metric="inner_product")
+def test_all_neighbors_twins_flip_direction(spark):
+    """SUPERSEDED-GUARD pin (r12, r11 verdict #3): the r11 min-close
+    guard on the batch-partitioned build is gone — the templates now
+    emit DESC/max folds for a max-close metric and the old ASC text
+    for min-close (cross-engine equality in
+    test_all_neighbors_directional_matches_sql /
+    test_cagra_ace_directional_matches_sql)."""
+    ip_an = G.all_neighbors_sql("SELECT 1", "SELECT 1", 3,
+                                metric="inner_product")
+    assert "DESC" in ip_an and "max(" in ip_an
+    l2_an = G.all_neighbors_sql("SELECT 1", "SELECT 1", 3)
+    assert "DESC" not in l2_an and "max(" not in l2_an
+    ip_ace = G.cagra_ace_sql("SELECT 1", "SELECT 1", "SELECT 1", 3,
+                             npartitions=2, metric="inner_product")
+    assert "DESC" in ip_ace and "max(distance)" in ip_ace
 
 
 def test_cagra_search_directional_corner_width_exceeds_pool(spark):
@@ -384,6 +385,50 @@ def test_ivf_pq_blas_broadcast_agree_directional(spark, metric):
                                               method=m)
                          .select("qid", "rank", "distance").collect()))
         assert alt == expr, m
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_all_neighbors_directional_matches_sql(spark, metric):
+    """The batch-partitioned all_neighbors build, directional since r12
+    (r11 verdict #3 — the graph family's LAST min-close guard): the
+    overlap batching stays on the L2 k-means geometry while local
+    scoring, the duplicate fold and the final top-k flip with
+    is_min_close(metric) on both engines."""
+    vecs, qvecs = _data(95)
+    d, _ = _spark_ds(spark, vecs, qvecs)
+    got = sorted(map(tuple, G.all_neighbors_build(
+        d, 4, n_clusters=3, overlap_factor=2, centroids=vecs[:3],
+        metric=metric).collect()))
+    sql = G.all_neighbors_sql(
+        "SELECT nid AS id, dv FROM ds_pd",
+        "SELECT nid AS label, dv AS cv FROM ds_pd WHERE nid < 3",
+        4, 2, metric=metric)
+    con = _duck(vecs, qvecs)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert len(got) == N * 4
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_cagra_ace_directional_matches_sql(spark, metric):
+    """The ACE composition inherits the directional all_neighbors: with
+    fixed partitioner + builder centroids the whole spill build matches
+    its composed twin in both directions (per-shard optimize, min/max
+    edge-union merge and the final optimize all follow the metric)."""
+    vecs, qvecs = _data(96)
+    d, _ = _spark_ds(spark, vecs, qvecs)
+    got = sorted(map(tuple, G.cagra_build_ace(
+        d, 4, npartitions=2, overlap_factor=2, metric=metric,
+        centroids=vecs[:2], builder_centroids=vecs[:3]).collect()))
+    sql = G.cagra_ace_sql(
+        "SELECT nid AS id, dv FROM ds_pd",
+        "SELECT nid AS part, dv AS cv FROM ds_pd WHERE nid < 2",
+        "SELECT nid AS label, dv AS cv FROM ds_pd WHERE nid < 3",
+        4, npartitions=2, overlap_factor=2, metric=metric)
+    con = _duck(vecs, qvecs)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert got
 
 
 def test_pq_metric_rejects_nondecomposable(spark):

@@ -2,10 +2,11 @@
 
 1. The min-close guard (ADVICE r10 #1), r11 final form: the
    batch-partitioned ``all_neighbors`` build and its ACE composition
-   stay min-close-only (their k-means batching is L2-shaped), while
-   NN-Descent / beam search / extend / optimize / merge gained full
-   directional support — the "flip" arm of the ADVICE, pinned
-   cross-engine in tests/test_directional.py.
+   stayed min-close-only in r11, while NN-Descent / beam search /
+   extend / optimize / merge gained full directional support — the
+   "flip" arm of the ADVICE, pinned cross-engine in
+   tests/test_directional.py. SUPERSEDED in r12: the last guard was
+   removed (r11 verdict #3) and the test below now pins the flip.
 2. ``cagra_search(stop_on_empty=False)`` (r10 verdict #9): the
    fixed-iteration path drops the per-round empty-frontier driver job
    without changing results — pinned both as result-equality against
@@ -28,17 +29,25 @@ from cuvs_spark.operators import graph as G
 SF_TINY = "/root/testdata/sf0.001"
 
 
-# --- 1. min-close guard ----------------------------------------------------
+# --- 1. min-close guard (SUPERSEDED in r12) ---------------------------------
 
-def test_all_neighbors_family_rejects_max_close_metric(vectors_df):
-    """Only the batch-partitioned build stays guarded (see
-    tests/test_directional.py for the rest of the family's directional
-    support); the error routes callers to build_algo='nn_descent'."""
-    with pytest.raises(ValueError, match="nn_descent"):
-        G.all_neighbors_sql("SELECT 1", "SELECT 1", 3,
-                            metric="inner_product")
-    with pytest.raises(ValueError, match="max-close"):
-        G.all_neighbors_build(vectors_df, 3, metric="inner_product")
+def test_all_neighbors_family_accepts_max_close_metric(vectors_df):
+    """r11 guarded the batch-partitioned build min-close-only; r12
+    removed the last guard (r11 verdict #3) — the L2 batching geometry
+    stays but scoring/merging is directional. Cross-engine hash
+    equality for both directions is pinned in tests/test_directional.py;
+    this smoke pins that the old ValueError is gone and ordering is
+    max-close."""
+    out = G.all_neighbors_build(vectors_df, 3, n_clusters=2,
+                                metric="inner_product")
+    rows = out.orderBy("src", "rank").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r["distance"])
+    assert by_src and all(v == sorted(v, reverse=True)
+                          for v in by_src.values())
+    assert "DESC" in G.all_neighbors_sql("SELECT 1", "SELECT 1", 3,
+                                         metric="inner_product")
 
 
 def test_min_close_metrics_still_accepted():
