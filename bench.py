@@ -396,7 +396,55 @@ def main() -> None:
          .write.format("noop").mode("overwrite").save())
         return round(time.time() - t0, 3)
 
+    # 3-shape canary BASKET (r11 verdict #4): the single JVM-only
+    # aggregate above doesn't track suite-level host state — in r11 it
+    # reported the host 0.91× while every entry ran ~1.12× slower,
+    # over-correcting 15 untouched queries past the 1.25× bar. The
+    # basket spans the three cost shapes the suite is made of, each
+    # fixed-cost and untouched by round-over-round code changes:
+    # a shuffle-heavy exchange, an Arrow-heavy Python round-trip, and
+    # a parquet scan of a frozen table. bench_drift.py normalizes by
+    # the MEDIAN per-shape factor.
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def canary_shuffle() -> float:
+        t0 = time.time()
+        _noop(spark.range(0, 1_500_000, 1, 16)
+              .selectExpr("pmod(id, 997) AS k", "id")
+              .groupBy("k").agg(F.sum("id").alias("s"),
+                                F.count("*").alias("c")))
+        return round(time.time() - t0, 3)
+
+    def canary_arrow() -> float:
+        import pandas as _pd
+
+        def _sq(batches):
+            for pdf in batches:
+                yield _pd.DataFrame({"s": [int((pdf["id"] * 2).sum())]})
+
+        t0 = time.time()
+        _noop(spark.range(0, 400_000, 1, 8).mapInPandas(_sq, "s long"))
+        return round(time.time() - t0, 3)
+
+    def canary_scan() -> float:
+        t0 = time.time()
+        _noop(spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .selectExpr("sum(l_extendedprice) AS s",
+                          "sum(l_quantity) AS q", "count(*) AS c"))
+        return round(time.time() - t0, 3)
+
+    basket_fns = {"shuffle": canary_shuffle, "arrow": canary_arrow,
+                  "scan": canary_scan}
+    canary_basket: dict[str, list[float]] = {k: [] for k in basket_fns}
+
+    def run_basket() -> None:
+        for name, fn in basket_fns.items():
+            canary_basket[name].append(fn())
+
     run_canary()                       # untimed canary warmup
+    for fn in basket_fns.values():     # untimed basket warmup
+        fn()
     canary: dict[str, float] = {}
 
     def jvm_gc() -> None:
@@ -415,6 +463,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for pass_i in range(2):
         canary[f"pass{pass_i}_first"] = run_canary()
+        run_basket()
         for name, make in benches.items():
             if pass_i == 0:
                 make().write.format("noop").mode("overwrite").save()
@@ -425,6 +474,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 3)
         canary[f"pass{pass_i}_last"] = run_canary()
+        run_basket()
     # third pass for the sub-1.5s entries only: their min-of-2 is the
     # most noise-dominated (a single multi-second host stall can poison
     # both samples of a 0.3s query), and re-running them costs seconds
@@ -437,11 +487,12 @@ def main() -> None:
             if dt < timings[name]:
                 timings[name] = round(dt, 3)
     canary["final"] = run_canary()
+    run_basket()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_queries_total", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
-                      "canary": canary}))
+                      "canary": canary, "canary_basket": canary_basket}))
 
 
 if __name__ == "__main__":

@@ -4696,98 +4696,96 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-11 WINDOW — closes the r06 staleness tier the way r10
-    # closed r05 (r10 verdict next #1): 2 novels + 3 re-gates + 2
-    # canaries + 43 r06-stale refreshes = 50 exactly.  Two planned
-    # displacements (noted below and in CLAUDE.md), each by the
-    # standing rule (lowest-risk clamp scalar, quality twin of the
-    # gate taking its slot): cagra_search_beam re-gates (its gate now
-    # exercises the stop_on_empty=False fixed-iteration path, r10
-    # verdict #9) displacing stats_recall_cagra_vs_exact;
-    # nn_descent_fixed re-gates (directional max-close support, ADVICE
-    # r10 #1's "flip" arm, parameterized its loop's select_k calls —
-    # min-close plans fold to the previous constants, pinned
-    # cross-engine in tests/test_directional.py) displacing
-    # stats_recall_nn_descent.  Both displaced scalars return at the
-    # head of the r12 staleness tier.
+    # ROUND-12 WINDOW — 5 novels + 6 re-gates + 2 canaries + 37
+    # staleness rows (the two r06-displaced twins at the HEAD, then 35
+    # of the 45 r07-latest rows) = 50 exactly.  TEN displacements from
+    # the r07 tranche to the r13 tier head, each by the standing rule
+    # (lowest-risk rows: clamp-to-1.0 stats scalars and template twins
+    # of gates refreshed green in r11), enumerated in CLAUDE.md:
+    # stats_recall_lsh_vs_exact, stats_recall_lsh_multiprobe,
+    # stats_recall_matryoshka (constant-oracle clamp scalars);
+    # pairwise_canberra/chebyshev/cityblock/correlation/cosine/
+    # euclidean (template twins of the five pairwise_* rows r11
+    # re-greened); knn_bf_euclidean_blas (template twin of the r11
+    # knn_bf_* refreshes — its blas+directional sibling
+    # knn_bf_inner_product_blas stays in-window).
     #
-    # Tier 2 — round-11 novel gates (both composed oracles landed and
-    # equivalence-tested in r10, registered now per the r10 verdict
-    # next #2/#3): cagra_extend_fixed — cagra.extend's full splice
-    # composition (fixed-iteration beam splice + intra-batch kNN +
-    # per-edge min-union + optimize re-bound, G.cagra_extend_sql) with
-    # the md5 seed rule, converting extend from rows-only to
-    # value-hash-exact; tiered_compaction_search — two tiered_extend
-    # epochs with the delta→ANN compaction transition crossed between
-    # the searches, vs the epoch-0 ivf∪bf merge + epoch-1 pure-IVF
-    # DuckDB twin — the streaming-compaction story gated end to end.
-    "cagra_extend_fixed",
-    "tiered_compaction_search",
-    # Tier 3 — re-gates: stats_rank_corr_kendall — the second
-    # try/finally persist hygiene row of the r9 class, deferred from
-    # the packed r10 window per the r9 verdict #5's explicit
-    # alternative (r10 verdict next #4 — closing the class);
-    # cagra_search_beam — the gate body changed this round
-    # (stop_on_empty=False drops the per-round empty-frontier driver
-    # job, r10 verdict #9; result-equality pinned in
-    # tests/test_round11.py); nn_descent_fixed — its operator's top-k
-    # calls were parameterized for directional support this round
-    # (select_min=is_min_close(metric), identical plans for the gated
-    # sqeuclidean; tests/test_directional.py pins both directions
-    # cross-engine).
-    "stats_rank_corr_kendall",
-    "cagra_search_beam",
-    "nn_descent_fixed",
+    # Tier 2 — round-12 novel gates: the five r11-proven rows-only →
+    # hash-exact conversions (r11 verdict next #1;
+    # tests/test_round11.py proves each composition):
+    # ivf_flat_search_trained (chained-Lloyd centroid table composed
+    # into the IVF oracle, float32 narrowing load-bearing),
+    # agglomerative_single_linkage (recursive-CTE Kruskal,
+    # filter(id<200) NOT limit), cagra_ace_graph (fixed partitioner +
+    # builder centroids → composed cagra_ace_sql),
+    # preprocess_pca_power and spectral_power_embed (exact-integer-
+    # state power-iteration chains vs unrolled twins). After these,
+    # zero operator families lack a value-hash-exact path.
+    "ivf_flat_search_trained",
+    "agglomerative_single_linkage",
+    "cagra_ace_graph",
+    "preprocess_pca_power",
+    "spectral_power_embed",
+    # Tier 3 — re-gates (implementations changed this round, standing
+    # rule): the quantized IVF directional flip (r11 verdict #2 —
+    # guards → real max-close support; min-close twins proven
+    # byte-identical, inner_product proven cross-engine in
+    # tests/test_directional.py) re-gates the three ivf_sq_* gates it
+    # names plus ivf_pq_search / ivf_pq_search_residual (the two PQ
+    # scoring paths the flip parameterized/restructured); the
+    # directional all_neighbors build (r11 verdict #3 — last graph
+    # guard removed) re-gates all_neighbors_graph.
+    "ivf_sq_search",
+    "ivf_sq_extend_search",
+    "ivf_sq_save_load_search",
+    "ivf_pq_search",
+    "ivf_pq_search_residual",
+    "all_neighbors_graph",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5 — the r06 staleness tier, in the CLAUDE.md-enumerated
-    # registry order, minus the displaced stats_recall_cagra_vs_exact
-    # and stats_recall_nn_descent (43 rows; closing r06 up to the two
-    # displacements):
-    "knn_bf_sqeuclidean",
-    "knn_bf_cosine",
-    "knn_bf_inner_product",
-    "knn_merge_parts",
-    "pairwise_jaccard",
-    "pairwise_dice",
-    "pairwise_russellrao",
-    "pairwise_hamming",
-    "pairwise_hellinger",
-    "eps_neighborhood",
-    "eps_neighborhood_degrees",
-    "kde_epanechnikov",
-    "refine_sqeuclidean",
-    "refine_cosine",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_wide",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_lm_score_bigram",
-    "text_chunk_documents",
-    "text_tfidf_keywords",
-    "sample_cap_per_source",
-    "sample_cap_per_source_threshold",
-    "dedup_keep_best",
-    "sample_dsir_topk",
-    "sample_dsir_threshold",
-    "stats_bpe_roundtrip",
-    "text_decontaminate_semantic",
-    "text_nfc_normalize",
-    "preprocess_scalar_quantize",
-    "dedup_connected_components",
-    "kde_gaussian",
-    "hnsw_from_cagra_view",
-    "stats_recall_near_dup_ann",
-    "stats_recall_ivf_trained",
-    "stats_recall_cagra_extend",
-    "stats_recall_cagra_ace",
-    "stats_purity_spectral",
-    "stats_pca_recon",
-    "stats_recall_hnsw_vs_exact",
+    # Tier 5 — staleness. HEAD: the two r06 twins displaced in r11
+    # (oldest rows in the union; the r11 verdict pins that they must
+    # not be displaced again):
+    "stats_recall_cagra_vs_exact",
+    "stats_recall_nn_descent",
+    # ...then the r07 tranche in enumerated (sorted) order, minus the
+    # ten displacements listed above (35 rows):
+    "dedup_against_base",
+    "dedup_boilerplate_lines",
+    "dedup_cdc_chunks",
+    "dedup_cluster_histogram",
+    "dedup_cross_source",
+    "dedup_paragraphs",
+    "dedup_substrings",
+    "ivf_flat_extend_search",
+    "kmeans_cluster_cost",
+    "knn_bf_inner_product_blas",
+    "knn_bf_prefilter_bitmap",
+    "knn_bf_prefilter_bitset",
+    "knn_label_vote",
+    "pipeline_curate_corpus",
+    "pipeline_curate_novelty",
+    "pipeline_pack_greedy",
+    "pipeline_pack_waste",
+    "sample_leakage_free_split",
+    "sample_ppl_buckets",
+    "sample_token_budget",
+    "sample_token_budget_rate",
+    "text_bm25_topk",
+    "text_contamination_report",
+    "text_decontaminate",
+    "text_decontaminate_remove",
+    "text_fingerprints",
+    "text_hybrid_rrf",
+    "text_language_id",
+    "text_length_quantiles",
+    "text_maxsim_topk",
+    "text_ngram_novelty",
+    "text_quality_score",
+    "text_script_profile",
+    "text_top_ngrams",
+    "text_vocab_coverage",
 ]
 
 

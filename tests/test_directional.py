@@ -297,14 +297,15 @@ _PQ_C_SQL = "SELECT nid AS label, dv AS cv FROM ds_pd WHERE nid < 2"
 _PQ_CB_SQL = "SELECT sub, code, centroid FROM cb_pd"
 
 
-@pytest.mark.parametrize("metric", METRICS)
+@pytest.mark.parametrize("metric", METRICS + ("cosine",))
 def test_ivf_sq_directional_matches_sql(spark, metric):
     """IVF-SQ, directional since r12 (the r11 entry guard's tracked
     flip, r11 verdict #2): decode-then-score in the index metric,
     best-k kept in its is_min_close direction on BOTH engines. The
     sqeuclidean row is the regression anchor (identical to the pre-r12
     plan); inner_product proves the flip — before r12 a max-close
-    search would have silently kept the WORST k."""
+    search would have silently kept the WORST k; the cosine row backs
+    the any-metric claim (decode is metric-agnostic)."""
     from cuvs_spark.operators.ivf_pq import (ivf_sq_build, ivf_sq_search,
                                              ivf_sq_search_sql)
     vecs, qvecs = _data(91)

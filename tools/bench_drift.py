@@ -26,6 +26,28 @@ def _canary_median(doc: dict) -> float | None:
     return statistics.median(vals) if vals else None
 
 
+def _basket_factor(old: dict, new: dict) -> float | None:
+    """Host factor from the 3-shape canary basket (r11 verdict #4): the
+    MEDIAN of the per-shape new/old median ratios. Spanning a
+    shuffle-heavy, an Arrow-heavy and a scan-heavy shape tracks
+    suite-level host state where the single JVM aggregate didn't (the
+    r11 run: canary said 0.91× while the whole suite ran ~1.12×)."""
+    bo, bn = old.get("canary_basket"), new.get("canary_basket")
+    if not bo or not bn:
+        return None
+    ratios = {}
+    for shape in sorted(set(bo) & set(bn)):
+        o = [v for v in bo[shape] if isinstance(v, (int, float))]
+        n = [v for v in bn[shape] if isinstance(v, (int, float))]
+        if o and n and statistics.median(o) > 0:
+            ratios[shape] = statistics.median(n) / statistics.median(o)
+    if not ratios:
+        return None
+    for shape, r in ratios.items():
+        print(f"canary basket {shape}: {r:.2f}x")
+    return statistics.median(ratios.values())
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -39,8 +61,11 @@ def main() -> int:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
 
-    co, cn = _canary_median(old), _canary_median(new)
-    host = (cn / co) if (co and cn) else None
+    host = _basket_factor(old, new)
+    if host is None:
+        # pre-r12 files carry only the scalar canary — fall back
+        co, cn = _canary_median(old), _canary_median(new)
+        host = (cn / co) if (co and cn) else None
     if host is None:
         print("WARN: no canary in one of the files — raw ratios only")
 
