@@ -25,6 +25,12 @@ Spark design:
 * **SQ search** — decode is a closed-form expression
   (``center + lo + (code+128)·step``), distance runs on the decoded
   array; everything stays in whole-stage codegen.
+* **directional** (since r12): IVF-SQ takes any metric (decode is
+  metric-agnostic); IVF-PQ covers the reference's full metric surface
+  (sqeuclidean / euclidean / inner_product / cosine,
+  ``ivf_pq.pyx:48-60`` — see :func:`_pq_metric`); every local top-k
+  and merge follows ``is_min_close`` on both engines, with the
+  unrolled DuckDB twins flipping their folds/ORDER BY together.
 * optional ``refine`` (§2.4) recovers recall exactly as the reference
   does.
 """
@@ -43,24 +49,83 @@ from cuvs_spark.operators.select_k import select_k
 from cuvs_spark.preprocessing.pq import PQCodebook, _subvecs, pq_build
 
 
+# The reference's full IVF-PQ metric surface (ivf_pq.pyx:48-60):
+# each reduces to a LUT sum that decomposes additively over subspaces,
+# plus a per-score monotone transform. euclidean = sqrt∘sqeuclidean;
+# cosine = 1 − IP over L2-NORMALIZED inputs (normalization happens at
+# build/search entry, float32-narrowed identically on both engines).
+_PQ_METRICS = ("sqeuclidean", "euclidean", "inner_product", "cosine")
+
+
 def _pq_metric(metric: str) -> str:
     """IVF-PQ scores through a per-subspace LUT, so the index metric
-    must decompose ADDITIVELY over the subspaces: ``sqeuclidean``
+    must reduce to an ADDITIVE subspace decomposition: ``sqeuclidean``
     (``||q−x̂||² = Σ_sub ||q_sub − ĉ_sub||²`` — the reference's L2
-    tables, ``ivf_pq_search.cuh``) or ``inner_product`` (``q·x̂ =
-    Σ_sub q_sub·ĉ_sub``; with residual encoding ``q·(c+r̂) = q·c +
-    Σ_sub q_sub·r̂_sub`` — the reference's IP support,
-    ``ivf_pq.pyx:40-172`` metric surface). DIRECTIONAL since r12 (the
-    r11 entry guards' tracked flip, r11 verdict #2): every local top-k
-    and merge follows ``is_min_close(metric)`` on BOTH engines. A
-    non-decomposable metric (cosine etc.) fails loudly here — use
+    tables, ``ivf_pq_search.cuh``), ``euclidean`` (its square root —
+    monotone), ``inner_product`` (``q·x̂ = Σ_sub q_sub·ĉ_sub``; with
+    residual encoding ``q·(c+r̂) = q·c + Σ_sub q_sub·r̂_sub``) and
+    ``cosine`` (``1 − q̂·x̂`` over unit-normalized inputs) — exactly
+    the reference's valid values (``ivf_pq.pyx:48-60``). DIRECTIONAL
+    since r12 (the r11 entry guards' tracked flip, r11 verdict #2):
+    every local top-k and merge follows ``is_min_close(metric)`` on
+    BOTH engines. Anything else fails loudly here — use
     ivf_flat/brute_force, which take any metric."""
-    if metric not in ("sqeuclidean", "inner_product"):
+    if metric not in _PQ_METRICS:
         raise ValueError(
-            f"ivf_pq: metric {metric!r} does not decompose additively "
-            "over PQ subspaces; use sqeuclidean or inner_product (or "
-            "ivf_flat/brute_force/cagra, which take any metric).")
+            f"ivf_pq: metric {metric!r} does not reduce to a PQ "
+            f"subspace decomposition; valid: {list(_PQ_METRICS)} (or "
+            "use ivf_flat/brute_force/cagra, which take any metric).")
     return metric
+
+
+def _pq_lut_kind(metric: str) -> str:
+    """The per-subspace LUT term's metric: squared L2 for the
+    euclidean family, subspace dot for the IP family."""
+    return ("inner_product" if metric in ("inner_product", "cosine")
+            else "sqeuclidean")
+
+
+_RAW_FOLD = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
+                          x -> x[2])), (acc, v) -> acc + v)"""
+
+
+def _pq_norm_sql(inner_sql: str, id_col: str, vec_col: str) -> str:
+    """DuckDB twin of functions.vector.l2_normalize applied to a
+    relation: unit-normalize ``vec_col`` with the same index-order
+    square-sum fold, the same eps floor and the same float32
+    narrowing, so both engines hand identical bits downstream."""
+    ssq = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           f"list_transform({vec_col}, u -> "
+           f"CAST(u AS DOUBLE) * CAST(u AS DOUBLE))), "
+           f"(acc, x) -> acc + x)")
+    return (f"SELECT {id_col}, list_transform({vec_col}, u -> "
+            f"CAST(CAST(u AS DOUBLE) / greatest(sqrt(_ssq), "
+            f"CAST(1e-12 AS DOUBLE)) AS FLOAT)) AS {vec_col} "
+            f"FROM (SELECT {id_col}, {vec_col}, {ssq} AS _ssq "
+            f"FROM ({inner_sql}) _n)")
+
+
+def _pq_dist_sql(metric: str, fold: str) -> str:
+    """Twin of :func:`_pq_dist_col`."""
+    if metric == "euclidean":
+        return f"sqrt({fold})"
+    if metric == "cosine":
+        return f"CAST(1 AS DOUBLE) - ({fold})"
+    return fold
+
+
+def _pq_dist_col(metric: str, col):
+    """Monotone post-fold transform: euclidean takes the sqrt of the
+    L2 LUT sum, cosine reports 1 − the normalized-IP sum (min-close);
+    sqeuclidean/inner_product pass through. Per-entry IEEE ops on
+    identically-computed doubles — sqrt is correctly rounded, so the
+    twins' sqrt()/1−s agree bit-for-bit."""
+    if metric == "euclidean":
+        return F.sqrt(col)
+    if metric == "cosine":
+        return F.lit(1.0) - col
+    return col
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +191,13 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
+    if metric == "cosine":
+        # cosine = 1 − IP over unit vectors: normalize ONCE at entry
+        # (float32-narrowed, the twins mirror it) so training,
+        # assignment and encoding all run in the normalized space;
+        # caller-fixed centroids are used as given.
+        from cuvs_spark.functions.vector import l2_normalize
+        d = d.withColumn("vec", l2_normalize("vec"))
     if centroids is None:
         model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
                            max_iter=kmeans_n_iters, seed=seed, balanced=True)
@@ -234,6 +306,9 @@ def ivf_pq_transform(index: IVFPQIndex, dataset: DataFrame, *,
     returns labels + codes) → ``(id, list_id, codes array<int>)``."""
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
+    if index.metric == "cosine":
+        from cuvs_spark.functions.vector import l2_normalize
+        d = d.withColumn("vec", l2_normalize("vec"))
     if index.rotation is not None:
         method = "blas"          # the rotation only has a BLAS form
     enc_in = _pq_enc_input(d, index.centroids, index.encode,
@@ -241,14 +316,17 @@ def ivf_pq_transform(index: IVFPQIndex, dataset: DataFrame, *,
     return _pq_encode(enc_in, index.codebook_df, index.pq_dim, method)
 
 
-def _pq_lut_score(Q, C, CB, S, w, cent_vec, rot, ip):
+def _pq_lut_score(Q, C, CB, S, w, cent_vec, rot, metric):
     """Per-list LUT scoring shared by the blas/broadcast paths →
     the (p, m) score matrix for queries ``Q`` against the list's code
-    matrix ``C``. L2: the reference LUT (shift the query by the list
-    center for residual encoding, then per-subspace squared
-    distances). IP: ``q·x̂ = Σ_sub q_sub·ĉ_sub``; for residual
-    encoding the query is rotated but NOT shifted and the per-list
-    constant ``q·c`` is added — ``q·(c + Rᵀr̂) = q·c + (Rq)·r̂``."""
+    matrix ``C``. L2 family: the reference LUT (shift the query by the
+    list center for residual encoding, then per-subspace squared
+    distances; euclidean takes the sqrt after the sum). IP family:
+    ``q·x̂ = Σ_sub q_sub·ĉ_sub``; for residual encoding the query is
+    rotated but NOT shifted and the per-list constant ``q·c`` is
+    added — ``q·(c + Rᵀr̂) = q·c + (Rq)·r̂``; cosine reports
+    ``1 − q̂·x̂`` over the (already entry-normalized) inputs."""
+    ip = _pq_lut_kind(metric) == "inner_product"
     qc = None
     if ip:
         if cent_vec is not None:
@@ -267,6 +345,10 @@ def _pq_lut_score(Q, C, CB, S, w, cent_vec, rot, ip):
     D = LUT[:, np.arange(S)[None, :], C].sum(-1)
     if qc is not None:
         D = D + qc[:, None]
+    if metric == "euclidean":
+        D = np.sqrt(D)
+    elif metric == "cosine":
+        D = 1.0 - D
     return D
 
 
@@ -296,7 +378,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     from cuvs_spark.functions.distance import is_min_close
     metric = _pq_metric(index.metric)
     minimize = is_min_close(metric)
-    ip = metric == "inner_product"
+    ip = _pq_lut_kind(metric) == "inner_product"
     spark = queries.sparkSession
     # bitset-filter analog (filters.pyx applies to every index type):
     # boolean Column over the codes table, applied before scoring
@@ -304,6 +386,9 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                else index.codes.filter(prefilter))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
+    if metric == "cosine":
+        from cuvs_spark.functions.vector import l2_normalize
+        q = q.withColumn("_qv", l2_normalize("_qv"))
     cent = _cent_df(spark, index.centroids)
     cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
     probes = select_k(q.join(F.broadcast(cent)).select(
@@ -354,7 +439,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                     D = _pq_lut_score(
                         Q, C, CB, S, w,
                         cent_np[int(lid)] if cent_np is not None else None,
-                        rot, ip)
+                        rot, metric)
                     kk = min(k, D.shape[1])
                     part = np.argpartition(D if minimize else -D,
                                            kk - 1, axis=1)[:, :kk]
@@ -400,7 +485,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             D = _pq_lut_score(
                 Q, C, CB, S, w,
                 cent_np[int(key[0])] if cent_np is not None else None,
-                rot, ip)
+                rot, metric)
             kk = min(k, D.shape[1])
             part = np.argpartition(D if minimize else -D,
                                    kk - 1, axis=1)[:, :kk]
@@ -416,9 +501,12 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                                 "qid long, nid long, distance double"))
         return knn_merge_parts(local, k, select_min=minimize)
     pq_dim = index.pq_dim
-    # per-subspace LUT term in the INDEX metric (L2 squared residuals
-    # or subspace dot products — _pq_metric guarantees decomposability)
-    sdist = F.expr(distance_sql_spark(metric, "qsub", "centroid"))
+    # per-subspace LUT term of the DECOMPOSED kind (L2 squared
+    # residuals for the euclidean family, subspace dots for the IP
+    # family — _pq_metric guarantees one of them applies); the
+    # euclidean sqrt / cosine 1−s transforms apply AFTER the fold
+    sdist = F.expr(distance_sql_spark(_pq_lut_kind(metric),
+                                      "qsub", "centroid"))
     if residual and ip:
         if index.rotation is not None:
             raise ValueError("rotation requires method='blas'")
@@ -450,7 +538,8 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                       "(acc, x) -> acc + x.subdist)").alias("_acc")))
         scored = (folded.join(F.broadcast(qc), ["qid", "list_id"])
                   .select("qid", "nid",
-                          (F.col("_acc") + F.col("_qc")).alias("distance")))
+                          _pq_dist_col(metric, F.col("_acc")
+                                       + F.col("_qc")).alias("distance")))
         return select_k(scored, "qid", "distance", k, tie_cols=["nid"],
                         select_min=minimize)
     if residual:
@@ -483,9 +572,9 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                   .agg(F.array_sort(
                       F.collect_list(F.struct("sub", "subdist")))
                       .alias("_sd"))
-                  .select("qid", "nid", F.expr(
+                  .select("qid", "nid", _pq_dist_col(metric, F.expr(
                       "aggregate(_sd, CAST(0 AS DOUBLE), "
-                      "(acc, x) -> acc + x.subdist)").alias("distance")))
+                      "(acc, x) -> acc + x.subdist)")).alias("distance")))
         return select_k(scored, "qid", "distance", k, tie_cols=["nid"],
                         select_min=minimize)
     # raw path — LUT: (qid, sub, code, subdist), n_queries × pq_dim ×
@@ -503,8 +592,8 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
               .groupBy("qid", F.col("id").alias("nid"))
               .agg(F.array_sort(F.collect_list(F.struct("sub", "subdist")))
                    .alias("_sd"))
-              .select("qid", "nid", F.expr(
-                  "aggregate(_sd, CAST(0 AS DOUBLE), (acc, x) -> acc + x.subdist)")
+              .select("qid", "nid", _pq_dist_col(metric, F.expr(
+                  "aggregate(_sd, CAST(0 AS DOUBLE), (acc, x) -> acc + x.subdist)"))
                   .alias("distance")))
     return select_k(scored, "qid", "distance", k, tie_cols=["nid"],
                     select_min=minimize)
@@ -522,10 +611,13 @@ def ivf_pq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
     from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
     _pq_metric(metric)
     order = "ASC" if is_min_close(metric) else "DESC"
+    if metric == "cosine":
+        dataset_sql = _pq_norm_sql(dataset_sql, "id", "dv")
+        queries_sql = _pq_norm_sql(queries_sql, "qid", "qv")
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
     edist = distance_sql_duckdb("sqeuclidean", "sv.subvec", "cb.centroid")
-    ldist = distance_sql_duckdb(metric, "qs.qsub", "cb.centroid")
+    ldist = distance_sql_duckdb(_pq_lut_kind(metric), "qs.qsub", "cb.centroid")
     w = f"(len(d.dv) // {pq_dim})"
     wq = f"(len(q.qv) // {pq_dim})"
     return f"""
@@ -564,9 +656,7 @@ probed AS (
        JOIN enc e ON e.id = a.id),
 scored AS (
   SELECT pr.qid AS qid, pr.id AS nid,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
-                          x -> x[2])), (acc, v) -> acc + v) AS distance
+         {_pq_dist_sql(metric, _RAW_FOLD)} AS distance
   FROM probed pr JOIN lut l
     ON l.qid = pr.qid AND l.sub = pr.sub AND l.code = pr.code
   GROUP BY pr.qid, pr.id),
@@ -592,12 +682,15 @@ def ivf_pq_residual_search_sql(dataset_sql: str, queries_sql: str,
     residual branch; the final rank flips with ``is_min_close``."""
     from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
     _pq_metric(metric)
-    ip = metric == "inner_product"
+    ip = _pq_lut_kind(metric) == "inner_product"
     order = "ASC" if is_min_close(metric) else "DESC"
+    if metric == "cosine":
+        dataset_sql = _pq_norm_sql(dataset_sql, "id", "dv")
+        queries_sql = _pq_norm_sql(queries_sql, "qid", "qv")
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
     edist = distance_sql_duckdb("sqeuclidean", "sv.subvec", "cb.centroid")
-    ldist = distance_sql_duckdb(metric, "qs.qsub", "cb.centroid")
+    ldist = distance_sql_duckdb(_pq_lut_kind(metric), "qs.qsub", "cb.centroid")
     res_d = ("list_transform(list_zip(d.dv, c.cv), p -> "
              "CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
     res_q = ("list_transform(list_zip(q.qv, c.cv), p -> "
@@ -629,7 +722,8 @@ folded AS (
     ON l.qid = pr.qid AND l.sub = pr.sub AND l.code = pr.code
   GROUP BY pr.qid, pr.list_id, pr.id),
 scored AS (
-  SELECT f.qid AS qid, f.nid AS nid, f.acc + qc.qc AS distance
+  SELECT f.qid AS qid, f.nid AS nid,
+         {_pq_dist_sql(metric, "f.acc + qc.qc")} AS distance
   FROM folded f JOIN qc ON qc.qid = f.qid AND qc.list_id = f.list_id),"""
     else:
         lut_and_score = f"""qr AS (
@@ -647,9 +741,7 @@ probed AS (
   FROM probes p JOIN enc e ON e.list_id = p.list_id),
 scored AS (
   SELECT pr.qid AS qid, pr.id AS nid,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(list_sort(list(ROW(pr.sub, l.subdist))),
-                          x -> x[2])), (acc, v) -> acc + v) AS distance
+         {_pq_dist_sql(metric, _RAW_FOLD)} AS distance
   FROM probed pr JOIN lut l
     ON l.qid = pr.qid AND l.list_id = pr.list_id
    AND l.sub = pr.sub AND l.code = pr.code

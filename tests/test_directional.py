@@ -328,16 +328,19 @@ def test_ivf_sq_directional_matches_sql(spark, metric):
     assert blas == sorted((g[0], g[1], g[3]) for g in got)
 
 
-@pytest.mark.parametrize("metric", METRICS)
+@pytest.mark.parametrize("metric", METRICS + ("euclidean", "cosine"))
 @pytest.mark.parametrize("encode", ["raw", "residual"])
 def test_ivf_pq_directional_matches_sql(spark, metric, encode):
-    """IVF-PQ, directional since r12: the per-subspace LUT term runs in
-    the index metric (L2 squared distances or subspace dots — the two
-    metrics that decompose additively over subspaces) and for the IP
-    residual encoding the per-(query, probed list) constant q·c adds in
-    after the fold (q·(c+r̂) = q·c + Σ_sub q_sub·r̂_sub). sqeuclidean
-    rows anchor the unchanged min-close plans; inner_product rows prove
-    the flip cross-engine hash-exact for both encodings."""
+    """IVF-PQ over the reference's FULL metric surface
+    (ivf_pq.pyx:48-60), directional since r12: the per-subspace LUT
+    term runs in the decomposed kind (L2 squared distances or subspace
+    dots), euclidean takes the sqrt after the fold, cosine normalizes
+    both sides at entry (float32-narrowed identically on both engines)
+    and reports 1 − q̂·x̂, and for the IP-family residual encoding the
+    per-(query, probed list) constant q·c adds in after the fold
+    (q·(c+r̂) = q·c + Σ_sub q_sub·r̂_sub). sqeuclidean rows anchor the
+    unchanged min-close plans; the other rows prove the new surface
+    cross-engine hash-exact for both encodings."""
     from cuvs_spark.operators.ivf_pq import (ivf_pq_build, ivf_pq_search,
                                              ivf_pq_residual_search_sql,
                                              ivf_pq_search_sql)
@@ -433,16 +436,17 @@ def test_cagra_ace_directional_matches_sql(spark, metric):
 
 
 def test_pq_metric_rejects_nondecomposable(spark):
-    """Cosine does not decompose additively over PQ subspaces — the
-    r12 flip keeps that honest with a loud error instead of silently
-    scoring an L2 LUT under a cosine label."""
+    """Metrics outside the reference's IVF-PQ surface (sqeuclidean /
+    euclidean / inner_product / cosine, ivf_pq.pyx:48-60) don't reduce
+    to a subspace LUT — the r12 flip keeps that honest with a loud
+    error instead of silently scoring an L2 LUT under another label."""
     from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search_sql
     vecs, qvecs = _data(94)
     d, _ = _spark_ds(spark, vecs, qvecs)
-    with pytest.raises(ValueError, match="decompose"):
-        ivf_pq_build(d, 2, 1, metric="cosine")
-    with pytest.raises(ValueError, match="decompose"):
-        ivf_pq_search_sql("a", "b", "c", "d", 1, 1, 1, metric="cosine")
+    with pytest.raises(ValueError, match="subspace"):
+        ivf_pq_build(d, 2, 1, metric="cityblock")
+    with pytest.raises(ValueError, match="subspace"):
+        ivf_pq_search_sql("a", "b", "c", "d", 1, 1, 1, metric="hamming")
 
 
 def test_cagra_build_nn_descent_inner_product_end_to_end(spark):
