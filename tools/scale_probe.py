@@ -6,8 +6,10 @@ data 10-100× larger than sf0.1 to validate the claims in README
 Usage: python tools/scale_probe.py [n_rows] [dim] [n_queries] [sections]
 
 ``sections`` is an optional comma-separated filter (knn, ivf, vamana, scann,
-rabitq, ivf_pq, lsh, spectral, cagra) — e.g. ``... 1000000 64 1000 lsh``
-runs only the LSH-vs-exact crossover at 1M rows.
+rabitq, ivf_pq, lsh, directional, spectral, cagra) — e.g.
+``... 1000000 64 1000 lsh`` runs only the LSH-vs-exact crossover at 1M
+rows; ``directional`` probes the r12 max-close paths (inner_product
+IVF-SQ + all_neighbors).
 """
 
 from __future__ import annotations
@@ -176,6 +178,36 @@ def main() -> None:
                           method="blas")
         out["lsh_knn_recall"] = round(float(
             recall_score(lsh_got, exact_q).head()["recall"]), 3)
+
+    if want("directional"):
+        # r12: the flipped max-close paths at probe scale — the
+        # directional parameterization must not change the plan shapes
+        # (same GEMM cogroup / same bounded merge), so inner_product
+        # runs should track their sqeuclidean siblings' times.
+        from cuvs_spark.operators.graph import all_neighbors_build
+        from cuvs_spark.operators.ivf_pq import ivf_sq_build, ivf_sq_search
+        import numpy as np_
+        cents_d = np_.array(
+            [r["vec"] for r in d.filter(F.col("id") < 128).collect()],
+            dtype=float)
+        t0 = time.time()
+        sq_idx = ivf_sq_build(d, 128, centroids=cents_d, lo=-4.0, hi=4.0,
+                              metric="inner_product")
+        sq_idx.rcodes.cache().count()
+        out["ivf_sq_ip_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        ivf_sq_search(sq_idx, q, 10, n_probes=8, qvec_col="qv",
+                      method="blas") \
+            .write.format("noop").mode("overwrite").save()
+        out["ivf_sq_ip_search_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        nan = min(n, 100_000)
+        all_neighbors_build(d.filter(F.col("id") < nan), 16,
+                            n_clusters=max(64, nan // 1500),
+                            overlap_factor=2, kmeans_n_iters=4,
+                            metric="inner_product", method="blas") \
+            .write.format("noop").mode("overwrite").save()
+        out["all_neighbors_ip_100k_sec"] = round(time.time() - t0, 2)
 
     if want("spectral"):
         # Spectral (sparse driver eigensolve): 100k rows through the CSR +
