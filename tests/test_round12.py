@@ -59,6 +59,46 @@ def test_composite_search_homogeneous_still_works(spark, vectors_df,
     assert out.count() > 0
 
 
+# --- 1b. directional quantized indexes survive save/load --------------------
+
+def test_directional_index_save_load_roundtrip(spark, vectors_df,
+                                               queries_df, tmp_path):
+    """The r12 directional/normalized quantized indexes persist their
+    metric: a loaded max-close (or cosine-normalized) index must search
+    identically to the in-memory one — a load that defaulted to
+    sqeuclidean would silently rank worst-first."""
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_build, ivf_pq_search,
+                                             ivf_sq_build, ivf_sq_search)
+    from cuvs_spark.sources import (load_ivf_pq, load_ivf_sq,
+                                    save_ivf_pq, save_ivf_sq)
+
+    sq = ivf_sq_build(vectors_df, 4, kmeans_n_iters=2,
+                      metric="inner_product", lo=-8.0, hi=8.0)
+    want = sorted(map(tuple,
+                      ivf_sq_search(sq, queries_df, 3, 2,
+                                    qvec_col="vec").collect()))
+    save_ivf_sq(sq, str(tmp_path / "sq"))
+    sq2 = load_ivf_sq(spark, str(tmp_path / "sq"))
+    assert sq2.metric == "inner_product"
+    got = sorted(map(tuple,
+                     ivf_sq_search(sq2, queries_df, 3, 2,
+                                   qvec_col="vec").collect()))
+    assert got == want and want
+
+    pq = ivf_pq_build(vectors_df, 4, 2, metric="cosine",
+                      kmeans_n_iters=2)
+    want = sorted(map(tuple,
+                      ivf_pq_search(pq, queries_df, 3, 2,
+                                    qvec_col="vec").collect()))
+    save_ivf_pq(pq, str(tmp_path / "pq"))
+    pq2 = load_ivf_pq(spark, str(tmp_path / "pq"))
+    assert pq2.metric == "cosine"
+    got = sorted(map(tuple,
+                     ivf_pq_search(pq2, queries_df, 3, 2,
+                                   qvec_col="vec").collect()))
+    assert got == want and want
+
+
 # --- 2. power-iteration headroom guard --------------------------------------
 
 def test_pca_power_headroom_guard_raises(spark):
