@@ -1498,6 +1498,51 @@ def _register_ivf_quantized():
 _register_ivf_quantized()
 
 
+def _ivf_sq_search_ip(spark, sf_dir):
+    """Driver row for the r12 directional flip ITSELF: a max-close
+    quantized search (inner_product IVF-SQ) against the DESC-ranked
+    twin. Before r12 this path raised (and pre-guard it would have
+    silently returned the WORST k — the hole the r11 audit found)."""
+    from cuvs_spark.operators.ivf_pq import ivf_sq_build, ivf_sq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_sq_build(d, _IVF_LISTS, metric="inner_product",
+                       centroids=_fixed_centroids(spark, sf_dir,
+                                                  _IVF_LISTS),
+                       lo=-0.5, hi=0.5)
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_sq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _ivf_pq_search_cosine(spark, sf_dir):
+    """Driver row for the r12 cosine PQ surface: both engines
+    unit-normalize at entry (identical float32 narrowing), score the
+    subspace-dot LUT and report 1 − q̂·x̂ (min-close)."""
+    from cuvs_spark.operators.ivf_pq import ivf_pq_build, ivf_pq_search
+    d = emb_dataset(spark, sf_dir)
+    idx = ivf_pq_build(d, _IVF_LISTS, _PQ_DIM, metric="cosine",
+                       centroids=_fixed_centroids(spark, sf_dir,
+                                                  _IVF_LISTS),
+                       codebook=_pq_fixed_codebook(spark, sf_dir))
+    q = emb_queries(spark, sf_dir, 20)
+    return ivf_pq_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+def _register_ivf_directional():
+    from cuvs_spark.operators.ivf_pq import (ivf_pq_search_sql,
+                                             ivf_sq_search_sql)
+    register("ivf_sq_search_ip", _ivf_sq_search_ip,
+             ivf_sq_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                               _IVF_CENT_SQL, 10, _IVF_PROBES, -0.5, 0.5,
+                               metric="inner_product"))
+    register("ivf_pq_search_cosine", _ivf_pq_search_cosine,
+             ivf_pq_search_sql(_DA_SQL, _Q_SQL.format(nq=20),
+                               _IVF_CENT_SQL, _PQ_CB_SQL, 10, _IVF_PROBES,
+                               _PQ_DIM, metric="cosine"))
+
+
+_register_ivf_directional()
+
+
 # --- kNN graphs: all_neighbors, nn_descent, CAGRA (SURVEY §2.5) ------------
 from cuvs_spark.operators import graph as G
 
@@ -4696,19 +4741,22 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-12 WINDOW — 5 novels + 6 re-gates + 2 canaries + 37
-    # staleness rows (the two r06-displaced twins at the HEAD, then 35
-    # of the 45 r07-latest rows) = 50 exactly.  TEN displacements from
-    # the r07 tranche to the r13 tier head, each by the standing rule
-    # (lowest-risk rows: clamp-to-1.0 stats scalars and template twins
-    # of gates refreshed green in r11), enumerated in CLAUDE.md:
-    # stats_recall_lsh_vs_exact, stats_recall_lsh_multiprobe,
+    # ROUND-12 WINDOW — 7 novels + 6 re-gates + 2 canaries + 35
+    # staleness rows (the two r06-displaced twins at the HEAD, then 33
+    # of the 45 r07-latest rows) = 50 exactly.  TWELVE displacements
+    # from the r07 tranche to the r13 tier head, each by the standing
+    # rule (lowest-risk rows: clamp-to-1.0 stats scalars and template
+    # twins of in-window/freshly-refreshed gates), enumerated in
+    # CLAUDE.md: stats_recall_lsh_vs_exact, stats_recall_lsh_multiprobe,
     # stats_recall_matryoshka (constant-oracle clamp scalars);
     # pairwise_canberra/chebyshev/cityblock/correlation/cosine/
     # euclidean (template twins of the five pairwise_* rows r11
     # re-greened); knn_bf_euclidean_blas (template twin of the r11
     # knn_bf_* refreshes — its blas+directional sibling
-    # knn_bf_inner_product_blas stays in-window).
+    # knn_bf_inner_product_blas stays in-window);
+    # sample_token_budget_rate (threshold twin of in-window
+    # sample_token_budget); text_decontaminate_remove (remove-variant
+    # twin of in-window text_decontaminate).
     #
     # Tier 2 — round-12 novel gates: the five r11-proven rows-only →
     # hash-exact conversions (r11 verdict next #1;
@@ -4726,6 +4774,16 @@ _WINDOW_PRIORITY = [
     "cagra_ace_graph",
     "preprocess_pca_power",
     "spectral_power_embed",
+    # ...plus two novels gating the r12 directional surface ITSELF
+    # (the re-gates below re-green the min-close rows; these gate the
+    # new max-close / normalized paths): ivf_sq_search_ip — an
+    # inner_product IVF-SQ search vs the DESC-ranked twin (the path
+    # that pre-r11 would silently return the WORST k and in r11
+    # raised); ivf_pq_search_cosine — the normalized-cosine PQ surface
+    # (entry l2-normalization float32-narrowed identically on both
+    # engines, subspace-dot LUT, 1 − q̂·x̂).
+    "ivf_sq_search_ip",
+    "ivf_pq_search_cosine",
     # Tier 3 — re-gates (implementations changed this round, standing
     # rule): the quantized IVF directional flip (r11 verdict #2 —
     # guards → real max-close support; min-close twins proven
@@ -4750,7 +4808,7 @@ _WINDOW_PRIORITY = [
     "stats_recall_cagra_vs_exact",
     "stats_recall_nn_descent",
     # ...then the r07 tranche in enumerated (sorted) order, minus the
-    # ten displacements listed above (35 rows):
+    # twelve displacements listed above (33 rows):
     "dedup_against_base",
     "dedup_boilerplate_lines",
     "dedup_cdc_chunks",
@@ -4771,11 +4829,9 @@ _WINDOW_PRIORITY = [
     "sample_leakage_free_split",
     "sample_ppl_buckets",
     "sample_token_budget",
-    "sample_token_budget_rate",
     "text_bm25_topk",
     "text_contamination_report",
     "text_decontaminate",
-    "text_decontaminate_remove",
     "text_fingerprints",
     "text_hybrid_rrf",
     "text_language_id",

@@ -99,6 +99,22 @@ def test_directional_index_save_load_roundtrip(spark, vectors_df,
     assert got == want and want
 
 
+# --- 1c. the r12 directional novel gates vs their registered oracles --------
+
+def test_directional_gates_match_oracle(spark):
+    """The two r12 novel gates that drive-gate the directional surface
+    itself (ivf_sq_search_ip, ivf_pq_search_cosine) run green against
+    their registered DuckDB oracles at sf0.001 — the same comparison
+    the driver makes at sf0.01."""
+    from cuvs_spark.entry_queries import ORACLES, QUERIES
+    con = _duck()
+    for name in ("ivf_sq_search_ip", "ivf_pq_search_cosine"):
+        got = sorted(map(tuple, QUERIES[name](spark, SF_TINY).collect()))
+        want = sorted(map(tuple, con.sql(ORACLES[name]).fetchall()))
+        assert got == want, name
+        assert got, f"{name}: empty result"
+
+
 # --- 2. power-iteration headroom guard --------------------------------------
 
 def test_pca_power_headroom_guard_raises(spark):
