@@ -69,13 +69,18 @@ def _pq_metric(metric: str) -> str:
     since r12 (the r11 entry guards' tracked flip, r11 verdict #2):
     every local top-k and merge follows ``is_min_close(metric)`` on
     BOTH engines. Anything else fails loudly here — use
-    ivf_flat/brute_force, which take any metric."""
-    if metric not in _PQ_METRICS:
+    ivf_flat/brute_force, which take any metric. Registered aliases
+    resolve to their canonical name first (l2 / l2sqrt_expanded →
+    euclidean, l2_expanded → sqeuclidean, dot → inner_product) and the
+    CANONICAL name is returned — callers score and rank with it."""
+    from cuvs_spark.functions.distance import METRICS
+    md = METRICS.get(metric)
+    if md is None or md.name not in _PQ_METRICS:
         raise ValueError(
             f"ivf_pq: metric {metric!r} does not reduce to a PQ "
             f"subspace decomposition; valid: {list(_PQ_METRICS)} (or "
             "use ivf_flat/brute_force/cagra, which take any metric).")
-    return metric
+    return md.name
 
 
 def _pq_lut_kind(metric: str) -> str:
@@ -187,7 +192,7 @@ def ivf_pq_build(dataset: DataFrame, n_lists: int = 32, pq_dim: int = 8,
     keeps recall up at realistic ``n_lists`` — the residual energy is
     much smaller than the raw vector's. Rotation runs only on the
     ``method="blas"`` path (a matmul has no sane SQL form)."""
-    _pq_metric(metric)
+    metric = _pq_metric(metric)
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))
@@ -609,7 +614,7 @@ def ivf_pq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
     and probe selection stay on the L2 quantizer geometry like the
     Spark side."""
     from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
-    _pq_metric(metric)
+    metric = _pq_metric(metric)
     order = "ASC" if is_min_close(metric) else "DESC"
     if metric == "cosine":
         dataset_sql = _pq_norm_sql(dataset_sql, "id", "dv")
@@ -681,7 +686,7 @@ def ivf_pq_residual_search_sql(dataset_sql: str, queries_sql: str,
     Σ_sub q_sub·r̂_sub`` — mirroring :func:`ivf_pq_search`'s IP
     residual branch; the final rank flips with ``is_min_close``."""
     from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
-    _pq_metric(metric)
+    metric = _pq_metric(metric)
     ip = _pq_lut_kind(metric) == "inner_product"
     order = "ASC" if is_min_close(metric) else "DESC"
     if metric == "cosine":
@@ -818,7 +823,13 @@ def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
     is metric-agnostic, so any metric the distance module knows works —
     assignment stays on the L2 quantizer geometry, search scores the
     decoded vectors in the index metric and keeps the best-k in its
-    ``is_min_close`` direction (``ivf_sq.pyx`` metric surface)."""
+    ``is_min_close`` direction (``ivf_sq.pyx`` metric surface).
+    Unknown metrics fail fast HERE rather than as a KeyError at search
+    time, after the build cost is sunk."""
+    from cuvs_spark.functions.distance import METRICS
+    if metric not in METRICS:
+        raise ValueError(f"ivf_sq_build: unknown metric {metric!r}; "
+                         f"valid: {sorted(METRICS)}")
     spark = dataset.sparkSession
     d = dataset.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).alias("vec"))

@@ -97,12 +97,18 @@ def composite_search(indexes: list, queries: DataFrame, k: int = 10,
     the same same-metric assumption): a mixed min-close/max-close list
     would merge incomparable scores, so it fails loudly here (r11
     verdict #1 / ADVICE r11 #3)."""
-    metrics = {getattr(ix, "metric", "sqeuclidean") for ix in indexes}
+    if not indexes:
+        raise ValueError("composite_search: empty index list")
+    from cuvs_spark.functions.distance import METRICS, is_min_close
+    # compare CANONICAL metric names so registered aliases of the same
+    # metric (l2_expanded vs sqeuclidean, dot vs inner_product) don't
+    # trip the homogeneity check
+    metrics = {METRICS[getattr(ix, "metric", "sqeuclidean")].name
+               for ix in indexes}
     if len(metrics) > 1:
         raise ValueError("composite_search: sub-indexes disagree on "
                          f"metric ({sorted(metrics)}); their scores are "
                          "not merge-comparable")
     parts = [ivf_flat_search(ix, queries, k, n_probes, **kw)
              for ix in indexes]
-    from cuvs_spark.functions.distance import is_min_close
     return knn_merge_parts(parts, k, select_min=is_min_close(metrics.pop()))

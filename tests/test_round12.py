@@ -115,6 +115,54 @@ def test_directional_gates_match_oracle(spark):
         assert got, f"{name}: empty result"
 
 
+# --- 1d. metric-alias hygiene (r12 review findings) --------------------------
+
+def test_pq_metric_resolves_aliases(spark, vectors_df, queries_df):
+    """Registered aliases of the PQ surface must keep working (the
+    pre-r12 guard accepted them): l2_expanded ≡ sqeuclidean builds and
+    searches identically, dot resolves to inner_product, and the
+    canonical name is what the index stores."""
+    from cuvs_spark.operators.ivf_pq import (_pq_metric, ivf_pq_build,
+                                             ivf_pq_search)
+    assert _pq_metric("l2_expanded") == "sqeuclidean"
+    assert _pq_metric("dot") == "inner_product"
+    assert _pq_metric("l2") == "euclidean"
+    a = ivf_pq_build(vectors_df, 2, 1, metric="l2_expanded",
+                     kmeans_n_iters=2, seed=3)
+    b = ivf_pq_build(vectors_df, 2, 1, metric="sqeuclidean",
+                     kmeans_n_iters=2, seed=3)
+    assert a.metric == "sqeuclidean"
+    ra = sorted(map(tuple, ivf_pq_search(a, queries_df, 3, 2,
+                                         qvec_col="vec").collect()))
+    rb = sorted(map(tuple, ivf_pq_search(b, queries_df, 3, 2,
+                                         qvec_col="vec").collect()))
+    assert ra == rb and ra
+
+
+def test_composite_search_alias_and_empty(spark, vectors_df, queries_df):
+    """Same-metric ALIASES across sub-indexes must not trip the
+    homogeneity assert, and an empty index list fails with a clear
+    error instead of a bare KeyError."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import composite_search
+    a = ivf_flat_build(vectors_df.filter(F.col("id") % 2 == 0), 4,
+                       kmeans_n_iters=2, metric="sqeuclidean")
+    b = ivf_flat_build(vectors_df.filter(F.col("id") % 2 == 1), 4,
+                       kmeans_n_iters=2, metric="l2_expanded")
+    assert composite_search([a, b], queries_df, 3, 2,
+                            qvec_col="vec").count() > 0
+    with pytest.raises(ValueError, match="empty"):
+        composite_search([], queries_df, 3, 2)
+
+
+def test_ivf_sq_build_rejects_unknown_metric(spark, vectors_df):
+    """ivf_sq_build fails fast on a typo'd metric instead of building
+    the whole index and KeyError-ing at search time."""
+    from cuvs_spark.operators.ivf_pq import ivf_sq_build
+    with pytest.raises(ValueError, match="unknown metric"):
+        ivf_sq_build(vectors_df, 2, metric="cosinee")
+
+
 # --- 2. power-iteration headroom guard --------------------------------------
 
 def test_pca_power_headroom_guard_raises(spark):
