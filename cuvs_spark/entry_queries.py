@@ -1885,6 +1885,52 @@ SELECT CAST(1 AS BIGINT) AS epoch, qid, nid, distance, rank FROM ({_TC_E1})
 """)
 
 
+def _tiered_search_ip(spark, sf_dir):
+    """Directional serving COMPOSITION (r12 verdict #6 — the last
+    untested direction×composition cell): an inner_product (max-close)
+    tiered search — IVF-flat ANN tier over ids<400 + brute-force delta
+    over ids>=400 — whose cross-tier ``knn_merge_parts`` merge direction
+    is itself under gate, not just the per-index searches. The per-index
+    directional flips are r12 gate-proven (ivf_sq_search_ip,
+    ivf_pq_search_cosine); the tiered/composite merge direction was only
+    unit-tested until now. Oracle: union of the max-close IVF twin and
+    the max-close brute-force twin, re-ranked DESC.
+    Reference: ``tiered_index.pyx:164,223`` (search fans out to both
+    tiers and merges in the index metric's direction)."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import (TieredIndex, tiered_extend,
+                                             tiered_search)
+    d = emb_dataset(spark, sf_dir)
+    old = d.filter(F.col("id") < 400)
+    new = d.filter(F.col("id") >= 400)
+    ann = ivf_flat_build(old, _IVF_LISTS, metric="inner_product",
+                         centroids=_fixed_centroids(spark, sf_dir,
+                                                    _IVF_LISTS))
+    idx = TieredIndex(ann=ann,
+                      delta=spark.createDataFrame(
+                          [], "id long, vec array<float>"),
+                      min_ann_rows=10**9, metric="inner_product")
+    idx = tiered_extend(idx, new)
+    q = emb_queries(spark, sf_dir, 20)
+    return tiered_search(idx, q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+register(
+    "tiered_search_ip", _tiered_search_ip,
+    f"""
+WITH ann AS ({O.ivf_flat_search_sql("SELECT vec_id AS id, embedding AS dv FROM embeddings WHERE vec_id < 400", _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES, metric="inner_product")}),
+delta AS ({O.knn_sql("SELECT vec_id AS nid, embedding AS dv FROM embeddings WHERE vec_id >= 400", _Q_SQL.format(nq=20), 10, "inner_product")}),
+merged AS (
+  SELECT qid, nid, distance FROM ann
+  UNION ALL SELECT qid, nid, distance FROM delta),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance DESC, nid ASC) AS rank
+  FROM merged)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
+""")
+
+
 # --- event-time windowed aggregation (streaming surface, batch-checked) ----
 def events_table(spark, sf_dir):
     """events.parquet carries TIMESTAMP(NANOS) which Spark's reader

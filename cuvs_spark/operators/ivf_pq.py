@@ -823,9 +823,13 @@ def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
     is metric-agnostic, so any metric the distance module knows works —
     assignment stays on the L2 quantizer geometry, search scores the
     decoded vectors in the index metric and keeps the best-k in its
-    ``is_min_close`` direction (``ivf_sq.pyx`` metric surface).
-    Unknown metrics fail fast HERE rather than as a KeyError at search
-    time, after the build cost is sunk."""
+    ``is_min_close`` direction. Note this is a deliberate SUPERSET of
+    the reference's IVF-SQ surface: ``ivf_sq.pyx`` restricts metrics to
+    sqeuclidean/euclidean/inner_product/cosine, but because this
+    implementation decodes then scores, nothing ties it to those four —
+    any registered metric (cityblock, canberra, …) works and is
+    accepted (ADVICE r12 #1). Unknown metrics fail fast HERE rather
+    than as a KeyError at search time, after the build cost is sunk."""
     from cuvs_spark.functions.distance import METRICS
     if metric not in METRICS:
         raise ValueError(f"ivf_sq_build: unknown metric {metric!r}; "
@@ -951,7 +955,16 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
 def ivf_sq_search_sql(dataset_sql: str, queries_sql: str, cent_sql: str,
                       k: int, n_probes: int, lo: float, hi: float,
                       metric: str = "sqeuclidean") -> str:
-    from cuvs_spark.functions.distance import distance_sql_duckdb, is_min_close
+    from cuvs_spark.functions.distance import (METRICS, distance_sql_duckdb,
+                                               is_min_close)
+    # mirror ivf_sq_build's fail-fast: the SQL twin is callable directly,
+    # and without this an unknown metric surfaced as a bare KeyError from
+    # is_min_close/distance_sql_duckdb (ADVICE r12 #2). Validation only —
+    # the generated SQL for every registered metric is byte-identical to
+    # the pre-check version (tests/test_round13.py pins this).
+    if metric not in METRICS:
+        raise ValueError(f"ivf_sq_search_sql: unknown metric {metric!r}; "
+                         f"valid: {sorted(METRICS)}")
     order = "ASC" if is_min_close(metric) else "DESC"
     adist = distance_sql_duckdb("sqeuclidean", "d.dv", "c.cv")
     pdist = distance_sql_duckdb("sqeuclidean", "q.qv", "c.cv")
