@@ -6,9 +6,23 @@ Prints, for every query present in both files, the raw new/old ratio
 AND the canary-normalized ratio (raw divided by the runs' median-canary
 ratio — host/JVM-session drift moves the canary too, a real plan
 regression does not), then flags queries whose NORMALIZED ratio exceeds
-the threshold (default 1.25, the r7-verdict bar). Old files without a
-`canary` key fall back to raw ratios with a warning. Exit code 1 when
+the threshold (default 1.25, the r7-verdict bar). Exit code 1 when
 anything is flagged, so the check can gate scripts.
+
+Normalization source, in preference order (r12 verdict #1/#3):
+
+* **3-shape canary basket** (both files carry `canary_basket`, r12+):
+  the median per-shape factor — the calibrated path; normalized flags
+  are findings.
+* **Scalar-canary FALLBACK** (either file predates the basket): the
+  single JVM-aggregate canary is exactly the over-correction the
+  basket was built to fix (r11: canary 0.91x while the suite ran
+  ~1.12x; the r11<->r12 cross-epoch table flagged 22 queries in
+  modules the round never touched). In this mode the tool prints a
+  loud banner, SUPPRESSES the normalized column/flags, and flags on
+  RAW ratios only — the documented cross-epoch adjudication (raw
+  totals + module-diff correlation, see README).
+* **No canary at all**: raw ratios, same raw-only flagging.
 """
 
 from __future__ import annotations
@@ -62,27 +76,47 @@ def main() -> int:
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
 
     host = _basket_factor(old, new)
+    basket = host is not None
     if host is None:
         # pre-r12 files carry only the scalar canary — fall back
         co, cn = _canary_median(old), _canary_median(new)
         host = (cn / co) if (co and cn) else None
+        if host is not None:
+            print("=" * 70)
+            print("SCALAR-CANARY FALLBACK — one file predates the r12 "
+                  "canary basket.")
+            print("The single JVM-aggregate canary over-corrects "
+                  "cross-epoch/cross-host")
+            print("(r11: canary 0.91x vs suite ~1.12x). Normalized "
+                  "ratios are UNRELIABLE")
+            print("here and are suppressed; flags below are RAW-ratio "
+                  "flags. Adjudicate")
+            print("on raw totals + module-diff correlation (README).")
+            print("=" * 70)
     if host is None:
-        print("WARN: no canary in one of the files — raw ratios only")
+        print("WARN: no canary in either file — raw ratios only")
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(qo) & set(qn))
     flagged = []
-    print(f"{'query':34s} {'old':>7s} {'new':>7s} {'raw':>6s} {'norm':>6s}")
+    norm_hdr = f" {'norm':>6s}" if basket else ""
+    print(f"{'query':34s} {'old':>7s} {'new':>7s} {'raw':>6s}{norm_hdr}")
     for q in common:
         if not qo[q]:
             continue
         raw = qn[q] / qo[q]
-        norm = raw / host if host else raw
-        mark = " <-- " if norm > thr else ""
-        print(f"{q:34s} {qo[q]:7.2f} {qn[q]:7.2f} {raw:6.2f} "
-              f"{norm:6.2f}{mark}")
-        if norm > thr:
-            flagged.append(q)
+        if basket:
+            norm = raw / host
+            mark = " <-- " if norm > thr else ""
+            print(f"{q:34s} {qo[q]:7.2f} {qn[q]:7.2f} {raw:6.2f} "
+                  f"{norm:6.2f}{mark}")
+            if norm > thr:
+                flagged.append(q)
+        else:
+            mark = " <-- raw" if raw > thr else ""
+            print(f"{q:34s} {qo[q]:7.2f} {qn[q]:7.2f} {raw:6.2f}{mark}")
+            if raw > thr:
+                flagged.append(q)
     tot_o = sum(qo[q] for q in common)
     tot_n = sum(qn[q] for q in common)
     if not common or tot_o == 0:
@@ -91,12 +125,15 @@ def main() -> int:
         return 2
     print(f"\ncommon total: {tot_o:.2f}s -> {tot_n:.2f}s "
           f"(raw {tot_n / tot_o:.2f}x"
-          + (f", canary host factor {host:.2f}x, normalized "
-             f"{tot_n / tot_o / host:.2f}x" if host else "") + ")")
+          + (f", basket host factor {host:.2f}x, normalized "
+             f"{tot_n / tot_o / host:.2f}x" if basket else
+             (f"; scalar-canary factor {host:.2f}x shown for reference "
+              "ONLY — not used" if host else "")) + ")")
+    kind = "normalized" if basket else "raw"
     if flagged:
-        print(f"FLAGGED (normalized > {thr}x): {', '.join(flagged)}")
+        print(f"FLAGGED ({kind} > {thr}x): {', '.join(flagged)}")
         return 1
-    print(f"no query over the {thr}x normalized bar")
+    print(f"no query over the {thr}x {kind} bar")
     return 0
 
 
