@@ -4787,107 +4787,91 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-12 WINDOW — 7 novels + 6 re-gates + 2 canaries + 35
-    # staleness rows (the two r06-displaced twins at the HEAD, then 33
-    # of the 45 r07-latest rows) = 50 exactly.  TWELVE displacements
-    # from the r07 tranche to the r13 tier head, each by the standing
-    # rule (lowest-risk rows: clamp-to-1.0 stats scalars and template
-    # twins of in-window/freshly-refreshed gates), enumerated in
-    # CLAUDE.md: stats_recall_lsh_vs_exact, stats_recall_lsh_multiprobe,
-    # stats_recall_matryoshka (constant-oracle clamp scalars);
-    # pairwise_canberra/chebyshev/cityblock/correlation/cosine/
-    # euclidean (template twins of the five pairwise_* rows r11
-    # re-greened); knn_bf_euclidean_blas (template twin of the r11
-    # knn_bf_* refreshes — its blas+directional sibling
-    # knn_bf_inner_product_blas stays in-window);
-    # sample_token_budget_rate (threshold twin of in-window
-    # sample_token_budget); text_decontaminate_remove (remove-variant
-    # twin of in-window text_decontaminate).
+    # ROUND-13 WINDOW — 1 novel + 1 re-gate + 2 canaries + 46
+    # staleness rows (the twelve r12-displaced r07 rows at the HEAD,
+    # then 34 of the 45 r08-latest rows) = 50 exactly.  ELEVEN
+    # displacements from the r08 tranche to the r14 tier head, each by
+    # the standing rule (lowest-risk rows: template twins of in-window
+    # gates), enumerated in CLAUDE.md: knn_bf_braycurtis / canberra /
+    # chebyshev / cityblock / correlation / dice / hamming / hellinger
+    # / jaccard / russellrao (knn_sql template twins of in-window
+    # knn_bf_euclidean; the canberra/chebyshev/cityblock/correlation
+    # distance templates are additionally covered in-window by their
+    # pairwise_* r07-tier rows) and pairwise_sqeuclidean (the single
+    # most-exercised distance template in the window — every IVF /
+    # kmeans / tiered gate folds it, including this round's novel).
     #
-    # Tier 2 — round-12 novel gates: the five r11-proven rows-only →
-    # hash-exact conversions (r11 verdict next #1;
-    # tests/test_round11.py proves each composition):
-    # ivf_flat_search_trained (chained-Lloyd centroid table composed
-    # into the IVF oracle, float32 narrowing load-bearing),
-    # agglomerative_single_linkage (recursive-CTE Kruskal,
-    # filter(id<200) NOT limit), cagra_ace_graph (fixed partitioner +
-    # builder centroids → composed cagra_ace_sql),
-    # preprocess_pca_power and spectral_power_embed (exact-integer-
-    # state power-iteration chains vs unrolled twins). After these,
-    # zero operator families lack a value-hash-exact path.
-    "ivf_flat_search_trained",
-    "agglomerative_single_linkage",
-    "cagra_ace_graph",
-    "preprocess_pca_power",
-    "spectral_power_embed",
-    # ...plus two novels gating the r12 directional surface ITSELF
-    # (the re-gates below re-green the min-close rows; these gate the
-    # new max-close / normalized paths): ivf_sq_search_ip — an
-    # inner_product IVF-SQ search vs the DESC-ranked twin (the path
-    # that pre-r11 would silently return the WORST k and in r11
-    # raised); ivf_pq_search_cosine — the normalized-cosine PQ surface
-    # (entry l2-normalization float32-narrowed identically on both
-    # engines, subspace-dot LUT, 1 − q̂·x̂).
-    "ivf_sq_search_ip",
-    "ivf_pq_search_cosine",
-    # Tier 3 — re-gates (implementations changed this round, standing
-    # rule): the quantized IVF directional flip (r11 verdict #2 —
-    # guards → real max-close support; min-close twins proven
-    # byte-identical, inner_product proven cross-engine in
-    # tests/test_directional.py) re-gates the three ivf_sq_* gates it
-    # names plus ivf_pq_search / ivf_pq_search_residual (the two PQ
-    # scoring paths the flip parameterized/restructured); the
-    # directional all_neighbors build (r11 verdict #3 — last graph
-    # guard removed) re-gates all_neighbors_graph.
+    # Tier 2 — round-13 novel gate (r12 verdict #6): tiered_search_ip,
+    # a max-close (inner_product) tiered serving COMPOSITION — IVF
+    # tier + brute-force delta merged through knn_merge_parts in the
+    # max-close direction vs the union+DESC-merge twin. The r12 gates
+    # proved each index family's directional flip; this closes the
+    # last untested direction×composition cell (the cross-tier merge).
+    "tiered_search_ip",
+    # Tier 3 — re-gate (standing rule): ivf_sq_search_sql gained a
+    # fail-fast METRICS membership check (ADVICE r12 #2). Validation-
+    # only — the generated SQL was proven byte-identical against the
+    # prior commit for all 28 registered metrics (build-time proof +
+    # tests/test_round13.py pins generation across the surface), so
+    # ONE representative caller is re-gated; the other three callers
+    # (ivf_sq_extend_search, ivf_sq_save_load_search,
+    # ivf_sq_search_ip) are covered by the byte-identity proof and
+    # stay at their r12-fresh rows.
     "ivf_sq_search",
-    "ivf_sq_extend_search",
-    "ivf_sq_save_load_search",
-    "ivf_pq_search",
-    "ivf_pq_search_residual",
-    "all_neighbors_graph",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5 — staleness. HEAD: the two r06 twins displaced in r11
-    # (oldest rows in the union; the r11 verdict pins that they must
-    # not be displaced again):
-    "stats_recall_cagra_vs_exact",
-    "stats_recall_nn_descent",
-    # ...then the r07 tranche in enumerated (sorted) order, minus the
-    # twelve displacements listed above (33 rows):
-    "dedup_against_base",
-    "dedup_boilerplate_lines",
-    "dedup_cdc_chunks",
-    "dedup_cluster_histogram",
-    "dedup_cross_source",
-    "dedup_paragraphs",
-    "dedup_substrings",
-    "ivf_flat_extend_search",
-    "kmeans_cluster_cost",
-    "knn_bf_inner_product_blas",
-    "knn_bf_prefilter_bitmap",
-    "knn_bf_prefilter_bitset",
-    "knn_label_vote",
-    "pipeline_curate_corpus",
-    "pipeline_curate_novelty",
-    "pipeline_pack_greedy",
-    "pipeline_pack_waste",
-    "sample_leakage_free_split",
-    "sample_ppl_buckets",
-    "sample_token_budget",
-    "text_bm25_topk",
-    "text_contamination_report",
-    "text_decontaminate",
-    "text_fingerprints",
-    "text_hybrid_rrf",
-    "text_language_id",
-    "text_length_quantiles",
-    "text_maxsim_topk",
-    "text_ngram_novelty",
-    "text_quality_score",
-    "text_script_profile",
-    "text_top_ngrams",
-    "text_vocab_coverage",
+    # Tier 5 — staleness. HEAD: the twelve r07 rows displaced in r12
+    # (now the oldest rows in the union; the r12 verdict pins that
+    # they must not be displaced again):
+    "knn_bf_euclidean_blas",
+    "pairwise_canberra",
+    "pairwise_chebyshev",
+    "pairwise_cityblock",
+    "pairwise_correlation",
+    "pairwise_cosine",
+    "pairwise_euclidean",
+    "sample_token_budget_rate",
+    "stats_recall_lsh_multiprobe",
+    "stats_recall_lsh_vs_exact",
+    "stats_recall_matryoshka",
+    "text_decontaminate_remove",
+    # ...then the r08 tranche in enumerated (sorted) order, minus the
+    # eleven displacements listed above (34 rows):
+    "dedup_against_bloom",
+    "dedup_bloom_filter",
+    "dedup_edit_distance",
+    "dedup_ngram_containment",
+    "events_asof_forward",
+    "events_burst_windows",
+    "events_gap_stats",
+    "events_retention_cohort",
+    "graph_degree_histogram",
+    "graph_reciprocal_rate",
+    "graph_triangle_stats",
+    "ivf_list_sizes",
+    "kmeans_lloyd_step",
+    "kmeans_predict",
+    "knn_bf_euclidean",
+    "pairwise_braycurtis",
+    "pairwise_inner_product",
+    "preprocess_pq_transform",
+    "sample_epoch_shuffle",
+    "sample_importance_weighted",
+    "sample_temperature_mixture",
+    "stats_group_mmd",
+    "stats_hubness_skew",
+    "stats_isotropy_hist",
+    "stats_linkage_exact",
+    "stats_norm_quantiles",
+    "stats_quality_auc",
+    "text_chi2_terms",
+    "text_collocations",
+    "text_fertility_by_lang",
+    "text_mmr_diversify",
+    "text_rank_fusion_borda",
+    "text_token_counts",
+    "text_vocab_gini",
 ]
 
 
