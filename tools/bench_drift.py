@@ -12,8 +12,17 @@ anything is flagged, so the check can gate scripts.
 Normalization source, in preference order (r12 verdict #1/#3):
 
 * **3-shape canary basket** (both files carry `canary_basket`, r12+):
-  the median per-shape factor — the calibrated path; normalized flags
-  are findings.
+  the median per-shape factor — the calibrated path. The printed
+  `norm` column divides by the MEDIAN shape factor; a query is
+  FLAGGED only when it exceeds the bar under EVERY per-shape
+  normalization (r12 verdict #7 — equivalently raw > thr × the MAX
+  shape factor). Rationale, measured r13: per-shape ratios spread
+  ~19% even on a same-host back-to-back pair (0.89/1.03/1.08), so a
+  query whose cost profile matches the fastest-moving shape gets up
+  to ~10% of spurious normalized inflation under the median; the
+  AND-rule removes exactly that class while keeping full sensitivity
+  when the shapes agree (on the r13 cross-host pair it cut 14
+  median-flags to 3, converging on the 2 raw flags).
 * **Scalar-canary FALLBACK** (either file predates the basket): the
   single JVM-aggregate canary is exactly the over-correction the
   basket was built to fix (r11: canary 0.91x while the suite ran
@@ -40,9 +49,9 @@ def _canary_median(doc: dict) -> float | None:
     return statistics.median(vals) if vals else None
 
 
-def _basket_factor(old: dict, new: dict) -> float | None:
-    """Host factor from the 3-shape canary basket (r11 verdict #4): the
-    MEDIAN of the per-shape new/old median ratios. Spanning a
+def _basket_ratios(old: dict, new: dict) -> dict[str, float] | None:
+    """Per-shape host factors from the 3-shape canary basket (r11
+    verdict #4): the new/old median ratio of each shape. Spanning a
     shuffle-heavy, an Arrow-heavy and a scan-heavy shape tracks
     suite-level host state where the single JVM aggregate didn't (the
     r11 run: canary said 0.91× while the whole suite ran ~1.12×)."""
@@ -59,7 +68,7 @@ def _basket_factor(old: dict, new: dict) -> float | None:
         return None
     for shape, r in ratios.items():
         print(f"canary basket {shape}: {r:.2f}x")
-    return statistics.median(ratios.values())
+    return ratios
 
 
 def main() -> int:
@@ -75,8 +84,10 @@ def main() -> int:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
 
-    host = _basket_factor(old, new)
-    basket = host is not None
+    shape_ratios = _basket_ratios(old, new)
+    basket = shape_ratios is not None
+    host = statistics.median(shape_ratios.values()) if basket else None
+    max_shape = max(shape_ratios.values()) if basket else None
     if host is None:
         # pre-r12 files carry only the scalar canary — fall back
         co, cn = _canary_median(old), _canary_median(new)
@@ -107,10 +118,13 @@ def main() -> int:
         raw = qn[q] / qo[q]
         if basket:
             norm = raw / host
-            mark = " <-- " if norm > thr else ""
+            # flag only when the query exceeds the bar under EVERY
+            # per-shape normalization (r12 verdict #7): raw > thr·max
+            flag = raw > thr * max_shape
+            mark = " <-- " if flag else ""
             print(f"{q:34s} {qo[q]:7.2f} {qn[q]:7.2f} {raw:6.2f} "
                   f"{norm:6.2f}{mark}")
-            if norm > thr:
+            if flag:
                 flagged.append(q)
         else:
             mark = " <-- raw" if raw > thr else ""
@@ -129,11 +143,12 @@ def main() -> int:
              f"{tot_n / tot_o / host:.2f}x" if basket else
              (f"; scalar-canary factor {host:.2f}x shown for reference "
               "ONLY — not used" if host else "")) + ")")
-    kind = "normalized" if basket else "raw"
+    kind = (f"every-shape-normalized, i.e. raw > {thr}x * max-shape "
+            f"{max_shape:.2f}x" if basket else f"raw > {thr}x")
     if flagged:
-        print(f"FLAGGED ({kind} > {thr}x): {', '.join(flagged)}")
+        print(f"FLAGGED ({kind}): {', '.join(flagged)}")
         return 1
-    print(f"no query over the {thr}x {kind} bar")
+    print(f"no query over the bar ({kind})")
     return 0
 
 
