@@ -124,7 +124,16 @@ def _power_headroom_guard(cov: DataFrame, dim: int, where: str) -> None:
     twin errors — a silent cross-engine divergence. Enforce the proven
     headroom loudly instead, on EVERY cov epoch (deflation mutates the
     magnitudes); the at-scale default stays :func:`pca_fit`
-    (mapInPandas GEMM + driver eigh — no integer grid at all)."""
+    (mapInPandas GEMM + driver eigh — no integer grid at all).
+
+    ADVICE r12 #3 noted this adds one driver action (this ``agg``) per
+    deflation epoch and suggested piggybacking max|c| on the existing
+    localCheckpoint materialization if gate latency ever matters.
+    Considered and deferred: the guard runs on the gate-construction
+    path only (dim 13, a handful of epochs, ~ms per agg against a
+    checkpointed cov), and folding it into the checkpoint pass would
+    restructure a hash-exact-gated chain for no measurable win —
+    revisit only if a caller ever runs the power chain at real dim."""
     mx = cov.agg(F.max(F.abs(F.col("c")))).first()[0] or 0
     y_max = float(dim) * float(mx) * float(_VG)
     if y_max >= float(2 ** 62) or float(dim) * y_max * y_max >= 9e37:

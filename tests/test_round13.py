@@ -86,3 +86,26 @@ def test_tiered_search_ip_exhaustive_probes_equals_bruteforce(
            for r in got.filter(F.col("rank") == 1).collect()}
     for r in got.collect():
         assert top[r["qid"]] >= r["distance"]
+
+
+def test_tiered_search_ip_plan_has_no_cartesian_product(spark, vectors_df,
+                                                        queries_df):
+    """Same plan-shape bar as the graph family: every non-broadcast join
+    in the tiered composition is an equi-join (probes on list_id/qid);
+    the only nested-loop joins are the intentional bounded broadcasts
+    (centroid table = n_lists rows, query batch = small side by
+    contract). A CartesianProduct — the shape that dies at 100 TB —
+    must never appear, in either direction."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import (TieredIndex, tiered_extend,
+                                             tiered_search)
+    from cuvs_spark.plans.layout import plan_string
+    ann = ivf_flat_build(vectors_df.filter(F.col("id") < 60), 4,
+                         metric="inner_product", kmeans_n_iters=2)
+    idx = TieredIndex(ann=ann,
+                      delta=spark.createDataFrame(
+                          [], "id long, vec array<float>"),
+                      min_ann_rows=10**9, metric="inner_product")
+    idx = tiered_extend(idx, vectors_df.filter(F.col("id") >= 60))
+    out = tiered_search(idx, queries_df, 5, 2, qvec_col="vec")
+    assert "CartesianProduct" not in plan_string(out)
