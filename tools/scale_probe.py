@@ -208,6 +208,34 @@ def main() -> None:
                             metric="inner_product", method="blas") \
             .write.format("noop").mode("overwrite").save()
         out["all_neighbors_ip_100k_sec"] = round(time.time() - t0, 2)
+        # r13: the max-close tiered COMPOSITION at probe scale (gate
+        # tiered_search_ip proves correctness at sf0.01; this bounds
+        # the serving shape at 200k: IVF tier + 10%-of-corpus delta,
+        # cross-tier knn_merge_parts in the max-close direction — one
+        # blas cogroup + one broadcast-query delta scan + the bounded
+        # n_parts×q×k merge, same plan family as the min-close twin)
+        from functools import partial
+
+        from cuvs_spark.operators.tiered import (TieredIndex,
+                                                 tiered_extend,
+                                                 tiered_search)
+        n_old = int(n * 0.9)
+        t0 = time.time()
+        ip_ann = ivf_flat_build(d.filter(F.col("id") < n_old), 128,
+                                metric="inner_product", centroids=cents_d)
+        ip_ann.lists.cache().count()
+        idx = TieredIndex(ann=ip_ann,
+                          delta=spark.createDataFrame(
+                              [], "id long, vec array<float>"),
+                          min_ann_rows=10 ** 12, metric="inner_product",
+                          search_fn=partial(ivf_flat_search,
+                                            method="blas"))
+        idx = tiered_extend(idx, d.filter(F.col("id") >= n_old))
+        out["tiered_ip_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        tiered_search(idx, q, 10, 8, qvec_col="qv") \
+            .write.format("noop").mode("overwrite").save()
+        out["tiered_ip_search_sec"] = round(time.time() - t0, 2)
 
     if want("spectral"):
         # Spectral (sparse driver eigensolve): 100k rows through the CSR +
