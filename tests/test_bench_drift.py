@@ -75,12 +75,56 @@ def test_scalar_fallback_is_loud_and_raw_only(tmp_path, monkeypatch,
     assert "shown for reference ONLY" in out
 
 
+def test_degraded_basket_drops_to_fallback(tmp_path, monkeypatch, capsys):
+    """ADVICE r13 #1: when the two files share fewer than the 3
+    expected basket shapes (schema drift / renamed shape), the
+    every-shape AND-rule is not calibrated — the tool must refuse the
+    basket path loudly and drop to the fallback instead of silently
+    normalizing by a 1–2 shape subset."""
+    old = {"queries": {"a": 1.0}, "canary": {"x": 1.0},
+           "canary_basket": BASKET_FLAT}
+    new = {"queries": {"a": 1.4}, "canary": {"x": 1.0},
+           "canary_basket": {"shuffle": [1.0] * 3, "arrow": [1.0] * 3}}
+    code, out = _run(tmp_path, monkeypatch, capsys, old, new)
+    assert "DEGRADED BASKET" in out
+    assert "SCALAR-CANARY FALLBACK" in out  # both carry a scalar canary
+    header = next(ln for ln in out.splitlines() if ln.startswith("query"))
+    assert " norm" not in header  # basket path refused
+    assert code == 1  # 1.4x raw > 1.25 raw bar
+
+
+def test_degraded_basket_without_scalar_goes_raw(tmp_path, monkeypatch,
+                                                 capsys):
+    """Degraded basket and no scalar canary anywhere: raw-only mode
+    with the (reworded, ADVICE r13 #2) no-usable-pair warning."""
+    old = {"queries": {"a": 1.0},
+           "canary_basket": {"shuffle": [1.0] * 3}}
+    new = {"queries": {"a": 1.1},
+           "canary_basket": {"shuffle": [1.0] * 3}}
+    code, out = _run(tmp_path, monkeypatch, capsys, old, new)
+    assert "DEGRADED BASKET" in out
+    assert "no usable canary pair" in out
+    assert code == 0
+
+
+def test_one_sided_scalar_canary_warn_wording(tmp_path, monkeypatch,
+                                              capsys):
+    """ADVICE r13 #2: exactly one file carries a scalar canary — the
+    ratio needs both, so the warning must say 'missing in one or both
+    files', not claim neither file has one."""
+    old = {"queries": {"a": 1.0}, "canary": {"x": 1.0}}
+    new = {"queries": {"a": 1.5}}
+    code, out = _run(tmp_path, monkeypatch, capsys, old, new)
+    assert "no usable canary pair" in out
+    assert code == 1
+
+
 def test_no_canary_raw_flags(tmp_path, monkeypatch, capsys):
     old = {"queries": {"a": 1.0}}
     new = {"queries": {"a": 1.5}}
     code, out = _run(tmp_path, monkeypatch, capsys, old, new)
     assert code == 1
-    assert "WARN: no canary" in out
+    assert "WARN: no usable canary pair" in out
 
 
 def test_driver_parsed_wrapper_and_threshold_arg(tmp_path, monkeypatch,

@@ -23,7 +23,9 @@ Normalization source, in preference order (r12 verdict #1/#3):
   AND-rule removes exactly that class while keeping full sensitivity
   when the shapes agree (on the r13 cross-host pair it cut 14
   median-flags to 3, converging on the 2 raw flags).
-* **Scalar-canary FALLBACK** (either file predates the basket): the
+* **Scalar-canary FALLBACK** (no usable 3-shape basket pair — at
+  least one file predates the basket, or the files' common shape set
+  is smaller than the 3 expected shapes after a schema drift): the
   single JVM-aggregate canary is exactly the over-correction the
   basket was built to fix (r11: canary 0.91x while the suite ran
   ~1.12x; the r11<->r12 cross-epoch table flagged 22 queries in
@@ -39,6 +41,11 @@ from __future__ import annotations
 import json
 import statistics
 import sys
+
+# the r12 canary basket spans exactly these many shapes
+# (shuffle-heavy / Arrow-heavy / parquet-scan); the every-shape
+# AND-rule is only calibrated over the full set (ADVICE r13 #1)
+_EXPECTED_BASKET_SHAPES = 3
 
 
 def _canary_median(doc: dict) -> float | None:
@@ -68,6 +75,20 @@ def _basket_ratios(old: dict, new: dict) -> dict[str, float] | None:
         return None
     for shape, r in ratios.items():
         print(f"canary basket {shape}: {r:.2f}x")
+    if len(ratios) < _EXPECTED_BASKET_SHAPES:
+        # a partial intersection (shape dropped/renamed between rounds)
+        # would silently degrade the every-shape AND-rule to a
+        # one/two-shape normalization while still being presented as
+        # the calibrated basket path (ADVICE r13 #1) — refuse it
+        print("=" * 70)
+        print(f"DEGRADED BASKET — the files share only "
+              f"{sorted(ratios)} of the {_EXPECTED_BASKET_SHAPES} "
+              "expected basket shapes.")
+        print("The every-shape AND-rule is not calibrated on a partial "
+              "shape set;")
+        print("dropping to the raw-only fallback.")
+        print("=" * 70)
+        return None
     return ratios
 
 
@@ -94,8 +115,11 @@ def main() -> int:
         host = (cn / co) if (co and cn) else None
         if host is not None:
             print("=" * 70)
-            print("SCALAR-CANARY FALLBACK — one file predates the r12 "
-                  "canary basket.")
+            print("SCALAR-CANARY FALLBACK — no usable 3-shape basket "
+                  "pair (at least one")
+            print("file predates the r12 canary basket, or the common "
+                  "shape set is")
+            print("degraded — see above).")
             print("The single JVM-aggregate canary over-corrects "
                   "cross-epoch/cross-host")
             print("(r11: canary 0.91x vs suite ~1.12x). Normalized "
@@ -105,7 +129,8 @@ def main() -> int:
             print("on raw totals + module-diff correlation (README).")
             print("=" * 70)
     if host is None:
-        print("WARN: no canary in either file — raw ratios only")
+        print("WARN: no usable canary pair (scalar canary missing in "
+              "one or both files) — raw ratios only")
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(qo) & set(qn))
