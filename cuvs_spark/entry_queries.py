@@ -1931,6 +1931,47 @@ SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
 """)
 
 
+def _composite_search_ip(spark, sf_dir):
+    """Max-close COMPOSITE serving composition (round 14): the
+    ``composite::index`` analog (``cpp/src/neighbors/composite/
+    index.cu`` — search every sub-index, merge) had merge-shape and
+    mixed-metric-rejection unit tests but no end-to-end driver gate.
+    Two IVF-flat sub-indexes over disjoint id halves, BOTH
+    inner_product — one registered via its ``dot`` ALIAS, so the r12
+    canonical-name metric-homogeneity assert's alias path
+    (``tiered.py:102-111``) is driver-gated, not just unit-tested —
+    merged through ``knn_merge_parts`` in the max-close direction.
+    Oracle: union of the two max-close IVF twins, re-ranked DESC.
+    Reference: ``composite/index.cu`` (sub-index fan-out + same-metric
+    merge); ``tiered_index.pyx:164,223`` for the merge direction."""
+    from cuvs_spark.operators.ivf_flat import ivf_flat_build
+    from cuvs_spark.operators.tiered import composite_search
+    d = emb_dataset(spark, sf_dir)
+    cent = _fixed_centroids(spark, sf_dir, _IVF_LISTS)
+    a = ivf_flat_build(d.filter(F.col("id") < 250), _IVF_LISTS,
+                       metric="inner_product", centroids=cent)
+    b = ivf_flat_build(d.filter(F.col("id") >= 250), _IVF_LISTS,
+                       metric="dot", centroids=cent)
+    q = emb_queries(spark, sf_dir, 20)
+    return composite_search([a, b], q, 10, _IVF_PROBES, qvec_col="qv")
+
+
+register(
+    "composite_search_ip", _composite_search_ip,
+    f"""
+WITH a AS ({O.ivf_flat_search_sql("SELECT vec_id AS id, embedding AS dv FROM embeddings WHERE vec_id < 250", _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES, metric="inner_product")}),
+b AS ({O.ivf_flat_search_sql("SELECT vec_id AS id, embedding AS dv FROM embeddings WHERE vec_id >= 250", _Q_SQL.format(nq=20), _IVF_CENT_SQL, 10, _IVF_PROBES, metric="inner_product")}),
+merged AS (
+  SELECT qid, nid, distance FROM a
+  UNION ALL SELECT qid, nid, distance FROM b),
+ranked AS (
+  SELECT qid, nid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance DESC, nid ASC) AS rank
+  FROM merged)
+SELECT qid, nid, distance, rank FROM ranked WHERE rank <= 10
+""")
+
+
 # --- event-time windowed aggregation (streaming surface, batch-checked) ----
 def events_table(spark, sf_dir):
     """events.parquet carries TIMESTAMP(NANOS) which Spark's reader
@@ -4787,91 +4828,87 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-13 WINDOW — 1 novel + 1 re-gate + 2 canaries + 46
-    # staleness rows (the twelve r12-displaced r07 rows at the HEAD,
-    # then 34 of the 45 r08-latest rows) = 50 exactly.  ELEVEN
-    # displacements from the r08 tranche to the r14 tier head, each by
+    # ROUND-14 WINDOW — 1 novel + 0 re-gates + 2 canaries + 47
+    # staleness rows (the eleven r13-displaced r08 rows at the HEAD,
+    # then 36 of the 42 r09-latest rows) = 50 exactly.  SIX
+    # displacements from the r09 tranche to the r15 tier head, each by
     # the standing rule (lowest-risk rows: template twins of in-window
-    # gates), enumerated in CLAUDE.md: knn_bf_braycurtis / canberra /
-    # chebyshev / cityblock / correlation / dice / hamming / hellinger
-    # / jaccard / russellrao (knn_sql template twins of in-window
-    # knn_bf_euclidean; the canberra/chebyshev/cityblock/correlation
-    # distance templates are additionally covered in-window by their
-    # pairwise_* r07-tier rows) and pairwise_sqeuclidean (the single
-    # most-exercised distance template in the window — every IVF /
-    # kmeans / tiered gate folds it, including this round's novel).
+    # gates), enumerated in CLAUDE.md: gram_linear / gram_rbf /
+    # gram_tanh (kernel-fold template twins of the in-window permanent
+    # canary gram_polynomial; gram_linear's dot fold is additionally
+    # in-window via this round's inner_product novel) and
+    # knn_bf_jensenshannon / knn_bf_kl_divergence / knn_minkowski_p3
+    # (knn_sql template twins of the TEN in-window knn_bf_* head
+    # rows).  No re-gates: this round's diff touches only
+    # tools/bench_drift.py (ADVICE r13 — no gate runs through it),
+    # tests, and the new gate below; no existing gate implementation
+    # or oracle twin changed (verified by diff at build time).
     #
-    # Tier 2 — round-13 novel gate (r12 verdict #6): tiered_search_ip,
-    # a max-close (inner_product) tiered serving COMPOSITION — IVF
-    # tier + brute-force delta merged through knn_merge_parts in the
-    # max-close direction vs the union+DESC-merge twin. The r12 gates
-    # proved each index family's directional flip; this closes the
-    # last untested direction×composition cell (the cross-tier merge).
-    "tiered_search_ip",
-    # Tier 3 — re-gate (standing rule): ivf_sq_search_sql gained a
-    # fail-fast METRICS membership check (ADVICE r12 #2). Validation-
-    # only — the generated SQL was proven byte-identical against the
-    # prior commit for all 28 registered metrics (build-time proof +
-    # tests/test_round13.py pins generation across the surface), so
-    # ONE representative caller is re-gated; the other three callers
-    # (ivf_sq_extend_search, ivf_sq_save_load_search,
-    # ivf_sq_search_ip) are covered by the byte-identity proof and
-    # stay at their r12-fresh rows.
-    "ivf_sq_search",
+    # Tier 2 — round-14 novel gate: composite_search_ip, the
+    # composite::index serving composition end to end — two IVF-flat
+    # sub-indexes over disjoint id halves, both inner_product (one
+    # registered via its `dot` ALIAS, driver-gating the r12
+    # canonical-name homogeneity assert's alias path), merged through
+    # knn_merge_parts max-close vs the union+DESC-merge twin.  The
+    # r13 tiered_search_ip gate proved the ann+delta max-close merge;
+    # this gates the multi-sub-index fan-out, the one serving
+    # composition that had only unit tests.
+    "composite_search_ip",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5 — staleness. HEAD: the twelve r07 rows displaced in r12
-    # (now the oldest rows in the union; the r12 verdict pins that
-    # they must not be displaced again):
-    "knn_bf_euclidean_blas",
-    "pairwise_canberra",
-    "pairwise_chebyshev",
-    "pairwise_cityblock",
-    "pairwise_correlation",
-    "pairwise_cosine",
-    "pairwise_euclidean",
-    "sample_token_budget_rate",
-    "stats_recall_lsh_multiprobe",
-    "stats_recall_lsh_vs_exact",
-    "stats_recall_matryoshka",
-    "text_decontaminate_remove",
-    # ...then the r08 tranche in enumerated (sorted) order, minus the
-    # eleven displacements listed above (34 rows):
-    "dedup_against_bloom",
-    "dedup_bloom_filter",
-    "dedup_edit_distance",
-    "dedup_ngram_containment",
-    "events_asof_forward",
-    "events_burst_windows",
-    "events_gap_stats",
-    "events_retention_cohort",
-    "graph_degree_histogram",
-    "graph_reciprocal_rate",
-    "graph_triangle_stats",
-    "ivf_list_sizes",
-    "kmeans_lloyd_step",
-    "kmeans_predict",
-    "knn_bf_euclidean",
-    "pairwise_braycurtis",
-    "pairwise_inner_product",
-    "preprocess_pq_transform",
-    "sample_epoch_shuffle",
-    "sample_importance_weighted",
-    "sample_temperature_mixture",
-    "stats_group_mmd",
-    "stats_hubness_skew",
-    "stats_isotropy_hist",
-    "stats_linkage_exact",
-    "stats_norm_quantiles",
-    "stats_quality_auc",
-    "text_chi2_terms",
-    "text_collocations",
-    "text_fertility_by_lang",
-    "text_mmr_diversify",
-    "text_rank_fusion_borda",
-    "text_token_counts",
-    "text_vocab_gini",
+    # Tier 5 — staleness. HEAD: the eleven r08 rows displaced in r13
+    # (now the oldest rows in the union; CLAUDE.md pins that they must
+    # not be displaced again):
+    "knn_bf_braycurtis",
+    "knn_bf_canberra",
+    "knn_bf_chebyshev",
+    "knn_bf_cityblock",
+    "knn_bf_correlation",
+    "knn_bf_dice",
+    "knn_bf_hamming",
+    "knn_bf_hellinger",
+    "knn_bf_jaccard",
+    "knn_bf_russellrao",
+    "pairwise_sqeuclidean",
+    # ...then the r09 tranche in enumerated (sorted) order, minus the
+    # six displacements listed above (36 rows):
+    "cagra_merge",
+    "cagra_optimize",
+    "dedup_ngram_jaccard_lsh",
+    "dedup_simhash_near_dup",
+    "events_sessionize",
+    "events_windowed_counts",
+    "ivf_bq_search",
+    "ivf_flat_search",
+    "ivf_flat_search_blas",
+    "ivf_pq_search_refined",
+    "ivf_rabitq_search",
+    "ivf_rabitq_search_blas",
+    "kde_cosine_kernel",
+    "kde_exponential",
+    "kde_linear",
+    "kde_tophat",
+    "knn_bitwise_hamming",
+    "knn_custom_udf_metric",
+    "pairwise_haversine",
+    "pipeline_curate_stats",
+    "preprocess_binary_quantize",
+    "preprocess_pq_roundtrip",
+    "preprocess_scalar_roundtrip",
+    "scann_search_pq",
+    "scann_search_reorder",
+    "scann_search_reorder_blas",
+    "scann_soar_labels",
+    "sparse_knn",
+    "sparse_pairwise_inner_product",
+    "stats_mrr_lsh",
+    "stats_recall_ivf_vs_exact",
+    "stats_silhouette_samples",
+    "stats_silhouette_score",
+    "stats_trustworthiness",
+    "tiered_search",
+    "vamana_build",
 ]
 
 
