@@ -236,6 +236,30 @@ def main() -> None:
         tiered_search(idx, q, 10, 8, qvec_col="qv") \
             .write.format("noop").mode("overwrite").save()
         out["tiered_ip_search_sec"] = round(time.time() - t0, 2)
+        # r14: the max-close COMPOSITE fan-out at probe scale (gate
+        # composite_search_ip proves correctness at sf0.01; this
+        # bounds the multi-sub-index serving shape at 200k: two
+        # half-corpus IVF sub-indexes searched independently — two
+        # blas cogroups over half the rows each — plus the bounded
+        # n_parts×q×k knn_merge_parts merge; total work ≈ one
+        # full-corpus IVF search split across two indexes, so it
+        # should track the single-index ivf_sq/tiered entries with
+        # no new shuffle class)
+        from cuvs_spark.operators.tiered import composite_search
+        half = n // 2
+        t0 = time.time()
+        ca = ivf_flat_build(d.filter(F.col("id") < half), 128,
+                            metric="inner_product", centroids=cents_d)
+        cb = ivf_flat_build(d.filter(F.col("id") >= half), 128,
+                            metric="dot", centroids=cents_d)
+        ca.lists.cache().count()
+        cb.lists.cache().count()
+        out["composite_ip_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        composite_search([ca, cb], q, 10, 8, qvec_col="qv",
+                         method="blas") \
+            .write.format("noop").mode("overwrite").save()
+        out["composite_ip_search_sec"] = round(time.time() - t0, 2)
 
     if want("spectral"):
         # Spectral (sparse driver eigensolve): 100k rows through the CSR +
