@@ -16,17 +16,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def build_benches(spark, sf_dir):
+    """The 38 timed entries as ``{name: zero-arg callable -> DataFrame}``.
 
+    Shared by ``main()`` (which times them) and the r14 plan-capture
+    tool (which only ``explain``s them) so both always see the same
+    plans. Source tables are cached and search indexes are built
+    (materialized, untimed) as part of construction/first call, exactly
+    as before the r14 refactor — construction cost never lands in a
+    timed section either way.
+    """
     from pyspark.sql import functions as F
 
-    from cuvs_spark import get_spark
     from cuvs_spark.entry_queries import QUERIES, T, emb_dataset
-
-    spark = get_spark("cuvs_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     def bench_entry(name):
         def run():
@@ -380,6 +382,21 @@ def main() -> None:
         "text_chi2_terms": bench_chi2_terms,
         "events_gap_stats": bench_gap_stats,
     }
+    return benches
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from cuvs_spark import get_spark
+
+    spark = get_spark("cuvs_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    benches = build_benches(spark, sf_dir)
 
     # Fixed-cost canary (r7 verdict #2): a constant JVM-only aggregate
     # with no data, no cache, and no plan that any round's changes can
