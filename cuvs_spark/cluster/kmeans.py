@@ -59,6 +59,49 @@ def _centroid_df(spark, centroids) -> DataFrame:
     return spark.createDataFrame(rows, "label int, centroid array<float>")
 
 
+def centroid_literal_sql(centroids) -> str:
+    """The centroid table as a SQL literal
+    ``array<struct<l:int, cv:array<float>>>`` in label order.
+
+    r14 optimization (guide §2.4 "remove shuffles outright"): when the
+    centroids are already a driver-side ndarray — every fixed-centroid
+    gate path and every trained index — the nearest/top-probe stage
+    does not need a join against a centroid DataFrame at all; folding
+    over this literal turns assignment into a map-only projection
+    (BroadcastNestedLoopJoin + Sort + Exchange + 2×SortAggregate → one
+    Project). Values are bit-identical to the createDataFrame path:
+    ``CAST(<repr(double)> AS FLOAT)`` performs the same
+    round-to-nearest float32 narrowing the ``array<float>`` schema did.
+    """
+    if isinstance(centroids, KMeansModel):
+        centroids = centroids.centroids
+    rows = []
+    for i, c in enumerate(np.asarray(centroids, dtype=np.float64)):
+        vals = ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in c)
+        rows.append(f"named_struct('l', {int(i)}, 'cv', array({vals}))")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def coarse_sorted_sql(vec_sql: str, centroids, *,
+                      metric: str = "sqeuclidean") -> str:
+    """SQL for ``array<struct<d:double, l:int, cv:array<float>>>``
+    sorted best-first (distance asc, label asc) over the literal
+    centroid table — the shared kernel of map-only nearest-centroid
+    assignment (``element_at(..., 1)``) and coarse top-``n_probes``
+    selection (``slice(..., 1, n)`` + explode).
+
+    ``array_sort`` on structs compares ``d`` then ``l`` with the same
+    ordering (NaN greatest) as ``min(struct(d, l))`` and the
+    ``row_number() ORDER BY d, l`` window it replaces, so rows AND ties
+    come out identical; ``l`` is unique so ``cv`` never participates in
+    the comparison."""
+    from cuvs_spark.functions.distance import distance_sql_spark
+    lit = centroid_literal_sql(centroids)
+    dist = distance_sql_spark(metric, vec_sql, "c.cv")
+    return (f"array_sort(transform({lit}, "
+            f"c -> named_struct('d', {dist}, 'l', c.l, 'cv', c.cv)))")
+
+
 def assign(df: DataFrame, centroids, *, id_col: str = "id",
            vec_col: str = "vec", metric: str = "sqeuclidean",
            dist_col: str | None = None, method: str = "expr") -> DataFrame:
@@ -101,8 +144,20 @@ def assign(df: DataFrame, centroids, *, id_col: str = "id",
         schema = "id long, label int" + (
             f", {dist_col} double" if dist_col is not None else "")
         return d.mapInPandas(argmin, schema=schema)
-    c = _centroid_df(spark, centroids)
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    if not isinstance(centroids, DataFrame):
+        # driver-side centroids: map-only literal-fold argmin — no join,
+        # no exchange, no aggregate (r14, guide §2.4). element_at(…, 1)
+        # of the best-first sorted struct array IS min(struct(d, l)).
+        best = F.expr(
+            f"element_at({coarse_sorted_sql('_v', centroids, metric=metric)}, 1)")
+        out = d.withColumn("_b", best).select(
+            "id", F.col("_b.l").alias("label"),
+            F.col("_b.d").alias("distance"))
+        if dist_col is None:
+            return out.select("id", "label")
+        return out.withColumnRenamed("distance", dist_col)
+    c = _centroid_df(spark, centroids)
     dist = F.expr(distance_sql_spark(metric, "_v", "centroid"))
     joined = d.join(F.broadcast(c)).select(
         "id", F.struct(dist.alias("d"), F.col("label").alias("l")).alias("_s"))
@@ -178,8 +233,18 @@ def _update_means(df: DataFrame, centroids, *, id_col: str, vec_col: str,
             acc[r["label"]] += np.array(r["s"])
             cnt[r["label"]] += r["n"]
     else:
-        lab = assign(d, centroids, id_col="id", vec_col="_v", metric=metric)
-        sums = (d.join(lab, "id")
+        if not isinstance(centroids, DataFrame):
+            # label as a map-only projection (r14): the old
+            # assign + join-back re-derived d and shuffled it twice
+            # for a value that is a pure function of the row
+            labeled = d.select(
+                F.expr(f"element_at({coarse_sorted_sql('_v', centroids, metric=metric)}, 1).l")
+                .alias("label"), "_v")
+        else:
+            lab = assign(d, centroids, id_col="id", vec_col="_v",
+                         metric=metric)
+            labeled = d.join(lab, "id").select("label", "_v")
+        sums = (labeled
                 .select("label", F.posexplode("_v").alias("dim", "x"))
                 .groupBy("label", "dim")
                 .agg(F.sum(F.col("x").cast("double")).alias("s"),

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuvs_spark.cluster.kmeans import kmeans_fit
+from cuvs_spark.cluster.kmeans import coarse_sorted_sql, kmeans_fit
 from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
 from cuvs_spark.operators.select_k import select_k
 
@@ -66,9 +66,6 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
         model = kmeans_fit(d, n_clusters, max_iter=kmeans_n_iters, seed=seed,
                            balanced=True)
         centroids = model.centroids
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cl int, centroid array<float>")
     if method == "blas":
         import pandas as pd
 
@@ -95,11 +92,14 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
         asg = (d.mapInPandas(assign_topo, "id long, cl long")
                .join(d, "id"))
     else:
-        cdist = F.expr(distance_sql_spark("sqeuclidean", "vec", "centroid"))
-        asg = select_k(d.join(F.broadcast(cent)).select(
-            "id", "cl", cdist.alias("_cd"), "vec"),
-            "id", "_cd", overlap_factor, tie_cols=["cl"], rank_col=None) \
-            .select("id", "cl", "vec")
+        # r14: multi-assignment as a map-only literal slice — same
+        # rows/ties as the old broadcast-join + window (guide §2.4)
+        cs = coarse_sorted_sql("vec", centroids)
+        asg = (d.select(
+            "id", "vec",
+            F.explode(F.expr(f"slice({cs}, 1, {overlap_factor})"))
+            .alias("_s"))
+            .select("id", F.col("_s.l").cast("int").alias("cl"), "vec"))
     if method == "blas":
 
         def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -906,15 +906,14 @@ def cagra_build_ace(dataset: DataFrame, graph_degree: int = 16, *,
         model = kmeans_fit(d, npartitions, max_iter=kmeans_n_iters,
                            seed=seed, balanced=True)
         centroids = model.centroids
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c])
-         for i, c in enumerate(centroids)],
-        "part int, cv array<float>")
-    pdist = F.expr(_dss("sqeuclidean", "vec", "cv"))
-    asg = _sk(d.join(F.broadcast(cent)).select(
-        "id", "part", pdist.alias("_d")),
-        "id", "_d", min(overlap_factor, npartitions),
-        tie_cols=["part"], rank_col=None).select("id", "part")
+    from cuvs_spark.cluster.kmeans import coarse_sorted_sql as _css
+    cs = _css("vec", centroids)
+    asg = (d.select(
+        "id",
+        F.explode(F.expr(
+            f"slice({cs}, 1, {min(overlap_factor, npartitions)})"))
+        .alias("_s"))
+        .select("id", F.col("_s.l").cast("int").alias("part")))
     if builder_centroids is not None:
         builder_kw = {**builder_kw, "centroids": builder_centroids}
     spill = spill_dir or tempfile.mkdtemp(prefix="cagra_ace_")

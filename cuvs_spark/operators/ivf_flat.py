@@ -33,7 +33,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cuvs_spark.cluster.kmeans import KMeansModel, assign, kmeans_fit
+from cuvs_spark.cluster.kmeans import (KMeansModel, assign,
+                                       coarse_sorted_sql, kmeans_fit)
 from cuvs_spark.functions.distance import distance_sql_spark, is_min_close
 from cuvs_spark.operators.select_k import select_k
 
@@ -71,10 +72,14 @@ def ivf_flat_build(dataset: DataFrame, n_lists: int = 64, *,
     lists = None
     if add_data_on_build:
         if fixed:
-            # oracle-exact expr path (gate queries pin the centroids)
-            lab = assign(d, centroids, metric="sqeuclidean", method="expr")
-            lists = (d.join(lab, "id")
-                     .select("id", F.col("label").alias("list_id"), "vec"))
+            # oracle-exact expr path (gate queries pin the centroids).
+            # r14: label via the map-only literal-fold argmin — the old
+            # assign + join-back (BroadcastNestedLoopJoin + exchange +
+            # 2 SortAggregates + a second join) is now one Project.
+            cs = coarse_sorted_sql("vec", centroids)
+            lists = d.select(
+                "id", F.expr(f"element_at({cs}, 1).l").alias("list_id"),
+                "vec")
         else:
             # trained path: one map-only pass emits (id, list_id, vec) —
             # GEMM argmin AND the vector carry, no label re-join shuffle
@@ -131,16 +136,16 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
     lists = index.lists if prefilter is None else index.lists.filter(prefilter)
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    cent = index.lists.sparkSession.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
-        "list_id int, centroid array<float>")
     # coarse: top-n_probes lists per query (always by the *coarse* metric
-    # of the quantizer — sqeuclidean — matching ivf_flat_search.cuh)
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
-    probes = select_k(q.join(F.broadcast(cent)).select(
-        "qid", "list_id", cdist.alias("_cd")),
-        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None)
-    probes = probes.select("qid", "list_id")
+    # of the quantizer — sqeuclidean — matching ivf_flat_search.cuh).
+    # r14: map-only literal slice of the best-first sorted centroid fold
+    # — same rows and tie order as the old broadcast-join + window
+    # (array_sort on (d, l) structs == ORDER BY _cd, list_id), with the
+    # BroadcastNestedLoopJoin, Sort and window Exchange all gone.
+    cs = coarse_sorted_sql("_qv", index.centroids)
+    probes = (q.select(
+        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").alias("list_id")))
     if method == "blas":
         return _fine_blas(lists, q, probes, k, metric)
     if method == "broadcast":
@@ -265,8 +270,9 @@ def ivf_flat_extend(index: IVFFlatIndex, new_rows: DataFrame, *,
     the updated inverted file, k×dim rows to the driver."""
     d = new_rows.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
-    lab = assign(d, index.centroids, metric="sqeuclidean")
-    add = d.join(lab, "id").select("id", F.col("label").alias("list_id"), "vec")
+    cs = coarse_sorted_sql("vec", index.centroids)
+    add = d.select("id", F.expr(f"element_at({cs}, 1).l").alias("list_id"),
+                   "vec")
     lists = index.lists.unionByName(add)
     centroids = index.centroids
     if adaptive_centers:

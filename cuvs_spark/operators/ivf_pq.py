@@ -43,7 +43,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuvs_spark.cluster.kmeans import assign, kmeans_fit
+from cuvs_spark.cluster.kmeans import assign, coarse_sorted_sql, kmeans_fit
 from cuvs_spark.functions.distance import distance_sql_spark
 from cuvs_spark.operators.select_k import select_k
 from cuvs_spark.preprocessing.pq import PQCodebook, _subvecs, pq_build
@@ -233,8 +233,35 @@ def _pq_enc_input(d: DataFrame, centroids: np.ndarray, encode: str,
     their coarse list and, for ``encode='residual'``, shifted by the
     list center (then rotated when a build-time rotation exists)."""
     spark = d.sparkSession
-    lab = assign(d, centroids, metric="sqeuclidean",
-                 method="blas" if method == "blas" else "expr")
+    if method != "blas":
+        # r14: expr assignment as a map-only literal fold — label AND
+        # the list center come out of one projection (no assign
+        # aggregate, no join-back, no centroid join)
+        best = F.expr(f"element_at({coarse_sorted_sql('vec', centroids)}, 1)")
+        d_lab = d.withColumn("_b", best).select(
+            "id", F.col("_b.l").cast("long").alias("list_id"),
+            F.col("_b.cv").alias("_cent"), "vec")
+        if encode == "residual":
+            enc_in = d_lab.select(
+                "id", "list_id",
+                F.expr(_res_expr("vec", "_cent")).alias("vec"))
+            if rotation is not None:
+                Rb = spark.sparkContext.broadcast(rotation)
+
+                def rot(batches):
+                    import pandas as pd
+                    for pdf in batches:
+                        if pdf.empty:
+                            continue
+                        X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                        pdf["vec"] = list(X @ Rb.value.T)
+                        yield pdf
+
+                enc_in = enc_in.mapInPandas(
+                    rot, "id long, list_id long, vec array<double>")
+            return enc_in
+        return d_lab.select("id", "list_id", "vec")
+    lab = assign(d, centroids, metric="sqeuclidean", method="blas")
     if encode == "residual":
         cent = _cent_df(spark, centroids)
         enc_in = (d.join(lab.withColumnRenamed("label", "list_id"), "id")
@@ -394,12 +421,16 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     if metric == "cosine":
         from cuvs_spark.functions.vector import l2_normalize
         q = q.withColumn("_qv", l2_normalize("_qv"))
-    cent = _cent_df(spark, index.centroids)
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
-    probes = select_k(q.join(F.broadcast(cent)).select(
-        "qid", "list_id", cdist.alias("_cd")),
-        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
-        .select("qid", "list_id")
+    # r14: coarse probes as a map-only literal slice (guide §2.4) —
+    # same rows/ties as the old broadcast-join + window; the probed
+    # centroid vector rides along so the qc/qres stages below need no
+    # centroid join either.
+    cs = coarse_sorted_sql("_qv", index.centroids)
+    probes_cv = (q.select(
+        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").alias("list_id"),
+                F.col("_s.cv").alias("_cent")))
+    probes = probes_cv.select("qid", "list_id")
     residual = index.encode == "residual"
     if method == "broadcast":
         # The 100 TB shape: the codes table NEVER shuffles. Queries are
@@ -526,10 +557,10 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             .withColumnRenamed("subvec", "qsub")
         lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
                .select("qid", "sub", "code", sdist.alias("subdist")))
-        qc = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
+        qc = (probes_cv.join(q, "qid")
               .select("qid", "list_id",
                       F.expr(distance_sql_spark("inner_product", "_qv",
-                                                "centroid")).alias("_qc")))
+                                                "_cent")).alias("_qc")))
         probed = (codes_t.join(F.broadcast(probes), "list_id")
                   .select("qid", "list_id", "id",
                           F.posexplode("codes").alias("sub", "code")))
@@ -557,9 +588,9 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                        F.raise_error("ivf_pq: qids must be non-negative"))
                 .otherwise(F.col("qid")) * F.lit(int(max(n_lists, 1)))
                 + F.col("list_id"))
-        qres = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
+        qres = (probes_cv.join(q, "qid")
                 .select(pack.alias("_key"), "qid", "list_id",
-                        F.expr(_res_expr("_qv", "centroid")).alias("res")))
+                        F.expr(_res_expr("_qv", "_cent")).alias("res")))
         qsub = _subvecs(qres.select("_key", "res"), pq_dim,
                         id_col="_key", vec_col="res") \
             .withColumnRenamed("id", "_key") \
@@ -841,14 +872,10 @@ def ivf_sq_build(dataset: DataFrame, n_lists: int = 32, *,
         model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
                            max_iter=kmeans_n_iters, seed=seed, balanced=True)
         centroids = model.centroids
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<float>")
-    lab = assign(d, centroids, metric="sqeuclidean") \
-        .withColumnRenamed("label", "list_id")
-    rcodes = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
-              .select("id", "list_id",
-                      F.expr(_sq_enc("vec", "centroid", lo, hi))
+    best = F.expr(f"element_at({coarse_sorted_sql('vec', centroids)}, 1)")
+    rcodes = (d.withColumn("_b", best)
+              .select("id", F.col("_b.l").cast("int").alias("list_id"),
+                      F.expr(_sq_enc("vec", "_b.cv", lo, hi))
                       .alias("rcodes")))
     return IVFSQIndex(centroids=np.asarray(centroids, float), rcodes=rcodes,
                       lo=lo, hi=hi, metric=metric)
@@ -865,15 +892,11 @@ def ivf_sq_extend(index: IVFSQIndex, new_rows: DataFrame, *,
     spark = new_rows.sparkSession
     d = new_rows.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c])
-         for i, c in enumerate(index.centroids)],
-        "list_id int, centroid array<float>")
-    lab = assign(d, index.centroids, metric="sqeuclidean") \
-        .withColumnRenamed("label", "list_id")
-    new_rcodes = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
-                  .select("id", "list_id",
-                          F.expr(_sq_enc("vec", "centroid",
+    best = F.expr(
+        f"element_at({coarse_sorted_sql('vec', index.centroids)}, 1)")
+    new_rcodes = (d.withColumn("_b", best)
+                  .select("id", F.col("_b.l").cast("int").alias("list_id"),
+                          F.expr(_sq_enc("vec", "_b.cv",
                                          index.lo, index.hi))
                           .alias("rcodes")))
     return replace(index, rcodes=index.rcodes.unionByName(new_rcodes))
@@ -896,14 +919,15 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
-        "list_id int, centroid array<float>")
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
-    probes = select_k(q.join(F.broadcast(cent)).select(
-        "qid", "list_id", cdist.alias("_cd")),
-        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
-        .select("qid", "list_id")
+    # r14: map-only literal coarse stage; the probed list's centroid
+    # rides along so the expr fine stage below decodes without a
+    # centroid join
+    cs = coarse_sorted_sql("_qv", index.centroids)
+    probes_cv = (q.select(
+        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").alias("list_id"),
+                F.col("_s.cv").alias("_cent")))
+    probes = probes_cv.select("qid", "list_id")
     if method == "blas":
         import pandas as pd
 
@@ -940,9 +964,8 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
                  .applyInPandas(score,
                                 schema="qid long, nid long, distance double"))
         return knn_merge_parts(local, k, select_min=minimize)
-    dec = _sq_dec("rcodes", "centroid", index.lo, index.hi)
-    fine = (index.rcodes.join(F.broadcast(probes), "list_id")
-            .join(F.broadcast(cent), "list_id")
+    dec = _sq_dec("rcodes", "_cent", index.lo, index.hi)
+    fine = (index.rcodes.join(F.broadcast(probes_cv), "list_id")
             .join(F.broadcast(q), "qid")
             .select("qid", F.col("id").alias("nid"),
                     F.expr(dec).alias("_dec"), "_qv"))
@@ -1037,10 +1060,12 @@ def ivf_bq_build(dataset: DataFrame, n_lists: int = 32, *,
         model = kmeans_fit(d.sample(fraction=0.5, seed=seed), n_lists,
                            max_iter=kmeans_n_iters, seed=seed, balanced=True)
         centroids = model.centroids
-    lab = assign(d, centroids, metric="sqeuclidean") \
-        .withColumnRenamed("label", "list_id")
+    # r14: label via the map-only literal fold — binary_quantize is a
+    # plain withColumn, so build is one projection (no assign aggregate,
+    # no join-back)
+    lab_sql = f"element_at({coarse_sorted_sql('vec', centroids)}, 1).l"
     bits = (binary_quantize(d, threshold=threshold)
-            .join(lab, "id").select("id", "list_id", "bits"))
+            .select("id", F.expr(lab_sql).alias("list_id"), "bits"))
     return IVFBQIndex(centroids=np.asarray(centroids, float), bits=bits)
 
 
@@ -1058,14 +1083,10 @@ def ivf_bq_search(index: IVFBQIndex, queries: DataFrame, k: int = 10,
     spark = queries.sparkSession
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
-        "list_id int, centroid array<float>")
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
-    probes = select_k(q.join(F.broadcast(cent)).select(
-        "qid", "list_id", cdist.alias("_cd")),
-        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
-        .select("qid", "list_id")
+    cs = coarse_sorted_sql("_qv", index.centroids)
+    probes = (q.select(
+        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").alias("list_id")))
     qbits = (binary_quantize(q.withColumnRenamed("qid", "id")
                              .withColumnRenamed("_qv", "vec"),
                              threshold=threshold)

@@ -39,7 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuvs_spark.cluster.kmeans import assign, kmeans_fit
+from cuvs_spark.cluster.kmeans import assign, coarse_sorted_sql, kmeans_fit
 from cuvs_spark.functions.distance import (
     distance_sql_duckdb,
     distance_sql_spark,
@@ -142,17 +142,27 @@ def ivf_rabitq_build(dataset: DataFrame, n_lists: int = 32, *,
                            max_iter=kmeans_n_iters, seed=seed, balanced=True)
         centroids = model.centroids
     centroids = np.asarray(centroids, float)
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id long, cv array<float>")
-    lab = assign(d, centroids, metric="sqeuclidean",
-                 method=assign_method) \
-        .select("id", F.col("label").cast("long").alias("list_id"))
-    s1 = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
-          .select("id", "list_id",
-                  F.expr(_res("spark", "vec", "cv")).alias("res"),
-                  F.expr(distance_sql_spark("sqeuclidean", "vec", "cv"))
-                  .alias("n2")))
+    if assign_method == "expr":
+        # r14: map-only literal fold — label and list center in one
+        # projection, no assign aggregate / join-back / centroid join
+        best = F.expr(f"element_at({coarse_sorted_sql('vec', centroids)}, 1)")
+        s1 = (d.withColumn("_b", best)
+              .select("id", F.col("_b.l").cast("long").alias("list_id"),
+                      F.expr(_res("spark", "vec", "_b.cv")).alias("res"),
+                      F.expr(distance_sql_spark("sqeuclidean", "vec",
+                                                "_b.cv")).alias("n2")))
+    else:
+        cent = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id long, cv array<float>")
+        lab = assign(d, centroids, metric="sqeuclidean",
+                     method=assign_method) \
+            .select("id", F.col("label").cast("long").alias("list_id"))
+        s1 = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
+              .select("id", "list_id",
+                      F.expr(_res("spark", "vec", "cv")).alias("res"),
+                      F.expr(distance_sql_spark("sqeuclidean", "vec", "cv"))
+                      .alias("n2")))
     s2 = s1.withColumn(
         "codes", F.expr(_codes("spark", "res", "n2", bits_per_dim)))
     s3 = s2.withColumn(
@@ -178,18 +188,27 @@ def ivf_rabitq_extend(index: IVFRabitQIndex, new_rows: DataFrame, *,
     B = index.bits_per_dim
     d = new_rows.select(F.col(id_col).cast("long").alias("id"),
                         F.col(vec_col).alias("vec"))
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c])
-         for i, c in enumerate(index.centroids)],
-        "list_id long, cv array<float>")
-    lab = assign(d, index.centroids, metric="sqeuclidean",
-                 method=assign_method) \
-        .select("id", F.col("label").cast("long").alias("list_id"))
-    s1 = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
-          .select("id", "list_id",
-                  F.expr(_res("spark", "vec", "cv")).alias("res"),
-                  F.expr(distance_sql_spark("sqeuclidean", "vec", "cv"))
-                  .alias("n2")))
+    if assign_method == "expr":
+        best = F.expr(
+            f"element_at({coarse_sorted_sql('vec', index.centroids)}, 1)")
+        s1 = (d.withColumn("_b", best)
+              .select("id", F.col("_b.l").cast("long").alias("list_id"),
+                      F.expr(_res("spark", "vec", "_b.cv")).alias("res"),
+                      F.expr(distance_sql_spark("sqeuclidean", "vec",
+                                                "_b.cv")).alias("n2")))
+    else:
+        cent = spark.createDataFrame(
+            [(int(i), [float(x) for x in c])
+             for i, c in enumerate(index.centroids)],
+            "list_id long, cv array<float>")
+        lab = assign(d, index.centroids, metric="sqeuclidean",
+                     method=assign_method) \
+            .select("id", F.col("label").cast("long").alias("list_id"))
+        s1 = (d.join(lab, "id").join(F.broadcast(cent), "list_id")
+              .select("id", "list_id",
+                      F.expr(_res("spark", "vec", "cv")).alias("res"),
+                      F.expr(distance_sql_spark("sqeuclidean", "vec", "cv"))
+                      .alias("n2")))
     s3 = (s1.withColumn("codes",
                         F.expr(_codes("spark", "res", "n2", B)))
           .withColumn("v", F.expr(_decode("spark", "codes", B))))
@@ -214,20 +233,19 @@ def ivf_rabitq_search(index: IVFRabitQIndex, queries: DataFrame,
     B = index.bits_per_dim
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c])
-         for i, c in enumerate(index.centroids)],
-        "list_id long, cv array<float>")
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "cv"))
-    probes = select_k(q.join(F.broadcast(cent)).select(
-        "qid", "list_id", cdist.alias("_cd")),
-        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
-        .select("qid", "list_id")
-    qside = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
+    # r14: map-only literal coarse stage; the probed center rides
+    # along so qres/qn2 need no centroid join
+    cs = coarse_sorted_sql("_qv", index.centroids)
+    probes_cv = (q.select(
+        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").cast("long").alias("list_id"),
+                F.col("_s.cv").alias("_cent")))
+    probes = probes_cv.select("qid", "list_id")
+    qside = (probes_cv.join(q, "qid")
              .select("qid", "list_id",
-                     F.expr(_res("spark", "_qv", "cv")).alias("qres"),
-                     F.expr(distance_sql_spark("sqeuclidean", "_qv", "cv"))
-                     .alias("qn2")))
+                     F.expr(_res("spark", "_qv", "_cent")).alias("qres"),
+                     F.expr(distance_sql_spark("sqeuclidean", "_qv",
+                                               "_cent")).alias("qn2")))
     if score_method == "blas":
         # cogrouped per list: decode the list's code matrix once, score
         # every probing query against it with ONE GEMM (ipq = QR @ V.T),

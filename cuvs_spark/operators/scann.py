@@ -43,7 +43,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuvs_spark.cluster.kmeans import assign, kmeans_fit
+from cuvs_spark.cluster.kmeans import (assign, centroid_literal_sql,
+                                       coarse_sorted_sql, kmeans_fit)
 from cuvs_spark.functions.distance import (
     distance_sql_duckdb,
     distance_sql_spark,
@@ -136,24 +137,19 @@ def soar_labels(dataset: DataFrame, centroids: np.ndarray,
 
         return d.mapInPandas(score_batches,
                              "id long, label long, soar_label long")
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "label int, cv array<float>")
-    prim = (assign(d, centroids, metric="sqeuclidean")
-            .join(d, "id")
-            .join(F.broadcast(cent), "label")
-            .select("id", "vec", "label", F.col("cv").alias("cp")))
-    cand = prim.join(F.broadcast(
-        cent.select(F.col("label").alias("soar_label"),
-                    F.col("cv").alias("cc"))))
-    score = F.expr(_soar_score_spark("vec", "cp", "cc", soar_lambda))
-    best = (cand.select("id", "label", "soar_label",
-                        F.struct(score.alias("s"),
-                                 F.col("soar_label").alias("l")).alias("_sc"))
-            .groupBy("id", "label").agg(F.min("_sc").alias("_b"))
-            .select("id", F.col("label").cast("long"),
-                    F.col("_b.l").cast("long").alias("soar_label")))
-    return best
+    # r14: both stages as map-only literal folds (guide §2.4) — the
+    # primary label via the best-first centroid sort, the SOAR label
+    # via min(struct(score, l)) folded over the same literal; the old
+    # plan (assign aggregate + join-back + two broadcast joins + a
+    # second SortAggregate) collapses to one Project
+    prim_b = F.expr(f"element_at({coarse_sorted_sql('vec', centroids)}, 1)")
+    lit = centroid_literal_sql(centroids)
+    score_t = _soar_score_spark("vec", "_b.cv", "c.cv", soar_lambda)
+    soar = (f"element_at(array_sort(transform({lit}, c -> named_struct("
+            f"'s', {score_t}, 'l', c.l))), 1).l")
+    return (d.withColumn("_b", prim_b)
+            .select("id", F.col("_b.l").cast("long").alias("label"),
+                    F.expr(soar).cast("long").alias("soar_label")))
 
 
 def soar_labels_sql(dataset_sql: str, cent_sql: str,
@@ -276,16 +272,10 @@ def scann_build(dataset: DataFrame, n_leaves: int = 32, *,
 
 
 def _probes(index: ScannIndex, q: DataFrame, n_probes: int) -> DataFrame:
-    spark = q.sparkSession
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c])
-         for i, c in enumerate(index.centroids)],
-        "list_id long, centroid array<float>")
-    cdist = F.expr(distance_sql_spark("sqeuclidean", "_qv", "centroid"))
-    return select_k(q.join(F.broadcast(cent)).select(
-        "qid", "list_id", cdist.alias("_cd")),
-        "qid", "_cd", n_probes, tie_cols=["list_id"], rank_col=None) \
-        .select("qid", "list_id")
+    cs = coarse_sorted_sql("_qv", index.centroids)
+    return (q.select(
+        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").cast("long").alias("list_id")))
 
 
 def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,

@@ -707,14 +707,17 @@ def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
                           .withColumnRenamed("lbl", "nl"), "b")
                  .groupBy("a").agg(F.min("nl").alias("nl"))
                  .withColumnRenamed("a", "id"))
-        new_labels = (labels.join(neigh, "id", "left")
-                      .select("id", F.least("lbl", F.coalesce("nl", "lbl"))
-                              .alias("lbl"))).localCheckpoint()
-        changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
-                   .join(labels, "id")
-                   .filter(F.col("new_lbl") != F.col("lbl")))
-        stable = changed.isEmpty()
-        labels = new_labels
+        # carry the previous label through the propagation select so
+        # convergence reads off the checkpointed output — the old
+        # change-detection join re-shuffled new_labels against labels
+        # every round just to compare a column each row already had
+        # (r14, guide §2.4: one join per round, not two)
+        merged = (labels.join(neigh, "id", "left")
+                  .select("id", F.col("lbl").alias("_prev"),
+                          F.least("lbl", F.coalesce("nl", "lbl"))
+                          .alias("lbl"))).localCheckpoint()
+        stable = merged.filter(F.col("lbl") != F.col("_prev")).isEmpty()
+        labels = merged.select("id", "lbl")
         if stable:
             break
     return labels.select(F.col("id").alias("doc_id"),

@@ -22,6 +22,16 @@ def get_spark(app_name: str = "cuvs_spark",
     the rest at runtime.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    # One BLAS thread per task by default (r14, guide §4): every core
+    # already runs a Spark task, so NumPy kernels inside mapInPandas
+    # fan-ning out OpenBLAS threads (MAX_THREADS=2 here) oversubscribe
+    # the host ~2x. Exported before the JVM spawns so forked Python
+    # workers inherit it; spark.executorEnv carries it to real
+    # clusters. Override with CUVS_SPARK_BLAS_THREADS (e.g. executors
+    # with more cores than concurrent tasks).
+    blas_threads = os.environ.get("CUVS_SPARK_BLAS_THREADS", "1")
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, blas_threads)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -42,6 +52,9 @@ def get_spark(app_name: str = "cuvs_spark",
         # estimated code keeps every method compilable; the extra
         # call overhead is negligible next to an interpreted fallback.
         .config("spark.sql.codegen.methodSplitThreshold", "256")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", blas_threads)
+        .config("spark.executorEnv.OMP_NUM_THREADS", blas_threads)
+        .config("spark.executorEnv.MKL_NUM_THREADS", blas_threads)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
