@@ -74,6 +74,16 @@ def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      F.col(text_col).alias("text"))
 
 
+def _doc_spread(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # r14: for sketch-heavy operators (minhash, simhash, CDC) spread a
+    # narrow input over the cores — no-op when the source already has
+    # enough partitions (see plans.layout.spread_narrow); measured
+    # 2-4x on the one-file bench tables, while cheap shuffle-bound
+    # operators (exact_dedup) stay on the un-spread path
+    from cuvs_spark.plans.layout import spread_narrow
+    return spread_narrow(_doc(df, id_col, text_col), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -295,7 +305,7 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
     # re-evaluated once per consumer expression — lambda-bearing
     # higher-order functions are excluded from Spark's subexpression
     # elimination, so each stage gets its own column (measured 7×)
-    d = (_doc(df, id_col, text_col)
+    d = (_doc_spread(df, id_col, text_col)
          .withColumn("t", F.expr(TOKS_SPARK.format(s="text")))
          .withColumn("sh", F.expr(SHINGLES_SPARK.format(t="t")))
          .withColumn("hs", F.expr(
@@ -435,7 +445,7 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id",
     carries one ``bits``-column row per doc — no bit-explosion relation.
     """
     assert bits <= 60, "packed sketch must fit a positive BIGINT"
-    d = _doc(df, id_col, text_col)
+    d = _doc_spread(df, id_col, text_col)
     toks = TOKS_SPARK.format(s="text")
     # bits ≤ 32 → 32-bit md5 token hash (historical/oracle default);
     # wider sketches draw from the 60-bit md5 template — still
@@ -699,10 +709,14 @@ def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
         # label-table checkpoint and the first propagation round
         return und.select(F.col("a").alias("doc_id"),
                           F.col("b").alias("canonical_id"))
-    labels = (und.select(F.col("a").alias("id"))
-              .distinct()
-              .withColumn("lbl", F.col("id"))).localCheckpoint()
-    for _ in range(max_iterations):
+    # round 1 fused into init (r14): with labels == ids the first
+    # propagation is min(id, min neighbor id) per node — one aggregation
+    # over the checkpointed edges, no labels join, no separate
+    # label-table checkpoint job
+    labels = (und.groupBy(F.col("a").alias("id"))
+              .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
+              ).localCheckpoint()
+    for _ in range(max_iterations - 1):
         neigh = (und.join(labels.withColumnRenamed("id", "b")
                           .withColumnRenamed("lbl", "nl"), "b")
                  .groupBy("a").agg(F.min("nl").alias("nl"))
@@ -1398,7 +1412,7 @@ def cdc_chunks(df: DataFrame, *, id_col: str = "doc_id",
     if window < 1 or divisor < 1:
         raise ValueError(f"window/divisor must be >= 1, "
                          f"got {window}/{divisor}")
-    d = (_doc(df, id_col, text_col)
+    d = (_doc_spread(df, id_col, text_col)
          .withColumn("_t", F.expr(TOKS_SPARK.format(s="text")))
          .filter(F.expr("size(_t) >= 1")))
     gram = f"concat_ws(' ', slice(_t, i - {window} + 1, {window}))"

@@ -69,7 +69,11 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     toks = TOKS_SPARK.format(s="lower(text)")
     t = d.select("doc_id", F.explode(F.expr(toks)).alias("w"))
     tf = t.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl = Σ tf per doc (identical integers to counting raw tokens):
+    # derives from the (doc, term)-aggregated relation so the raw token
+    # explode is shuffled ONCE, not twice (r14, guide §2.3 — the old
+    # plan re-exploded every token a second time just to count it)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.sum("dl").alias("sum_dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
@@ -82,9 +86,7 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
                  .filter(F.col("df")
                          <= F.lit(float(max_df_frac)) * F.col("n_docs"))
                  .select("w", "df"))
-    post = (tf.join(dfreq, "w")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats)))
+
     ratio = ("(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / "
              "(CAST(df AS DOUBLE) + 0.5)")
     idf_expr = ratio if idf == "rational" else f"ln(1.0 + ({ratio}))"
@@ -98,7 +100,15 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
           .select("qid", F.explode(F.expr(
               TOKS_SPARK.format(s="lower(qtext)"))).alias("w"))
           .distinct())
-    hits = (qt.join(post, "w")
+    # r14 join reorder (guide §2.3): restrict the posting list to the
+    # query's terms FIRST — inner equi-joins commute, so the surviving
+    # rows and their scores are identical, but dfreq/dl/stats now
+    # attach to candidate rows only instead of the whole (doc, term)
+    # relation
+    hits = (tf.join(F.broadcast(qt), "w")
+            .join(dfreq, "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
             .select("qid", "doc_id", "w", F.expr(score).alias("s")))
     per_doc = (hits.groupBy("qid", "doc_id")
                .agg(F.array_sort(F.collect_list(F.struct("w", "s")))

@@ -62,3 +62,30 @@ def count_exchanges(df: DataFrame) -> tuple[int, int]:
         .fromString("formatted"))
     return (len(re.findall(r"[+:]- Exchange \(", plan)),
             len(re.findall(r"BroadcastExchange", plan)))
+
+
+def spread_narrow(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition a NARROW input up to the session's default
+    parallelism when the source has fewer than half that many
+    partitions (r14, guide §2.5: "one huge unsplittable file →
+    repartition immediately after the read").
+
+    At scale an input table already carries >= parallelism splits and
+    this is a NO-OP — the exchange only fires exactly when the source
+    is too small to occupy the cores (a one-file table, a single
+    cached partition), which is also when it is cheapest. Heavy
+    per-row operators (winnowing, sketching, n-gram folds) are
+    otherwise serialized onto one task regardless of cluster size.
+    Hash partitioning on the row key keeps the row→partition map
+    deterministic under task retries (the SPARK-38388 class of bugs —
+    round-robin would also pay a sort-before-repartition pass)."""
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * n <= target:
+        return df.repartition(target, F.col(key_col))
+    return df
