@@ -108,8 +108,13 @@ def knn(dataset: DataFrame,
 def _knn_expr(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
               qvec_col, allow_pairs, p=2.0,
               broadcast_queries=True) -> DataFrame:
-    d = dataset.select(F.col(id_col).cast("long").alias("nid"),
-                       F.col(vec_col).alias("_dv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    # r14: the n×m distance fold is the whole cost of exact brute force
+    # — spread a narrow dataset side over the cores (no-op when the
+    # scan already has enough splits; guide §2.5)
+    d = spread_narrow(
+        dataset.select(F.col(id_col).cast("long").alias("nid"),
+                       F.col(vec_col).alias("_dv")), "nid")
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
     # Query side is the small side by contract (n_queries << n_rows):

@@ -134,8 +134,12 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
     # applied BEFORE any distance math, shared by all three methods —
     # Catalyst pushes id-predicates into the (partition-pruned) scan
     lists = index.lists if prefilter is None else index.lists.filter(prefilter)
-    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    # r14: the coarse literal fold is per-QUERY heavy compute — spread a
+    # narrow query batch over the cores (no-op when already split)
+    q = spread_narrow(
+        queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv")), "qid")
     # coarse: top-n_probes lists per query (always by the *coarse* metric
     # of the quantizer — sqeuclidean — matching ivf_flat_search.cuh).
     # r14: map-only literal slice of the best-first sorted centroid fold

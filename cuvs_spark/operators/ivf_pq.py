@@ -416,8 +416,10 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     # boolean Column over the codes table, applied before scoring
     codes_t = (index.codes if prefilter is None
                else index.codes.filter(prefilter))
-    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    q = spread_narrow(
+        queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv")), "qid")
     if metric == "cosine":
         from cuvs_spark.functions.vector import l2_normalize
         q = q.withColumn("_qv", l2_normalize("_qv"))
@@ -917,8 +919,10 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
     from cuvs_spark.functions.distance import is_min_close
     minimize = is_min_close(index.metric)
     spark = queries.sparkSession
-    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    q = spread_narrow(
+        queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv")), "qid")
     # r14: map-only literal coarse stage; the probed list's centroid
     # rides along so the expr fine stage below decodes without a
     # centroid join
@@ -1081,8 +1085,10 @@ def ivf_bq_search(index: IVFBQIndex, queries: DataFrame, k: int = 10,
     from cuvs_spark.preprocessing.quantize import binary_quantize
 
     spark = queries.sparkSession
-    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    q = spread_narrow(
+        queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv")), "qid")
     cs = coarse_sorted_sql("_qv", index.centroids)
     probes = (q.select(
         "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))

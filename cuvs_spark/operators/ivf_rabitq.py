@@ -231,8 +231,10 @@ def ivf_rabitq_search(index: IVFRabitQIndex, queries: DataFrame,
     vectors), as the reference pairs RaBitQ with refinement."""
     spark = queries.sparkSession
     B = index.bits_per_dim
-    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    q = spread_narrow(
+        queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv")), "qid")
     # r14: map-only literal coarse stage; the probed center rides
     # along so qres/qn2 need no centroid join
     cs = coarse_sorted_sql("_qv", index.centroids)

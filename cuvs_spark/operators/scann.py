@@ -287,8 +287,10 @@ def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
     reorder tier's candidate pairs with the vectorized row-wise kernel
     (``score_pairs``) instead of the oracle-exact fold expression."""
     spark = queries.sparkSession
-    q = queries.select(F.col(qid_col).cast("long").alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
+    from cuvs_spark.plans.layout import spread_narrow
+    q = spread_narrow(
+        queries.select(F.col(qid_col).cast("long").alias("qid"),
+                       F.col(qvec_col).alias("_qv")), "qid")
     probes = _probes(index, q, n_probes)
     if method == "reorder":
         cand = (index.assignments.join(F.broadcast(probes), "list_id")

@@ -104,16 +104,19 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     # the surviving corpus to executor disk per stage with columnar
     # re-scans, and the checkpointed state that must survive is bytes
     # per doc instead of the doc itself.
+    # r14: lazy checkpoints — the stage-boundary id sets still
+    # materialize exactly once (first consumer), but the separate
+    # blocking checkpoint job disappears (~5% off the composition)
     ids1 = (d.select("doc_id")
             .join(bad_ql.select("doc_id"), "doc_id", "left_anti")
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     survivors = d.join(ids1, "doc_id", "left_semi")
     marks = [bad_ql]
     groups = exact_dedup(survivors)
     canon = groups.select(F.col("canonical_id").alias("doc_id"))
     bad_e = (ids1.join(canon, "doc_id", "left_anti")
              .select("doc_id", F.lit("exact_dup").alias("stage")))
-    ids2 = ids1.join(canon, "doc_id", "left_semi").localCheckpoint()
+    ids2 = ids1.join(canon, "doc_id", "left_semi").localCheckpoint(eager=False)
     survivors = d.join(ids2, "doc_id", "left_semi")
     marks.append(bad_e)
     pairs = minhash_lsh_pairs(survivors, jaccard_threshold=near_dup_jaccard)
@@ -123,7 +126,7 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     survivors = ids2.join(bad_n.select("doc_id"), "doc_id", "left_anti")
     marks.append(bad_n)
     if min_novelty is not None:
-        ids3 = survivors.localCheckpoint()
+        ids3 = survivors.localCheckpoint(eager=False)
         nov = ngram_novelty(d.join(ids3, "doc_id", "left_semi"),
                             novelty_n)
         bad_v = (nov.filter(F.col("novelty_frac") < min_novelty)
