@@ -488,6 +488,10 @@ def main() -> None:
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            # per-pass sample to stderr: lets drift adjudication tell a
+            # one-pass host stall (min is clean) from a real regression
+            # (every pass slow) without touching the stdout contract
+            print(f"[pass{pass_i}] {name} {dt:.3f}", file=sys.stderr)
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 3)
         canary[f"pass{pass_i}_last"] = run_canary()
@@ -501,6 +505,7 @@ def main() -> None:
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            print(f"[pass2] {name} {dt:.3f}", file=sys.stderr)
             if dt < timings[name]:
                 timings[name] = round(dt, 3)
     canary["final"] = run_canary()

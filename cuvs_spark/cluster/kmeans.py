@@ -104,8 +104,16 @@ def coarse_sorted_sql(vec_sql: str, centroids, *,
 
 def assign(df: DataFrame, centroids, *, id_col: str = "id",
            vec_col: str = "vec", metric: str = "sqeuclidean",
-           dist_col: str | None = None, method: str = "expr") -> DataFrame:
+           dist_col: str | None = None, method: str = "expr",
+           passthrough: bool = False) -> DataFrame:
     """Nearest-centroid assignment: ``(id, label[, distance])``.
+
+    ``passthrough=True`` keeps the vector in the output as ``_v``
+    (r14, guide §2.4): consumers that need both the label and the
+    vector — the balanced-rebalance scorer — avoid a full shuffle
+    join back on id. Supported on the driver-side-centroid paths
+    (blas kernel and literal fold), which is every caller that wants
+    it; labels and distances are bit-identical to the plain call.
 
     ``method="expr"``: broadcast join + min-struct partial aggregation
     (see module doc); ties break to the lowest label, matching the
@@ -138,11 +146,15 @@ def assign(df: DataFrame, centroids, *, id_col: str = "id",
                 if dist_col is not None:
                     xn = (X * X).sum(1)
                     out[dist_col] = D[np.arange(len(lab)), lab] + xn
+                if passthrough:
+                    out["_v"] = pdf["_v"].to_numpy()
                 yield out
 
         d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
         schema = "id long, label int" + (
             f", {dist_col} double" if dist_col is not None else "")
+        if passthrough:
+            schema += ", _v " + d.schema["_v"].dataType.simpleString()
         return d.mapInPandas(argmin, schema=schema)
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     if not isinstance(centroids, DataFrame):
@@ -151,11 +163,12 @@ def assign(df: DataFrame, centroids, *, id_col: str = "id",
         # of the best-first sorted struct array IS min(struct(d, l)).
         best = F.expr(
             f"element_at({coarse_sorted_sql('_v', centroids, metric=metric)}, 1)")
+        keep = (["_v"] if passthrough else [])
         out = d.withColumn("_b", best).select(
             "id", F.col("_b.l").alias("label"),
-            F.col("_b.d").alias("distance"))
+            F.col("_b.d").alias("distance"), *keep)
         if dist_col is None:
-            return out.select("id", "label")
+            return out.drop("distance")
         return out.withColumnRenamed("distance", dist_col)
     c = _centroid_df(spark, centroids)
     dist = F.expr(distance_sql_spark(metric, "_v", "centroid"))
@@ -355,18 +368,27 @@ def _rebalance(df: DataFrame, centroids: np.ndarray, *, id_col: str,
     driver state is k centers."""
     k = len(centroids)
     out = np.asarray(centroids, float).copy()
-    spark = df.sparkSession
     d = df.select(F.col(id_col).cast("long").alias("id"),
                   F.col(vec_col).alias("_v"))
     for _ in range(rounds):
+        # r14 (guide §2.4): labels + vectors in ONE map pass
+        # (passthrough assign — no shuffle join back on id), the scoring
+        # centroid fetched from a double literal by label (no broadcast
+        # join), and the scored relation persisted so the med / halves
+        # branches of the single collect don't run the assignment twice.
+        # Same labels, same _d doubles, same split as the joined form.
         lab = assign(d, out, id_col="id", vec_col="_v", metric=metric,
-                     method="blas" if metric == "sqeuclidean" else "expr")
-        cent = spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(out)],
-            "label int, _c array<double>")
+                     method="blas" if metric == "sqeuclidean" else "expr",
+                     passthrough=True)
+        clit = "array(" + ", ".join(
+            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                 for x in c) + ")"
+            for c in out) + ")"
         dist = F.expr(distance_sql_spark("sqeuclidean", "_v", "_c"))
-        scored = (d.join(lab, "id").join(F.broadcast(cent), "label")
-                  .select("id", "label", "_v", dist.alias("_d")))
+        scored = (lab.withColumn("_c", F.expr(f"element_at({clit}, "
+                                              f"label + 1)"))
+                  .select("id", "label", "_v", dist.alias("_d"))
+                  .persist())
         med = (scored.groupBy("label")
                .agg(F.expr("percentile_approx(_d, 0.5)").alias("_m")))
         halves = (scored.join(F.broadcast(med), "label")
@@ -376,6 +398,7 @@ def _rebalance(df: DataFrame, centroids: np.ndarray, *, id_col: str,
                   .groupBy("label", "_far", "_dim")
                   .agg(F.avg("_x").alias("_mean"), F.count("*").alias("_n")))
         rows = halves.collect()
+        scored.unpersist()
         sizes: dict[int, int] = {}
         means: dict[tuple, list] = {}
         for r in rows:
