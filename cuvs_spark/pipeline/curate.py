@@ -19,8 +19,8 @@ from cuvs_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from cuvs_spark.pipeline.text import (gopher_quality, language_id,
-                                      ngram_novelty, quality_score,
+from cuvs_spark.pipeline.text import (gopher_quality, ngram_novelty,
+                                      quality_lang, quality_score,
                                       repetition_stats)
 
 
@@ -64,15 +64,18 @@ def curate_corpus(df: DataFrame, *, id_col: str = "doc_id",
     # pushdown per consumer).
     d = df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.col(text_col).alias("text"))
-    q = quality_score(d).select("doc_id", "n_tokens", "punct_ratio")
     bad_quality = ((F.col("n_tokens") < min_tokens)
                    | (F.col("punct_ratio") > max_punct_ratio))
-    marked = q
     stage_case = F.when(bad_quality, "quality")
     if langs is not None:
-        lid = language_id(d).select("doc_id", "pred_lang")
-        marked = marked.join(lid, "doc_id")
+        # r14 (guide §2.4): quality + language are both row-wise —
+        # ONE fused projection (identical expressions, so identical
+        # values) instead of two corpus passes joined on doc_id
+        marked = quality_lang(d)
         stage_case = stage_case.when(~F.col("pred_lang").isin(*langs), "lang")
+    else:
+        marked = quality_score(d).select("doc_id", "n_tokens",
+                                         "punct_ratio")
     rep_thresholds = [
         ("dup_word_frac", max_dup_word_frac),
         ("top_bigram_frac", max_top_bigram_frac),

@@ -13,7 +13,7 @@ langid argmax (shuffle on doc_id only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cuvs_spark.pipeline.dedup import H64_DUCK, H64_SPARK, TOKS_DUCK, TOKS_SPARK
@@ -45,6 +45,26 @@ def _doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Language ID
 # ---------------------------------------------------------------------------
 
+def _with_lang_hits(d: DataFrame) -> tuple[DataFrame, list[str]]:
+    # hit counts staged as columns (HOF lambdas are excluded from
+    # subexpression elimination — inlined, each would re-filter per
+    # consumer in the greatest + CASE chain below)
+    langs = sorted(STOPWORDS)          # alphabetical = tie-break order
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        d = d.withColumn(f"_h_{lang}", F.expr(
+            f"size(filter(_tl, t -> array_contains(array({words}), t)))"))
+    return d, langs
+
+
+def _lang_pred(langs: list[str]) -> tuple[Column, Column]:
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
+    pred = F.when(best <= 0, "und")
+    for lang in langs:
+        pred = pred.when(F.col(f"_h_{lang}") == best, lang)
+    return pred, best
+
+
 def language_id(df: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Predict language by stopword hits → ``(doc_id, pred_lang, hits)``.
@@ -58,17 +78,33 @@ def language_id(df: DataFrame, *, id_col: str = "doc_id",
     so the gate cross-checks two different constructions.)"""
     d = _doc(df, id_col, text_col).withColumn(
         "_tl", F.expr(TOKS_SPARK.format(s="lower(text)")))
-    langs = sorted(STOPWORDS)          # alphabetical = tie-break order
-    for lang in langs:
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        d = d.withColumn(f"_h_{lang}", F.expr(
-            f"size(filter(_tl, t -> array_contains(array({words}), t)))"))
-    best = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
-    pred = F.when(best <= 0, "und")
-    for lang in langs:
-        pred = pred.when(F.col(f"_h_{lang}") == best, lang)
+    d, langs = _with_lang_hits(d)
+    pred, best = _lang_pred(langs)
     return d.select("doc_id", pred.alias("pred_lang"),
                     F.greatest(best, F.lit(0)).cast("long").alias("hits"))
+
+
+def quality_lang(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_tokens, punct_ratio, pred_lang)`` in ONE map-only
+    projection — the fused marking input of :func:`curate_corpus`
+    (r14, guide §2.4: two row-wise operators joined on doc_id collapse
+    to one pass over the corpus — no second tokenize, no join, no
+    exchange). Each column is the identical expression
+    :func:`quality_score` / :func:`language_id` emit, so composed
+    values are bit-equal to the joined form."""
+    d = (_doc(df, id_col, text_col)
+         .withColumn("_t", F.expr(TOKS_SPARK.format(s="text")))
+         .withColumn("_tl", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    d, langs = _with_lang_hits(d)
+    pred, _ = _lang_pred(langs)
+    punct = "length(regexp_replace(text, '[^.,!?;:]', ''))"
+    return d.select(
+        "doc_id",
+        F.expr("CAST(size(_t) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST({punct} AS DOUBLE) / length(text)")
+         .alias("punct_ratio"),
+        pred.alias("pred_lang"))
 
 
 def language_id_sql(doc_sql: str) -> str:
