@@ -263,6 +263,28 @@ def distance_sql_duckdb(metric: str, a: str, b: str, p: float = 2.0) -> str:
 _register(_m("bitwise_hamming", {"s": "0"}, "__BITWISE__"))
 
 
+def cosine_norm_sql_spark(a: str) -> str:
+    """``sqrt(Σ x·x)`` over ONE array column — the per-side factor of
+    the cosine template, hoisted so an n×m pair relation folds each
+    vector's norm once (in a projection on its own side) instead of
+    once per pair. The fold is the cosine template's ``na`` fold
+    verbatim, zipped with itself: with equal-length inputs every term
+    is identical, and with ragged inputs the pair's ``dot`` fold is
+    NULL either way, so the final distance agrees bit-for-bit in all
+    cases (r14, guide §1.2 step 2: per-task work on the n×m hot loop)."""
+    return "sqrt(" + _spark_fold(a, a, "{x} * {x}") + ")"
+
+
+def cosine_pair_sql_spark(a: str, b: str, sqa: str, sqb: str) -> str:
+    """The cosine template's final formula with the two norm factors
+    read from pre-projected columns ``sqa``/``sqb`` (each produced by
+    :func:`cosine_norm_sql_spark`) instead of re-folded per pair.
+    Bit-identical to ``distance_sql_spark('cosine', a, b)``: the same
+    ``dot`` fold, divided by the product of the same two sqrt values."""
+    dot = _spark_fold(a, b, "{x} * {y}")
+    return f"CAST(1 AS DOUBLE) - ({dot} / ({sqa} * {sqb}))"
+
+
 def distance_col(metric: str, a, b, p: float = 2.0) -> Column:
     """Distance between two array<float> Columns as a Spark Column."""
     a_sql = a if isinstance(a, str) else a._jc.toString()

@@ -122,12 +122,27 @@ def _knn_expr(dataset, queries, k, metric, *, id_col, vec_col, qid_col,
     # broadcast_queries=False (huge query sets) the same logical plan
     # runs as a partition-pair cartesian instead — memory-bounded,
     # no driver collect, inherent n×m compute.
+    # r14 (guide §1.2 step 2): cosine's two norm folds are per-vector,
+    # not per-pair — hoist them into one projection per side so the
+    # n×m hot loop folds once (dot) instead of three times. Values are
+    # bit-identical (same folds, evaluated earlier; see
+    # cosine_norm_sql_spark).
+    from cuvs_spark.functions.distance import METRICS
+    factored_cos = METRICS[metric].name == "cosine"
+    if factored_cos:
+        from cuvs_spark.functions.distance import (cosine_norm_sql_spark,
+                                                   cosine_pair_sql_spark)
+        d = d.withColumn("_dn", F.expr(cosine_norm_sql_spark("_dv")))
+        q = q.withColumn("_qn", F.expr(cosine_norm_sql_spark("_qv")))
     joined = d.join(F.broadcast(q)) if broadcast_queries else d.crossJoin(q)
     if allow_pairs is not None:
         ap = allow_pairs.select(F.col("qid").cast("long").alias("qid"),
                                 F.col("id").cast("long").alias("nid"))
         joined = joined.join(ap, ["qid", "nid"], "left_semi")
-    dist = F.expr(distance_sql_spark(metric, "_qv", "_dv", p))
+    if factored_cos:
+        dist = F.expr(cosine_pair_sql_spark("_qv", "_dv", "_qn", "_dn"))
+    else:
+        dist = F.expr(distance_sql_spark(metric, "_qv", "_dv", p))
     pairs = joined.select("qid", "nid", dist.alias("distance"))
     return select_k(pairs, "qid", "distance", k,
                     select_min=is_min_close(metric), tie_cols=["nid"])

@@ -71,9 +71,13 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
 
         from cuvs_spark.operators.brute_force import _pairwise_np
 
-        # multi-assignment as one GEMM map pass: emits exactly
-        # n * overlap_factor skinny (id, cl) rows — no n*n_clusters
-        # relation, no window shuffle of vector payloads
+        # multi-assignment as one GEMM map pass that carries the vector
+        # through — no n*n_clusters relation, no window shuffle, and
+        # (r14, guide §8 "move heavy bytes once") no join back on id:
+        # the old skinny-assign + join re-shuffled the corpus by id
+        # just to re-attach a vector this pass already holds, so the
+        # payload crossed the network twice (join, then the cl
+        # repartition below) instead of once
         C = np.asarray(centroids, np.float64)
         cn = (C * C).sum(1)[None, :]
         o = overlap_factor
@@ -85,12 +89,14 @@ def all_neighbors_build(dataset: DataFrame, k: int = 10, *,
                 X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
                 D = cn - 2.0 * (X @ C.T)
                 part = np.argpartition(D, o - 1, axis=1)[:, :o]
+                idx = np.repeat(np.arange(len(pdf)), o)
                 yield pd.DataFrame({
-                    "id": np.repeat(pdf["id"].to_numpy(np.int64), o),
-                    "cl": part.astype(np.int64).ravel()})
+                    "id": pdf["id"].to_numpy(np.int64)[idx],
+                    "cl": part.astype(np.int64).ravel(),
+                    "vec": pdf["vec"].to_numpy()[idx]})
 
-        asg = (d.mapInPandas(assign_topo, "id long, cl long")
-               .join(d, "id"))
+        asg = d.mapInPandas(assign_topo,
+                            "id long, cl long, vec array<float>")
     else:
         # r14: multi-assignment as a map-only literal slice — same
         # rows/ties as the old broadcast-join + window (guide §2.4)

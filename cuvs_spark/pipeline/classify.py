@@ -104,9 +104,15 @@ def classifier_score(df: DataFrame, weights: DataFrame, *,
     ``label = 1`` iff ``score_fp > 0``. Overflow headroom: |weight| ≤
     ~2^31 fixed-point leaves 2^32 features per doc before int64 wraps.
     """
-    d = (df.select(F.col(id_col).cast("long").alias("doc_id"),
-                   F.col(text_col).alias("text"))
-         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    from cuvs_spark.plans.layout import spread_narrow
+
+    # r14 (guide §2.5): the tokenize + 2·hash-per-token feature fold is
+    # the entry's whole cost — spread a narrow source over the cores
+    # (no-op whenever the scan already has >= parallelism/2 splits)
+    d = spread_narrow(
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text")), "doc_id") \
+        .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)")))
     feats = d.select("doc_id", F.explode_outer(
         F.expr(_features_spark(n_buckets))).alias("bucket"))
     scored = (feats.join(F.broadcast(weights), "bucket", "left")
@@ -163,10 +169,15 @@ def dsir_importance(df: DataFrame, target_filter: str, *,
     above a chosen quantile are the DSIR keep-set; thresholding
     composes with :func:`cuvs_spark.pipeline.sampling.deterministic_sample`
     for the stochastic variant."""
-    d = (df.select(F.col(id_col).cast("long").alias("doc_id"),
-                   F.col(text_col).alias("text"),
-                   F.expr(target_filter).alias("_tgt"))
-         .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)"))))
+    from cuvs_spark.plans.layout import spread_narrow
+
+    # r14 (guide §2.5): spread a narrow source so tokenize + per-token
+    # hashing runs on every core (no-op for any real table at scale)
+    d = spread_narrow(
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"),
+                  F.expr(target_filter).alias("_tgt")), "doc_id") \
+        .withColumn("_t", F.expr(TOKS_SPARK.format(s="lower(text)")))
     toks = d.select(
         "doc_id", "_tgt",
         F.explode(F.expr(
@@ -384,10 +395,17 @@ def chi2_terms(df: DataFrame, label_expr: str, top_n: int = 50, *,
     map-side-combined groupBy(term) with the two label counts as
     conditional sums, a broadcast one-row totals join, and a
     TakeOrderedAndProject top-n; nothing quadratic, no driver state."""
-    d = df.select(F.col(id_col).cast("long").alias("_doc"),
+    from cuvs_spark.plans.layout import spread_narrow
+
+    # r14 (guide §2.5): spread a narrow source so the tokenize +
+    # explode feeding the (term, doc) distinct runs on every core
+    d = spread_narrow(
+        df.select(F.col(id_col).cast("long").alias("_doc"),
                   F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
                   .alias("_y"),
-                  F.expr(TOKS_SPARK.format(s=text_col)).alias("_t"))
+                  F.col(text_col).alias("_x")),
+        "_doc").select(
+        "_doc", "_y", F.expr(TOKS_SPARK.format(s="_x")).alias("_t"))
     totals = d.agg(
         F.sum("_y").cast("long").alias("_np"),
         F.sum(F.expr("1 - _y")).cast("long").alias("_nn"))

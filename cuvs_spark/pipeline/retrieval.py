@@ -295,6 +295,15 @@ def maxsim_search(doc_tokens: DataFrame, query_tokens: DataFrame,
     q = query_tokens.select(F.col(qdoc_col).cast("long").alias("qid"),
                             F.col(qtok_col).cast("long").alias("qtok"),
                             F.col(qvec_col).alias("qv"))
+    # r14 (guide §1.2 step 2): hoist cosine's per-vector norm folds
+    # into one projection per token side — the |candidates|·q_toks·
+    # d_toks pair loop then folds once (dot) per pair instead of three
+    # times. Bit-identical (see distance.cosine_norm_sql_spark).
+    if metric == "cosine":
+        from cuvs_spark.functions.distance import (cosine_norm_sql_spark,
+                                                   cosine_pair_sql_spark)
+        d = d.withColumn("_dn", F.expr(cosine_norm_sql_spark("dv")))
+        q = q.withColumn("_qn", F.expr(cosine_norm_sql_spark("qv")))
     if candidates is not None:
         cand = candidates.select(F.col("qid").cast("long").alias("qid"),
                                  F.col("doc_id").cast("long")
@@ -302,7 +311,10 @@ def maxsim_search(doc_tokens: DataFrame, query_tokens: DataFrame,
         pairs = q.join(cand, "qid").join(d, "doc_id")
     else:
         pairs = q.crossJoin(d)
-    dist = F.expr(distance_sql_spark(metric, "qv", "dv"))
+    if metric == "cosine":
+        dist = F.expr(cosine_pair_sql_spark("qv", "dv", "_qn", "_dn"))
+    else:
+        dist = F.expr(distance_sql_spark(metric, "qv", "dv"))
     if metric == "cosine":
         best = F.min(dist)
         contrib = F.lit(1.0) - F.col("_best")

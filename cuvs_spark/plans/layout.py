@@ -78,14 +78,27 @@ def spread_narrow(df: DataFrame, key_col: str) -> DataFrame:
     otherwise serialized onto one task regardless of cluster size.
     Hash partitioning on the row key keeps the row→partition map
     deterministic under task retries (the SPARK-38388 class of bugs —
-    round-robin would also pay a sort-before-repartition pass)."""
+    round-robin would also pay a sort-before-repartition pass).
+
+    Inputs whose plan already carries a shuffle Exchange are returned
+    untouched WITHOUT inspecting partition counts: their data is
+    already redistributed to ``spark.sql.shuffle.partitions``, and —
+    the sharp edge — ``df.rdd.getNumPartitions()`` under AQE
+    materializes every upstream query stage to settle the final plan,
+    i.e. it would EXECUTE the upstream aggregation/join once just to
+    count partitions (measured: one full extra run of the pooled
+    groupBy per maxsim candidate build). The rdd probe is only taken
+    on exchange-free (pure scan + narrow) plans, where it is plain
+    planning with no job."""
     from pyspark.sql import functions as F
 
-    target = df.sparkSession.sparkContext.defaultParallelism
     try:
+        if plan_has_exchange(df):
+            return df
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
+    target = df.sparkSession.sparkContext.defaultParallelism
     if 2 * n <= target:
         return df.repartition(target, F.col(key_col))
     return df
