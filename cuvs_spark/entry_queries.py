@@ -4828,87 +4828,109 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-14 WINDOW — 1 novel + 0 re-gates + 2 canaries + 47
-    # staleness rows (the eleven r13-displaced r08 rows at the HEAD,
-    # then 36 of the 42 r09-latest rows) = 50 exactly.  SIX
-    # displacements from the r09 tranche to the r15 tier head, each by
-    # the standing rule (lowest-risk rows: template twins of in-window
-    # gates), enumerated in CLAUDE.md: gram_linear / gram_rbf /
-    # gram_tanh (kernel-fold template twins of the in-window permanent
-    # canary gram_polynomial; gram_linear's dot fold is additionally
-    # in-window via this round's inner_product novel) and
-    # knn_bf_jensenshannon / knn_bf_kl_divergence / knn_minkowski_p3
-    # (knn_sql template twins of the TEN in-window knn_bf_* head
-    # rows).  No re-gates: this round's diff touches only
-    # tools/bench_drift.py (ADVICE r13 — no gate runs through it),
-    # tests, and the new gate below; no existing gate implementation
-    # or oracle twin changed (verified by diff at build time).
+    # ROUND-14 WINDOW (REBUILT at the optimization round, per the
+    # standing tier rules: re-gates outrank staleness) — 1 novel + 45
+    # RE-GATES + 2 canaries + 2 staleness rows = 50 exactly.  The
+    # optimization diff structurally rewrote the expression pipelines
+    # of most ANN search paths (fixed-centroid argmin/top-probe stages
+    # → map-only literal folds), the cosine distance factorization
+    # (per-side norm hoisting), the connected-components round
+    # structure, the curate marking fusion, the bm25 join order, and
+    # the classify/dsir/chi2 staging — every gate whose VALUES flow
+    # through a rewritten expression tree is re-gated here (tier 3),
+    # even though all were re-verified bit-exact locally.  The build
+    # round's planned 47-row staleness tranche is displaced to r15
+    # wholesale (see CLAUDE.md for the r15 arithmetic); 14 of its rows
+    # re-enter this window anyway as re-gates.  Pushed-out lowest-risk
+    # re-gate twins, per the >50 escape rule: kmeans_lloyd_step (thin
+    # wrapper over the same _update_means expr path that
+    # kmeans_predict / kmeans_cluster_cost and the kmeans_fit_centroids
+    # canary exercise in-window), ivf_pq_save_load_search /
+    # ivf_sq_save_load_search (the save/load layer is UNCHANGED this
+    # round; their search paths are the in-window ivf_pq_search /
+    # ivf_sq_search code), sample_dsir_topk / sample_dsir_threshold
+    # (thin compositions of the in-window text_dsir_importance).
+    # Spread-only changes (hash-repartition placement, no expression
+    # change: text._doc, dedup._doc_spread, knn dataset side) are NOT
+    # treated as value-relevant re-gates.
     #
     # Tier 2 — round-14 novel gate: composite_search_ip, the
     # composite::index serving composition end to end — two IVF-flat
     # sub-indexes over disjoint id halves, both inner_product (one
     # registered via its `dot` ALIAS, driver-gating the r12
     # canonical-name homogeneity assert's alias path), merged through
-    # knn_merge_parts max-close vs the union+DESC-merge twin.  The
-    # r13 tiered_search_ip gate proved the ann+delta max-close merge;
-    # this gates the multi-sub-index fan-out, the one serving
-    # composition that had only unit tests.
+    # knn_merge_parts max-close vs the union+DESC-merge twin.  Doubly
+    # load-bearing now: its sub-index searches run the r14 literal
+    # coarse-probe folds.
     "composite_search_ip",
     # Tier 4 — canaries: red/err in r3, fixed in r4/5, permanent watch.
+    # (kmeans_fit_centroids is ALSO a re-gate this round: the expr
+    # assign/update path it pins now runs the literal argmin fold.)
     "gram_polynomial",
     "kmeans_fit_centroids",
-    # Tier 5 — staleness. HEAD: the eleven r08 rows displaced in r13
-    # (now the oldest rows in the union; CLAUDE.md pins that they must
-    # not be displaced again):
-    "knn_bf_braycurtis",
-    "knn_bf_canberra",
-    "knn_bf_chebyshev",
-    "knn_bf_cityblock",
-    "knn_bf_correlation",
-    "knn_bf_dice",
-    "knn_bf_hamming",
-    "knn_bf_hellinger",
-    "knn_bf_jaccard",
-    "knn_bf_russellrao",
-    "pairwise_sqeuclidean",
-    # ...then the r09 tranche in enumerated (sorted) order, minus the
-    # six displacements listed above (36 rows):
-    "cagra_merge",
-    "cagra_optimize",
-    "dedup_ngram_jaccard_lsh",
-    "dedup_simhash_near_dup",
-    "events_sessionize",
-    "events_windowed_counts",
-    "ivf_bq_search",
+    # Tier 3 — re-gates.  IVF coarse-probe/assign literal-fold family
+    # (every search below runs the rewritten probe/assign stages; the
+    # trained/extend/broadcast/prefilter variants cover the build,
+    # extend and filter compositions of the same rewrite):
     "ivf_flat_search",
     "ivf_flat_search_blas",
+    "ivf_flat_search_trained",
+    "ivf_flat_extend_search",
+    "ivf_flat_search_broadcast",
+    "ivf_flat_search_prefilter",
+    "ivf_pq_search",
+    "ivf_pq_search_residual",
+    "ivf_pq_search_cosine",
     "ivf_pq_search_refined",
+    "ivf_pq_extend_search",
+    "ivf_pq_transform_codes",
+    "ivf_sq_search",
+    "ivf_sq_search_ip",
+    "ivf_sq_extend_search",
+    "ivf_bq_search",
     "ivf_rabitq_search",
     "ivf_rabitq_search_blas",
-    "kde_cosine_kernel",
-    "kde_exponential",
-    "kde_linear",
-    "kde_tophat",
-    "knn_bitwise_hamming",
-    "knn_custom_udf_metric",
-    "pairwise_haversine",
-    "pipeline_curate_stats",
-    "preprocess_binary_quantize",
-    "preprocess_pq_roundtrip",
-    "preprocess_scalar_roundtrip",
     "scann_search_pq",
     "scann_search_reorder",
     "scann_search_reorder_blas",
     "scann_soar_labels",
-    "sparse_knn",
-    "sparse_pairwise_inner_product",
-    "stats_mrr_lsh",
-    "stats_recall_ivf_vs_exact",
-    "stats_silhouette_samples",
-    "stats_silhouette_score",
-    "stats_trustworthiness",
     "tiered_search",
-    "vamana_build",
+    "tiered_search_ip",
+    "tiered_compaction_search",
+    # kmeans literal-argmin assign path (predict/cost read it directly):
+    "kmeans_predict",
+    "kmeans_cluster_cost",
+    # graph family: multi-assign rewrite + ACE partition assign:
+    "all_neighbors_graph",
+    "cagra_ace_graph",
+    # cosine per-side norm factorization (change 8):
+    "knn_bf_cosine",
+    "text_maxsim_topk",
+    "dedup_embedding_cosine",
+    # bm25 join reorder + dl derivation + query-vocab semi-restrict
+    # (hybrid/borda compose the same bm25 ranking):
+    "text_bm25_topk",
+    "text_hybrid_rrf",
+    "text_rank_fusion_borda",
+    # connected-components one-join rounds + fused round 1, and the
+    # curate quality+language marking fusion (every curate variant
+    # composes both):
+    "dedup_connected_components",
+    "pipeline_curate_corpus",
+    "pipeline_curate_stats",
+    "pipeline_curate_novelty",
+    "pipeline_curate_gopher",
+    "pipeline_curate_gopher_rules",
+    "pipeline_curate_semantic",
+    # classify restaging (spread + tokenize staging order):
+    "text_classifier_score",
+    "text_chi2_terms",
+    "text_dsir_importance",
+    # Tier 5 — staleness: the two OLDEST union rows not already
+    # in-window (r08 heads, sorted order); the rest of the r08/r09
+    # tranche heads the r15 tier per CLAUDE.md.
+    "knn_bf_braycurtis",
+    "knn_bf_canberra",
 ]
 
 

@@ -64,8 +64,14 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     exact, and what the oracle gate uses."""
     if idf not in ("rational", "lucene"):
         raise ValueError(idf)
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.col(text_col).alias("text"))
+    from cuvs_spark.plans.layout import spread_narrow
+
+    # r14 (guide §2.5): spread a narrow doc source so tokenize +
+    # explode + the map-side partial of the tf aggregation run on
+    # every core (no-op for any real table at scale)
+    d = spread_narrow(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("text")), "doc_id")
     toks = TOKS_SPARK.format(s="lower(text)")
     t = d.select("doc_id", F.explode(F.expr(toks)).alias("w"))
     tf = t.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
@@ -105,8 +111,15 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     # rows and their scores are identical, but dfreq/dl/stats now
     # attach to candidate rows only instead of the whole (doc, term)
     # relation
+    # r14 (guide §3.2 shape): only the query's terms survive the hits
+    # join, so semi-restrict the document-frequency table to them
+    # BEFORE its w-shuffle — df counts are aggregated over the full
+    # corpus first (correctness), but the join input shrinks from the
+    # whole vocabulary to the query vocabulary
+    dfreq_q = dfreq.join(F.broadcast(qt.select("w").distinct()), "w",
+                         "left_semi")
     hits = (tf.join(F.broadcast(qt), "w")
-            .join(dfreq, "w")
+            .join(dfreq_q, "w")
             .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
             .select("qid", "doc_id", "w", F.expr(score).alias("s")))
