@@ -4903,10 +4903,12 @@ _WINDOW_PRIORITY = [
     # graph family: multi-assign rewrite + ACE partition assign:
     "all_neighbors_graph",
     "cagra_ace_graph",
-    # cosine per-side norm factorization (change 8):
+    # cosine per-side norm factorization (changes 8/12 — _knn_expr,
+    # maxsim, pairwise_distance):
     "knn_bf_cosine",
     "text_maxsim_topk",
     "dedup_embedding_cosine",
+    "pairwise_cosine",
     # bm25 join reorder + dl derivation + query-vocab semi-restrict
     # (hybrid/borda compose the same bm25 ranking):
     "text_bm25_topk",
@@ -4926,11 +4928,12 @@ _WINDOW_PRIORITY = [
     "text_classifier_score",
     "text_chi2_terms",
     "text_dsir_importance",
-    # Tier 5 — staleness: the two OLDEST union rows not already
-    # in-window (r08 heads, sorted order); the rest of the r08/r09
-    # tranche heads the r15 tier per CLAUDE.md.
+    # Tier 5 — staleness: the OLDEST union row not already in-window
+    # (r08 head, sorted order); the rest of the r08/r09 tranche heads
+    # the r15 tier per CLAUDE.md.  (knn_bf_canberra was the second
+    # staleness slot until the pairwise_distance cosine factorization
+    # made pairwise_cosine a 46th re-gate.)
     "knn_bf_braycurtis",
-    "knn_bf_canberra",
 ]
 
 

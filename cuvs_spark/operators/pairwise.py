@@ -39,10 +39,23 @@ def pairwise_distance(X: DataFrame, Y: DataFrame | None = None,
                       y_id: str = "id", y_vec: str = "vec",
                       minkowski_p: float = 2.0,
                       broadcast_y: bool = True) -> DataFrame:
-    """Full distance matrix in long form ``(i, j, distance)``."""
+    """Full distance matrix in long form ``(i, j, distance)``.
+
+    Cosine hoists its two per-vector norm folds into one projection
+    per side (r14, guide §1.2 step 2) so the m×n pair loop folds once
+    (dot) instead of three times — bit-identical values, see
+    :func:`cuvs_spark.functions.distance.cosine_norm_sql_spark`."""
+    from cuvs_spark.functions.distance import METRICS
     a, b = _sides(X, Y, x_id, x_vec, y_id, y_vec)
+    if METRICS[metric].name == "cosine":
+        from cuvs_spark.functions.distance import (cosine_norm_sql_spark,
+                                                   cosine_pair_sql_spark)
+        a = a.withColumn("_na", F.expr(cosine_norm_sql_spark("_xa")))
+        b = b.withColumn("_nb", F.expr(cosine_norm_sql_spark("_xb")))
+        dist = F.expr(cosine_pair_sql_spark("_xa", "_xb", "_na", "_nb"))
+    else:
+        dist = F.expr(distance_sql_spark(metric, "_xa", "_xb", minkowski_p))
     b = F.broadcast(b) if broadcast_y else b
-    dist = F.expr(distance_sql_spark(metric, "_xa", "_xb", minkowski_p))
     return a.join(b).select("i", "j", dist.alias("distance"))
 
 
