@@ -4829,8 +4829,8 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
     # ROUND-14 WINDOW (REBUILT at the optimization round, per the
-    # standing tier rules: re-gates outrank staleness) — 1 novel + 45
-    # RE-GATES + 2 canaries + 2 staleness rows = 50 exactly.  The
+    # standing tier rules: re-gates outrank staleness) — 1 novel + 46
+    # RE-GATES + 2 canaries + 1 staleness row = 50 exactly.  The
     # optimization diff structurally rewrote the expression pipelines
     # of most ANN search paths (fixed-centroid argmin/top-probe stages
     # → map-only literal folds), the cosine distance factorization
