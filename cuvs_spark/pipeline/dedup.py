@@ -516,6 +516,15 @@ def simhash_near_dup(df: DataFrame, *, id_col: str = "doc_id",
     sb = (s.select("doc_id", "simhash", F.explode(bands).alias("b"))
           .select("doc_id", "simhash", F.col("b.band").alias("band"),
                   F.col("b.key").alias("key")))
+    # The self-join would compute the whole sketch pipeline TWICE (once
+    # per side): the two Exchange subtrees never canonicalize equal, so
+    # neither static nor AQE runtime exchange reuse fires — the FINAL
+    # plan shows two tokenize-explode + bit-sum towers under both the
+    # broadcast and hinted-SMJ shapes. Materialize the banded sketch
+    # (~(h+1)·n rows of 4 small columns) once and feed both sides from
+    # it; a fresh construction re-materializes, so nothing is reused
+    # across runs. Measured at the 200k-doc probe: 5.06 → 3.30 s.
+    sb = sb.localCheckpoint()
     a = sb.select(F.col("doc_id").alias("doc_a"),
                   F.col("simhash").alias("ha"), "band", "key")
     b = sb.select(F.col("doc_id").alias("doc_b"),

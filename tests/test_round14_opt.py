@@ -11,7 +11,11 @@ tests pin that construction so a later edit can't silently break it:
   narrow source;
 * the all_neighbors blas assignment pass that now carries vectors
   through the map (no join back on id) emits exactly the
-  (id, cl, vec) relation the old skinny-assign + join produced.
+  (id, cl, vec) relation the old skinny-assign + join produced;
+* ``simhash_near_dup`` materializes the banded sketch once (the band
+  self-join's sides never share an exchange, so without the checkpoint
+  the whole tokenize + bit-sum pipeline runs twice) and still returns
+  the exact popcount pairs.
 """
 
 from __future__ import annotations
@@ -136,3 +140,40 @@ class TestAllNeighborsCarryVec:
         for r in edges:
             assert clusters_of[r["src"]] & clusters_of[r["dst"]], \
                 (r["src"], r["dst"])
+
+
+class TestSimhashSketchOnce:
+    def test_plan_scans_materialized_sketch(self, spark):
+        """Both self-join sides must read the checkpointed banded
+        sketch: no tokenize/band explode (Generate) and no bit-sum
+        aggregation may remain in the near-dup plan itself."""
+        from cuvs_spark.pipeline.dedup import simhash_near_dup
+        from cuvs_spark.plans.layout import plan_string
+
+        d = spark.createDataFrame(
+            [(i, f"w{i % 5} w{(i * 7) % 11} w{(i * 3) % 13} common text")
+             for i in range(40)], "doc_id long, text string")
+        plan = plan_string(simhash_near_dup(d, max_hamming=3))
+        assert "ExistingRDD" in plan
+        assert "Generate" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pairs_match_brute_popcount(self, spark):
+        from cuvs_spark.pipeline.dedup import simhash, simhash_near_dup
+
+        rows = [(i, "alpha beta gamma delta " + ("epsilon" if i % 2 else
+                                                 "zeta eta"))
+                for i in range(30)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(p["doc_a"], p["doc_b"], p["hamming"])
+               for p in simhash_near_dup(d, max_hamming=4).collect()}
+        s = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+        want = set()
+        for a in s:
+            for b in s:
+                if a < b:
+                    h = bin(s[a] ^ s[b]).count("1")
+                    if h <= 4:
+                        want.add((a, b, h))
+        assert got == want
