@@ -147,17 +147,23 @@ def ivf_flat_search(index: IVFFlatIndex, queries: DataFrame, k: int = 10,
     # (array_sort on (d, l) structs == ORDER BY _cd, list_id), with the
     # BroadcastNestedLoopJoin, Sort and window Exchange all gone.
     cs = coarse_sorted_sql("_qv", index.centroids)
+    # r15: the query vector rides along through the probe explode (the
+    # probe set is a pure function of q, so re-joining q on qid only
+    # re-attached a column this projection already holds) — the
+    # probes ⋈ q join and its exchange/broadcast disappear from every
+    # fine stage; rows and values are identical by construction.
     probes = (q.select(
-        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
-        .select("qid", F.col("_s.l").alias("list_id")))
+        "qid", "_qv",
+        F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").alias("list_id"), "_qv"))
     if method == "blas":
         return _fine_blas(lists, q, probes, k, metric)
     if method == "broadcast":
         return _fine_broadcast(lists, q, probes, k, metric)
-    # fine: broadcast the (qid, list_id) probe set against the inverted
-    # file — only probed lists are scanned, dataset side never shuffles.
-    fine = (lists.join(F.broadcast(probes), "list_id")
-            .join(F.broadcast(q), "qid"))
+    # fine: broadcast the (qid, list_id, qv) probe set against the
+    # inverted file — only probed lists are scanned, dataset side never
+    # shuffles.
+    fine = lists.join(F.broadcast(probes), "list_id")
     fdist = F.expr(distance_sql_spark(metric, "_qv", "vec"))
     pairs = fine.select("qid", F.col("id").alias("nid"),
                         fdist.alias("distance"))
@@ -178,7 +184,10 @@ def _fine_blas(lists: DataFrame, q: DataFrame, probes: DataFrame,
     from cuvs_spark.operators.select_k import knn_merge_parts
 
     minimize = is_min_close(metric)
-    probing_q = probes.join(q, "qid").select("list_id", "qid", "_qv")
+    # r15: probes that already carry the query vector skip the join-back
+    probing_q = (probes.select("list_id", "qid", "_qv")
+                 if "_qv" in probes.columns
+                 else probes.join(q, "qid").select("list_id", "qid", "_qv"))
 
     def score(key, rows: pd.DataFrame, queries_pdf: pd.DataFrame):
         if rows.empty or queries_pdf.empty:
@@ -223,8 +232,9 @@ def _fine_broadcast(lists: DataFrame, q: DataFrame, probes: DataFrame,
 
     minimize = is_min_close(metric)
     spark = q.sparkSession
-    qp_rows = (probes.join(q, "qid")
-               .groupBy("list_id")
+    qp = (probes if "_qv" in probes.columns
+          else probes.join(q, "qid"))
+    qp_rows = (qp.groupBy("list_id")
                .agg(F.collect_list(F.struct("qid", "_qv")).alias("qs"))
                .collect())
     by_list = {}

@@ -426,12 +426,15 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
     # r14: coarse probes as a map-only literal slice (guide §2.4) —
     # same rows/ties as the old broadcast-join + window; the probed
     # centroid vector rides along so the qc/qres stages below need no
-    # centroid join either.
+    # centroid join either. r15: the QUERY vector rides along too (the
+    # probe set is a pure function of q), so the qside/qres/qc stages
+    # need no probes ⋈ q join-back either — same rows, same values.
     cs = coarse_sorted_sql("_qv", index.centroids)
     probes_cv = (q.select(
-        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        "qid", "_qv",
+        F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
         .select("qid", F.col("_s.l").alias("list_id"),
-                F.col("_s.cv").alias("_cent")))
+                F.col("_s.cv").alias("_cent"), "_qv"))
     probes = probes_cv.select("qid", "list_id")
     residual = index.encode == "residual"
     if method == "broadcast":
@@ -453,7 +456,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             CB[r["sub"], r["code"]] = r["centroid"]
         cent_np = index.centroids if residual else None
         rot = index.rotation
-        qp_rows = (probes.join(q, "qid")
+        qp_rows = (probes_cv
                    .groupBy("list_id")
                    .agg(F.collect_list(F.struct("qid", "_qv")).alias("qs"))
                    .collect())
@@ -507,7 +510,7 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             CB[r["sub"], r["code"]] = r["centroid"]
         cent_np = index.centroids if residual else None
         rot = index.rotation
-        qside = probes.join(q, "qid").select("list_id", "qid", "_qv")
+        qside = probes_cv.select("list_id", "qid", "_qv")
 
         def score(key, rows: pd.DataFrame, qp: pd.DataFrame):
             if rows.empty or qp.empty:
@@ -559,10 +562,10 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
             .withColumnRenamed("subvec", "qsub")
         lut = (qsub.join(F.broadcast(index.codebook_df), "sub")
                .select("qid", "sub", "code", sdist.alias("subdist")))
-        qc = (probes_cv.join(q, "qid")
-              .select("qid", "list_id",
-                      F.expr(distance_sql_spark("inner_product", "_qv",
-                                                "_cent")).alias("_qc")))
+        qc = probes_cv.select(
+            "qid", "list_id",
+            F.expr(distance_sql_spark("inner_product", "_qv",
+                                      "_cent")).alias("_qc"))
         probed = (codes_t.join(F.broadcast(probes), "list_id")
                   .select("qid", "list_id", "id",
                           F.posexplode("codes").alias("sub", "code")))
@@ -590,9 +593,9 @@ def ivf_pq_search(index: IVFPQIndex, queries: DataFrame, k: int = 10,
                        F.raise_error("ivf_pq: qids must be non-negative"))
                 .otherwise(F.col("qid")) * F.lit(int(max(n_lists, 1)))
                 + F.col("list_id"))
-        qres = (probes_cv.join(q, "qid")
-                .select(pack.alias("_key"), "qid", "list_id",
-                        F.expr(_res_expr("_qv", "_cent")).alias("res")))
+        qres = probes_cv.select(
+            pack.alias("_key"), "qid", "list_id",
+            F.expr(_res_expr("_qv", "_cent")).alias("res"))
         qsub = _subvecs(qres.select("_key", "res"), pq_dim,
                         id_col="_key", vec_col="res") \
             .withColumnRenamed("id", "_key") \
@@ -925,13 +928,14 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
                        F.col(qvec_col).alias("_qv")), "qid")
     # r14: map-only literal coarse stage; the probed list's centroid
     # rides along so the expr fine stage below decodes without a
-    # centroid join
+    # centroid join. r15: the query vector rides along too — no
+    # probes ⋈ q join-back in either fine stage (same rows/values).
     cs = coarse_sorted_sql("_qv", index.centroids)
     probes_cv = (q.select(
-        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        "qid", "_qv",
+        F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
         .select("qid", F.col("_s.l").alias("list_id"),
-                F.col("_s.cv").alias("_cent")))
-    probes = probes_cv.select("qid", "list_id")
+                F.col("_s.cv").alias("_cent"), "_qv"))
     if method == "blas":
         import pandas as pd
 
@@ -941,7 +945,7 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
         C = index.centroids
         lo, hi = index.lo, index.hi
         bc = spark.sparkContext.broadcast((C, lo, hi, index.metric, k))
-        probing_q = probes.join(q, "qid").select("list_id", "qid", "_qv")
+        probing_q = probes_cv.select("list_id", "qid", "_qv")
 
         def score(key, rows: pd.DataFrame, qpdf: pd.DataFrame):
             if rows.empty or qpdf.empty:
@@ -970,7 +974,6 @@ def ivf_sq_search(index: IVFSQIndex, queries: DataFrame, k: int = 10,
         return knn_merge_parts(local, k, select_min=minimize)
     dec = _sq_dec("rcodes", "_cent", index.lo, index.hi)
     fine = (index.rcodes.join(F.broadcast(probes_cv), "list_id")
-            .join(F.broadcast(q), "qid")
             .select("qid", F.col("id").alias("nid"),
                     F.expr(dec).alias("_dec"), "_qv"))
     fdist = F.expr(distance_sql_spark(index.metric, "_qv", "_dec"))
@@ -1089,16 +1092,17 @@ def ivf_bq_search(index: IVFBQIndex, queries: DataFrame, k: int = 10,
     q = spread_narrow(
         queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv")), "qid")
+    # r15: quantize the query inside the probe projection (both are
+    # pure functions of q) — the probes ⋈ qbits join-back disappears;
+    # same rows, same sign codes, same distances.
     cs = coarse_sorted_sql("_qv", index.centroids)
-    probes = (q.select(
-        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
-        .select("qid", F.col("_s.l").alias("list_id")))
-    qbits = (binary_quantize(q.withColumnRenamed("qid", "id")
-                             .withColumnRenamed("_qv", "vec"),
-                             threshold=threshold)
-             .select(F.col("id").alias("qid"), F.col("bits").alias("qbits")))
-    fine = (index.bits.join(F.broadcast(probes), "list_id")
-            .join(F.broadcast(qbits), "qid"))
+    qb = binary_quantize(q, vec_col="_qv", threshold=threshold,
+                         out_col="qbits")
+    probes = (qb.select(
+        "qid", "qbits",
+        F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").alias("list_id"), "qbits"))
+    fine = index.bits.join(F.broadcast(probes), "list_id")
     hdist = F.expr(distance_sql_spark("bitwise_hamming", "qbits", "bits"))
     k0 = refine_k0 if refine_with is not None else k
     pairs = fine.select("qid", F.col("id").alias("nid"),

@@ -236,18 +236,20 @@ def ivf_rabitq_search(index: IVFRabitQIndex, queries: DataFrame,
         queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv")), "qid")
     # r14: map-only literal coarse stage; the probed center rides
-    # along so qres/qn2 need no centroid join
+    # along so qres/qn2 need no centroid join. r15: the query vector
+    # rides along too — qside is a pure projection, no probes ⋈ q
+    # join-back (same rows, same values by construction).
     cs = coarse_sorted_sql("_qv", index.centroids)
     probes_cv = (q.select(
-        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        "qid", "_qv",
+        F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
         .select("qid", F.col("_s.l").cast("long").alias("list_id"),
-                F.col("_s.cv").alias("_cent")))
-    probes = probes_cv.select("qid", "list_id")
-    qside = (probes_cv.join(q, "qid")
-             .select("qid", "list_id",
-                     F.expr(_res("spark", "_qv", "_cent")).alias("qres"),
-                     F.expr(distance_sql_spark("sqeuclidean", "_qv",
-                                               "_cent")).alias("qn2")))
+                F.col("_s.cv").alias("_cent"), "_qv"))
+    qside = probes_cv.select(
+        "qid", "list_id",
+        F.expr(_res("spark", "_qv", "_cent")).alias("qres"),
+        F.expr(distance_sql_spark("sqeuclidean", "_qv",
+                                  "_cent")).alias("qn2"))
     if score_method == "blas":
         # cogrouped per list: decode the list's code matrix once, score
         # every probing query against it with ONE GEMM (ipq = QR @ V.T),

@@ -272,10 +272,15 @@ def scann_build(dataset: DataFrame, n_leaves: int = 32, *,
 
 
 def _probes(index: ScannIndex, q: DataFrame, n_probes: int) -> DataFrame:
+    # r15: the query vector rides along through the probe explode so
+    # downstream stages (cogroup qside, pq residual) need no
+    # probes ⋈ q join-back; consumers that only want (qid, list_id)
+    # prune the column away at no cost.
     cs = coarse_sorted_sql("_qv", index.centroids)
     return (q.select(
-        "qid", F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
-        .select("qid", F.col("_s.l").cast("long").alias("list_id")))
+        "qid", "_qv",
+        F.explode(F.expr(f"slice({cs}, 1, {n_probes})")).alias("_s"))
+        .select("qid", F.col("_s.l").cast("long").alias("list_id"), "_qv"))
 
 
 def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
@@ -293,7 +298,9 @@ def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
                        F.col(qvec_col).alias("_qv")), "qid")
     probes = _probes(index, q, n_probes)
     if method == "reorder":
-        cand = (index.assignments.join(F.broadcast(probes), "list_id")
+        cand = (index.assignments
+                .join(F.broadcast(probes.select("qid", "list_id")),
+                      "list_id")
                 .select("qid", "id").distinct())
         if score_method == "blas":
             # cogrouped GEMM per leaf (the IVF-Flat fine stage over the
@@ -325,7 +332,7 @@ def scann_search(index: ScannIndex, queries: DataFrame, k: int = 10,
     # per-(query, probed-leaf) residual, split into subspaces; multiplier
     # derived from the leaf count so (qid, list_id) pairs never collide
     qmult = int(max(len(index.centroids), 1))
-    qres = (probes.join(q, "qid").join(F.broadcast(cent), "list_id")
+    qres = (probes.join(F.broadcast(cent), "list_id")
             .select((F.when(F.col("qid") < 0,
                             F.raise_error("scann: qids must be non-negative"))
                      .otherwise(F.col("qid")) * F.lit(qmult)
