@@ -195,8 +195,20 @@ def kde(dataset: DataFrame, queries: DataFrame, bandwidth: float = 1.0,
     """Kernel density estimate per query (``kde.hpp:48``): the m×n join
     collapses through a partial-aggregated sum — map-side combine keeps
     the shuffle at one row per (qid, partition)."""
+    from cuvs_spark.functions.distance import METRICS
     a, b = _sides(queries, dataset, qid_col, qvec_col, id_col, vec_col)
-    dist = distance_sql_spark(metric, "_xa", "_xb")
+    if METRICS[metric].name == "cosine":
+        # r15 (guide §1.2 step 2, the r14 factored-cosine template):
+        # hoist the two per-vector norm folds into one projection per
+        # side so the m×n pair loop folds once (dot) — bit-identical
+        # values (see distance.cosine_norm_sql_spark), same 6-dp round.
+        from cuvs_spark.functions.distance import (cosine_norm_sql_spark,
+                                                   cosine_pair_sql_spark)
+        a = a.withColumn("_na", F.expr(cosine_norm_sql_spark("_xa")))
+        b = b.withColumn("_nb", F.expr(cosine_norm_sql_spark("_xb")))
+        dist = cosine_pair_sql_spark("_xa", "_xb", "_na", "_nb")
+    else:
+        dist = distance_sql_spark(metric, "_xa", "_xb")
     u = f"(({dist}) / CAST({bandwidth} AS DOUBLE))"
     kern = _KERNELS[kernel].format(u=u)
     # float group-sum order is engine/run-dependent → round to 6 dp so the
@@ -221,7 +233,18 @@ def refine(dataset: DataFrame, queries: DataFrame, candidates: DataFrame,
                        F.col(vec_col).alias("_dv"))
     q = queries.select(F.col(qid_col).cast("long").alias("qid"),
                        F.col(qvec_col).alias("_qv"))
-    dist = F.expr(distance_sql_spark(metric, "_qv", "_dv"))
+    from cuvs_spark.functions.distance import METRICS
+    if METRICS[metric].name == "cosine":
+        # r15: factored cosine (r14 template) — each dataset/query
+        # vector's norm folds once in its own projection instead of
+        # once per candidate pair; bit-identical values.
+        from cuvs_spark.functions.distance import (cosine_norm_sql_spark,
+                                                   cosine_pair_sql_spark)
+        d = d.withColumn("_dn", F.expr(cosine_norm_sql_spark("_dv")))
+        q = q.withColumn("_qn", F.expr(cosine_norm_sql_spark("_qv")))
+        dist = F.expr(cosine_pair_sql_spark("_qv", "_dv", "_qn", "_dn"))
+    else:
+        dist = F.expr(distance_sql_spark(metric, "_qv", "_dv"))
     pairs = (cand.join(d, "nid").join(F.broadcast(q), "qid")
              .select("qid", "nid", dist.alias("distance")))
     return select_k(pairs, "qid", "distance", k,

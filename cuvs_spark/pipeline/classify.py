@@ -399,14 +399,17 @@ def chi2_terms(df: DataFrame, label_expr: str, top_n: int = 50, *,
 
     # r14 (guide §2.5): spread a narrow source so the tokenize +
     # explode feeding the (term, doc) distinct runs on every core
-    d = spread_narrow(
-        df.select(F.col(id_col).cast("long").alias("_doc"),
-                  F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
-                  .alias("_y"),
-                  F.col(text_col).alias("_x")),
-        "_doc").select(
+    src = df.select(F.col(id_col).cast("long").alias("_doc"),
+                    F.expr(f"CASE WHEN {label_expr} THEN 1 ELSE 0 END")
+                    .alias("_y"),
+                    F.col(text_col).alias("_x"))
+    d = spread_narrow(src, "_doc").select(
         "_doc", "_y", F.expr(TOKS_SPARK.format(s="_x")).alias("_t"))
-    totals = d.agg(
+    # r15: the label totals are a global partial-aggregated sum of _y
+    # only — reading them off the UN-spread source drops the spread
+    # exchange (and its materialization for the broadcast build) from
+    # this branch; same rows, same integers.
+    totals = src.agg(
         F.sum("_y").cast("long").alias("_np"),
         F.sum(F.expr("1 - _y")).cast("long").alias("_nn"))
     pres = (d.select("_doc", "_y", F.explode("_t").alias("term"))

@@ -721,14 +721,21 @@ def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
     one row per endpoint node; converges in O(component diameter)
     rounds. Dup components are shallow in practice (stars around a
     canonical), so 2-3 rounds is typical."""
+    from pyspark.sql import Observation
+
     e = pairs.select(F.col(a_col).cast("long").alias("a"),
                      F.col(b_col).cast("long").alias("b"))
     # materialize the edge table once: its lineage (an LSH/ANN join) is
-    # otherwise re-derived by BOTH jobs of EVERY propagation round
-    und = e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"))).distinct() \
-        .localCheckpoint()
-    if und.isEmpty():
+    # otherwise re-derived by BOTH jobs of EVERY propagation round.
+    # r15 (guide §1.2 — remove passes): the edge count is OBSERVED
+    # during the checkpoint's own materialization job, so the separate
+    # isEmpty scan job disappears (same boolean: count == 0).
+    obs_e = Observation()
+    und = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b"))).distinct()
+           .observe(obs_e, F.count(F.lit(1)).alias("n"))
+           .localCheckpoint())
+    if obs_e.get["n"] == 0:
         # no dup pairs at all (common on clean corpora): skip the
         # label-table checkpoint and the first propagation round
         return und.select(F.col("a").alias("doc_id"),
@@ -749,14 +756,24 @@ def connected_components(pairs: DataFrame, *, max_iterations: int = 20,
         # convergence reads off the checkpointed output — the old
         # change-detection join re-shuffled new_labels against labels
         # every round just to compare a column each row already had
-        # (r14, guide §2.4: one join per round, not two)
+        # (r14, guide §2.4: one join per round, not two).
+        # r15: the changed-label count is OBSERVED during the
+        # checkpoint's materialization job itself, so the per-round
+        # stability scan of the label table (a whole extra job, and at
+        # scale a full pass over the labels) disappears — the boolean
+        # is the same: no row with lbl != _prev.
+        obs = Observation()
         merged = (labels.join(neigh, "id", "left")
                   .select("id", F.col("lbl").alias("_prev"),
                           F.least("lbl", F.coalesce("nl", "lbl"))
-                          .alias("lbl"))).localCheckpoint()
-        stable = merged.filter(F.col("lbl") != F.col("_prev")).isEmpty()
+                          .alias("lbl"))
+                  .observe(obs, F.sum(F.expr(
+                      "CASE WHEN lbl != _prev THEN 1 ELSE 0 END"))
+                      .alias("n_changed"))
+                  .localCheckpoint())
+        n_changed = obs.get["n_changed"]
         labels = merged.select("id", "lbl")
-        if stable:
+        if n_changed is None or n_changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("canonical_id"))

@@ -82,16 +82,6 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.sum("dl").alias("sum_dl"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    if max_df_frac is not None:
-        # prune stopwords BEFORE the posting join — df is already
-        # aggregated, so the filter costs one scalar comparison per
-        # distinct term and caps every posting list the query side
-        # can fan out to
-        dfreq = (dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
-                 .filter(F.col("df")
-                         <= F.lit(float(max_df_frac)) * F.col("n_docs"))
-                 .select("w", "df"))
 
     ratio = ("(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / "
              "(CAST(df AS DOUBLE) + 0.5)")
@@ -110,16 +100,31 @@ def bm25_search(docs: DataFrame, queries: DataFrame, k: int = 10, *,
     # query's terms FIRST — inner equi-joins commute, so the surviving
     # rows and their scores are identical, but dfreq/dl/stats now
     # attach to candidate rows only instead of the whole (doc, term)
-    # relation
-    # r14 (guide §3.2 shape): only the query's terms survive the hits
-    # join, so semi-restrict the document-frequency table to them
-    # BEFORE its w-shuffle — df counts are aggregated over the full
-    # corpus first (correctness), but the join input shrinks from the
-    # whole vocabulary to the query vocabulary
-    dfreq_q = dfreq.join(F.broadcast(qt.select("w").distinct()), "w",
-                         "left_semi")
+    # relation.
+    # r15 (guide §3.1/§3.2): document frequency is counted AFTER a
+    # left-semi of the posting relation against the SAME broadcast qt
+    # the hits join uses — one broadcast build shared by both joins
+    # (a semi join cannot multiply rows on right-side duplicates, so
+    # the r14 `qt.select("w").distinct()` aggregation + second
+    # broadcast is gone). The semi drops whole term groups and never
+    # rows within one, so the per-term counts are identical to
+    # counting the full vocabulary first — scores bit-identical — but
+    # the full-vocabulary aggregation tower disappears, and the
+    # resulting dfreq is query-sized, so it BROADCASTS into the hits
+    # join instead of shuffling the candidate relation by term.
+    dfreq = (tf.join(F.broadcast(qt), "w", "left_semi")
+             .groupBy("w").agg(F.count("*").alias("df")))
+    if max_df_frac is not None:
+        # prune stopwords BEFORE the posting join — df is already
+        # aggregated, so the filter costs one scalar comparison per
+        # distinct term and caps every posting list the query side
+        # can fan out to
+        dfreq = (dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+                 .filter(F.col("df")
+                         <= F.lit(float(max_df_frac)) * F.col("n_docs"))
+                 .select("w", "df"))
     hits = (tf.join(F.broadcast(qt), "w")
-            .join(dfreq_q, "w")
+            .join(F.broadcast(dfreq), "w")
             .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
             .select("qid", "doc_id", "w", F.expr(score).alias("s")))
