@@ -110,11 +110,17 @@ def select_k(df: DataFrame,
             cols.append((F.col("_rank0") + 1).cast("long").alias(rank_col))
         return out.select(*cols)
 
+    # r15 (construction latency): one select carries the row_number,
+    # the post-filter select emits the final columns — 3 analyzed
+    # Datasets instead of 4; the optimized plan (CollapseProject +
+    # column pruning) is identical to the withColumn/drop chain.
     w = Window.partitionBy(*keys).orderBy(*order)
-    out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    out = (df.select("*", F.row_number().over(w).alias("_rn"))
+           .filter(F.col("_rn") <= k))
+    final = list(df.columns)
     if rank_col:
-        out = out.withColumn(rank_col, F.col("_rn").cast("long"))
-    return out.drop("_rn")
+        final.append(F.col("_rn").cast("long").alias(rank_col))
+    return out.select(*final)
 
 
 def knn_merge_parts(parts: Sequence[DataFrame] | DataFrame,

@@ -307,21 +307,26 @@ def maxsim_search(doc_tokens: DataFrame, query_tokens: DataFrame,
     from cuvs_spark.functions.distance import distance_sql_spark
     from cuvs_spark.operators.select_k import select_k
 
-    d = doc_tokens.select(F.col(doc_col).cast("long").alias("doc_id"),
-                          F.col(dtok_col).cast("long").alias("dtok"),
-                          F.col(dvec_col).alias("dv"))
-    q = query_tokens.select(F.col(qdoc_col).cast("long").alias("qid"),
-                            F.col(qtok_col).cast("long").alias("qtok"),
-                            F.col(qvec_col).alias("qv"))
     # r14 (guide §1.2 step 2): hoist cosine's per-vector norm folds
     # into one projection per token side — the |candidates|·q_toks·
     # d_toks pair loop then folds once (dot) per pair instead of three
     # times. Bit-identical (see distance.cosine_norm_sql_spark).
+    # r15 (construction latency): the norm rides in the SAME select as
+    # the column staging — one analyzed Dataset per side instead of
+    # two; the optimized plan is identical (CollapseProject).
+    dcols = [F.col(doc_col).cast("long").alias("doc_id"),
+             F.col(dtok_col).cast("long").alias("dtok"),
+             F.col(dvec_col).alias("dv")]
+    qcols = [F.col(qdoc_col).cast("long").alias("qid"),
+             F.col(qtok_col).cast("long").alias("qtok"),
+             F.col(qvec_col).alias("qv")]
     if metric == "cosine":
         from cuvs_spark.functions.distance import (cosine_norm_sql_spark,
                                                    cosine_pair_sql_spark)
-        d = d.withColumn("_dn", F.expr(cosine_norm_sql_spark("dv")))
-        q = q.withColumn("_qn", F.expr(cosine_norm_sql_spark("qv")))
+        dcols.append(F.expr(cosine_norm_sql_spark(dvec_col)).alias("_dn"))
+        qcols.append(F.expr(cosine_norm_sql_spark(qvec_col)).alias("_qn"))
+    d = doc_tokens.select(*dcols)
+    q = query_tokens.select(*qcols)
     if candidates is not None:
         cand = candidates.select(F.col("qid").cast("long").alias("qid"),
                                  F.col("doc_id").cast("long")
@@ -334,20 +339,21 @@ def maxsim_search(doc_tokens: DataFrame, query_tokens: DataFrame,
     else:
         dist = F.expr(distance_sql_spark(metric, "qv", "dv"))
     if metric == "cosine":
-        best = F.min(dist)
-        contrib = F.lit(1.0) - F.col("_best")
+        contrib = (F.lit(1.0) - F.min(dist)).alias("_c")
     else:
-        best = F.max(dist)
-        contrib = F.col("_best")
+        contrib = F.max(dist).alias("_c")
+    # r15 (construction latency): the contrib transform rides in the
+    # inner aggregate's result expression and the sorted fold in the
+    # outer's — two fewer analyzed Datasets; the canonicalized
+    # optimized plan is byte-identical to the r14 three-step form
+    # (CollapseProject had already merged both projections there).
     per_qtok = (pairs.groupBy("qid", "doc_id", "qtok")
-                .agg(best.alias("_best"))
-                .select("qid", "doc_id", "qtok", contrib.alias("_c")))
+                .agg(contrib))
     scored = (per_qtok.groupBy("qid", "doc_id")
-              .agg(F.array_sort(F.collect_list(
-                  F.struct("qtok", "_c"))).alias("_cs"))
-              .select("qid", "doc_id", F.expr(
-                  "aggregate(_cs, CAST(0.0 AS DOUBLE), "
-                  "(acc, x) -> acc + x._c)").alias("score")))
+              .agg(F.expr(
+                  "aggregate(array_sort(collect_list(struct(qtok, _c))), "
+                  "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x._c)")
+                  .alias("score")))
     return (select_k(scored, "qid", "score", k, select_min=False,
                      tie_cols=["doc_id"], rank_col="rank",
                      strategy="auto")
