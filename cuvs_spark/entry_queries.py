@@ -4828,9 +4828,112 @@ register("bloom_stream_exact_epochs", _bloom_stream_epochs,
 # past slot 50 remain fully checked by tools/check_oracle.py and pytest and
 # rotate into the window in later rounds.
 _WINDOW_PRIORITY = [
-    # ROUND-14 WINDOW (REBUILT at the optimization round, per the
-    # standing tier rules: re-gates outrank staleness) — 1 novel + 46
-    # RE-GATES + 2 canaries + 1 staleness row = 50 exactly.  The
+    # ROUND-15 WINDOW (optimization round 2 of 2) — 10 staleness rows
+    # (the r08 head, pinned by the declared r15 plan: the oldest union
+    # rows, displaced twice already, never again) + 2 canaries + 26
+    # RE-GATES + 12 staleness-fill rows = 50 exactly.
+    #
+    # Tier 3 re-gates, per the standing "any operator rewrite re-gates
+    # its gates before staleness refresh" rule.  The r15 diff's one
+    # value-relevant plan rewrite is the carry-the-query-vector probe
+    # explode (commit 9efaebb, inherited from the interrupted session
+    # and verified green on arrival): every IVF fine stage that
+    # re-joined probes back to q on qid now reads _qv from the probe
+    # projection — one shuffle exchange + two broadcast exchanges
+    # removed from every ivf_flat/pq/sq/bq/rabitq/scann search plan
+    # (plans/r15/*_after.txt vs plans/r14).  All 24 consumers of those
+    # probe stages are re-gated: the 6 ivf_flat variants, 5 ivf_pq
+    # variants (transform_codes does NOT search — its enc path is
+    # untouched this round), 3 ivf_sq, ivf_bq, 2 rabitq, 3 scann
+    # search variants (soar_labels is build-side, untouched), the 3
+    # tiered compositions and composite_search_ip.  Plus
+    # text_chi2_terms (label totals now aggregate the un-spread
+    # source — one exchange removed) and refine_cosine (factored-norm
+    # cosine template).
+    #
+    # NOT re-gated, with the r14 precedent class for each, all
+    # re-verified hash-exact locally this round: the CC observe-fused
+    # convergence + curate (physical job structure only — the plan and
+    # every label are unchanged; same class as the r14 spread/
+    # localCheckpoint placements), bm25 dfreq restructuring and the
+    # maxsim/select_k construction collapse (canonicalized optimized
+    # plans byte-identical — the change-14 class, strictly weaker),
+    # kde euclidean gates (only the cosine branch changed; their
+    # expression trees are untouched).
+    #
+    # Staleness fill order (after the re-gates): the six r14-build
+    # displacements (gram_linear/gram_rbf/gram_tanh/
+    # knn_bf_jensenshannon/knn_bf_kl_divergence/knn_minkowski_p3, all
+    # last-verified r09), then the r09 remainder in sorted order
+    # (cagra_merge, cagra_optimize, dedup_ngram_jaccard_lsh,
+    # dedup_simhash_near_dup, events_sessionize,
+    # events_windowed_counts).  Next-in-line for r16, still r09-stale:
+    # kde_cosine_kernel, kde_exponential, kde_linear, kde_tophat,
+    # knn_bitwise_hamming, knn_custom_udf_metric, pairwise_haversine,
+    # preprocess_* (3), sparse_* (2), stats_* (5), vamana_build.
+    #
+    # Tier 5 head — the ten r08 rows, per the declared r15 plan:
+    "knn_bf_canberra",
+    "knn_bf_chebyshev",
+    "knn_bf_cityblock",
+    "knn_bf_correlation",
+    "knn_bf_dice",
+    "knn_bf_hamming",
+    "knn_bf_hellinger",
+    "knn_bf_jaccard",
+    "knn_bf_russellrao",
+    "pairwise_sqeuclidean",
+    # Tier 4 — canaries (red/err in r3, permanent watch):
+    "gram_polynomial",
+    "kmeans_fit_centroids",
+    # Tier 3 — re-gates: carry-qv probe-explode consumers,
+    "ivf_flat_search",
+    "ivf_flat_search_blas",
+    "ivf_flat_search_trained",
+    "ivf_flat_extend_search",
+    "ivf_flat_search_broadcast",
+    "ivf_flat_search_prefilter",
+    "ivf_pq_search",
+    "ivf_pq_search_residual",
+    "ivf_pq_search_cosine",
+    "ivf_pq_search_refined",
+    "ivf_pq_extend_search",
+    "ivf_sq_search",
+    "ivf_sq_search_ip",
+    "ivf_sq_extend_search",
+    "ivf_bq_search",
+    "ivf_rabitq_search",
+    "ivf_rabitq_search_blas",
+    "scann_search_pq",
+    "scann_search_reorder",
+    "scann_search_reorder_blas",
+    "tiered_search",
+    "tiered_search_ip",
+    "tiered_compaction_search",
+    "composite_search_ip",
+    # ... the chi2 totals-source change and the factored-cosine refine:
+    "text_chi2_terms",
+    "refine_cosine",
+    # Staleness fill — the six r14-build displacements first,
+    "gram_linear",
+    "gram_rbf",
+    "gram_tanh",
+    "knn_bf_jensenshannon",
+    "knn_bf_kl_divergence",
+    "knn_minkowski_p3",
+    # ... then the r09 remainder in sorted order:
+    "cagra_merge",
+    "cagra_optimize",
+    "dedup_ngram_jaccard_lsh",
+    "dedup_simhash_near_dup",
+    "events_sessionize",
+    "events_windowed_counts",
+]
+
+_WINDOW_R14 = [
+    # ROUND-14 WINDOW (kept for the record; superseded by the r15 list
+    # above) — 1 novel + 46 RE-GATES + 2 canaries + 1 staleness row =
+    # 50 exactly.  The
     # optimization diff structurally rewrote the expression pipelines
     # of most ANN search paths (fixed-centroid argmin/top-probe stages
     # → map-only literal folds), the cosine distance factorization
