@@ -33,6 +33,19 @@ def exact_graph(emb):
     return knn_self(emb, K).cache()
 
 
+@pytest.fixture(scope="module")
+def cagra_graph_844(emb):
+    """The (graph_degree=8, n_clusters=4, overlap_factor=2,
+    kmeans_n_iters=4) CAGRA graph over ``emb`` — built identically
+    (and deterministically: seeded kmeans, exact folds) by BOTH
+    test_cagra_search_recall and test_cagra_vpq_compressed_search_recall
+    before r15; shared module-scoped so the suite pays the iterative
+    build once (r15, the VERDICT item-7 fixture-scope class — the
+    assertions of both tests are unchanged)."""
+    return cagra_build(emb, graph_degree=8, n_clusters=4,
+                       overlap_factor=2, kmeans_n_iters=4)
+
+
 def graph_recall(approx, exact):
     a = {(r["src"], r["dst"]) for r in approx.select(
         F.col("src"), F.col("dst")).collect()}
@@ -65,9 +78,8 @@ def test_cagra_optimize_properties(emb, exact_graph):
     assert sym > 0.5
 
 
-def test_cagra_search_recall(spark, emb, exact_graph):
-    graph = cagra_build(emb, graph_degree=8, n_clusters=4, overlap_factor=2,
-                        kmeans_n_iters=4)
+def test_cagra_search_recall(spark, emb, exact_graph, cagra_graph_844):
+    graph = cagra_graph_844
     q = (emb.filter(F.col("id") < 20)
          .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
     exact = knn(emb, q, 5, "sqeuclidean", qvec_col="qv")
@@ -105,7 +117,7 @@ def test_cagra_extend_matches_rebuild(spark, emb):
     assert r >= 0.7, r
 
 
-def test_cagra_vpq_compressed_search_recall(spark, emb):
+def test_cagra_vpq_compressed_search_recall(spark, emb, cagra_graph_844):
     """VPQ compression + refinement_rate (``cagra.pyx:50-124,286``;
     ``common.hpp:411 vpq_dataset``): beam search over decoded codes with
     a 2× exact re-rank must keep recall ≥ 0.9 of the uncompressed
@@ -113,8 +125,7 @@ def test_cagra_vpq_compressed_search_recall(spark, emb):
     ``ann_cagra/test_float_uint32_t.cu`` vpq cases)."""
     from cuvs_spark.operators.graph import (cagra_compress,
                                             cagra_search_compressed)
-    graph = cagra_build(emb, graph_degree=8, n_clusters=4, overlap_factor=2,
-                        kmeans_n_iters=4)
+    graph = cagra_graph_844
     codes, cb = cagra_compress(emb, pq_dim=16, pq_bits=6, seed=3)
     q = (emb.filter(F.col("id") < 20)
          .select(F.col("id").alias("qid"), F.col("vec").alias("qv")))
