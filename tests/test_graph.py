@@ -46,6 +46,20 @@ def cagra_graph_844(emb):
                        overlap_factor=2, kmeans_n_iters=4)
 
 
+
+@pytest.fixture(scope="module")
+def hnsw_layers_m4(vectors_df):
+    """The (graph_degree=8, hierarchy='multi', M=4) HNSW index over
+    ``vectors_df`` — built identically (deterministic layer draw) by
+    THREE tests before r15 (hierarchy_layers_and_search, the hnswlib
+    binary roundtrip, hnswlib load-back); shared module-scoped so the
+    suite pays the layered build once (r15 fixture-scope class;
+    assertions unchanged)."""
+    from cuvs_spark.sources.graph_export import hnsw_build
+    return hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
+                      M=4).cache()
+
+
 def graph_recall(approx, exact):
     a = {(r["src"], r["dst"]) for r in approx.select(
         F.col("src"), F.col("dst")).collect()}
@@ -257,15 +271,14 @@ def test_cagra_iterative_build_improves_recall(spark, vectors_df):
     assert r2 >= 0.55, (r0, r2)
 
 
-def test_hnsw_hierarchy_layers_and_search(spark, vectors_df):
+def test_hnsw_hierarchy_layers_and_search(spark, vectors_df, hnsw_layers_m4):
     """hierarchy='cpu' analog: geometric layer sizes, nested subsets,
     and the layer-descent search must match flat-search quality."""
     from cuvs_spark.operators.brute_force import knn
     from cuvs_spark.sources.graph_export import hnsw_build, hnsw_search
     from pyspark.sql import functions as F
 
-    layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
-                        M=4).cache()
+    layers = hnsw_layers_m4
     # the index carries its M parameter in-band (layer = -1 row)
     meta = layers.filter(F.col("layer") == -1).collect()
     assert len(meta) == 1 and meta[0]["src"] == 4
@@ -316,7 +329,7 @@ def test_hnsw_extend_preserves_hierarchy(spark, vectors_df):
     assert self_found >= 8, top1
 
 
-def test_hnswlib_binary_roundtrip(spark, vectors_df, tmp_path):
+def test_hnswlib_binary_roundtrip(spark, vectors_df, tmp_path, hnsw_layers_m4):
     """hnsw.save binary emit in hnswlib's own serialization
     (hnsw.pyx:317 / hnswlib HierarchicalNSW::saveIndex layout): header,
     level-0 links+data+labels, and upper-level link lists must all
@@ -329,8 +342,7 @@ def test_hnswlib_binary_roundtrip(spark, vectors_df, tmp_path):
                                                  hnsw_save_hnswlib,
                                                  read_hnswlib_index)
 
-    layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
-                        M=4).cache()
+    layers = hnsw_layers_m4
     path = str(tmp_path / "idx.hnswlib")
     meta = hnsw_save_hnswlib(layers, vectors_df, path, ef_construction=120)
     rmeta, level0, upper, data, labels = read_hnswlib_index(path)
@@ -375,7 +387,7 @@ def test_hnswlib_binary_roundtrip(spark, vectors_df, tmp_path):
     assert rmeta["enterpoint"] == pos[entry_id]
 
 
-def test_hnswlib_load_back_to_layers(spark, vectors_df, tmp_path):
+def test_hnswlib_load_back_to_layers(spark, vectors_df, tmp_path, hnsw_layers_m4):
     """hnsw.load direction: an hnswlib file parsed back into the
     layered view must search identically to the index it was saved
     from (hnsw.pyx:317 save→load→serve contract)."""
@@ -386,8 +398,7 @@ def test_hnswlib_load_back_to_layers(spark, vectors_df, tmp_path):
                                                  hnsw_save_hnswlib,
                                                  hnsw_search)
 
-    layers = hnsw_build(vectors_df, graph_degree=8, hierarchy="multi",
-                        M=4).cache()
+    layers = hnsw_layers_m4
     path = str(tmp_path / "idx.hnswlib")
     hnsw_save_hnswlib(layers, vectors_df, path)
     l2, d2 = hnsw_load_hnswlib(spark, path)
